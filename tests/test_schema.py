@@ -1,0 +1,132 @@
+"""Unit tests for aircan_spark.schema (pure Python, no Spark)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from aircan_spark.schema import (
+    SchemaError,
+    compare_schemas,
+    descriptor_to_struct,
+    frictionless_to_spark_type,
+    sanitize_column_name,
+    sanitize_descriptor,
+    spark_to_frictionless_type,
+    struct_to_descriptor,
+    unique_keys,
+)
+
+
+def test_type_map_core():
+    assert frictionless_to_spark_type("integer") == T.LongType()
+    assert frictionless_to_spark_type("number") == T.DoubleType()
+    assert frictionless_to_spark_type("number", decimal_number=True) == T.DecimalType(38, 9)
+    assert frictionless_to_spark_type("boolean") == T.BooleanType()
+    assert frictionless_to_spark_type("datetime") == T.TimestampNTZType()
+    assert frictionless_to_spark_type("timestamptz") == T.TimestampType()
+    assert frictionless_to_spark_type("date") == T.DateType()
+    assert frictionless_to_spark_type("year") == T.IntegerType()
+    # unknown types default to string (reference schema.py:33)
+    assert frictionless_to_spark_type("no_such_type") == T.StringType()
+    assert frictionless_to_spark_type("geopoint") == T.StringType()
+
+
+def test_reverse_type_map():
+    assert spark_to_frictionless_type(T.LongType()) == "integer"
+    assert spark_to_frictionless_type(T.DoubleType()) == "number"
+    assert spark_to_frictionless_type(T.TimestampType()) == "timestamptz"
+    assert spark_to_frictionless_type(T.TimestampNTZType()) == "datetime"
+    assert spark_to_frictionless_type(T.ArrayType(T.LongType())) == "array"
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        (" Product SKU ", "Product_SKU"),
+        ("price ($US)", "price_US"),
+        ("2024_sales", "f_2024_sales"),
+        ("name", "name"),
+        ("a__b___c", "a_b_c"),
+        ("x" * 200, "x" * 128),
+    ],
+)
+def test_sanitize_column_name(raw, expected):
+    assert sanitize_column_name(raw) == expected
+
+
+def test_sanitize_empty_raises():
+    with pytest.raises(SchemaError):
+        sanitize_column_name("!!!")
+
+
+def test_sanitize_idempotent():
+    for raw in [" Product SKU ", "price ($US)", "2024_sales"]:
+        once = sanitize_column_name(raw)
+        assert sanitize_column_name(once) == once
+
+
+def test_descriptor_collision():
+    desc = {"fields": [{"name": "name"}, {"name": "name!"}]}
+    with pytest.raises(SchemaError, match="collision"):
+        sanitize_descriptor(desc)
+
+
+def test_unique_keys():
+    desc = {
+        "fields": [
+            {"name": "sku", "type": "integer", "constraints": {"unique": True}},
+            {"name": "name", "type": "string", "constraints": {"required": True}},
+        ]
+    }
+    assert unique_keys(desc) == ["sku"]
+
+
+def test_descriptor_struct_roundtrip():
+    desc = {
+        "fields": [
+            {"name": "sku", "type": "integer", "constraints": {"unique": True}},
+            {"name": "name", "type": "string", "constraints": {"required": True}},
+            {"name": "price", "type": "number"},
+            {"name": "in_stock", "type": "boolean"},
+            {"name": "added_date", "type": "date"},
+            {"name": "last_seen", "type": "datetime"},
+        ]
+    }
+    st = descriptor_to_struct(desc, include_system_columns=True)
+    assert st.fields[0].name == "_id"
+    assert st.fields[0].dataType == T.LongType()
+    assert st.fields[-1].name == "_updated_at"
+    assert st["name"].nullable is False
+    assert st["sku"].metadata.get("unique") is True
+
+    back = struct_to_descriptor(st)
+    names = [f["name"] for f in back["fields"]]
+    assert "_id" not in names and "_updated_at" not in names
+    assert back["fields"][0] == {
+        "name": "sku",
+        "type": "integer",
+        "constraints": {"unique": True},
+    }
+
+
+def test_compare_schemas_additive_is_append():
+    old = T.StructType([T.StructField("a", T.LongType())])
+    new = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    res = compare_schemas(old, new)
+    assert res["action"] == "append"
+    assert res["added"] == ["b"]
+
+
+def test_compare_schemas_type_change_is_recreate():
+    old = T.StructType([T.StructField("a", T.LongType())])
+    new = T.StructType([T.StructField("a", T.StringType())])
+    assert compare_schemas(old, new)["action"] == "recreate"
+
+
+def test_compare_schemas_removed_is_recreate():
+    old = T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.LongType())])
+    new = T.StructType([T.StructField("a", T.LongType())])
+    res = compare_schemas(old, new)
+    assert res["action"] == "recreate"
+    assert res["removed"] == ["b"]

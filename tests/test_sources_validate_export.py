@@ -1,0 +1,213 @@
+"""Source format matrix, validation reports, ordered export."""
+
+import gzip
+import json
+import os
+
+from aircan_spark.export import export_ordered
+from aircan_spark.rownum import with_row_number
+from aircan_spark.sources import infer_format, read_resource
+from aircan_spark.validate import validate
+
+DESCRIPTOR = {
+    "fields": [
+        {"name": "sku", "type": "integer", "constraints": {"unique": True}},
+        {"name": "name", "type": "string", "constraints": {"required": True}},
+        {"name": "price", "type": "number"},
+        {"name": "in_stock", "type": "boolean"},
+    ]
+}
+
+ROWS = [
+    {"sku": 1, "name": "ant", "price": 1.5, "in_stock": True},
+    {"sku": 2, "name": "bee", "price": None, "in_stock": False},
+    {"sku": 3, "name": "cat", "price": 3.25, "in_stock": True},
+]
+
+
+def _csv_text(sep=","):
+    lines = [sep.join(["sku", "name", "price", "in_stock"])]
+    for r in ROWS:
+        lines.append(
+            sep.join(
+                [
+                    str(r["sku"]),
+                    r["name"],
+                    "" if r["price"] is None else str(r["price"]),
+                    str(r["in_stock"]).lower(),
+                ]
+            )
+        )
+    return "\n".join(lines) + "\n"
+
+
+def test_infer_format():
+    assert infer_format("x.csv") == "csv"
+    assert infer_format("x.csv.gz") == "csv"
+    assert infer_format("x.tsv") == "tsv"
+    assert infer_format("x.ndjson") == "ndjson"
+    assert infer_format("x.json") == "json"
+    assert infer_format("x.parquet") == "parquet"
+    assert infer_format("no_extension") == "csv"  # reference default
+    assert infer_format("x.parquet", declared="csv") == "csv"
+
+
+def _check(df):
+    rows = {r["sku"]: r for r in df.collect()}
+    assert sorted(rows) == [1, 2, 3]
+    assert rows[2]["price"] is None
+    assert rows[1]["in_stock"] is True
+
+
+def test_read_csv(spark, tmp_path):
+    p = str(tmp_path / "d.csv")
+    open(p, "w").write(_csv_text())
+    _check(read_resource(spark, p, descriptor=DESCRIPTOR))
+
+
+def test_read_csv_inferred(spark, tmp_path):
+    p = str(tmp_path / "d.csv")
+    open(p, "w").write(_csv_text())
+    df = read_resource(spark, p)
+    assert df.count() == 3
+    assert dict(df.dtypes)["sku"] in ("int", "bigint")
+
+
+def test_read_tsv(spark, tmp_path):
+    p = str(tmp_path / "d.tsv")
+    open(p, "w").write(_csv_text(sep="\t"))
+    _check(read_resource(spark, p, descriptor=DESCRIPTOR))
+
+
+def test_read_csv_gz(spark, tmp_path):
+    p = str(tmp_path / "d.csv.gz")
+    with gzip.open(p, "wt") as fh:
+        fh.write(_csv_text())
+    _check(read_resource(spark, p, descriptor=DESCRIPTOR))
+
+
+def test_read_ndjson(spark, tmp_path):
+    p = str(tmp_path / "d.ndjson")
+    with open(p, "w") as fh:
+        for r in ROWS:
+            fh.write(json.dumps(r) + "\n")
+    _check(read_resource(spark, p, descriptor=DESCRIPTOR))
+
+
+def test_read_json_array(spark, tmp_path):
+    p = str(tmp_path / "d.json")
+    open(p, "w").write(json.dumps(ROWS, indent=2))
+    _check(read_resource(spark, p, descriptor=DESCRIPTOR))
+
+
+def test_read_parquet(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(r["sku"], r["name"], r["price"], r["in_stock"]) for r in ROWS],
+        ["sku", "name", "price", "in_stock"],
+    )
+    p = str(tmp_path / "d.parquet")
+    src.write.parquet(p)
+    _check(read_resource(spark, p, descriptor=DESCRIPTOR))
+
+
+def test_messy_headers_sanitized(spark, tmp_path):
+    p = str(tmp_path / "messy.csv")
+    open(p, "w").write(' Product SKU ,price ($US),2024_sales,name\n1,2.0,3,x\n')
+    df = read_resource(spark, p)
+    assert df.columns == ["Product_SKU", "price_US", "f_2024_sales", "name"]
+
+
+# ---- validation ----------------------------------------------------------
+
+
+def test_validate_clean(spark, tmp_path):
+    p = str(tmp_path / "d.csv")
+    open(p, "w").write(_csv_text())
+    raw = read_resource(spark, p, sanitize_names=True)
+    raw = raw.selectExpr(*[f"cast({c} as string) as {c}" for c in raw.columns])
+    report = validate(raw, DESCRIPTOR)
+    assert report["valid"] is True
+    assert report["row_count"] == 3
+
+
+def test_validate_bad_rows(spark):
+    raw = spark.createDataFrame(
+        [
+            ("1", "ok", "1.5", "true"),
+            ("oops", "", "cheap", "maybe"),  # int err, required err, num err, bool err
+            ("1", "dupe-key", "2.0", "false"),  # unique violation (sku=1 twice)
+        ],
+        ["sku", "name", "price", "in_stock"],
+    )
+    report = validate(raw, DESCRIPTOR)
+    assert report["valid"] is False
+    codes = sorted({e["code"] for e in report["errors"]})
+    assert "type-error" in codes
+    assert "constraint-error:required" in codes
+    assert "constraint-error:unique" in codes
+    fields = {(e["field"], e["code"]) for e in report["errors"]}
+    assert ("sku", "type-error") in fields
+    assert ("price", "type-error") in fields
+    assert ("in_stock", "type-error") in fields
+    assert ("name", "constraint-error:required") in fields
+    assert ("sku", "constraint-error:unique") in fields
+
+
+def test_validate_error_cap(spark):
+    rows = [("not_an_int", f"n{i}", "x", "z") for i in range(1200)]
+    raw = spark.createDataFrame(rows, ["sku", "name", "price", "in_stock"])
+    report = validate(raw, DESCRIPTOR, error_cap=1000)
+    assert report["error_count"] == 1000  # capped (reference limit_errors)
+    assert report["valid"] is False
+
+
+# ---- export ----------------------------------------------------------------
+
+
+def _numbered(spark):
+    df = spark.createDataFrame(
+        [(3, "c"), (1, "a"), (2, "b")], ["k", "v"]
+    )
+    return with_row_number(df, order_by=["k"])
+
+
+def test_export_csv_single_file(spark, tmp_path):
+    out = export_ordered(_numbered(spark), str(tmp_path), "csv", single_file=True)
+    lines = open(out).read().strip().split("\n")
+    assert lines[0] == "_id,k,v"
+    assert lines[1:] == ["1,1,a", "2,2,b", "3,3,c"]
+
+
+def test_export_ndjson_single_file(spark, tmp_path):
+    out = export_ordered(_numbered(spark), str(tmp_path), "ndjson", single_file=True)
+    recs = [json.loads(line) for line in open(out)]
+    assert [r["_id"] for r in recs] == [1, 2, 3]
+
+
+def test_export_parquet_sharded(spark, tmp_path):
+    out = export_ordered(_numbered(spark), str(tmp_path), "parquet")
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert os.path.isdir(out)
+
+
+def test_export_csv_sharded_order(spark, tmp_path):
+    df = with_row_number(spark.range(0, 5000).withColumnRenamed("id", "x"), order_by=["x"])
+    out = export_ordered(df, str(tmp_path), "csv")
+    back = (
+        spark.read.option("header", "true").csv(out).selectExpr("cast(_id as long) _id")
+    )
+    ids = [r["_id"] for r in back.collect()]
+    # lexicographic shard order is the sort order (range-partitioned sort)
+    import glob as g
+    parts = sorted(g.glob(os.path.join(out, "part-*")))
+    if len(parts) > 1:
+        first_of_each = []
+        for prt in parts:
+            with open(prt) as fh:
+                fh.readline()
+                line = fh.readline()
+                if line.strip():
+                    first_of_each.append(int(line.split(",")[0]))
+        assert first_of_each == sorted(first_of_each)
+    assert sorted(ids) == list(range(1, 5001))
