@@ -1,0 +1,32 @@
+"""Loaders for the driver testdata tables (/root/testdata/sf*/).
+
+One quirk: ``events.parquet`` stores ``ts`` as INT64 TIMESTAMP(NANOS),
+which Spark's vectorized parquet reader rejects outright
+(PARQUET_TYPE_ILLEGAL). The ``nanosAsLong`` legacy conf makes the column
+readable as a raw nanosecond count, which we convert to a microsecond
+timestamp. The conf is set at read time so it works on ANY session the
+caller hands us (the round driver constructs its own).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        # ns -> µs timestamp (Spark has no nanosecond resolution).
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(path)

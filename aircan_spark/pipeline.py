@@ -1,0 +1,142 @@
+"""End-to-end resource ingestion pipeline — the §3.1 lifecycle as one
+driver function.
+
+Reference: the `pipeline_ckan_to_bigquery` DAG (/root/reference/aircan/
+dags/pipeline_ckan_to_bigquery.py:54-89 params, :572-591 wiring). The
+Airflow task graph (collect_config >> prepare_and_upload >> branch >>
+{append_or_overwrite, upsert} >> export_and_publish >> cleanup) collapses
+into sequential stages over ONE lazily-built DataFrame; the staging
+table, GCS round-trips, and XCom plumbing disappear because Spark moves
+the compute to the data instead of the data through services.
+
+Config keys (names follow the reference's DAG params where they exist):
+
+    resource_path       source file/URL (CSV/TSV/JSON/NDJSON/Parquet, .gz ok)
+    resource_format     explicit format, else sniffed from the path
+    table_name          target table (reference: resource id)
+    warehouse           warehouse directory
+    schema_descriptor   frictionless descriptor; inferred when absent
+    method              'overwrite' | 'append' | 'upsert' (reference
+                        bq_write_method / datastore_append_or_upsert)
+    unique_keys         upsert keys; else from descriptor constraints
+    validate            bool — row-level validation gate (abort on invalid)
+    row_number_column   default '_id'
+    updated_at_column   default '_updated_at'
+    export              optional {'path': dir, 'format': fmt,
+                        'single_file': bool}
+    day_first           DMY date parsing (legacy Postgres path behavior)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from aircan_spark import ROW_NUMBER_COLUMN, UPDATED_AT_COLUMN
+from aircan_spark.export import export_ordered
+from aircan_spark.rownum import with_row_number
+from aircan_spark.schema import (
+    sanitize_descriptor,
+    struct_to_descriptor,
+    unique_keys as descriptor_keys,
+)
+from aircan_spark.sources import read_resource
+from aircan_spark.table import ParquetTable, ensure_warehouse
+from aircan_spark.validate import validate as validate_frame
+
+
+class ValidationFailure(RuntimeError):
+    """Pipeline abort on invalid data (reference: pipeline_ckan_to_bigquery
+    .py:300-317 raises to fail the DAG run)."""
+
+    def __init__(self, report: dict[str, Any]):
+        self.report = report
+        super().__init__(
+            f"validation failed: {report['error_count']} errors "
+            f"in {report['row_count']} rows"
+        )
+
+
+def run(spark: SparkSession, config: dict[str, Any]) -> dict[str, Any]:
+    """Execute the ingestion lifecycle; returns a result report."""
+    path = config["resource_path"]
+    method = config.get("method", "overwrite")
+    rn_col = config.get("row_number_column", ROW_NUMBER_COLUMN)
+    ts_col = config.get("updated_at_column", UPDATED_AT_COLUMN)
+    job_ts = config.get("job_ts") or dt.datetime.now(dt.timezone.utc).replace(
+        tzinfo=None
+    )
+    warehouse = ensure_warehouse(config.get("warehouse", "./warehouse"))
+    table = ParquetTable(spark, warehouse, config["table_name"])
+
+    # --- schema: declared or inferred (reference S6, :271-282) ------------
+    descriptor = config.get("schema_descriptor")
+    if descriptor is not None:
+        descriptor = sanitize_descriptor(descriptor)
+        typed = read_resource(
+            spark, path, config.get("resource_format"), descriptor=descriptor
+        )
+    else:
+        typed = read_resource(spark, path, config.get("resource_format"))
+        descriptor = struct_to_descriptor(typed.schema)
+
+    # --- validation gate (reference 2b, :287-317) ---------------------------
+    report: dict[str, Any] | None = None
+    if config.get("validate"):
+        raw = read_resource(
+            spark, path, config.get("resource_format"), sanitize_names=True
+        )
+        raw = raw.select(*[F.col(c).cast("string").alias(c) for c in raw.columns])
+        report = validate_frame(
+            raw, descriptor, day_first=config.get("day_first", False)
+        )
+        if not report["valid"]:
+            raise ValidationFailure(report)
+
+    # --- row numbering (reference 2c/2d: MAX+1 offset, stream inject) ------
+    start = 1
+    if method in ("append", "upsert") and table.exists():
+        start = table.max_id(rn_col) + 1
+    numbered = with_row_number(typed, column=rn_col, start=start)
+
+    # --- write branch (reference 3/4a/4b, :360-460) -------------------------
+    keys = config.get("unique_keys") or descriptor_keys(descriptor)
+    if method == "upsert":
+        if not keys:
+            raise ValueError("upsert requires unique_keys (config or descriptor)")
+        table.upsert(numbered, keys, job_ts=job_ts)
+    elif method == "append":
+        table.append(numbered.withColumn(ts_col, F.lit(job_ts)))
+    elif method == "overwrite":
+        table.overwrite(numbered.withColumn(ts_col, F.lit(job_ts)))
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+
+    # _updated_at backfill for any legacy NULLs (reference F1, :337-357).
+    if method in ("append", "overwrite"):
+        pass  # stamped inline above — no second rewrite needed
+
+    # --- export (reference 5, :483-569) --------------------------------------
+    export_path = None
+    if config.get("export"):
+        exp = config["export"]
+        export_path = export_ordered(
+            table.read(),
+            exp["path"],
+            exp.get("format", config.get("resource_format") or "csv"),
+            order_column=rn_col,
+            single_file=exp.get("single_file", False),
+        )
+
+    return {
+        "table": table.path,
+        "version": table.current_version(),
+        "rows": table.read().count(),
+        "method": method,
+        "validation": report,
+        "export": export_path,
+        "job_ts": job_ts.isoformat(),
+    }

@@ -1,0 +1,345 @@
+"""Declared correctness queries (SURVEY.md §2.12) — Spark implementations
+plus matching DuckDB oracle SQL.
+
+Each Spark query is the idiomatic DataFrame expression of one operator from
+the inventory; the oracle is ANSI SQL DuckDB runs over the same parquet.
+Column aliases are kept IDENTICAL on both sides (the driver's compare sorts
+columns by name before hashing values).
+
+Cross-engine determinism rules used throughout:
+- every query has an ORDER BY on a unique key;
+- double aggregates go through DECIMAL(18,2) before SUM so the result does
+  not depend on floating-point accumulation order;
+- ROW_NUMBER products are BIGINT on both sides;
+- double -> string casts go through DECIMAL to pin formatting.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aircan_spark.data import load_table as _t
+from aircan_spark.rownum import with_row_number
+from aircan_spark.table import ParquetTable
+
+
+# --- Q1: S4 scan + F4/P3 projection ------------------------------------------
+
+
+def q01_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+Q01_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# --- Q2: P1 row-number injection ---------------------------------------------
+
+
+def q02_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    # the engine's distributed numbering operator (rownum.py), not a raw window
+    return with_row_number(orders, column="_id", order_by=["o_orderkey"]).orderBy("_id")
+
+
+Q02_SQL = """
+SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS _id, o_orderkey
+FROM orders ORDER BY _id
+"""
+
+
+# --- Q3: A1 scalar agg ------------------------------------------------------------
+
+
+def q03_max_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").agg(
+        F.coalesce(F.max("o_orderkey"), F.lit(0)).alias("max_key")
+    )
+
+
+Q03_SQL = "SELECT COALESCE(MAX(o_orderkey), 0) AS max_key FROM orders"
+
+
+# --- Q4: A1 offset continuation ----------------------------------------------
+
+
+def q04_offset_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    max_key = (
+        _t(spark, sf_dir, "orders")
+        .agg(F.coalesce(F.max("o_orderkey"), F.lit(0)).alias("m"))
+        .collect()[0]["m"]
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    numbered = with_row_number(
+        cust, column="_id", start=int(max_key) + 1, order_by=["c_custkey"]
+    )
+    return numbered.orderBy("_id")
+
+
+Q04_SQL = """
+SELECT COALESCE((SELECT MAX(o_orderkey) FROM orders), 0)
+       + ROW_NUMBER() OVER (ORDER BY c_custkey) AS _id, c_custkey
+FROM customer ORDER BY _id
+"""
+
+
+# --- Q5: A2 deterministic dedup -----------------------------------------------
+
+
+def q05_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min("l_partkey").alias("min_partkey"))
+        .orderBy("l_orderkey")
+    )
+
+
+Q05_SQL = """
+SELECT l_orderkey, MIN(l_partkey) AS min_partkey
+FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+"""
+
+
+# --- Q6: J1 matched/not-matched split ----------------------------------------
+
+
+def q06_merge_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li_keys = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    joined = orders.join(li_keys, orders.o_orderkey == li_keys.l_orderkey, "left")
+    return joined.select(
+        "o_orderkey",
+        F.when(F.col("l_orderkey").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    ).orderBy("o_orderkey")
+
+
+Q06_SQL = """
+SELECT o.o_orderkey,
+       CASE WHEN l.l_orderkey IS NULL THEN 'insert' ELSE 'update' END AS action
+FROM orders o
+LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+  ON o.o_orderkey = l.l_orderkey
+ORDER BY o.o_orderkey
+"""
+
+
+# --- Q7: F2 NULL-safe change detection -----------------------------------------
+
+
+def q07_nullsafe_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        (~F.col("c_acctbal").eqNullSafe(F.lit(0.0))).alias("changed"),
+    ).orderBy("c_custkey")
+
+
+Q07_SQL = """
+SELECT c_custkey, (c_acctbal IS DISTINCT FROM 0.0) AS changed
+FROM customer ORDER BY c_custkey
+"""
+
+
+# --- Q8: F1 coalesce backfill ----------------------------------------------------
+
+
+def q08_coalesce_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.coalesce(F.col("value"), F.lit(-1.0)).alias("value_filled")
+    ).orderBy("event_id")
+
+
+Q08_SQL = """
+SELECT event_id, COALESCE(value, -1.0) AS value_filled
+FROM events ORDER BY event_id
+"""
+
+
+# --- Q9: P5 casting ----------------------------------------------------------------
+
+
+def q09_casting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        # decimal pin: double->string formatting differs between engines
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_str"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    ).orderBy("o_orderkey")
+
+
+Q09_SQL = """
+SELECT o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+       CAST(o_orderdate AS DATE) AS order_date
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# --- Q10: O1 ordered export projection -------------------------------------------
+
+
+def q10_ordered_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice"), 2).alias("price_r"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+Q10_SQL = """
+SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price_r
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# --- Q11: F3 empty clone -----------------------------------------------------------
+
+
+def q11_empty_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.limit(0).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+Q11_SQL = "SELECT COUNT(*) AS cnt FROM (SELECT * FROM part WHERE 1=0)"
+
+
+# --- Q12: V1 unique-constraint check ----------------------------------------------
+
+
+def q12_unique_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    dupes = (
+        sup.groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    return dupes.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+Q12_SQL = """
+SELECT COUNT(*) AS cnt FROM (
+  SELECT s_suppkey FROM supplier GROUP BY s_suppkey HAVING COUNT(*) > 1
+)
+"""
+
+
+# --- Q13: A3 counting ---------------------------------------------------------------
+
+
+def q13_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+Q13_SQL = """
+SELECT event_type, COUNT(*) AS cnt FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- Q14: D3 schema-evolution projection ---------------------------------------------
+
+
+def q14_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    return region.select(
+        "r_regionkey", "r_name", F.lit(None).cast("long").alias("new_col")
+    ).orderBy("r_regionkey")
+
+
+Q14_SQL = """
+SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS new_col
+FROM region ORDER BY r_regionkey
+"""
+
+
+# --- Q15: end-to-end upsert (J1+A2+F2+P1) ---------------------------------------------
+
+
+def q15_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL merge machinery: loads orders as a managed table,
+    upserts a stage (every 10th order, values unchanged), then aggregates
+    the merged table. Unchanged-value semantics mean the merged table must
+    equal the original — which is what the oracle asserts."""
+    orders = _t(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory(prefix="aircan_q15_") as wh:
+        table = ParquetTable(spark, wh, "orders_merge")
+        table.overwrite(with_row_number(orders, order_by=["o_orderkey"]))
+        stage = orders.filter(F.col("o_orderkey") % 10 == 0)
+        stage = with_row_number(stage, order_by=["o_orderkey"])
+        table.upsert(stage, ["o_orderkey"])
+        merged = table.read()
+        result = merged.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .cast("string")
+            .alias("total"),
+        )
+        result = result.localCheckpoint()  # materialize before tempdir vanishes
+    return result
+
+
+Q15_SQL = """
+SELECT COUNT(*) AS cnt,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS VARCHAR) AS total
+FROM orders
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_scan_project": q01_scan_project,
+    "q02_row_number": q02_row_number,
+    "q03_max_coalesce": q03_max_coalesce,
+    "q04_offset_continuation": q04_offset_continuation,
+    "q05_dedup": q05_dedup,
+    "q06_merge_split": q06_merge_split,
+    "q07_nullsafe_change": q07_nullsafe_change,
+    "q08_coalesce_backfill": q08_coalesce_backfill,
+    "q09_casting": q09_casting,
+    "q10_ordered_export": q10_ordered_export,
+    "q11_empty_clone": q11_empty_clone,
+    "q12_unique_check": q12_unique_check,
+    "q13_group_count": q13_group_count,
+    "q14_schema_evolution": q14_schema_evolution,
+    "q15_upsert_e2e": q15_upsert_e2e,
+}
+
+ORACLES: dict[str, str] = {
+    "q01_scan_project": Q01_SQL,
+    "q02_row_number": Q02_SQL,
+    "q03_max_coalesce": Q03_SQL,
+    "q04_offset_continuation": Q04_SQL,
+    "q05_dedup": Q05_SQL,
+    "q06_merge_split": Q06_SQL,
+    "q07_nullsafe_change": Q07_SQL,
+    "q08_coalesce_backfill": Q08_SQL,
+    "q09_casting": Q09_SQL,
+    "q10_ordered_export": Q10_SQL,
+    "q11_empty_clone": Q11_SQL,
+    "q12_unique_check": Q12_SQL,
+    "q13_group_count": Q13_SQL,
+    "q14_schema_evolution": Q14_SQL,
+    "q15_upsert_e2e": Q15_SQL,
+}

@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the declared query suite and prints ONE JSON line.
+
+    SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect bottleneck); per-query wall seconds reported plus the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from aircan_spark.session import get_spark
+    from aircan_spark.queries import QUERIES
+
+    spark = get_spark(
+        app_name="aircan_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + file cache outside the timed region.
+    from aircan_spark.data import load_table
+
+    load_table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
