@@ -1,0 +1,395 @@
+"""Deduplication operators — exact through approximate.
+
+Five strategies, each a different point on the accuracy/cost curve, all
+expressed as DataFrame plans that scale by bucketing rather than all-pairs
+comparison:
+
+- ``exact_dedup``          hash-groupBy on normalized content       O(n)
+- ``ngram_jaccard_pairs``  exact set Jaccard via shared-shingle
+                           candidate join (inverted index)          O(pairs sharing a shingle)
+- ``minhash_pairs``        MinHash signatures + LSH banding         O(n·k + collisions)
+- ``simhash_pairs``        64-bit SimHash + band join + hamming     O(n + collisions)
+- ``embedding_pairs``      cosine near-dup via hyperplane-LSH
+                           buckets (exact brute option for oracle)  O(n²/2^bits) approx
+
+Shuffle notes for 100 TB: the shingle inverted index is the classic skew
+hazard (stopword shingles fan out quadratically) — ``max_doc_freq`` prunes
+shingles that occur in too many documents before the self-join, the same
+trick production near-dup pipelines use; LSH band joins shuffle fixed-size
+keys (band hash), so their fan-in is controlled by band width choice, not
+data skew.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aircan_spark.ext.text import normalize_text
+
+
+# --- exact -------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest-id representative per exact (normalized) content
+    hash. One shuffle (groupBy on the hash)."""
+    h = F.md5(normalize_text(F.col(text_col)).cast("binary"))
+    return (
+        df.withColumn("__h", h)
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__h")
+        .select(id_col, "n_copies")
+    )
+
+
+# --- shingling helpers ----------------------------------------------------------
+
+
+def _shingle_array(text_col: str, n: int):
+    """Word n-gram array via higher-order functions — no explode needed to
+    BUILD the shingles (stays row-local, zero shuffle)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            idx,
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) inverted-index rows, distinct per document."""
+    return (
+        df.select(id_col, F.explode(_shingle_array(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+# --- exact n-gram Jaccard -----------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets for all pairs sharing >= 1
+    shingle. Inverted-index self-join: only colliding pairs are scored,
+    never the full cross product.
+
+    ``max_doc_freq`` prunes shingles occurring in more than that many
+    documents before the join — the skew guard for web-scale corpora
+    (a shingle in 1M docs would alone produce 5·10^11 candidate pairs).
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+
+    joinable = sh
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        joinable = sh.join(rare, "shingle")
+
+    a = joinable.withColumnRenamed(id_col, "id_a")
+    b = joinable.withColumnRenamed(id_col, "id_b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("set_size", "size_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("set_size", "size_b")
+    jac = F.col("intersection").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("intersection")
+    ).cast("double")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- MinHash + LSH --------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """k MinHash values per doc, computed row-local: the signature is
+    array_min over xxhash64(shingle, seed_i) inside a higher-order
+    transform — NO shingle explosion, NO shuffle. One pass over the text."""
+    sh = _shingle_array(text_col, n)
+
+    # NOTE: closure factory, not a default-arg lambda — PySpark introspects
+    # lambda arity, so `lambda s, i=i:` would be treated as the 2-arg
+    # (element, index) form and silently bind i to the array position.
+    def hash_with_seed(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, hash_with_seed(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(id_col, sig.alias("signature"))
+
+
+def minhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Candidate pairs via LSH banding, verified with the signature-level
+    Jaccard estimate (fraction of agreeing hashes).
+
+    bands=16, rows/band=4 -> S-curve threshold ≈ (1/16)^(1/4) ≈ 0.5; pairs
+    well below come out of banding rarely, well above almost surely.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+
+    banded = sigs.select(
+        id_col,
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "signature", "bb.band", "bb.bucket")
+
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- SimHash ----------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash: per token xxhash64; each signature bit is the sign
+    of the sum of (+1/-1) contributions across tokens. Computed row-local
+    via higher-order aggregate — no explode, no shuffle."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    bit_cols = []
+    for i in range(bits):
+        # sum over tokens of +1 when bit i set else -1
+        # getbit, not shiftright: shiftright's python wrapper rejects
+        # lambda-bound columns inside higher-order functions. Closure
+        # factory for the same arity reason as in minhash_signatures.
+        def contrib_at(bit_idx: int):
+            return lambda acc, h: acc + F.when(
+                F.getbit(h, F.lit(bit_idx)) == 1, 1
+            ).otherwise(-1)
+
+        contrib = F.aggregate(hashes, F.lit(0), contrib_at(i))
+        bit = F.when(contrib > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        # shiftleft instead of multiplying by a 1<<i literal: 1<<63 would
+        # overflow a Java long on the py4j boundary
+        bit_cols.append(F.shiftleft(bit, i))
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return df.select(id_col, sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming. Candidates via
+    band join: with 4 bands of 16 bits, any pair within hamming distance 3
+    must agree exactly on >= 1 band (pigeonhole) — so banding loses no
+    true pair while avoiding the n² comparison."""
+    width = 64 // bands
+    sigs = simhash_signatures(df, id_col, text_col).cache()
+    banded = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bucket")
+
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bucket")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- embedding cosine near-dup ---------------------------------------------------------
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    return dot / (na * nb)
+
+
+def _hyperplane_buckets(vec_col: str, planes: np.ndarray):
+    """(table, bucket) struct array for multi-table hyperplane LSH.
+    ``planes`` has shape (num_tables, bits, dim). Collision probability per
+    table for angle θ is (1-θ/π)^bits; OR-amplification over L tables lifts
+    recall to 1-(1-p)^L — the standard tradeoff dial."""
+    tables = []
+    for t in range(planes.shape[0]):
+        bucket = None
+        for i in range(planes.shape[1]):
+            plane = F.array(*[F.lit(float(x)) for x in planes[t, i]])
+            proj = F.aggregate(
+                F.zip_with(vec_col, plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, val: acc + val,
+            )
+            bit = F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        tables.append(
+            F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
+        )
+    return F.array(*tables)
+
+
+def embedding_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    lsh_bits: int = 0,
+    num_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine similarity.
+
+    ``lsh_bits=0``: exact brute-force over all pairs (the oracle-checkable
+    baseline; O(n²) — fine for verification scale).
+    ``lsh_bits=b``: multi-table random-hyperplane LSH — per table, vectors
+    bucket by the sign bits of projections onto fixed pseudo-random planes;
+    only same-(table,bucket) pairs are scored, exactly. At scale the bucket
+    equi-join replaces the cross product; ``num_tables`` dials recall
+    (1-(1-p)^L) against candidate volume.
+    """
+    vecs = df.select(
+        F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+    )
+    if lsh_bits > 0:
+        dim = len(df.select(vec_col).first()[0])
+        planes = np.random.default_rng(seed).standard_normal(
+            (num_tables, lsh_bits, dim)
+        )
+        bucketed = vecs.select(
+            id_col, "v", F.explode(_hyperplane_buckets("v", planes)).alias("tb")
+        ).select(id_col, "v", "tb.table", "tb.bucket")
+        a = bucketed.select(
+            F.col(id_col).alias("id_a"), F.col("v").alias("va"), "table", "bucket"
+        )
+        b = bucketed.select(
+            F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "table", "bucket"
+        )
+        cand = (
+            a.join(b, ["table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "va", "id_b", "vb")
+            .distinct()
+        )
+    else:
+        a = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+        b = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+
+    return (
+        cand.withColumn("cosine", F.round(_cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,110 @@
+"""Text analysis operators — token counting, quality scoring, language ID,
+document fingerprinting.
+
+All pure built-in `pyspark.sql.functions` (JVM-side, whole-stage codegen —
+no Python in the hot path), so they scan 100 TB of documents at parquet
+reader speed. Patterns are kept RE2/Java-regex-portable so the same
+expressions serve as DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish word/punctuation tokenizer: alnum runs or single non-space symbols.
+TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+PUNCT_PATTERN = r"[.,;:!?'\"()\[\]{}-]"
+
+# Marker stopwords per language, deliberately disjoint sets. The heuristic
+# is a tiny n-gram/stopword scorer — deterministic and SQL-portable.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "und", "das", "nicht"],
+    "en": ["the", "and", "of", "is"],
+    "es": ["el", "los", "una", "que"],
+    "fr": ["le", "et", "les", "dans"],
+}
+
+
+def _count_matches(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+def regex_token_count(col: Column) -> Column:
+    """BPE-ish token count (alnum runs + individual symbols)."""
+    return _count_matches(col, TOKEN_PATTERN)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: chars, whitespace tokens, regex tokens, punct
+    count, digit count, mean token length."""
+    c = F.col(text_col)
+    n_tokens = token_count(c)
+    return df.withColumns(
+        {
+            "n_chars_calc": F.length(c),
+            "n_tokens": n_tokens,
+            "n_regex_tokens": regex_token_count(c),
+            "n_punct": _count_matches(c, PUNCT_PATTERN),
+            "n_digits": _count_matches(c, r"[0-9]"),
+            "mean_token_len": F.round(
+                (F.length(F.regexp_replace(c, r"\s+", "")).cast("double"))
+                / F.greatest(n_tokens, F.lit(1)).cast("double"),
+                4,
+            ),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: length saturation x (1 - punct
+    density) x (1 - digit density). The shape (ratio-based filters) follows
+    published web-corpus cleaning pipelines (C4/Gopher-style rules)."""
+    c = F.col(text_col)
+    n_chars = F.greatest(F.length(c), F.lit(1)).cast("double")
+    length_part = F.least(F.length(c).cast("double") / F.lit(200.0), F.lit(1.0))
+    punct_density = _count_matches(c, PUNCT_PATTERN).cast("double") / n_chars
+    digit_density = _count_matches(c, r"[0-9]").cast("double") / n_chars
+    score = length_part * (F.lit(1.0) - punct_density) * (F.lit(1.0) - digit_density)
+    return df.withColumn("quality", F.round(score, 4))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language ID via marker-stopword counts; argmax with deterministic
+    alphabetical tie-break; 'und' (undetermined) when no marker hits."""
+    c = F.lower(F.col(text_col))
+    scores = {
+        f"score_{lang}": _count_matches(c, r"\b(" + "|".join(markers) + r")\b")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    out = df.withColumns(scores)
+    langs = sorted(LANG_MARKERS)  # alphabetical tie-break order
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return out.withColumn("pred_lang", pred)
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace,
+    trimmed."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprints over normalized text:
+    - ``fp_md5``: cross-engine-portable content hash;
+    - ``fp_xx64``: xxhash64 — cheaper at scale, Spark-native (no SQL
+      oracle; covered by property tests instead)."""
+    norm = normalize_text(F.col(text_col))
+    return df.withColumns(
+        {"fp_md5": F.md5(norm.cast("binary")), "fp_xx64": F.xxhash64(norm)}
+    )

@@ -308,6 +308,8 @@ FROM orders
 """
 
 
+from aircan_spark.ext.queries import EXT_ORACLES, EXT_QUERIES  # noqa: E402
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_scan_project": q01_scan_project,
     "q02_row_number": q02_row_number,
@@ -343,3 +345,6 @@ ORACLES: dict[str, str] = {
     "q14_schema_evolution": Q14_SQL,
     "q15_upsert_e2e": Q15_SQL,
 }
+
+QUERIES.update(EXT_QUERIES)
+ORACLES.update(EXT_ORACLES)

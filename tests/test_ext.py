@@ -1,0 +1,188 @@
+"""Semantic tests for the ext/ operators that have no SQL oracle:
+MinHash/SimHash/hyperplane-LSH recall against exact baselines, and the
+multimodal mapInPandas plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aircan_spark.data import load_table
+from aircan_spark.ext import dedup, multimodal, similarity, text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dupes(spark):
+    """Documents plus planted near-duplicates: a copy of each of the first
+    5 docs with one word changed."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    originals = docs.filter(F.col("doc_id") < 5)
+    mutated = originals.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("zzz "), F.expr("substring(text, 5)")).alias("text"),
+    )
+    return docs.unionByName(mutated).cache()
+
+
+def test_exact_dedup_finds_planted_copies(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    out = dedup.exact_dedup(docs.unionByName(copies))
+    dupes = out.filter(F.col("n_copies") > 1).collect()
+    assert len(dupes) == 3
+    # representative is the LOWEST id
+    assert all(r["doc_id"] < 3 for r in dupes)
+
+
+def test_minhash_recall_against_exact_jaccard(spark, docs_with_dupes):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs_with_dupes, threshold=0.5).collect()
+    }
+    assert len(exact) >= 5  # the planted near-dupes
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_pairs(docs_with_dupes, threshold=0.35).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"minhash recall {recall} on {len(exact)} true pairs"
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark, docs_with_dupes):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_with_dupes, threshold=0.5).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_pairs(docs_with_dupes, threshold=0.2).collect()
+    }
+    both = set(exact) & set(est)
+    assert both
+    for pair in both:
+        # 64 hashes -> stderr ~ sqrt(j(1-j)/64) ≈ 0.06; allow 4 sigma
+        assert abs(exact[pair] - est[pair]) < 0.25, (pair, exact[pair], est[pair])
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "entirely different words about spark and parquet files")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_pairs(df, max_hamming=64).collect()}
+    assert pairs.get((1, 2)) == 0
+    # near-identical docs must be closer than unrelated ones
+    unrelated = [h for (a, b), h in pairs.items() if (a, b) != (1, 2)]
+    assert all(h > 10 for h in unrelated)
+
+
+def test_simhash_near_dupes_close(spark, docs_with_dupes):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs_with_dupes, max_hamming=10).collect()
+    }
+    planted = {(i, i + 100000) for i in range(5)}
+    found = planted & set(pairs)
+    # one changed token still flips a few of the 64 bits on short word-salad
+    # docs; requiring 3/5 at hamming<=10 matches the operator's design point
+    assert len(found) >= 3, f"simhash found {len(found)}/5 planted near-dupes"
+
+
+def test_embedding_lsh_recall(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_pairs(emb, threshold=0.35, lsh_bits=0).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_pairs(emb, threshold=0.35, lsh_bits=4).collect()
+    }
+    assert approx <= exact  # LSH candidates are a subset, scored exactly
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.5, f"lsh recall {recall} over {len(exact)} pairs"
+
+
+def test_lsh_topk_recall_vs_brute(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_topk(emb, queries, k=5).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_topk(emb, queries, k=5, bits=6).collect()
+    }
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.5, f"ann recall@5 = {recall}"
+
+
+def test_brute_topk_self_excluded_and_ranked(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    rows = similarity.brute_topk(emb, queries, k=5).collect()
+    by_query = {}
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        by_query.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_query.items():
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        scores = [r["cosine"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+# --- multimodal plumbing ---------------------------------------------------------
+
+
+def test_multimodal_byte_features_roundtrip(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    media = multimodal.attach_binary(docs, "doc_id", "text", "text/plain")
+    feats = multimodal.byte_features(media)
+    joined = feats.join(
+        docs.select(F.col("doc_id").alias("media_id"), F.length("text").alias("len")),
+        "media_id",
+    )
+    assert joined.filter(F.col("n_bytes") != F.col("len")).count() == 0
+
+
+def test_multimodal_decode_stub_raises(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(5)
+    media = multimodal.attach_binary(docs, "doc_id", "text")
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        multimodal.decode_images(media, fake=False).collect()
+
+
+def test_multimodal_fake_decode_deterministic(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    media = multimodal.attach_binary(docs, "doc_id", "text")
+    a = sorted(map(tuple, multimodal.decode_images(media, fake=True).collect()))
+    b = sorted(map(tuple, multimodal.decode_images(media, fake=True).collect()))
+    assert a == b
+    assert all(1 <= r[1] <= 64 for r in a)  # width in range
+
+
+def test_multimodal_frame_sampling_shape(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(10)
+    media = multimodal.attach_binary(docs, "doc_id", "text")
+    frames = multimodal.sample_frames(media, every_n_bytes=32, max_frames=4)
+    pdf = frames.toPandas()
+    assert set(pdf.columns) == {"media_id", "frame_idx", "frame_bytes"}
+    assert (pdf.groupby("media_id")["frame_idx"].max() <= 3).all()
+    assert (pdf["frame_bytes"].str.len() <= 32).all()
+
+
+def test_lang_id_marker_texts(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house is big"),
+         (2, "der hund und das haus und der baum nicht"),
+         (3, "xyz qqq www")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
