@@ -1,0 +1,178 @@
+"""Structured Streaming surface — incremental ingest and event-time
+analytics.
+
+The reference has NO streaming operators (SURVEY §2.11): its incremental
+behavior is batch append-with-offset (A1) and upsert (J1). This module is
+the Spark-native extension of exactly those semantics to continuous
+sources, using the primitives the reference's design implies:
+
+- ``stream_ingest``: files landing in a directory stream into a managed
+  table via ``foreachBatch`` -> the SAME batch upsert/append machinery
+  (exactly-once per micro-batch through checkpointing + idempotent merge;
+  the `_id` offset continuation is the streaming analog of A1).
+- ``windowed_event_counts``: event-time tumbling windows with a watermark
+  for late data — the canonical streaming aggregation over the events
+  table shape.
+- ``running_user_totals``: stateful per-key accumulation via
+  ``applyInPandasWithState`` — the custom-stateful-operator template
+  (arbitrary state, timeout handling), Arrow-batched.
+
+Scale notes: file-source streaming with ``maxFilesPerTrigger`` bounds
+per-batch work; the windowed agg is a streaming partial aggregation
+(map-side combine before shuffle); state store partitioning follows
+``spark.sql.shuffle.partitions``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from aircan_spark import ROW_NUMBER_COLUMN
+from aircan_spark.rownum import with_row_number
+from aircan_spark.table import ParquetTable
+
+
+def stream_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    table: ParquetTable,
+    checkpoint_dir: str,
+    fmt: str = "json",
+    keys: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = False,
+):
+    """Continuously ingest files from ``source_dir`` into ``table``.
+
+    Each micro-batch runs the batch engine's own write path: row numbers
+    continue from MAX(_id)+1 (A1 semantics) and, when ``keys`` are given,
+    the batch MERGEs (J1 semantics) — so a replayed batch after failure
+    converges to the same table state (idempotent upsert + checkpoint
+    offsets = effective exactly-once).
+
+    Returns the StreamingQuery; caller awaits/stops it.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if fmt == "json":
+        stream = reader.json(source_dir)
+    elif fmt == "csv":
+        stream = reader.option("header", "true").csv(source_dir)
+    elif fmt == "parquet":
+        stream = reader.parquet(source_dir)
+    else:
+        raise ValueError(f"unsupported streaming format: {fmt}")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        start = table.max_id() + 1
+        numbered = with_row_number(batch_df, start=start)
+        ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        if keys:
+            table.upsert(numbered, keys, job_ts=ts)
+        else:
+            table.append(numbered.withColumn("_updated_at", F.lit(ts)))
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event_type with late-data
+    tolerance. Works identically on a batch frame (window functions
+    degrade gracefully) and a streaming frame (stateful with watermark
+    eviction)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("total", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+_RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user totals across
+    micro-batches via applyInPandasWithState. The template for arbitrary
+    stateful streaming logic (sessionization, dedup-with-memory, CDC
+    folding) the built-in aggregations can't express."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            vals = pdf["value"].dropna()
+            total += float(vals.sum())
+            n += int(len(pdf))
+        state.update((total, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_value": [total], "n_events": [n]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_RUNNING_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def event_stream_from_table(
+    spark: SparkSession, events_dir: str, schema: T.StructType
+) -> DataFrame:
+    """File-source stream over parquet event files (the testdata `events`
+    shape); one micro-batch per file with default trigger."""
+    return spark.readStream.schema(schema).parquet(events_dir)

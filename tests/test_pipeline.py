@@ -1,0 +1,140 @@
+"""End-to-end pipeline lifecycle tests (pipeline.run) — the §3.1 flow."""
+
+import datetime as dt
+import json
+
+import pytest
+
+from aircan_spark.pipeline import ValidationFailure, run
+
+DESCRIPTOR = {
+    "fields": [
+        {"name": "sku", "type": "integer", "constraints": {"unique": True}},
+        {"name": "name", "type": "string", "constraints": {"required": True}},
+        {"name": "price", "type": "number"},
+    ]
+}
+
+TS1 = dt.datetime(2026, 1, 1)
+TS2 = dt.datetime(2026, 2, 2)
+
+
+def write_csv(path, rows):
+    with open(path, "w") as fh:
+        fh.write("sku,name,price\n")
+        for r in rows:
+            fh.write(",".join(str(x) if x is not None else "" for x in r) + "\n")
+
+
+def test_overwrite_append_upsert_export_cycle(spark, tmp_path):
+    src1 = str(tmp_path / "v1.csv")
+    write_csv(src1, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)])
+    wh = str(tmp_path / "wh")
+
+    res = run(spark, {
+        "resource_path": src1,
+        "table_name": "products",
+        "warehouse": wh,
+        "schema_descriptor": DESCRIPTOR,
+        "method": "overwrite",
+        "validate": True,
+        "job_ts": TS1,
+    })
+    assert res["rows"] == 3
+    assert res["validation"]["valid"] is True
+
+    # append continues numbering
+    src2 = str(tmp_path / "v2.csv")
+    write_csv(src2, [(4, "d", 4.0)])
+    res = run(spark, {
+        "resource_path": src2,
+        "table_name": "products",
+        "warehouse": wh,
+        "schema_descriptor": DESCRIPTOR,
+        "method": "append",
+        "job_ts": TS1,
+    })
+    assert res["rows"] == 4
+
+    # upsert: change sku=2, add sku=5; keys from descriptor constraints
+    src3 = str(tmp_path / "v3.csv")
+    write_csv(src3, [(2, "b2", 9.0), (5, "e", 5.0)])
+    res = run(spark, {
+        "resource_path": src3,
+        "table_name": "products",
+        "warehouse": wh,
+        "schema_descriptor": DESCRIPTOR,
+        "method": "upsert",
+        "job_ts": TS2,
+        "export": {"path": str(tmp_path / "out"), "format": "csv", "single_file": True},
+    })
+    assert res["rows"] == 5
+    assert res["export"].endswith("export.csv")
+
+    lines = open(res["export"]).read().strip().split("\n")
+    assert lines[0].startswith("_id,")
+    data = [line.split(",") for line in lines[1:]]
+    ids = [int(r[0]) for r in data]
+    assert ids == [1, 2, 3, 4, 5]  # ordered by _id, preserved + continued
+    by_sku = {int(r[1]): r for r in data}
+    assert by_sku[2][2] == "b2"  # updated value
+    assert by_sku[5][0] == "5"  # new row numbered MAX+1
+
+
+def test_pipeline_validation_abort(spark, tmp_path):
+    src = str(tmp_path / "bad.csv")
+    with open(src, "w") as fh:
+        fh.write("sku,name,price\nnot_an_int,x,1.0\n2,,2.0\n")
+    with pytest.raises(ValidationFailure) as exc:
+        run(spark, {
+            "resource_path": src,
+            "table_name": "bad",
+            "warehouse": str(tmp_path / "wh"),
+            "schema_descriptor": DESCRIPTOR,
+            "validate": True,
+        })
+    report = exc.value.report
+    assert report["error_count"] >= 2
+    codes = {e["code"] for e in report["errors"]}
+    assert "type-error" in codes and "constraint-error:required" in codes
+
+
+def test_pipeline_inferred_schema(spark, tmp_path):
+    src = str(tmp_path / "inferred.csv")
+    write_csv(src, [(1, "a", 1.5), (2, "b", 2.5)])
+    res = run(spark, {
+        "resource_path": src,
+        "table_name": "inferred",
+        "warehouse": str(tmp_path / "wh"),
+        "method": "overwrite",
+    })
+    assert res["rows"] == 2
+
+
+def test_pipeline_upsert_without_keys_fails(spark, tmp_path):
+    src = str(tmp_path / "nokeys.csv")
+    write_csv(src, [(1, "a", 1.0)])
+    with pytest.raises(ValueError, match="unique_keys"):
+        run(spark, {
+            "resource_path": src,
+            "table_name": "nokeys",
+            "warehouse": str(tmp_path / "wh"),
+            "method": "upsert",
+        })
+
+
+def test_pipeline_ndjson_roundtrip(spark, tmp_path):
+    src = str(tmp_path / "d.ndjson")
+    with open(src, "w") as fh:
+        for r in [{"sku": 1, "name": "a", "price": 1.0}, {"sku": 2, "name": "b", "price": None}]:
+            fh.write(json.dumps(r) + "\n")
+    res = run(spark, {
+        "resource_path": src,
+        "table_name": "nd",
+        "warehouse": str(tmp_path / "wh"),
+        "schema_descriptor": DESCRIPTOR,
+        "method": "overwrite",
+        "export": {"path": str(tmp_path / "out"), "format": "ndjson", "single_file": True},
+    })
+    recs = [json.loads(line) for line in open(res["export"])]
+    assert [r["_id"] for r in recs] == [1, 2]

@@ -1,0 +1,155 @@
+"""Structured Streaming tests — availableNow triggers so everything is
+deterministic and bounded."""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aircan_spark.data import load_table
+from aircan_spark.streaming import (
+    running_user_totals,
+    stream_ingest,
+    windowed_event_counts,
+)
+from aircan_spark.table import ParquetTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("sku", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+    ]
+)
+
+
+def _write_ndjson(path, rows):
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def _await(query, timeout=120):
+    query.awaitTermination(timeout)
+    if query.isActive:
+        query.stop()
+
+
+def test_stream_ingest_append_two_batches(spark, tmp_path):
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    table = ParquetTable(spark, str(tmp_path / "wh"), "stream_t")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_ndjson(os.path.join(src, "b1.ndjson"),
+                  [{"sku": 1, "name": "a", "price": 1.0},
+                   {"sku": 2, "name": "b", "price": 2.0}])
+    q = stream_ingest(spark, src, SCHEMA, table, ckpt, available_now=True)
+    _await(q)
+    assert table.read().count() == 2
+    assert table.max_id() == 2
+
+    # second file: restart stream (same checkpoint), _id continues
+    _write_ndjson(os.path.join(src, "b2.ndjson"),
+                  [{"sku": 3, "name": "c", "price": 3.0}])
+    q = stream_ingest(spark, src, SCHEMA, table, ckpt, available_now=True)
+    _await(q)
+    rows = {r["sku"]: r["_id"] for r in table.read().collect()}
+    assert rows == {1: 1, 2: 2, 3: 3}
+
+
+def test_stream_ingest_upsert_idempotent_merge(spark, tmp_path):
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    table = ParquetTable(spark, str(tmp_path / "wh"), "stream_u")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_ndjson(os.path.join(src, "b1.ndjson"),
+                  [{"sku": 1, "name": "a", "price": 1.0}])
+    q = stream_ingest(spark, src, SCHEMA, table, ckpt, keys=["sku"], available_now=True)
+    _await(q)
+
+    _write_ndjson(os.path.join(src, "b2.ndjson"),
+                  [{"sku": 1, "name": "a2", "price": 9.0},
+                   {"sku": 4, "name": "d", "price": 4.0}])
+    q = stream_ingest(spark, src, SCHEMA, table, ckpt, keys=["sku"], available_now=True)
+    _await(q)
+
+    rows = {r["sku"]: r for r in table.read().collect()}
+    assert set(rows) == {1, 4}
+    assert rows[1]["_id"] == 1  # preserved across merge
+    assert rows[1]["name"] == "a2"  # updated
+    assert rows[4]["_id"] == 2
+
+
+def test_windowed_counts_batch_equivalence(spark):
+    """The windowed agg must produce identical results on a batch frame and
+    on a stream of the same data (availableNow + complete output)."""
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch_out = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(events).collect()
+    }
+    assert batch_out  # non-trivial
+
+    # totals must add up
+    assert sum(n for n, _ in batch_out.values()) == events.count()
+
+
+def test_windowed_counts_streaming(spark, tmp_path):
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "events_src")
+    events.limit(200).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = spark.sql("SELECT sum(n_events) AS n FROM win_counts").collect()[0]["n"]
+    assert got == 200
+
+
+def test_running_user_totals_stateful(spark, tmp_path):
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(300)
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    totals = running_user_totals(stream)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        r["user_id"]: (r["total_value"], r["n_events"])
+        for r in spark.sql(
+            "SELECT user_id, max(total_value) total_value, max(n_events) n_events "
+            "FROM user_totals GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["t"], r["n"])
+        for r in events.groupBy("user_id")
+        .agg(F.sum("value").alias("t"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid][1] == want[uid][1]
+        if want[uid][0] is not None:
+            assert abs(got[uid][0] - want[uid][0]) < 1e-6
