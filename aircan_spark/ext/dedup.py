@@ -23,6 +23,7 @@ data skew.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -139,24 +140,34 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
 ) -> DataFrame:
-    """k MinHash values per doc, computed row-local: the signature is
-    array_min over xxhash64(shingle, seed_i) inside a higher-order
-    transform — NO shingle explosion, NO shuffle. One pass over the text."""
+    """k MinHash values per doc.
+
+    Each shingle STRING is hashed exactly once (xxhash64); the k hash
+    functions are derived by re-hashing that 8-byte value with k seeds —
+    long-input hashing is ~100x cheaper than string hashing, so total work
+    is one string pass + k cheap mixes per shingle. Shingles are exploded
+    and minimized with groupBy: partial aggregation runs map-side, so the
+    shuffle carries only num_hashes longs per document regardless of
+    document length — the scale-safe shape. (A row-local formulation would
+    be shuffle-free but Catalyst's project-collapsing inlines the shingle
+    expression into every one of the k aggregates, recomputing the
+    split/slice/join pipeline k times per row.)"""
     sh = _shingle_array(text_col, n)
-
-    # NOTE: closure factory, not a default-arg lambda — PySpark introspects
-    # lambda arity, so `lambda s, i=i:` would be treated as the 2-arg
-    # (element, index) form and silently bind i to the array position.
-    def hash_with_seed(seed: int):
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, hash_with_seed(i)))
-            for i in range(num_hashes)
-        ]
+    hashed = df.select(
+        F.col(id_col), F.explode(F.transform(sh, lambda s: F.xxhash64(s))).alias("__h")
     )
-    return df.select(id_col, sig.alias("signature"))
+    mins = [
+        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        hashed.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature"),
+        )
+    )
 
 
 def minhash_pairs(
@@ -231,30 +242,34 @@ def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
     """64-bit SimHash: per token xxhash64; each signature bit is the sign
-    of the sum of (+1/-1) contributions across tokens. Computed row-local
-    via higher-order aggregate — no explode, no shuffle."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    bit_cols = []
-    for i in range(bits):
-        # sum over tokens of +1 when bit i set else -1
-        # getbit, not shiftright: shiftright's python wrapper rejects
-        # lambda-bound columns inside higher-order functions. Closure
-        # factory for the same arity reason as in minhash_signatures.
-        def contrib_at(bit_idx: int):
-            return lambda acc, h: acc + F.when(
-                F.getbit(h, F.lit(bit_idx)) == 1, 1
-            ).otherwise(-1)
+    of the sum of (+1/-1) contributions across tokens.
 
-        contrib = F.aggregate(hashes, F.lit(0), contrib_at(i))
-        bit = F.when(contrib > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        # shiftleft instead of multiplying by a 1<<i literal: 1<<63 would
-        # overflow a Java long on the py4j boundary
-        bit_cols.append(F.shiftleft(bit, i))
-    sig = bit_cols[0]
-    for c in bit_cols[1:]:
-        sig = sig + c
-    return df.select(id_col, sig.alias("simhash"))
+    Tokens are hashed once, exploded, and the per-bit contribution sums are
+    computed as ``bits`` partial aggregates in one groupBy — map-side
+    combine keeps the shuffle at ``bits`` longs per document. (A row-local
+    fold per bit would re-tokenize and re-hash the text ``bits`` times —
+    Catalyst inlines the shared subexpression into every fold.)"""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    hashed = df.select(
+        F.col(id_col), F.explode(F.transform(words, lambda w: F.xxhash64(w))).alias("__h")
+    )
+    sums = [
+        F.sum(F.when(F.getbit(F.col("__h"), F.lit(i)) == 1, 1).otherwise(-1)).alias(
+            f"__s{i}"
+        )
+        for i in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*sums)
+    # bits are disjoint -> assemble with bitwise OR of shifted bit values;
+    # shiftleft instead of a 1<<i literal: 1<<63 would overflow a Java
+    # long on the py4j boundary
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        bit = F.when(F.col(f"__s{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_pairs(
@@ -317,27 +332,35 @@ def _cosine(a, b):
     return dot / (na * nb)
 
 
-def _hyperplane_buckets(vec_col: str, planes: np.ndarray):
-    """(table, bucket) struct array for multi-table hyperplane LSH.
-    ``planes`` has shape (num_tables, bits, dim). Collision probability per
-    table for angle θ is (1-θ/π)^bits; OR-amplification over L tables lifts
-    recall to 1-(1-p)^L — the standard tradeoff dial."""
-    tables = []
-    for t in range(planes.shape[0]):
-        bucket = None
-        for i in range(planes.shape[1]):
-            plane = F.array(*[F.lit(float(x)) for x in planes[t, i]])
-            proj = F.aggregate(
-                F.zip_with(vec_col, plane, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, val: acc + val,
-            )
-            bit = F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        tables.append(
-            F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
-        )
-    return F.array(*tables)
+def hyperplane_bucket_udf(planes: np.ndarray):
+    """Vectorized multi-table hyperplane LSH bucketing.
+
+    ``planes`` has shape (num_tables, bits, dim). Returns a Pandas UDF
+    mapping an array<double> vector column to array<bigint> of one bucket
+    id per table: bucket bit i = sign of the projection onto plane i. The
+    whole batch is one numpy matmul (batch x dim) @ (dim x tables*bits) —
+    Arrow-batched, no per-element expression trees. Collision probability
+    per table for angle θ is (1-θ/π)^bits; OR-amplification over L tables
+    lifts recall to 1-(1-p)^L — the standard tradeoff dial."""
+    from pyspark.sql.functions import pandas_udf
+
+    num_tables, bits, dim = planes.shape
+    flat = np.ascontiguousarray(
+        planes.reshape(num_tables * bits, dim).T.astype("float64")
+    )
+    weights = 1 << np.arange(bits, dtype="int64")
+
+    @pandas_udf("array<bigint>")
+    def buckets(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(vs.tolist(), dtype="float64")
+        proj = mat @ flat
+        signs = proj.reshape(len(vs), num_tables, bits) > 0
+        vals = (signs * weights).sum(axis=2, dtype="int64")
+        return pd.Series(vals.tolist())
+
+    return buckets
 
 
 def embedding_pairs(
@@ -367,9 +390,10 @@ def embedding_pairs(
         planes = np.random.default_rng(seed).standard_normal(
             (num_tables, lsh_bits, dim)
         )
+        buckets = hyperplane_bucket_udf(planes)
         bucketed = vecs.select(
-            id_col, "v", F.explode(_hyperplane_buckets("v", planes)).alias("tb")
-        ).select(id_col, "v", "tb.table", "tb.bucket")
+            id_col, "v", F.posexplode(buckets(F.col("v"))).alias("table", "bucket")
+        )
         a = bucketed.select(
             F.col(id_col).alias("id_a"), F.col("v").alias("va"), "table", "bucket"
         )
@@ -382,14 +406,42 @@ def embedding_pairs(
             .select("id_a", "va", "id_b", "vb")
             .distinct()
         )
+        scored = cand.withColumn("cosine", F.round(_cosine(F.col("va"), F.col("vb")), 6))
     else:
-        a = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-        b = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        # Exact all-pairs, vectorized: each input batch is scored against
+        # the full corpus matrix with one numpy matmul. The corpus is
+        # materialized driver-side and closure-broadcast — this is the
+        # VERIFICATION baseline (O(n^2) by definition); the 100 TB path is
+        # lsh_bits>0, whose candidate join scales with bucket occupancy.
+        pdf = vecs.toPandas()
+        ids_full = pdf[id_col].to_numpy(dtype="int64")
+        mat = np.array(pdf["v"].tolist(), dtype="float64")
+        norms = np.linalg.norm(mat, axis=1)
+        # slack below the threshold so post-round boundary pairs survive
+        # into the exact Spark-side filter
+        prefilter = threshold - 1e-6
+
+        def score_blocks(batches):
+            for block in batches:
+                if not len(block):
+                    continue
+                ids_b = block[id_col].to_numpy(dtype="int64")
+                bm = np.array(block["v"].tolist(), dtype="float64")
+                sims = (bm @ mat.T) / (
+                    np.linalg.norm(bm, axis=1)[:, None] * norms[None, :]
+                )
+                keep = (ids_b[:, None] < ids_full[None, :]) & (sims >= prefilter)
+                ai, bj = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {"id_a": ids_b[ai], "id_b": ids_full[bj], "cosine": sims[ai, bj]}
+                )
+
+        scored = vecs.mapInPandas(
+            score_blocks, schema="id_a bigint, id_b bigint, cosine double"
+        ).withColumn("cosine", F.round("cosine", 6))
 
     return (
-        cand.withColumn("cosine", F.round(_cosine(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cosine") >= threshold)
+        scored.filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
         .orderBy("id_a", "id_b")
     )

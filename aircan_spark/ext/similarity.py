@@ -76,29 +76,28 @@ def lsh_topk(
     equi-join on (table, bucket) — cost follows bucket occupancy, not
     corpus x queries.
     """
-    from aircan_spark.ext.dedup import _hyperplane_buckets
+    from aircan_spark.ext.dedup import hyperplane_bucket_udf
 
     query_id_col = query_id_col or id_col
     dim = len(corpus.select(vec_col).first()[0])
     planes = np.random.default_rng(seed).standard_normal((num_tables, bits, dim))
+    buckets = hyperplane_bucket_udf(planes)
 
     c = (
         _as_double(corpus, id_col, vec_col, "cv")
         .withColumnRenamed(id_col, "neighbor_id")
         .select(
             "neighbor_id", "cv",
-            F.explode(_hyperplane_buckets("cv", planes)).alias("tb"),
+            F.posexplode(buckets(F.col("cv"))).alias("table", "bucket"),
         )
-        .select("neighbor_id", "cv", "tb.table", "tb.bucket")
     )
     q = (
         _as_double(queries, query_id_col, vec_col, "qv")
         .withColumnRenamed(query_id_col, "query_id")
         .select(
             "query_id", "qv",
-            F.explode(_hyperplane_buckets("qv", planes)).alias("tb"),
+            F.posexplode(buckets(F.col("qv"))).alias("table", "bucket0"),
         )
-        .select("query_id", "qv", "tb.table", F.col("tb.bucket").alias("bucket0"))
     )
     # multi-probe: own bucket + every 1-bit flip, per table
     probes = F.array(
