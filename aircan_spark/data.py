@@ -20,6 +20,22 @@ TABLES = (
 ).split()
 
 
+def fan_out(df: DataFrame, min_ratio: int = 1) -> DataFrame:
+    """Spread a narrow scan across the cluster for compute-heavy operators.
+
+    Small single-file parquet inputs (one row group) arrive as ONE input
+    split, so regex/shingle/vector work runs on one core no matter how
+    many the cluster has. When the scan has fewer partitions than
+    ``defaultParallelism * min_ratio``, repartition up; otherwise (the
+    100 TB case — thousands of natural splits) this is a no-op, so no
+    gratuitous shuffle is added at scale.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * min_ratio
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":

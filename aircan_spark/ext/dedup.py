@@ -188,36 +188,34 @@ def minhash_pairs(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
 
+    # Band buckets derived row-local from signature slices; the candidate
+    # join and its dedup carry ONLY (band, bucket, id) — signatures (64
+    # longs each) stay out of the widest shuffle and are re-attached by id
+    # afterwards, when the pair set is already collision-sized.
     banded = sigs.select(
         id_col,
-        "signature",
-        F.explode(
+        F.posexplode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(
-                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
+                    F.hash(
+                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("bb"),
-    ).select(id_col, "signature", "bb.band", "bb.bucket")
+        ).alias("band", "bucket"),
+    )
 
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "bucket"
-    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     est = (
         F.size(
             F.filter(
@@ -228,7 +226,9 @@ def minhash_pairs(
         / F.lit(float(num_hashes))
     )
     return (
-        cand.withColumn("est_jaccard", F.round(est, 6))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
         .orderBy("id_a", "id_b")

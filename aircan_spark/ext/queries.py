@@ -13,8 +13,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aircan_spark.data import load_table as _t
+from aircan_spark.data import fan_out
+from aircan_spark.data import load_table as _load
 from aircan_spark.ext import dedup, multimodal, similarity, text
+
+
+def _t(spark, sf_dir, name):
+    """Load + fan_out: every ext operator is compute-heavy per row, so a
+    single-split local scan must not serialize it onto one core (no-op on
+    inputs that already have enough splits)."""
+    return fan_out(_load(spark, sf_dir, name))
 
 
 # --- text analysis ------------------------------------------------------------
