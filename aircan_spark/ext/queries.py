@@ -219,6 +219,12 @@ def ext_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, k=5, bits=8)
 
 
+def ext_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5, nlist=16, nprobe=4)
+
+
 # --- multimodal plumbing ---------------------------------------------------------------
 
 
@@ -252,6 +258,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_dedup_embedding": ext_dedup_embedding,
     "ext_sim_topk_brute": ext_sim_topk_brute,
     "ext_sim_topk_lsh": ext_sim_topk_lsh,
+    "ext_sim_topk_ivf": ext_sim_topk_ivf,
     "ext_mm_byte_features": ext_mm_byte_features,
 }
 

@@ -14,6 +14,7 @@ Shapes:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -112,6 +113,111 @@ def lsh_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "qv", "neighbor_id", "cv")
         .distinct()
+    )
+    scored = cand.withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _train_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    nlist: int,
+    seed: int,
+    sample_size: int = 100_000,
+    iters: int = 10,
+) -> np.ndarray:
+    """Sample-based spherical k-means (Lloyd) for the IVF coarse quantizer.
+
+    IVF training is sample-based by construction — a bounded sample comes to
+    the driver (``sample_size`` rows max, independent of corpus size) and a
+    few numpy Lloyd iterations produce ``nlist`` L2-normalized centroids.
+    At 100 TB the sample is still ``sample_size`` rows: training cost does
+    not scale with the corpus."""
+    total = corpus.count()
+    frac = min(1.0, sample_size / max(total, 1))
+    sample = corpus.select(vec_col).sample(fraction=frac, seed=seed).toPandas()
+    mat = np.array(sample[vec_col].tolist(), dtype="float64")
+    mat /= np.maximum(np.linalg.norm(mat, axis=1)[:, None], 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = (mat @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def _assign_udf(cents: np.ndarray, nprobe: int):
+    """Pandas UDF: vector -> the ``nprobe`` nearest centroid ids (by cosine;
+    centroids are unit-norm so the dot product ranks identically)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ct = np.ascontiguousarray(cents.T)
+
+    @pandas_udf("array<int>")
+    def assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(vs.tolist(), dtype="float64")
+        mat /= np.maximum(np.linalg.norm(mat, axis=1)[:, None], 1e-12)
+        sims = mat @ ct
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(top.tolist())
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are bucketed by
+    nearest k-means centroid (one cell each); each query probes its
+    ``nprobe`` nearest cells and reranks the union exactly.
+
+    The scale shape: candidate generation is an equi-join on the cell id,
+    so per-query work is ~``nprobe/nlist`` of the corpus; recall rises with
+    ``nprobe`` (= brute force at nprobe=nlist). Centroid training reads a
+    bounded sample (never the full corpus); the centroid matrix ships to
+    executors inside the UDF closure (nlist x dim floats)."""
+    query_id_col = query_id_col or id_col
+    cents = _train_centroids(corpus, vec_col, nlist, seed)
+
+    c_assign = _assign_udf(cents, 1)
+    q_assign = _assign_udf(cents, nprobe)
+
+    c = (
+        _as_double(corpus, id_col, vec_col, "cv")
+        .withColumnRenamed(id_col, "neighbor_id")
+        .withColumn("cell", c_assign(F.col("cv"))[0])
+    )
+    q = (
+        _as_double(queries, query_id_col, vec_col, "qv")
+        .withColumnRenamed(query_id_col, "query_id")
+        .withColumn("cell", F.explode(q_assign(F.col("qv"))))
+    )
+    cand = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     scored = cand.withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
     w = Window.partitionBy("query_id").orderBy(

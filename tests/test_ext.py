@@ -123,6 +123,38 @@ def test_lsh_topk_recall_vs_brute(spark):
     assert recall >= 0.5, f"ann recall@5 = {recall}"
 
 
+def test_ivf_topk_recall_vs_brute(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, queries, k=5, nlist=16, nprobe=4).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5, f"ivf recall@5 = {recall}"
+
+
+def test_ivf_topk_full_probe_is_exact(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = [
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.brute_topk(emb, queries, k=3).collect()
+    ]
+    # probing every cell searches the whole corpus -> must equal brute force
+    ivf = [
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.ivf_topk(
+            emb, queries, k=3, nlist=8, nprobe=8
+        ).collect()
+    ]
+    assert ivf == brute
+
+
 def test_brute_topk_self_excluded_and_ranked(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
