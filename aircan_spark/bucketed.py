@@ -1,0 +1,267 @@
+"""Key-bucketed managed table — partial-rewrite upserts at scale.
+
+``ParquetTable`` (table.py) rewrites the WHOLE table on every upsert — the
+correct semantics, but O(table) work per merge, which is the one shape that
+does not survive 100 TB. This module keeps the same semantics while making
+upsert cost O(affected data):
+
+    warehouse/<name>/
+        _MANIFEST.json            # atomic pointer (single-key put)
+        data_v3/__bucket=0/...    # immutable bucket data dirs
+        data_v7/__bucket=0/...
+
+- rows hash-bucket by the upsert keys: ``pmod(xxhash64(k...), num_buckets)``;
+- a snapshot is a MANIFEST mapping bucket id -> list of data dirs (a bucket
+  may span several dirs after appends);
+- upsert computes the stage's bucket set (small distinct), reads ONLY those
+  buckets as the merge target, writes ONLY those buckets as new dirs, and
+  publishes a manifest where untouched buckets keep their old pointers —
+  zero data movement for untouched buckets, exactly the Iceberg/Delta
+  partial-rewrite shape;
+- the merge join shuffles the affected subset + stage, never the table;
+- table-wide MAX(_id) is manifest metadata (updated transactionally with
+  each commit), so insert numbering never scans the table.
+
+Reference parity: same MERGE semantics as upsert.py (J1/A2/F2 at
+/root/reference/aircan/dependencies/cloud/warehouse.py:200-297); the
+bucketing itself has no reference analog (BigQuery does the equivalent
+internally with partitioned MERGE).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aircan_spark import ROW_NUMBER_COLUMN
+from aircan_spark import upsert as upsert_mod
+
+_MANIFEST = "_MANIFEST.json"
+_BUCKET = "__bucket"
+
+
+def bucket_expr(keys: list[str], num_buckets: int) -> Column:
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets))
+
+
+class BucketedParquetTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        name: str,
+        keys: list[str],
+        num_buckets: int = 16,
+    ):
+        if not keys:
+            raise ValueError("bucketed table requires bucket keys")
+        self.spark = spark
+        self.path = os.path.join(warehouse, name)
+        self.name = name
+        self.keys = list(keys)
+        self.num_buckets = num_buckets
+
+    # ---- manifest plumbing ---------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, _MANIFEST)
+
+    def manifest(self) -> dict | None:
+        try:
+            with open(self._manifest_path()) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def exists(self) -> bool:
+        return self.manifest() is not None
+
+    def _commit(self, manifest: dict, keep_versions: int = 2) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        prev = self.manifest()
+        history = (prev or {}).get("history", [])
+        if prev is not None:
+            history = (history + [{k: prev[k] for k in ("version", "buckets")}])[
+                -max(keep_versions - 1, 0) :
+            ]
+        manifest["history"] = history
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path())
+        self._gc(manifest)
+
+    def _gc(self, manifest: dict) -> None:
+        """Delete data dirs no retained manifest references."""
+        live: set[str] = set()
+        for snap in [manifest, *manifest.get("history", [])]:
+            for dirs in snap["buckets"].values():
+                live.update(d.split("/")[0] for d in dirs)
+        for entry in os.listdir(self.path):
+            if entry.startswith("data_v") and entry not in live:
+                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+
+    # ---- reads -----------------------------------------------------------------
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        m = self.manifest()
+        if m is None:
+            raise FileNotFoundError(f"table {self.name} does not exist at {self.path}")
+        wanted = (
+            m["buckets"].keys() if buckets is None else [str(b) for b in buckets]
+        )
+        paths = [
+            os.path.join(self.path, d)
+            for b in wanted
+            for d in m["buckets"].get(b, [])
+        ]
+        if not paths:
+            # empty table / no affected buckets: schema comes from the
+            # manifest, no files to scan
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(json.loads(m["schema"]))
+            return self.spark.createDataFrame([], schema)
+        # basePath keeps partition discovery from inferring __bucket; each
+        # leaf dir is read directly and the column is not resurrected.
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def max_id(self) -> int:
+        m = self.manifest()
+        return int(m["max_id"]) if m else 0
+
+    # ---- writes ----------------------------------------------------------------
+    def _write_buckets(self, df: DataFrame, version: int) -> str:
+        """Write df (bucket column attached) partitioned by bucket id."""
+        data_dir = f"data_v{version}"
+        (
+            df.repartition(F.col(_BUCKET))
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET)
+            .parquet(os.path.join(self.path, data_dir))
+        )
+        return data_dir
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(_BUCKET, bucket_expr(self.keys, self.num_buckets))
+
+    def _present_buckets(self, data_dir: str) -> list[int]:
+        root = os.path.join(self.path, data_dir)
+        return sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(root)
+            if e.startswith(f"{_BUCKET}=")
+        )
+
+    def _df_max_id(self, df: DataFrame) -> int:
+        if ROW_NUMBER_COLUMN not in df.columns:
+            return 0
+        row = df.agg(
+            F.coalesce(F.max(ROW_NUMBER_COLUMN), F.lit(0)).alias("m")
+        ).collect()[0]
+        return int(row["m"])
+
+    def overwrite(self, df: DataFrame) -> None:
+        m = self.manifest()
+        v = (m["version"] + 1) if m else 1
+        data_dir = self._write_buckets(self._with_bucket(df), v)
+        present = self._present_buckets(data_dir)
+        buckets = {str(b): [f"{data_dir}/{_BUCKET}={b}"] for b in present}
+        # max from the files just written (one column-pruned scan), not a
+        # second evaluation of the caller's plan
+        written = (
+            self.spark.read.parquet(os.path.join(self.path, data_dir))
+            if present
+            else None
+        )
+        self._commit(
+            {
+                "version": v,
+                "num_buckets": self.num_buckets,
+                "keys": self.keys,
+                "max_id": self._df_max_id(written) if written is not None else 0,
+                "buckets": buckets,
+                "schema": df.schema.json(),
+            }
+        )
+
+    def append(self, df: DataFrame) -> None:
+        """Additive: new data dirs appended to each landed bucket's dir
+        list — existing files untouched (K3 semantics)."""
+        m = self.manifest()
+        if m is None:
+            self.overwrite(df)
+            return
+        v = m["version"] + 1
+        data_dir = self._write_buckets(self._with_bucket(df), v)
+        buckets = dict(m["buckets"])
+        for b in self._present_buckets(data_dir):
+            buckets[str(b)] = buckets.get(str(b), []) + [f"{data_dir}/{_BUCKET}={b}"]
+        self._commit(
+            {
+                "version": v,
+                "num_buckets": self.num_buckets,
+                "keys": self.keys,
+                "max_id": max(int(m["max_id"]), self._df_max_id(df)),
+                "buckets": buckets,
+                "schema": df.schema.json(),
+            }
+        )
+
+    def upsert(
+        self,
+        stage: DataFrame,
+        *,
+        preserve_columns: tuple[str, ...] = (),
+        job_ts: dt.datetime | None = None,
+    ) -> None:
+        """MERGE touching only the stage's buckets.
+
+        Work ∝ (stage size + size of affected buckets); a 1-row upsert into
+        a 100 TB table reads and rewrites one bucket, not the table.
+        """
+        m = self.manifest()
+        if m is None:
+            # Auto-create (reference D2): empty target with the stage schema.
+            target_sub = stage.limit(0)
+            m = {"version": 0, "max_id": 0, "buckets": {}}
+        else:
+            stage_b = self._with_bucket(stage)
+            affected = sorted(
+                r[_BUCKET] for r in stage_b.select(_BUCKET).distinct().collect()
+            )
+            target_sub = self.read(buckets=affected)
+        merged = upsert_mod.merge(
+            target_sub,
+            stage,
+            self.keys,
+            preserve_columns=preserve_columns,
+            job_ts=job_ts,
+            insert_start=int(m["max_id"]) + 1,
+        )
+        v = m["version"] + 1
+        data_dir = self._write_buckets(self._with_bucket(merged), v)
+        buckets = dict(m["buckets"])
+        for b in self._present_buckets(data_dir):
+            buckets[str(b)] = [f"{data_dir}/{_BUCKET}={b}"]
+        # read-back max over the rewritten buckets only; untouched buckets
+        # cannot raise the max because inserts always number above it
+        new_max = max(int(m["max_id"]), self._df_max_id(self.spark.read.parquet(
+            os.path.join(self.path, data_dir)
+        )))
+        self._commit(
+            {
+                "version": v,
+                "num_buckets": self.num_buckets,
+                "keys": self.keys,
+                "max_id": new_max,
+                "buckets": buckets,
+                "schema": merged.schema.json(),
+            }
+        )
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)

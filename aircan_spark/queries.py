@@ -308,6 +308,46 @@ FROM orders
 """
 
 
+# --- Q16: J1 at scale — bucketed partial-rewrite upsert ----------------------
+
+
+def q16_bucketed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same merge semantics as Q15 through the BUCKETED table (partial
+    rewrite: only the stage's hash buckets are read+rewritten). The changed
+    stage rows double o_totalprice for keys % 100 == 0; the oracle computes
+    the expected merged aggregate directly."""
+    from aircan_spark.bucketed import BucketedParquetTable
+
+    orders = _t(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory(prefix="aircan_q16_") as wh:
+        table = BucketedParquetTable(spark, wh, "orders_b", keys=["o_orderkey"], num_buckets=16)
+        table.overwrite(with_row_number(orders, order_by=["o_orderkey"]))
+        stage = orders.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+            "o_totalprice", F.round(F.col("o_totalprice") * 2, 2)
+        )
+        table.upsert(stage)
+        merged = table.read()
+        result = merged.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .cast("string")
+            .alias("total"),
+        )
+        result = result.localCheckpoint()  # materialize before tempdir vanishes
+    return result
+
+
+Q16_SQL = """
+SELECT COUNT(*) AS cnt,
+       CAST(CAST(SUM(CAST(CASE WHEN o_orderkey % 100 = 0
+                               THEN ROUND(o_totalprice * 2, 2)
+                               ELSE o_totalprice END AS DECIMAL(18,2)))
+            AS DECIMAL(28,2)) AS VARCHAR) AS total
+FROM orders
+"""
+
+
 from aircan_spark.ext.queries import EXT_ORACLES, EXT_QUERIES  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -326,6 +366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_group_count": q13_group_count,
     "q14_schema_evolution": q14_schema_evolution,
     "q15_upsert_e2e": q15_upsert_e2e,
+    "q16_bucketed_upsert": q16_bucketed_upsert,
 }
 
 ORACLES: dict[str, str] = {
@@ -344,6 +385,7 @@ ORACLES: dict[str, str] = {
     "q13_group_count": Q13_SQL,
     "q14_schema_evolution": Q14_SQL,
     "q15_upsert_e2e": Q15_SQL,
+    "q16_bucketed_upsert": Q16_SQL,
 }
 
 QUERIES.update(EXT_QUERIES)

@@ -98,8 +98,14 @@ def merge(
     updated_at_column: str = UPDATED_AT_COLUMN,
     preserve_columns: tuple[str, ...] = (),
     job_ts: dt.datetime | None = None,
+    insert_start: int | None = None,
 ) -> DataFrame:
     """Compute the merged table as a DataFrame (caller writes it).
+
+    ``insert_start``: explicit first `_id` for inserted rows. Callers that
+    merge a SUBSET of the table (bucketed partial rewrite) must pass the
+    table-wide MAX(_id)+1 — the default derives it from ``target``, which
+    is only correct when ``target`` is the whole table.
 
     Column policy (mirrors warehouse.py:222-245):
     - keys: coalesced from both sides.
@@ -189,10 +195,12 @@ def merge(
     # instead of a single-task global window over the whole merged table.
     existing = merged.filter(F.col(row_number_column).isNotNull())
     inserts = merged.filter(F.col(row_number_column).isNull()).drop(row_number_column)
-    max_id = target.agg(
-        F.coalesce(F.max(row_number_column), F.lit(0)).alias("m")
-    ).collect()[0]["m"]
+    if insert_start is None:
+        max_id = target.agg(
+            F.coalesce(F.max(row_number_column), F.lit(0)).alias("m")
+        ).collect()[0]["m"]
+        insert_start = int(max_id) + 1
     numbered_inserts = with_row_number(
-        inserts, column=row_number_column, start=int(max_id) + 1, order_by=keys
+        inserts, column=row_number_column, start=insert_start, order_by=keys
     )
     return existing.unionByName(numbered_inserts)

@@ -1,0 +1,147 @@
+"""BucketedParquetTable — partial-rewrite upsert semantics.
+
+Checks both halves of the contract: (a) results are IDENTICAL to the
+full-rewrite ParquetTable merge; (b) untouched buckets are physically NOT
+rewritten (their manifest pointers survive the commit verbatim).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from aircan_spark import ROW_NUMBER_COLUMN, UPDATED_AT_COLUMN
+from aircan_spark.bucketed import BucketedParquetTable
+from aircan_spark.rownum import with_row_number
+from aircan_spark.table import ParquetTable
+
+TS1 = dt.datetime(2026, 1, 1, 12, 0, 0)
+TS2 = dt.datetime(2026, 2, 2, 12, 0, 0)
+
+
+def base_df(spark, n=100):
+    df = spark.range(1, n + 1).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("val"),
+        F.concat(F.lit("name_"), F.col("id")).alias("name"),
+    )
+    return with_row_number(df, order_by=["k"]).withColumn(
+        UPDATED_AT_COLUMN, F.lit(TS1)
+    )
+
+
+def stage_df(spark):
+    # 3 updates (one real change, two no-ops) + 2 inserts
+    return spark.createDataFrame(
+        [
+            (5, 999, "name_5"),     # changed val
+            (7, 70, "name_7"),      # unchanged
+            (9, 90, "name_9"),      # unchanged
+            (1001, 1, "new_a"),     # insert
+            (1002, 2, "new_b"),     # insert
+        ],
+        "k long, val long, name string",
+    )
+
+
+def test_roundtrip_overwrite_read(spark, tmp_path):
+    t = BucketedParquetTable(spark, str(tmp_path), "t", keys=["k"], num_buckets=8)
+    df = base_df(spark)
+    t.overwrite(df)
+    got = t.read()
+    assert sorted(got.columns) == sorted(df.columns)
+    assert got.count() == 100
+    assert t.max_id() == 100
+
+
+def test_upsert_matches_full_rewrite_table(spark, tmp_path):
+    bt = BucketedParquetTable(spark, str(tmp_path / "b"), "t", keys=["k"], num_buckets=8)
+    ft = ParquetTable(spark, str(tmp_path / "f"), "t")
+    df, st = base_df(spark), stage_df(spark)
+    bt.overwrite(df)
+    ft.overwrite(df)
+    bt.upsert(st, job_ts=TS2)
+    ft.upsert(st, ["k"], job_ts=TS2)
+    cols = [ROW_NUMBER_COLUMN, "k", "val", "name", UPDATED_AT_COLUMN]
+    got = [tuple(r) for r in bt.read().select(cols).orderBy("k").collect()]
+    want = [tuple(r) for r in ft.read().select(cols).orderBy("k").collect()]
+    assert got == want
+
+
+def test_untouched_buckets_not_rewritten(spark, tmp_path):
+    t = BucketedParquetTable(spark, str(tmp_path), "t", keys=["k"], num_buckets=8)
+    t.overwrite(base_df(spark))
+    before = t.manifest()["buckets"]
+    stage = stage_df(spark).limit(1)  # single key -> single bucket
+    t.upsert(stage, job_ts=TS2)
+    after = t.manifest()["buckets"]
+    changed = [b for b in before if after[b] != before[b]]
+    unchanged = [b for b in before if after[b] == before[b]]
+    assert len(changed) == 1, f"exactly one bucket should be rewritten: {changed}"
+    assert unchanged, "the other buckets keep their original data dirs"
+
+
+def test_insert_ids_continue_from_global_max(spark, tmp_path):
+    t = BucketedParquetTable(spark, str(tmp_path), "t", keys=["k"], num_buckets=8)
+    t.overwrite(base_df(spark, n=50))
+    t.upsert(stage_df(spark), job_ts=TS2)
+    rows = {r["k"]: r[ROW_NUMBER_COLUMN] for r in t.read().collect()}
+    # matched keys keep their _id; inserts number 51.. in key order
+    assert rows[5] == 5 and rows[7] == 7
+    assert rows[1001] == 51 and rows[1002] == 52
+    assert t.max_id() == 52
+
+
+def test_updated_at_only_on_change(spark, tmp_path):
+    t = BucketedParquetTable(spark, str(tmp_path), "t", keys=["k"], num_buckets=8)
+    t.overwrite(base_df(spark))
+    t.upsert(stage_df(spark), job_ts=TS2)
+    got = {r["k"]: r[UPDATED_AT_COLUMN] for r in t.read().collect()}
+    assert got[5] == TS2      # changed
+    assert got[7] == TS1      # matched, unchanged
+    assert got[1001] == TS2   # insert
+    assert got[4] == TS1      # untouched bucket or row
+
+
+def test_upsert_bootstraps_missing_table(spark, tmp_path):
+    t = BucketedParquetTable(spark, str(tmp_path), "t", keys=["k"], num_buckets=4)
+    t.upsert(stage_df(spark), job_ts=TS2)
+    got = t.read()
+    assert got.count() == 5
+    ids = sorted(r[ROW_NUMBER_COLUMN] for r in got.collect())
+    assert ids == [1, 2, 3, 4, 5]
+
+
+def test_append_adds_dirs_keeps_old_files(spark, tmp_path):
+    t = BucketedParquetTable(spark, str(tmp_path), "t", keys=["k"], num_buckets=4)
+    t.overwrite(base_df(spark, n=20))
+    before = {b: list(d) for b, d in t.manifest()["buckets"].items()}
+    extra = with_row_number(
+        spark.createDataFrame([(500, 1, "x"), (501, 2, "y")], "k long, val long, name string"),
+        start=21,
+        order_by=["k"],
+    ).withColumn(UPDATED_AT_COLUMN, F.lit(TS2))
+    t.append(extra)
+    after = t.manifest()["buckets"]
+    assert t.read().count() == 22
+    for b, dirs in before.items():
+        assert after[b][: len(dirs)] == dirs, "append never replaces old dirs"
+    assert t.max_id() == 22
+
+
+def test_gc_drops_unreferenced_dirs(spark, tmp_path):
+    import os
+
+    t = BucketedParquetTable(spark, str(tmp_path), "t", keys=["k"], num_buckets=4)
+    t.overwrite(base_df(spark, n=20))
+    for i in range(3):
+        t.upsert(stage_df(spark), job_ts=TS2)
+    live = set()
+    m = t.manifest()
+    for snap in [m, *m["history"]]:
+        for dirs in snap["buckets"].values():
+            live.update(d.split("/")[0] for d in dirs)
+    on_disk = {e for e in os.listdir(t.path) if e.startswith("data_v")}
+    assert on_disk == live
