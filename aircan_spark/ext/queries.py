@@ -225,6 +225,38 @@ def ext_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=5, nlist=16, nprobe=4)
 
 
+# --- streaming (batch-parity execution of the streaming plan) -------------------------
+
+
+def ext_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming windowed aggregation (streaming.py) run in batch mode —
+    the SAME plan degrades gracefully on a bounded frame, which is what
+    makes it oracle-checkable. value goes through DECIMAL so the sum does
+    not depend on float accumulation order across engines."""
+    from aircan_spark.streaming import windowed_event_counts
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    return (
+        windowed_event_counts(events, window_duration="1 hour")
+        .withColumn("sum_value", F.col("sum_value").cast("decimal(24,6)").cast("string"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+EXT_STREAM_WINDOW_SQL = r"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DECIMAL(24,6)) AS VARCHAR) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
 # --- multimodal plumbing ---------------------------------------------------------------
 
 
@@ -259,12 +291,14 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_sim_topk_brute": ext_sim_topk_brute,
     "ext_sim_topk_lsh": ext_sim_topk_lsh,
     "ext_sim_topk_ivf": ext_sim_topk_ivf,
+    "ext_stream_window_counts": ext_stream_window_counts,
     "ext_mm_byte_features": ext_mm_byte_features,
 }
 
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
+    "ext_stream_window_counts": EXT_STREAM_WINDOW_SQL,
     "ext_text_stats": EXT_TEXT_STATS_SQL,
     "ext_quality_score": EXT_QUALITY_SQL,
     "ext_lang_id": EXT_LANG_ID_SQL,

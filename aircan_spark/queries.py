@@ -308,6 +308,39 @@ FROM orders
 """
 
 
+# --- Q17: hot-key-safe aggregation (skew.py) ---------------------------------
+
+
+def q17_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted GROUP BY over lineitem's few heavy return-flag
+    groups — the hot-key shape where a plain groupBy lands one reducer per
+    flag. Results must be byte-identical to the plain GROUP BY oracle."""
+    from aircan_spark.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("decimal(18,2)").alias("qty")
+    )
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {"n": ("*", "count"), "sum_qty": ("qty", "sum")},
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.col("sum_qty").cast("decimal(28,2)").cast("string").alias("sum_qty"),
+    ).orderBy("l_returnflag")
+
+
+Q17_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS VARCHAR) AS sum_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # --- Q16: J1 at scale — bucketed partial-rewrite upsert ----------------------
 
 
@@ -367,6 +400,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_schema_evolution": q14_schema_evolution,
     "q15_upsert_e2e": q15_upsert_e2e,
     "q16_bucketed_upsert": q16_bucketed_upsert,
+    "q17_salted_agg": q17_salted_agg,
 }
 
 ORACLES: dict[str, str] = {
@@ -386,6 +420,7 @@ ORACLES: dict[str, str] = {
     "q14_schema_evolution": Q14_SQL,
     "q15_upsert_e2e": Q15_SQL,
     "q16_bucketed_upsert": Q16_SQL,
+    "q17_salted_agg": Q17_SQL,
 }
 
 QUERIES.update(EXT_QUERIES)
