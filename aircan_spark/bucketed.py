@@ -129,9 +129,23 @@ class BucketedParquetTable:
         # leaf dir is read directly and the column is not resurrected.
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
-    def max_id(self) -> int:
+    def max_id(self, column: str = ROW_NUMBER_COLUMN) -> int:
         m = self.manifest()
-        return int(m["max_id"]) if m else 0
+        if m is None:
+            return 0
+        if column != ROW_NUMBER_COLUMN:
+            # only the engine `_id` max is manifest metadata; other columns
+            # need a (column-pruned) scan
+            return self._df_max_id_col(self.read(), column)
+        return int(m["max_id"])
+
+    def current_version(self) -> int:
+        m = self.manifest()
+        return int(m["version"]) if m else 0
+
+    def _df_max_id_col(self, df: DataFrame, column: str) -> int:
+        row = df.agg(F.coalesce(F.max(column), F.lit(0)).alias("m")).collect()[0]
+        return int(row["m"])
 
     # ---- writes ----------------------------------------------------------------
     def _write_buckets(self, df: DataFrame, version: int) -> str:

@@ -70,7 +70,6 @@ def run(spark: SparkSession, config: dict[str, Any]) -> dict[str, Any]:
         tzinfo=None
     )
     warehouse = ensure_warehouse(config.get("warehouse", "./warehouse"))
-    table = ParquetTable(spark, warehouse, config["table_name"])
 
     # --- schema: declared or inferred (reference S6, :271-282) ------------
     descriptor = config.get("schema_descriptor")
@@ -96,6 +95,20 @@ def run(spark: SparkSession, config: dict[str, Any]) -> dict[str, Any]:
         if not report["valid"]:
             raise ValidationFailure(report)
 
+    # --- target table: plain, or hash-bucketed for partial-rewrite merges --
+    keys = config.get("unique_keys") or descriptor_keys(descriptor)
+    num_buckets = config.get("num_buckets")
+    if num_buckets:
+        if not keys:
+            raise ValueError("num_buckets requires unique_keys (config or descriptor)")
+        from aircan_spark.bucketed import BucketedParquetTable
+
+        table: Any = BucketedParquetTable(
+            spark, warehouse, config["table_name"], keys=keys, num_buckets=num_buckets
+        )
+    else:
+        table = ParquetTable(spark, warehouse, config["table_name"])
+
     # --- row numbering (reference 2c/2d: MAX+1 offset, stream inject) ------
     start = 1
     if method in ("append", "upsert") and table.exists():
@@ -103,11 +116,13 @@ def run(spark: SparkSession, config: dict[str, Any]) -> dict[str, Any]:
     numbered = with_row_number(typed, column=rn_col, start=start)
 
     # --- write branch (reference 3/4a/4b, :360-460) -------------------------
-    keys = config.get("unique_keys") or descriptor_keys(descriptor)
     if method == "upsert":
         if not keys:
             raise ValueError("upsert requires unique_keys (config or descriptor)")
-        table.upsert(numbered, keys, job_ts=job_ts)
+        if num_buckets:
+            table.upsert(numbered, job_ts=job_ts)
+        else:
+            table.upsert(numbered, keys, job_ts=job_ts)
     elif method == "append":
         table.append(numbered.withColumn(ts_col, F.lit(job_ts)))
     elif method == "overwrite":

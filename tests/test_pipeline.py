@@ -81,6 +81,37 @@ def test_overwrite_append_upsert_export_cycle(spark, tmp_path):
     assert by_sku[5][0] == "5"  # new row numbered MAX+1
 
 
+def test_pipeline_bucketed_cycle(spark, tmp_path):
+    """Same overwrite -> upsert flow routed through the bucketed table
+    (num_buckets config): identical user-visible semantics, partial
+    rewrite underneath."""
+    src1 = str(tmp_path / "v1.csv")
+    write_csv(src1, [(i, f"n{i}", float(i)) for i in range(1, 31)])
+    wh = str(tmp_path / "wh")
+    cfg = {
+        "resource_path": src1,
+        "table_name": "products_b",
+        "warehouse": wh,
+        "schema_descriptor": DESCRIPTOR,
+        "method": "overwrite",
+        "num_buckets": 8,
+        "job_ts": TS1,
+    }
+    res = run(spark, cfg)
+    assert res["rows"] == 30
+
+    src2 = str(tmp_path / "v2.csv")
+    write_csv(src2, [(2, "changed", 99.0), (31, "new", 31.0)])
+    res = run(spark, {**cfg, "resource_path": src2, "method": "upsert", "job_ts": TS2,
+                      "export": {"path": str(tmp_path / "out"), "format": "csv",
+                                 "single_file": True}})
+    assert res["rows"] == 31
+    lines = open(res["export"]).read().strip().split("\n")
+    data = {int(r.split(",")[1]): r.split(",") for r in lines[1:]}
+    assert data[2][2] == "changed" and int(data[2][0]) == 2   # _id preserved
+    assert int(data[31][0]) == 31                              # MAX+1 insert
+
+
 def test_pipeline_validation_abort(spark, tmp_path):
     src = str(tmp_path / "bad.csv")
     with open(src, "w") as fh:
