@@ -41,8 +41,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # ns -> µs timestamp (Spark has no nanosecond resolution).
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # ns -> µs timestamp (Spark has no nanosecond resolution). Integer
+        # division: float division rounds at ~1.7e15 (52-bit mantissa) and
+        # lands 1µs off the truncation every other engine does.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(path)

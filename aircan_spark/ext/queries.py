@@ -245,6 +245,43 @@ def ext_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user, batch-parity mode. The oracle
+    is the classic gaps-and-islands rewrite — same sessions, computed with
+    window functions instead of session state."""
+    from aircan_spark.streaming import sessionized_activity
+
+    events = _t(spark, sf_dir, "events")
+    return sessionized_activity(events, gap="30 minutes").orderBy(
+        "user_id", "session_start"
+    )
+
+
+EXT_STREAM_SESSIONS_SQL = r"""
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+         ) AS session_id
+  FROM ordered
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
 EXT_STREAM_WINDOW_SQL = r"""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
@@ -292,6 +329,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_sim_topk_lsh": ext_sim_topk_lsh,
     "ext_sim_topk_ivf": ext_sim_topk_ivf,
     "ext_stream_window_counts": ext_stream_window_counts,
+    "ext_stream_sessions": ext_stream_sessions,
     "ext_mm_byte_features": ext_mm_byte_features,
 }
 
@@ -299,6 +337,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
     "ext_stream_window_counts": EXT_STREAM_WINDOW_SQL,
+    "ext_stream_sessions": EXT_STREAM_SESSIONS_SQL,
     "ext_text_stats": EXT_TEXT_STATS_SQL,
     "ext_quality_score": EXT_QUALITY_SQL,
     "ext_lang_id": EXT_LANG_ID_SQL,

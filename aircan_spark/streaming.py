@@ -176,3 +176,32 @@ def event_stream_from_table(
     """File-source stream over parquet event files (the testdata `events`
     shape); one micro-batch per file with default trigger."""
     return spark.readStream.schema(schema).parquet(events_dir)
+
+
+def sessionized_activity(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows per key: a session extends while successive events
+    arrive within ``gap``; the window closes ``gap`` after the last event.
+
+    Streaming-native via ``F.session_window`` (state merges adjacent
+    windows; watermark required upstream for eviction); identical semantics
+    in batch mode, which makes it oracle-checkable against a
+    gaps-and-islands SQL rewrite. Aggregation is keyed by (key, session) —
+    partition-parallel, no global ordering anywhere."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, gap)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
