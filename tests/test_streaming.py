@@ -153,3 +153,33 @@ def test_running_user_totals_stateful(spark, tmp_path):
         assert got[uid][1] == want[uid][1]
         if want[uid][0] is not None:
             assert abs(got[uid][0] - want[uid][0]) < 1e-6
+
+
+def test_sessionized_streaming_equals_batch(spark, tmp_path):
+    from aircan_spark.streaming import sessionized_activity
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(500)
+    src = str(tmp_path / "sess_src")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    batch = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in sessionized_activity(spark.read.parquet(src)).collect()
+    }
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sessionized_activity(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    streamed = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    assert streamed == batch
