@@ -157,3 +157,54 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -
             )
 
     return df.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int = 32, height: int = 32, fake: bool = False) -> DataFrame:
+    """Resize image blobs to (width, height).
+
+    STUB at the decode seam (PIL absent); ``fake=True`` emits a
+    deterministic byte-downsample of the blob (every k-th byte, padded) so
+    the batch shape — N bytes in, width*height out, partition-local, no
+    shuffle — is exercised for real. A real implementation swaps the body
+    for PIL ``Image.resize`` and nothing around it changes."""
+    target = width * height
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                # >>> real resize goes here (PIL.Image.open(...).resize(...)) <<<
+                raise NotImplementedError(
+                    "image resize requires PIL — not available in this "
+                    "environment; run with fake=True for plumbing tests"
+                )
+
+            def shrink(blob):
+                if blob is None:
+                    return None
+                if not len(blob):
+                    return bytes(target)
+                step = max(1, len(blob) // target)
+                out = bytes(blob[::step][:target])
+                return out + bytes(target - len(out))
+
+            content = pdf["content"].map(shrink)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "content": content,
+                }
+            )
+
+    return df.mapInPandas(kernel, RESIZED_SCHEMA)

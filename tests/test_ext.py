@@ -218,3 +218,22 @@ def test_lang_id_marker_texts(spark):
     )
     got = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(df).collect()}
     assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_multimodal_resize_fake_shapes(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    media = multimodal.attach_binary(docs, "doc_id", "text", "text/plain")
+    out = multimodal.resize_images(media, width=8, height=4, fake=True).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["width"] == 8 and r["height"] == 4
+        assert len(r["content"]) == 32  # exactly width*height bytes
+
+
+def test_multimodal_resize_stub_raises(spark):
+    import pytest as _pytest
+
+    docs = load_table(spark, SF_DIR, "documents").limit(2)
+    media = multimodal.attach_binary(docs, "doc_id", "text", "text/plain")
+    with _pytest.raises(Exception, match="PIL"):
+        multimodal.resize_images(media, fake=False).collect()
