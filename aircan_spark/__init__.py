@@ -14,7 +14,12 @@ scale to a multi-executor cluster:
 - ``upsert``    join-based MERGE semantics (change detection, _id preserve)
 - ``validate``  row-level schema/constraint validation reports
 - ``export``    ordered export to csv/ndjson/parquet (sharded or single-file)
+- ``bucketed``  hash-bucketed tables with partial-rewrite upsert (scale path)
+- ``skew``      salted aggregation / salted replicate join for hot keys
 - ``pipeline``  the end-to-end resource ingestion lifecycle
+- ``sinks``     JDBC / batched HTTP sinks, format transcode
+- ``streaming`` incremental ingest, windowed + session + stateful aggs
+- ``callbacks`` status reporting / failure email side-channel
 - ``ext``       beyond-reference operators: dedup, similarity search,
                 text analysis, multimodal column plumbing
 """

@@ -208,3 +208,55 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32, fake: bool =
             )
 
     return df.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_features(df: DataFrame, fake: bool = False, assumed_rate: int = 16_000) -> DataFrame:
+    """Audio blob features (duration / sample rate / RMS energy).
+
+    STUB at the decode seam (librosa/soundfile absent). ``fake=True``
+    treats the blob as raw unsigned 8-bit PCM at ``assumed_rate`` — a real
+    deterministic computation through the real batch path; swapping the
+    body for an actual codec changes nothing around it."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not fake:
+                # >>> real decoder goes here (soundfile.read / librosa.load) <<<
+                raise NotImplementedError(
+                    "audio decode requires librosa/soundfile — not available "
+                    "in this environment; run with fake=True for plumbing tests"
+                )
+
+            def feats(blob):
+                if blob is None or not len(blob):
+                    return (None, None, None)
+                x = np.frombuffer(blob, dtype="uint8").astype("float64") - 128.0
+                return (
+                    round(len(x) / assumed_rate, 6),
+                    assumed_rate,
+                    round(float(np.sqrt((x * x).mean())), 6),
+                )
+
+            trip = pdf["content"].map(feats)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "duration_s": trip.map(lambda t: t[0]),
+                    "sample_rate": trip.map(lambda t: t[1]),
+                    "rms": trip.map(lambda t: t[2]),
+                }
+            )
+
+    return df.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)

@@ -237,3 +237,15 @@ def test_multimodal_resize_stub_raises(spark):
     media = multimodal.attach_binary(docs, "doc_id", "text", "text/plain")
     with _pytest.raises(Exception, match="PIL"):
         multimodal.resize_images(media, fake=False).collect()
+
+
+def test_multimodal_audio_features_fake(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    media = multimodal.attach_binary(docs, "doc_id", "text", "audio/pcm")
+    out = {r["media_id"]: r for r in multimodal.audio_features(media, fake=True).collect()}
+    assert len(out) == 20
+    lens = {r["doc_id"]: len(r["text"].encode()) for r in docs.collect()}
+    for mid, r in out.items():
+        assert r["sample_rate"] == 16000
+        assert abs(r["duration_s"] - lens[mid] / 16000) < 1e-6
+        assert r["rms"] is not None and r["rms"] >= 0
