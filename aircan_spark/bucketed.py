@@ -277,5 +277,35 @@ class BucketedParquetTable:
             }
         )
 
+    def compact(self, min_dirs: int = 2) -> list[int]:
+        """Rewrite buckets fragmented across >= ``min_dirs`` data dirs into
+        one dir each (the small-file maintenance op — appends accumulate a
+        dir per batch; scans over many small files lose locality and
+        pressure the file index at scale). Content is untouched; buckets
+        below the threshold keep their pointers. Returns compacted ids."""
+        m = self.manifest()
+        if m is None:
+            return []
+        todo = [b for b, dirs in m["buckets"].items() if len(dirs) >= min_dirs]
+        if not todo:
+            return []
+        v = m["version"] + 1
+        sub = self.read(buckets=[int(b) for b in todo])
+        data_dir = self._write_buckets(self._with_bucket(sub), v)
+        buckets = dict(m["buckets"])
+        for b in self._present_buckets(data_dir):
+            buckets[str(b)] = [f"{data_dir}/{_BUCKET}={b}"]
+        self._commit(
+            {
+                "version": v,
+                "num_buckets": self.num_buckets,
+                "keys": self.keys,
+                "max_id": int(m["max_id"]),
+                "buckets": buckets,
+                "schema": m["schema"],
+            }
+        )
+        return [int(b) for b in todo]
+
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

@@ -145,3 +145,37 @@ def test_gc_drops_unreferenced_dirs(spark, tmp_path):
             live.update(d.split("/")[0] for d in dirs)
     on_disk = {e for e in os.listdir(t.path) if e.startswith("data_v")}
     assert on_disk == live
+
+
+def test_compact_merges_fragmented_buckets(spark, tmp_path):
+    t = BucketedParquetTable(spark, str(tmp_path), "t", keys=["k"], num_buckets=4)
+    t.overwrite(base_df(spark, n=40))
+    for start in (41, 43):
+        extra = with_row_number(
+            spark.createDataFrame(
+                [(start + 400, 1, "x"), (start + 401, 2, "y")],
+                "k long, val long, name string",
+            ),
+            start=start,
+            order_by=["k"],
+        ).withColumn(UPDATED_AT_COLUMN, F.lit(TS2))
+        t.append(extra)
+    before = t.read().orderBy("k").collect()
+    fragmented = [b for b, d in t.manifest()["buckets"].items() if len(d) >= 2]
+    assert fragmented, "appends should fragment at least one bucket"
+
+    compacted = t.compact(min_dirs=2)
+    assert sorted(str(b) for b in compacted) == sorted(fragmented)
+    after_m = t.manifest()["buckets"]
+    for b in fragmented:
+        assert len(after_m[b]) == 1, "compacted bucket is one dir"
+    assert t.read().orderBy("k").collect() == before  # content identical
+    assert t.max_id() == 44
+
+
+def test_compact_noop_when_unfragmented(spark, tmp_path):
+    t = BucketedParquetTable(spark, str(tmp_path), "t", keys=["k"], num_buckets=4)
+    t.overwrite(base_df(spark, n=20))
+    v = t.manifest()["version"]
+    assert t.compact() == []
+    assert t.manifest()["version"] == v  # no commit happened
