@@ -249,3 +249,28 @@ def test_multimodal_audio_features_fake(spark):
         assert r["sample_rate"] == 16000
         assert abs(r["duration_s"] - lens[mid] / 16000) < 1e-6
         assert r["rms"] is not None and r["rms"] >= 0
+
+
+def test_jaccard_max_doc_freq_prunes_common_shingles(spark):
+    """The inverted-index skew guard: a shingle present in MANY docs is
+    pruned before the self-join; pairs supported only by ubiquitous
+    shingles disappear, genuinely-similar pairs survive."""
+    common = "lorem ipsum dolor sit amet"
+    rows = [(i, f"{common} unique{i} word{i} tail{i}") for i in range(20)]
+    rows += [(100, "alpha beta gamma delta epsilon"),
+             (101, "alpha beta gamma delta zeta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    unpruned = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(df, n=3, threshold=0.1).collect()
+    }
+    pruned = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            df, n=3, threshold=0.1, max_doc_freq=5
+        ).collect()
+    }
+    assert (100, 101) in pruned  # similarity from rare shingles survives
+    assert len(pruned) < len(unpruned)  # boilerplate-only pairs are gone
+    assert all(a >= 100 for a, b in pruned), "lorem-ipsum pairs pruned"

@@ -169,3 +169,23 @@ def test_pipeline_ndjson_roundtrip(spark, tmp_path):
     })
     recs = [json.loads(line) for line in open(res["export"])]
     assert [r["_id"] for r in recs] == [1, 2]
+
+
+def test_dag_task_body_runs_pipeline(spark, tmp_path):
+    """dags/ingest_dag.run_ingest — the single Airflow task body — executes
+    the lifecycle and emits status callbacks (C1/C4 wiring)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/dags")
+    import ingest_dag
+
+    src = str(tmp_path / "r.csv")
+    write_csv(src, [(1, "a", 1.0), (2, "b", 2.0)])
+    res = ingest_dag.run_ingest({
+        "resource_path": src,
+        "table_name": "dag_t",
+        "warehouse": str(tmp_path / "wh"),
+        "schema_descriptor": DESCRIPTOR,
+        "method": "overwrite",
+    })
+    assert res["rows"] == 2
