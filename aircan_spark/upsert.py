@@ -134,20 +134,25 @@ def merge(
         if c not in keys and c not in system_cols and c not in stage_data_cols
     ]
     shared_data_cols = [c for c in stage_data_cols if c in target.columns]
+    target_types = {f.name: f.dataType for f in target.schema.fields}
 
-    t = target.withColumn(_T_PRESENT, F.lit(True)).alias("T")
+    # The MERGE decomposes into two joins instead of one full-outer:
+    #   updates   = target LEFT JOIN stage        (per-key-unique stage ->
+    #               every target row exactly once)
+    #   inserts   = stage  ANTI JOIN target keys
+    # A full-outer join can never broadcast in Spark, so it would shuffle
+    # the ENTIRE target by key on every upsert. In this shape AQE
+    # broadcasts the (deduped, usually small) stage in both joins — target
+    # rows never shuffle, and the anti join probes only the key columns.
+    t = target.alias("T")
     s = stage.withColumn(_S_PRESENT, F.lit(True)).alias("S")
-
     cond = reduce(
         lambda a, b: a & b, [F.col(f"T.{k}") == F.col(f"S.{k}") for k in keys]
     )
-    joined = t.join(s, cond, "full_outer")
+    joined = t.join(s, cond, "left")
 
-    t_present = F.col(f"T.{_T_PRESENT}").isNotNull()
     s_present = F.col(f"S.{_S_PRESENT}").isNotNull()
-    matched = t_present & s_present
-    changed = matched & changed_predicate(shared_data_cols)
-    take_stage = changed | (s_present & ~t_present)
+    changed = s_present & changed_predicate(shared_data_cols)
 
     projections: list[Column] = []
     # Row-number column first (reference: first column of every table).
@@ -155,19 +160,13 @@ def merge(
         existing_id = F.col(f"T.{row_number_column}").cast("long")
     else:
         existing_id = F.lit(None).cast("long")
-    projections.append(
-        F.when(t_present, existing_id)
-        .otherwise(F.lit(None).cast("long"))
-        .alias(row_number_column)
-    )
+    projections.append(existing_id.alias(row_number_column))
     for k in keys:
-        projections.append(
-            F.coalesce(F.col(f"T.{k}"), F.col(f"S.{k}")).alias(k)
-        )
+        projections.append(F.col(f"T.{k}").alias(k))
     for c in stage_data_cols:
         if c in target.columns:
             projections.append(
-                F.when(take_stage, F.col(f"S.{c}")).otherwise(F.col(f"T.{c}")).alias(c)
+                F.when(changed, F.col(f"S.{c}")).otherwise(F.col(f"T.{c}")).alias(c)
             )
         else:
             # Schema evolution: brand-new column from the stage; existing
@@ -185,21 +184,45 @@ def merge(
     else:
         old_ts = F.lit(None).cast("timestamp")
     projections.append(
-        F.when(changed | ~t_present, F.lit(job_ts)).otherwise(old_ts)
-        .alias(updated_at_column)
+        F.when(changed, F.lit(job_ts)).otherwise(old_ts).alias(updated_at_column)
     )
-    merged = joined.select(*projections)
+    existing = joined.select(*projections)
 
-    # Number the inserts: MAX(existing _id) + 1.. in key order. Splitting
-    # insert rows out keeps the numbering partition-parallel (rownum.py)
-    # instead of a single-task global window over the whole merged table.
-    existing = merged.filter(F.col(row_number_column).isNotNull())
-    inserts = merged.filter(F.col(row_number_column).isNull()).drop(row_number_column)
+    # Inserts: stage keys absent from the target. The probe side is the
+    # target's KEY COLUMNS only (column-pruned scan).
+    inserts_src = stage.drop(_S_PRESENT, row_number_column, updated_at_column).alias("S")
+    anti = inserts_src.join(target.select(*keys).alias("T"), cond, "left_anti")
+    insert_cols: list[Column] = []
+    for k in keys:
+        insert_cols.append(F.col(k))
+    for c in stage_data_cols:
+        insert_cols.append(F.col(c))
+    for c in target_only_cols:
+        insert_cols.append(F.lit(None).cast(target_types[c]).alias(c))
+    for c in preserve_columns:
+        if c in target.columns:
+            insert_cols.append(F.lit(None).cast(target_types[c]).alias(c))
+    insert_cols.append(F.lit(job_ts).alias(updated_at_column))
+    inserts = anti.select(*insert_cols)
+
+    # Number the inserts: MAX(existing _id) + 1.. in key order, via the
+    # partition-offset numbering (rownum.py) — never a single-task global
+    # window over the merged table.
     if insert_start is None:
-        max_id = target.agg(
-            F.coalesce(F.max(row_number_column), F.lit(0)).alias("m")
-        ).collect()[0]["m"]
-        insert_start = int(max_id) + 1
+        if row_number_column in target.columns:
+            max_id = target.agg(
+                F.coalesce(F.max(row_number_column), F.lit(0)).alias("m")
+            ).collect()[0]["m"]
+            insert_start = int(max_id) + 1
+        else:
+            insert_start = 1
+    if row_number_column not in target.columns:
+        # Bootstrap: target has no numbering to preserve — number the whole
+        # merged result contiguously in key order.
+        all_rows = existing.drop(row_number_column).unionByName(inserts)
+        return with_row_number(
+            all_rows, column=row_number_column, start=insert_start, order_by=keys
+        )
     numbered_inserts = with_row_number(
         inserts, column=row_number_column, start=insert_start, order_by=keys
     )
