@@ -96,6 +96,35 @@ FROM scored ORDER BY doc_id
 """
 
 
+def ext_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.stopword_stats(docs).select(
+        "doc_id", "n_stopwords", "stopword_ratio"
+    ).orderBy("doc_id")
+
+
+EXT_STOPWORD_SQL = r"""
+SELECT doc_id,
+       LEN(regexp_extract_all(LOWER(text),
+           '\b(the|and|of|to|in|is|that|it|for|was|on|are|as|with|at|by|an|be|this|have)\b')) AS n_stopwords,
+       ROUND(CAST(LEN(regexp_extract_all(LOWER(text),
+           '\b(the|and|of|to|in|is|that|it|for|was|on|are|as|with|at|by|an|be|this|have)\b')) AS DOUBLE)
+             / CAST(GREATEST(LEN(string_split_regex(TRIM(text), '\s+')), 1) AS DOUBLE), 4) AS stopword_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def ext_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOD-p rolling fingerprint sets (xxhash64-based — no DuckDB analog,
+    rows-only check; overlap semantics covered in tests/test_ext.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text.rolling_fingerprints(docs)
+        .select("doc_id", F.size("fingerprints").alias("n_prints"), "fingerprints")
+        .orderBy("doc_id")
+    )
+
+
 def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return text.fingerprint(docs).select("doc_id", "fp_md5").orderBy("doc_id")
@@ -320,6 +349,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_quality_score": ext_quality_score,
     "ext_lang_id": ext_lang_id,
     "ext_fingerprint": ext_fingerprint,
+    "ext_stopword_ratio": ext_stopword_ratio,
+    "ext_rolling_fingerprint": ext_rolling_fingerprint,
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_ngram_jaccard": ext_dedup_ngram_jaccard,
     "ext_dedup_minhash": ext_dedup_minhash,
@@ -342,6 +373,7 @@ EXT_ORACLES: dict[str, str] = {
     "ext_quality_score": EXT_QUALITY_SQL,
     "ext_lang_id": EXT_LANG_ID_SQL,
     "ext_fingerprint": EXT_FINGERPRINT_SQL,
+    "ext_stopword_ratio": EXT_STOPWORD_SQL,
     "ext_dedup_exact": EXT_DEDUP_EXACT_SQL,
     "ext_dedup_ngram_jaccard": EXT_DEDUP_JACCARD_SQL,
     "ext_dedup_embedding": EXT_DEDUP_EMBEDDING_SQL,

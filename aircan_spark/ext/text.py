@@ -61,6 +61,25 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Compact English stopword list for ratio features (C4/Gopher-style rules
+# use "contains >= 2 stopwords" as a natural-language signal).
+STOPWORDS = [
+    "the", "and", "of", "to", "in", "is", "that", "it", "for", "was",
+    "on", "are", "as", "with", "at", "by", "an", "be", "this", "have",
+]
+
+
+def stopword_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword count and ratio (stopword tokens / whitespace tokens) —
+    the classic natural-language-ness signal for corpus filtering."""
+    c = F.col(text_col)
+    n_stop = _count_matches(F.lower(c), r"\b(" + "|".join(STOPWORDS) + r")\b")
+    ratio = F.round(
+        n_stop.cast("double") / F.greatest(token_count(c), F.lit(1)).cast("double"), 4
+    )
+    return df.withColumns({"n_stopwords": n_stop, "stopword_ratio": ratio})
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality score in [0,1]: length saturation x (1 - punct
     density) x (1 - digit density). The shape (ratio-based filters) follows
@@ -108,3 +127,28 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns(
         {"fp_md5": F.md5(norm.cast("binary")), "fp_xx64": F.xxhash64(norm)}
     )
+
+
+def rolling_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    mod: int = 8,
+) -> DataFrame:
+    """MOD-p selected rolling fingerprints (the winnowing-family scheme):
+    hash every word n-gram window as it rolls over the document, keep the
+    hashes ≡ 0 (mod ``mod``) as the document's fingerprint set. Two
+    documents sharing a run of >= n words share the run's selected prints,
+    so overlap detection needs only a set intersection — ~1/mod of the
+    shingle count per doc, content-addressed (position-independent).
+
+    Row-local: one pass builds the shingle hashes, a filter selects, sort
+    canonicalizes. Output: (id, array<long> sorted distinct prints)."""
+    from aircan_spark.ext.dedup import _shingle_array
+
+    hashes = F.transform(_shingle_array(text_col, n), lambda s: F.xxhash64(s))
+    selected = F.array_sort(
+        F.array_distinct(F.filter(hashes, lambda h: F.pmod(h, F.lit(mod)) == 0))
+    )
+    return df.select(F.col(id_col), selected.alias("fingerprints"))

@@ -274,3 +274,38 @@ def test_jaccard_max_doc_freq_prunes_common_shingles(spark):
     assert (100, 101) in pruned  # similarity from rare shingles survives
     assert len(pruned) < len(unpruned)  # boilerplate-only pairs are gone
     assert all(a >= 100 for a, b in pruned), "lorem-ipsum pairs pruned"
+
+
+def test_rolling_fingerprints_detect_shared_runs(spark):
+    """Docs sharing a long word-run share selected prints; unrelated docs
+    share (essentially) none."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (1, shared + "tail one two three"),
+        (2, "prefix words here " + shared),
+        (3, "completely different content with no common runs at all xyz"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {r["doc_id"]: set(r["fingerprints"]) for r in text.rolling_fingerprints(df).collect()}
+    assert fps[1] & fps[2], "docs sharing a run must share prints"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_rolling_fingerprints_selectivity(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = text.rolling_fingerprints(docs, mod=8)
+    from aircan_spark.ext.dedup import shingles
+    n_shingles = shingles(docs).count()
+    n_prints = out.select(F.explode("fingerprints")).count()
+    # MOD-8 selection keeps ~1/8 of shingle hashes (loose 2x bounds)
+    assert n_shingles / 16 < n_prints < n_shingles / 4
+
+
+def test_stopword_stats_known_text(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "xyzzy plugh frobozz")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["n_stopwords"], r["stopword_ratio"]) for r in text.stopword_stats(df).collect()}
+    assert got[1] == (3, 0.6)   # the, and, the / 5 tokens
+    assert got[2] == (0, 0.0)
