@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from aircan_spark.data import fan_out
 from aircan_spark.data import load_table as _load
-from aircan_spark.ext import dedup, multimodal, similarity, text
+from aircan_spark.ext import dedup, multimodal, relational, similarity, text
 
 
 def _t(spark, sf_dir, name):
@@ -133,6 +133,195 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_FINGERPRINT_SQL = r"""
 SELECT doc_id, md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS fp_md5
 FROM documents ORDER BY doc_id
+"""
+
+
+def ext_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.repetition_stats(docs).orderBy("doc_id")
+
+
+EXT_REPETITION_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split_regex(TRIM(LOWER(text)), '\s+')) AS word
+  FROM documents
+),
+cnt AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       COUNT(*) AS n_distinct_words,
+       ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 4) AS dup_word_ratio,
+       ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 4) AS top_word_ratio
+FROM cnt GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def ext_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.pii_stats(docs).select(
+        "doc_id", "n_emails", "n_urls", "n_ipv4", "n_digit_runs"
+    ).orderBy("doc_id")
+
+
+EXT_PII_SQL = r"""
+SELECT doc_id,
+       LEN(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS n_emails,
+       LEN(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+       LEN(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4,
+       LEN(regexp_extract_all(text, '[0-9][0-9][0-9]+')) AS n_digit_runs
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- temporal / relational -------------------------------------------------------
+
+
+def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the most recent purchase by the same user at or
+    before the click (backward as-of join) — the stream-alignment primitive
+    feature pipelines need and Spark lacks natively."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = relational.asof_join(
+        clicks, purchases, on="user_id", right_cols=["event_id", "value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_right").alias("purchase_event_id"),
+        F.round("value_right", 2).alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+EXT_ASOF_SQL = r"""
+SELECT c.event_id, c.user_id,
+       p.event_id AS purchase_event_id,
+       ROUND(p.value, 2) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+"""
+
+
+def ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks within the 10 minutes before each error, per user — bounded
+    interval join (bucketed equi-join, never a per-key cross product),
+    aggregated to a count per error event."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    clicks = ev.filter(F.col("event_type") == "click")
+    pairs = relational.range_join(
+        errors,
+        clicks,
+        on="user_id",
+        lower="-10 minutes",
+        upper="0 seconds",
+        right_cols=["event_id"],
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_10m")
+    )
+    return (
+        errors.select("event_id")
+        .join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n_clicks_10m", F.lit(0)).alias("n_clicks_10m"),
+        )
+        .orderBy("event_id")
+    )
+
+
+EXT_RANGE_JOIN_SQL = r"""
+SELECT e.event_id, COUNT(c.event_id) AS n_clicks_10m
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND c.ts >= e.ts - INTERVAL '10 minutes'
+ AND c.ts < e.ts
+GROUP BY e.event_id ORDER BY e.event_id
+"""
+
+
+def ext_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest documents per language — rank-limit pushdown
+    (WindowGroupLimit) keeps the shuffle at O(k x groups)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        relational.topk_per_group(
+            docs, ["lang"], "n_chars", 3, tie_break="doc_id"
+        )
+        .select("lang", "doc_id", "n_chars", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+EXT_TOPK_SQL = r"""
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+         ) AS BIGINT) AS rank
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, rank
+FROM ranked WHERE rank <= 3 ORDER BY lang, rank
+"""
+
+
+def ext_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts/values rolled up over (event_type, day) with subtotal
+    and grand-total rows (Expand + one partial-aggregated hash agg)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").cast("string").alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("value"),
+    )
+    return (
+        relational.rollup_counts(
+            ev,
+            ["event_type", "day"],
+            [
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").cast("decimal(24,6)").cast("string").alias("sum_value"),
+            ],
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+EXT_ROLLUP_SQL = r"""
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(value AS DECIMAL(18,6)) AS value
+  FROM events
+)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(day, 'ALL') AS day,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(value) AS DECIMAL(24,6)) AS VARCHAR) AS sum_value
+FROM e GROUP BY ROLLUP (event_type, day)
+ORDER BY event_type, day
+"""
+
+
+def ext_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quantiles (exact continuous
+    interpolation; the approx_percentile sketch is the 100 TB path)."""
+    docs = _t(spark, sf_dir, "documents")
+    return relational.grouped_percentiles(docs, ["lang"], "n_chars").orderBy("lang")
+
+
+EXT_PERCENTILES_SQL = r"""
+SELECT lang,
+       ROUND(quantile_cont(n_chars, 0.25), 4) AS p25,
+       ROUND(quantile_cont(n_chars, 0.50), 4) AS p50,
+       ROUND(quantile_cont(n_chars, 0.75), 4) AS p75
+FROM documents GROUP BY lang ORDER BY lang
 """
 
 
@@ -351,6 +540,13 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_fingerprint": ext_fingerprint,
     "ext_stopword_ratio": ext_stopword_ratio,
     "ext_rolling_fingerprint": ext_rolling_fingerprint,
+    "ext_repetition_stats": ext_repetition_stats,
+    "ext_pii_stats": ext_pii_stats,
+    "ext_asof_join": ext_asof_join,
+    "ext_range_join": ext_range_join,
+    "ext_topk_per_group": ext_topk_per_group,
+    "ext_rollup_agg": ext_rollup_agg,
+    "ext_percentiles": ext_percentiles,
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_ngram_jaccard": ext_dedup_ngram_jaccard,
     "ext_dedup_minhash": ext_dedup_minhash,
@@ -374,6 +570,13 @@ EXT_ORACLES: dict[str, str] = {
     "ext_lang_id": EXT_LANG_ID_SQL,
     "ext_fingerprint": EXT_FINGERPRINT_SQL,
     "ext_stopword_ratio": EXT_STOPWORD_SQL,
+    "ext_repetition_stats": EXT_REPETITION_SQL,
+    "ext_pii_stats": EXT_PII_SQL,
+    "ext_asof_join": EXT_ASOF_SQL,
+    "ext_range_join": EXT_RANGE_JOIN_SQL,
+    "ext_topk_per_group": EXT_TOPK_SQL,
+    "ext_rollup_agg": EXT_ROLLUP_SQL,
+    "ext_percentiles": EXT_PERCENTILES_SQL,
     "ext_dedup_exact": EXT_DEDUP_EXACT_SQL,
     "ext_dedup_ngram_jaccard": EXT_DEDUP_JACCARD_SQL,
     "ext_dedup_embedding": EXT_DEDUP_EMBEDDING_SQL,

@@ -1,0 +1,270 @@
+"""Temporal/relational operators Spark's DataFrame API lacks as primitives
+— as-of join, bounded range (interval) join — plus thin, scale-shaped
+wrappers for top-k-per-group, hierarchical rollup, and grouped quantiles.
+
+The reference (datopian/aircan) has no joins beyond the upsert MERGE
+equi-join (see SURVEY.md §2.7); these are part of the beyond-reference
+training-data-pipeline surface: as-of joins align event/feature streams
+("latest purchase before each click"), range joins window co-occurring
+events, top-k/quantiles drive corpus filtering thresholds.
+
+Scale notes (100 TB discipline):
+- ``asof_join`` is the union-tag + running-``last`` formulation: ONE
+  shuffle, partitioned by the join key — never a per-key sort-merge
+  inequality join or a windowed cross product. State per key is a single
+  struct (the most recent right row), so skewed keys cost sort time, not
+  memory blowup.
+- ``range_join`` buckets time into spans at least as wide as the window
+  and joins on (key, bucket) with each LEFT row exploded into the <= 2
+  covering buckets — candidate fan-out is bounded by 2x, the exact
+  predicate filters inside the joined partitions, and the equi-join on
+  (key, bucket) lets AQE pick broadcast/skew strategies.
+- ``topk_per_group`` relies on Spark's rank-limit pushdown
+  (WindowGroupLimit, Spark 3.5+): the k-filter on row_number is applied
+  map-side before the shuffle, so each partition ships at most k rows per
+  group instead of the whole group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the most recent
+    right row with ``right.ts <= left.ts`` and the same key (inclusive),
+    or NULLs when none exists (left-outer semantics).
+
+    Implementation: tag and union both sides, then one running
+    ``last(payload, ignorenulls=True)`` window per key ordered by
+    (ts, side, right-row order). A single hash shuffle on the key — the
+    same cost as one equi-join — with no inequality-join cross product.
+
+    ``tolerance`` (e.g. ``"10 minutes"``): matches older than
+    ``left_ts - tolerance`` are nulled out, keeping the left row.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+
+    rpayload = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+    )
+    lpayload = F.struct(*[F.col(c) for c in left.columns])
+    r = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        rpayload.alias("__rpayload"),
+    )
+    l = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__rpayload"].dataType).alias("__rpayload"),
+        lpayload.alias("__lpayload"),
+    )
+    w = (
+        Window.partitionBy("__key")
+        # right rows sort before left rows at equal ts -> inclusive match
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.withColumn("__lpayload", F.lit(None).cast(l.schema["__lpayload"].dataType))
+        .unionByName(l)
+        .withColumn("__match", F.last("__rpayload", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    if tolerance is not None:
+        in_range = F.col("__match.__rts") >= F.col("__ts") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        matched = matched.withColumn(
+            "__match", F.when(in_range, F.col("__match"))
+        )
+
+    out = matched.select(
+        *[F.col(f"__lpayload.{c}").alias(c) for c in left.columns], "__match"
+    )
+    taken = set(left.columns)
+    for c in ["__rts", *right_cols]:
+        name = right_ts if c == "__rts" else c
+        name = name + suffix if name in taken else name
+        out = out.withColumn(name, F.col(f"__match.{c}"))
+    return out.drop("__match")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "-10 minutes",
+    upper: str = "0 seconds",
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Bounded interval join: all (left, right) pairs with the same key and
+    ``left.ts + lower <= right.ts < left.ts + upper`` (lower inclusive,
+    upper exclusive). Returns the matched pairs (inner semantics).
+
+    Bucketing: time is split into spans of the window width; each left row
+    explodes into the <= 2 buckets its window can touch, the join is a pure
+    equi-join on (key, bucket), and the exact predicate filters in-place.
+    This bounds fan-out at 2x and never builds a per-key cross product.
+    """
+    if left_cols is None:
+        left_cols = [c for c in left.columns if c != on]
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c != on]
+
+    def shift(ts_col: str, interval: str):
+        iv = F.expr(f"INTERVAL {interval.lstrip('-').strip()}")
+        return (
+            F.col(ts_col) - iv
+            if interval.strip().startswith("-")
+            else F.col(ts_col) + iv
+        )
+
+    width = span_seconds_literal(lower, upper)  # driver-side int literal
+
+    # A window of span == width covers at most 2 width-sized buckets, so
+    # exploding the left into {bucket(ws), bucket(we)} is a superset of
+    # every bucket an in-window right row can land in (unix_timestamp
+    # truncation is monotone).
+    l_b = (
+        left.withColumn("__ws", shift(left_ts, lower))
+        .withColumn("__we", shift(left_ts, upper))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor(F.unix_timestamp("__ws") / width),
+                        F.floor(F.unix_timestamp("__we") / width),
+                    )
+                )
+            ),
+        )
+    )
+    r_b = right.withColumn(
+        "__bucket", F.floor(F.unix_timestamp(F.col(right_ts)) / width)
+    )
+
+    joined = (
+        l_b.alias("L")
+        .join(r_b.alias("R"), [l_b["__bucket"] == r_b["__bucket"], l_b[on] == r_b[on]])
+        .filter(
+            (F.col(f"R.{right_ts}") >= F.col("L.__ws"))
+            & (F.col(f"R.{right_ts}") < F.col("L.__we"))
+        )
+    )
+    taken = {on, *left_cols}
+    sel = [F.col(f"L.{on}").alias(on)] + [
+        F.col(f"L.{c}").alias(c) for c in left_cols
+    ]
+    for c in right_cols:
+        name = c + suffix if c in taken else c
+        sel.append(F.col(f"R.{c}").alias(name))
+    return joined.select(*sel)
+
+
+def span_seconds_literal(lower: str, upper: str) -> F.Column:
+    """Window span in whole seconds as a literal column (driver-computed)."""
+    import re
+
+    def secs(s: str) -> int:
+        sign = -1 if s.strip().startswith("-") else 1
+        m = re.match(r"-?\s*(\d+)\s*(\w+)", s.strip())
+        n, unit = int(m.group(1)), m.group(2).lower()
+        mult = {
+            "second": 1, "seconds": 1,
+            "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600,
+            "day": 86400, "days": 86400,
+        }[unit]
+        return sign * n * mult
+
+    return F.lit(max(secs(upper) - secs(lower), 1))
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Top-k rows per group by ``order_col`` with a deterministic
+    tie-break. Emits a ``rank`` column (row_number semantics).
+
+    Spark >= 3.5 rewrites the row_number-filter pattern with
+    WindowGroupLimit: each map task keeps only its local top-k per group
+    before the shuffle, so the exchange carries O(k * groups) rows, not the
+    full table — the distributed top-k you would otherwise hand-roll.
+    """
+    ordering = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
+    if tie_break:
+        ordering.append(F.col(tie_break).asc())
+    w = Window.partitionBy(*group_cols).orderBy(*ordering)
+    return (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def rollup_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    agg_exprs: list[F.Column],
+    all_label: str = "ALL",
+) -> DataFrame:
+    """Hierarchical rollup over ``group_cols`` with subtotal + grand-total
+    rows; grouping-null cells are labelled ``all_label`` so downstream
+    consumers (and cross-engine oracles) need no GROUPING() call. Group
+    columns must be strings (callers cast first).
+
+    Spark executes rollup as Expand + one hash aggregate — partial
+    (map-side) aggregation applies at every level, so the shuffle carries
+    one partial row per (level, group) per task.
+    """
+    out = df.rollup(*group_cols).agg(*agg_exprs)
+    for c in group_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(all_label)))
+    return out
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    percentiles: list[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact interpolated percentiles per group (SQL ``percentile``,
+    continuous/linear interpolation — matches DuckDB ``quantile_cont``).
+
+    Exact percentile is a sort-based aggregate (per-group buffers); at
+    100 TB prefer ``approx_percentile`` (t-digest sketch, mergeable,
+    bounded memory) — kept exact here because corpus-filter thresholds at
+    fixture scale must be oracle-checkable bit-for-bit.
+    """
+    aggs = [
+        F.round(
+            F.expr(f"percentile({value_col}, {p})"), 4
+        ).alias(f"p{int(p * 100):02d}")
+        for p in percentiles
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)

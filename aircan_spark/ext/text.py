@@ -112,6 +112,77 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("pred_lang", pred)
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: total / distinct word
+    counts, duplicate-word ratio, and most-frequent-word fraction.
+
+    Shape: explode -> two cascaded groupBys — both aggregate with map-side
+    partial combine, so the shuffles carry (doc, word, partial-count) then
+    (doc, partials) rather than raw tokens. Row-local alternatives
+    (``F.aggregate`` mode-finding) are O(distinct x total) per document and
+    blow up on long documents; this shape is linear and skew-safe."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("__w"),
+    )
+    per_word = words.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        per_word.groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.max("__c").alias("__top"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_distinct_words",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct_words").cast("double")
+                / F.col("n_words").cast("double"),
+                4,
+            ).alias("dup_word_ratio"),
+            F.round(
+                F.col("__top").cast("double") / F.col("n_words").cast("double"), 4
+            ).alias("top_word_ratio"),
+        )
+    )
+
+
+# RE2/Java-portable PII-ish patterns (no backreferences, no lookaround).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+URL_PATTERN = r"https?://[^\s]+"
+IPV4_PATTERN = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+DIGIT_RUN_PATTERN = r"[0-9][0-9][0-9]+"
+
+
+def pii_stats(
+    df: DataFrame, text_col: str = "text", redact: bool = False
+) -> DataFrame:
+    """Counts of PII-ish spans (emails, URLs, IPv4s, >= 3-digit runs) per
+    document — the filter signals a corpus-cleaning pipeline keys on.
+    ``redact=True`` additionally rewrites the text with typed placeholder
+    tags. Pure JVM regex — whole-stage codegen, no Python in the path."""
+    c = F.col(text_col)
+    out = df.withColumns(
+        {
+            "n_emails": _count_matches(c, EMAIL_PATTERN),
+            "n_urls": _count_matches(c, URL_PATTERN),
+            "n_ipv4": _count_matches(c, IPV4_PATTERN),
+            "n_digit_runs": _count_matches(c, DIGIT_RUN_PATTERN),
+        }
+    )
+    if redact:
+        red = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+        red = F.regexp_replace(red, URL_PATTERN, "<URL>")
+        red = F.regexp_replace(red, IPV4_PATTERN, "<IP>")
+        out = out.withColumn("text_redacted", red)
+    return out
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapsed whitespace,
     trimmed."""

@@ -1,0 +1,198 @@
+"""Unit tests for ext/relational.py (as-of join, range join, top-k,
+rollup, percentiles) and the text repetition/PII operators — crafted
+inline frames exercising the edges the fixture-level oracle can't isolate
+(equal-ts inclusivity, tolerance, bucket boundaries, redaction)."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from aircan_spark.ext import relational, text
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def ts(minutes):
+    return T0 + timedelta(minutes=minutes)
+
+
+@pytest.fixture()
+def clicks(spark):
+    return spark.createDataFrame(
+        [(1, 7, ts(0)), (2, 7, ts(10)), (3, 8, ts(5)), (4, 9, ts(1))],
+        "event_id long, user_id long, ts timestamp",
+    )
+
+
+@pytest.fixture()
+def purchases(spark):
+    return spark.createDataFrame(
+        [
+            (100, 7, ts(0), 5.0),   # equal ts as click 1 -> inclusive match
+            (101, 7, ts(9), 7.0),   # latest before click 2
+            (102, 8, ts(6), 9.0),   # AFTER click 3 -> no match
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+
+
+def test_asof_inclusive_latest_and_missing(spark, clicks, purchases):
+    out = relational.asof_join(
+        clicks, purchases, on="user_id", right_cols=["event_id", "value"]
+    )
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert rows[1]["event_id_right"] == 100  # equal-ts inclusive
+    assert rows[2]["event_id_right"] == 101  # most recent, not first
+    assert rows[3]["event_id_right"] is None  # right is in the future
+    assert rows[4]["event_id_right"] is None  # user has no right rows
+    assert rows[2]["value"] == 7.0  # no left collision -> unsuffixed
+    assert out.count() == 4  # left-outer: every left row survives
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, clicks, purchases):
+    out = relational.asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        right_cols=["event_id"],
+        tolerance="5 minutes",
+    )
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert rows[1]["event_id_right"] == 100  # 0 min old: inside tolerance
+    assert rows[2]["event_id_right"] == 101  # 1 min old: inside
+    # click 1's only candidate is 0 min old; shrink tolerance via a stale fixture
+    out2 = relational.asof_join(
+        clicks.filter(F.col("event_id") == 2),
+        purchases.filter(F.col("event_id") == 100),
+        on="user_id",
+        right_cols=["event_id"],
+        tolerance="5 minutes",
+    )
+    assert out2.collect()[0]["event_id_right"] is None  # 10 min old: stale
+
+
+def test_asof_single_shuffle_no_cross_product(clicks, purchases):
+    plan = relational.asof_join(
+        clicks, purchases, on="user_id", right_cols=["value"]
+    )._jdf.queryExecution().executedPlan().toString()
+    # union-window formulation: no join operator anywhere in the plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_boundaries(spark):
+    left = spark.createDataFrame(
+        [(1, 5, ts(60))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 5, ts(50)),                      # exactly lower bound: IN
+            (11, 5, ts(55)),                      # inside: IN
+            (12, 5, ts(60)),                      # upper bound (exclusive): OUT
+            (13, 5, ts(49)),                      # below lower: OUT
+            (14, 6, ts(55)),                      # other key: OUT
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = relational.range_join(
+        left, right, on="user_id", lower="-10 minutes", upper="0 seconds",
+        right_cols=["event_id"],
+    )
+    got = sorted(r["event_id_right"] for r in out.collect())
+    assert got == [10, 11]
+
+
+def test_range_join_across_bucket_boundary(spark):
+    # left at :00:30 looks back 1 minute -> window straddles two 60s buckets
+    left = spark.createDataFrame(
+        [(1, 5, T0 + timedelta(seconds=30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, 5, T0 - timedelta(seconds=20))],  # previous bucket, in window
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = relational.range_join(
+        left, right, on="user_id", lower="-1 minutes", upper="0 seconds",
+        right_cols=["event_id"],
+    )
+    assert [r["event_id_right"] for r in out.collect()] == [10]
+
+
+def test_range_join_no_duplicate_pairs(spark):
+    left = spark.createDataFrame(
+        [(1, 5, ts(60))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, 5, ts(55))], "event_id long, user_id long, ts timestamp"
+    )
+    out = relational.range_join(
+        left, right, on="user_id", lower="-30 minutes", upper="30 minutes",
+        right_cols=["event_id"],
+    )
+    assert out.count() == 1  # bucket explode must not duplicate the pair
+
+
+def test_topk_ties_and_limit(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 10), ("a", 3, 5), ("b", 4, 1)],
+        "g string, id long, v long",
+    )
+    out = relational.topk_per_group(df, ["g"], "v", 2, tie_break="id")
+    rows = [(r["g"], r["id"], r["rank"]) for r in out.orderBy("g", "rank").collect()]
+    assert rows == [("a", 1, 1), ("a", 2, 2), ("b", 4, 1)]
+
+
+def test_topk_uses_window_group_limit(spark):
+    df = spark.createDataFrame([("a", 1, 1)], "g string, id long, v long")
+    plan = (
+        relational.topk_per_group(df, ["g"], "v", 3, tie_break="id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan  # map-side top-k before the shuffle
+
+
+def test_rollup_counts_levels(spark):
+    df = spark.createDataFrame(
+        [("x", "d1"), ("x", "d2"), ("y", "d1")], "t string, d string"
+    )
+    out = relational.rollup_counts(
+        df, ["t", "d"], [F.count(F.lit(1)).alias("n")]
+    )
+    got = {(r["t"], r["d"]): r["n"] for r in out.collect()}
+    assert got[("x", "d1")] == 1 and got[("x", "d2")] == 1
+    assert got[("x", "ALL")] == 2 and got[("y", "ALL")] == 1
+    assert got[("ALL", "ALL")] == 3
+    assert len(got) == 6  # 3 leaves + 2 subtotals + 1 grand total
+
+
+def test_grouped_percentiles_interpolation(spark):
+    df = spark.createDataFrame(
+        [("a", v) for v in [1, 2, 3, 4]], "g string, v long"
+    )
+    row = relational.grouped_percentiles(df, ["g"], "v").collect()[0]
+    assert row["p25"] == 1.75 and row["p50"] == 2.5 and row["p75"] == 3.25
+
+
+def test_repetition_stats_ratios(spark):
+    df = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    row = text.repetition_stats(df).collect()[0]
+    assert row["n_words"] == 3 and row["n_distinct_words"] == 2
+    assert row["dup_word_ratio"] == pytest.approx(0.3333, abs=1e-4)
+    assert row["top_word_ratio"] == pytest.approx(0.6667, abs=1e-4)
+
+
+def test_pii_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com or http://x.io from 10.0.0.1 pin 1234")],
+        "doc_id long, text string",
+    )
+    row = text.pii_stats(df, redact=True).collect()[0]
+    assert row["n_emails"] == 1 and row["n_urls"] == 1
+    assert row["n_ipv4"] == 1 and row["n_digit_runs"] >= 1
+    red = row["text_redacted"]
+    assert "<EMAIL>" in red and "<URL>" in red and "<IP>" in red
+    assert "a@b.com" not in red and "10.0.0.1" not in red
