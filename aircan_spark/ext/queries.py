@@ -15,7 +15,16 @@ from pyspark.sql import functions as F
 
 from aircan_spark.data import fan_out
 from aircan_spark.data import load_table as _load
-from aircan_spark.ext import dedup, multimodal, relational, similarity, text
+from aircan_spark.ext import (
+    chunking,
+    dedup,
+    multimodal,
+    relational,
+    sampling,
+    similarity,
+    text,
+    vectors,
+)
 
 
 def _t(spark, sf_dir, name):
@@ -325,6 +334,129 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+# --- sampling / chunking / vectors ----------------------------------------------
+
+
+def ext_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle order (md5(seed,id) sort key) — the
+    reproducible pre-training data ordering."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.deterministic_shuffle(docs, "doc_id", seed=42).select(
+        "doc_id", "shuffle_key"
+    )
+
+
+EXT_SHUFFLE_SQL = r"""
+SELECT doc_id, md5('42-' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents ORDER BY shuffle_key
+"""
+
+
+def ext_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.hash_split(docs, "doc_id", seed=42).select(
+        "doc_id", "split"
+    ).orderBy("doc_id")
+
+
+EXT_HASH_SPLIT_SQL = r"""
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || SUBSTR(md5('42-' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+           % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
+def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sampling.stratified_sample(docs, ["lang"], 5, "doc_id", seed=42)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+EXT_STRATIFIED_SQL = r"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('42-' || CAST(doc_id AS VARCHAR))
+         ) AS rn
+  FROM documents
+)
+SELECT lang, doc_id FROM ranked WHERE rn <= 5 ORDER BY lang, doc_id
+"""
+
+
+def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return chunking.chunk_documents(
+        docs, chunk_size=32, overlap=4
+    ).orderBy("doc_id", "chunk_id")
+
+
+EXT_CHUNK_SQL = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, words,
+         unnest(generate_series(0, GREATEST(LEN(words) - 1, 0), 28)) AS st
+  FROM w
+)
+SELECT doc_id,
+       st // 28 AS chunk_id,
+       LEN(list_slice(words, st + 1, st + 32)) AS n_chunk_tokens,
+       array_to_string(list_slice(words, st + 1, st + 32), ' ') AS chunk_text
+FROM s ORDER BY doc_id, chunk_id
+"""
+
+
+def ext_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return vectors.vector_norms(emb).orderBy("vec_id")
+
+
+EXT_VECTOR_NORMS_SQL = r"""
+SELECT vec_id,
+       LEN(embedding) AS dim,
+       ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))), 6) AS l2_norm
+FROM embeddings ORDER BY vec_id
+"""
+
+
+def ext_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return vectors.label_centroids(emb).orderBy("label", "pos")
+
+
+EXT_LABEL_CENTROIDS_SQL = r"""
+WITH u AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(CAST(embedding AS DOUBLE[])) AS DECIMAL(20,10)) AS v
+  FROM embeddings
+),
+n AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label)
+SELECT u.label, pos,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS centroid_val,
+       ANY_VALUE(n.n_vectors) AS n_vectors
+FROM u JOIN n ON u.label = n.label
+GROUP BY u.label, pos
+ORDER BY u.label, pos
+"""
+
+
 # --- dedup -------------------------------------------------------------------------
 
 
@@ -547,6 +679,12 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_topk_per_group": ext_topk_per_group,
     "ext_rollup_agg": ext_rollup_agg,
     "ext_percentiles": ext_percentiles,
+    "ext_shuffle": ext_shuffle,
+    "ext_hash_split": ext_hash_split,
+    "ext_stratified_sample": ext_stratified_sample,
+    "ext_chunk_documents": ext_chunk_documents,
+    "ext_vector_norms": ext_vector_norms,
+    "ext_label_centroids": ext_label_centroids,
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_ngram_jaccard": ext_dedup_ngram_jaccard,
     "ext_dedup_minhash": ext_dedup_minhash,
@@ -577,6 +715,12 @@ EXT_ORACLES: dict[str, str] = {
     "ext_topk_per_group": EXT_TOPK_SQL,
     "ext_rollup_agg": EXT_ROLLUP_SQL,
     "ext_percentiles": EXT_PERCENTILES_SQL,
+    "ext_shuffle": EXT_SHUFFLE_SQL,
+    "ext_hash_split": EXT_HASH_SPLIT_SQL,
+    "ext_stratified_sample": EXT_STRATIFIED_SQL,
+    "ext_chunk_documents": EXT_CHUNK_SQL,
+    "ext_vector_norms": EXT_VECTOR_NORMS_SQL,
+    "ext_label_centroids": EXT_LABEL_CENTROIDS_SQL,
     "ext_dedup_exact": EXT_DEDUP_EXACT_SQL,
     "ext_dedup_ngram_jaccard": EXT_DEDUP_JACCARD_SQL,
     "ext_dedup_embedding": EXT_DEDUP_EMBEDDING_SQL,

@@ -1,0 +1,83 @@
+"""Deterministic sampling/split operators for training-data pipelines —
+global pseudo-random shuffle, hash-based train/val/test split, stratified
+per-group sampling.
+
+All keyed on md5 of (seed, id): cross-engine portable (the same expression
+is the DuckDB oracle), reproducible across runs and cluster sizes, and
+free of any driver-side randomness. At 100 TB:
+
+- ``shuffle_key``/``deterministic_shuffle`` — sorting by the hash key is a
+  range-partitioned parallel sort (no global window, no single task);
+  downstream training jobs read the shards in key order.
+- ``hash_split`` — a narrow per-row projection (no shuffle at all); split
+  fractions hold per-partition by hash uniformity.
+- ``stratified_sample`` — row_number over (group, hash) benefits from
+  WindowGroupLimit rank pushdown: each map task forwards at most n rows
+  per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def shuffle_key(id_col: Column, seed: int) -> Column:
+    """Deterministic pseudo-random sort key: md5 over (seed, id)."""
+    return F.md5(F.concat_ws("-", F.lit(str(seed)), id_col.cast("string")))
+
+
+def hash_bucket(id_col: Column, seed: int, buckets: int = BUCKETS) -> Column:
+    """Uniform bucket in [0, buckets) from the first 8 hex digits of the
+    shuffle key — portable integer arithmetic (no engine-native hash)."""
+    h = F.conv(F.substring(shuffle_key(id_col, seed), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, seed: int = 42
+) -> DataFrame:
+    """Attach the shuffle key and return the frame ordered by it — the
+    reproducible global shuffle a training run reads its data in."""
+    return df.withColumn("shuffle_key", shuffle_key(F.col(id_col), seed)).orderBy(
+        "shuffle_key"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Assign each row a split label ('train'/'val'/'test' by default) by
+    hash bucket — stable under reordering, appends, and re-runs (a given id
+    always lands in the same split)."""
+    if weights is None:
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    bucket = hash_bucket(F.col(id_col), seed)
+    expr = None
+    acc = 0.0
+    labels = list(weights.items())
+    for name, w in labels[:-1]:
+        acc += w
+        cond = bucket < int(round(acc * BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame, group_cols: list[str], n_per_group: int, id_col: str, seed: int = 42
+) -> DataFrame:
+    """Exactly n rows per group (fewer if the group is smaller), chosen by
+    deterministic hash order — reproducible stratified sampling."""
+    w = Window.partitionBy(*group_cols).orderBy(shuffle_key(F.col(id_col), seed))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )

@@ -1,0 +1,63 @@
+"""Vector-column statistics — per-label centroids and norms over an
+embedding column (`array<float>`), the bookkeeping ops around similarity
+search (ext/similarity.py) and embedding dedup (ext/dedup.py).
+
+Shapes chosen for 100 TB:
+- ``label_centroids`` — posexplode to (label, pos, value) then ONE hash
+  aggregate: partial averages combine map-side, the shuffle carries
+  (label x dim) partial sums, never raw vectors. Centroids are emitted in
+  long form (label, pos, value) — scalar cells survive cross-engine
+  comparison and downstream joins without array-equality semantics.
+- ``vector_norms`` — row-local `F.aggregate` fold (JVM expression, no
+  Python), zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def vector_norms(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, dim, l2_norm) per vector — the sanity/filter pass before
+    cosine math (zero-norm vectors break normalization)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sq = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.col(vec_col)).alias("dim"),
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+    )
+
+
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label mean vector in long form: (label, pos, centroid_val,
+    n_vectors). pos is 1-based (matches SQL subscripts).
+
+    The mean is computed as an exact DECIMAL sum divided once in double —
+    float summation is non-associative, so a plain avg() would depend on
+    partial-aggregation order and could differ between engines (and
+    between runs at different parallelism)."""
+    exploded = df.select(
+        F.col(label_col),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("decimal(20,10)"))
+        ).alias("pos", "v"),
+    ).withColumn("pos", (F.col("pos") + 1).cast("long"))
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        exploded.groupBy(label_col, "pos")
+        .agg(
+            F.round(
+                F.sum("v").cast("double") / F.count(F.lit(1)), 6
+            ).alias("centroid_val")
+        )
+        .join(counts, label_col)
+        .select(label_col, "pos", "centroid_val", "n_vectors")
+    )

@@ -1,0 +1,97 @@
+"""Unit tests for ext/sampling.py, ext/chunking.py, ext/vectors.py —
+determinism, split stability under subsetting, chunk reconstruction, and
+centroid math on crafted frames."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aircan_spark.ext import chunking, sampling, vectors
+
+
+@pytest.fixture()
+def ids(spark):
+    return spark.createDataFrame([(i,) for i in range(1000)], "id long")
+
+
+def test_shuffle_is_permutation_and_deterministic(spark, ids):
+    a = sampling.deterministic_shuffle(ids, "id", seed=1).collect()
+    b = sampling.deterministic_shuffle(ids, "id", seed=1).collect()
+    assert a == b
+    assert sorted(r["id"] for r in a) == list(range(1000))
+    c = sampling.deterministic_shuffle(ids, "id", seed=2).collect()
+    assert [r["id"] for r in a] != [r["id"] for r in c]  # seed changes order
+
+
+def test_hash_split_fractions_and_stability(spark, ids):
+    out = sampling.hash_split(ids, "id", seed=7)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["train"] / 1000 == pytest.approx(0.8, abs=0.05)
+    assert counts["val"] / 1000 == pytest.approx(0.1, abs=0.04)
+    assert counts["test"] / 1000 == pytest.approx(0.1, abs=0.04)
+    # stability: the same id keeps its split when scored within any subset
+    full = {r["id"]: r["split"] for r in out.collect()}
+    sub = sampling.hash_split(ids.filter(F.col("id") < 100), "id", seed=7)
+    assert all(full[r["id"]] == r["split"] for r in sub.collect())
+
+
+def test_stratified_sample_exact_counts(spark):
+    df = spark.createDataFrame(
+        [(g, i) for g in ("a", "b") for i in range(20)] + [("tiny", 0), ("tiny", 1)],
+        "g string, id long",
+    )
+    out = sampling.stratified_sample(df, ["g"], 5, "id", seed=3)
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"a": 5, "b": 5, "tiny": 2}  # capped at group size
+    again = sampling.stratified_sample(df, ["g"], 5, "id", seed=3)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_chunking_sizes_and_reconstruction(spark):
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    out = chunking.chunk_documents(df, chunk_size=4, overlap=1)
+    rows = sorted(out.collect(), key=lambda r: r["chunk_id"])
+    assert [r["n_chunk_tokens"] for r in rows] == [4, 4, 4, 1]
+    assert rows[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[1]["chunk_text"] == "w3 w4 w5 w6"  # 1-token overlap
+    # stride-prefix reconstruction: first (chunk_size - overlap) tokens of
+    # each chunk concatenated reproduce the document
+    rebuilt = []
+    for r in rows:
+        rebuilt.extend(r["chunk_text"].split(" ")[:3])
+    assert rebuilt[:10] == words
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    rows = chunking.chunk_documents(df, chunk_size=32, overlap=4).collect()
+    assert len(rows) == 1 and rows[0]["chunk_text"] == "a b"
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunking.chunk_documents(df, chunk_size=4, overlap=4)
+
+
+def test_vector_norms(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    rows = {r["vec_id"]: r for r in vectors.vector_norms(df).collect()}
+    assert rows[1]["l2_norm"] == 5.0 and rows[1]["dim"] == 2
+    assert rows[2]["l2_norm"] == 0.0
+
+
+def test_label_centroids(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 6.0]), (1, [10.0, 20.0])],
+        "label long, embedding array<float>",
+    )
+    out = vectors.label_centroids(df)
+    got = {(r["label"], r["pos"]): (r["centroid_val"], r["n_vectors"])
+           for r in out.collect()}
+    assert got[(0, 1)] == (2.0, 2) and got[(0, 2)] == (4.0, 2)
+    assert got[(1, 1)] == (10.0, 1) and got[(1, 2)] == (20.0, 1)
