@@ -20,8 +20,13 @@ scale to a multi-executor cluster:
 - ``sinks``     JDBC / batched HTTP sinks, format transcode
 - ``streaming`` incremental ingest, windowed + session + stateful aggs
 - ``callbacks`` status reporting / failure email side-channel
-- ``ext``       beyond-reference operators: dedup, similarity search,
-                text analysis, multimodal column plumbing
+- ``ext``       beyond-reference operators: dedup (exact/jaccard/minhash/
+                simhash/embedding), similarity search (brute/LSH/IVF),
+                text analysis (stats/quality/lang-id/repetition/PII/
+                fingerprints), as-of + range joins, top-k/rollup/
+                percentiles, deterministic shuffle/split/stratified
+                sampling, token chunking, vector norms/centroids,
+                multimodal column plumbing
 """
 
 __version__ = "0.1.0"

@@ -85,6 +85,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.3,
     max_doc_freq: int | None = None,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets for all pairs sharing >= 1
     shingle. Inverted-index self-join: only colliding pairs are scored,
@@ -93,8 +94,18 @@ def ngram_jaccard_pairs(
     ``max_doc_freq`` prunes shingles occurring in more than that many
     documents before the join — the skew guard for web-scale corpora
     (a shingle in 1M docs would alone produce 5·10^11 candidate pairs).
+
+    ``hash_shingles=True`` replaces each shingle string with its xxhash64
+    long before the self-join — the scale path: the widest shuffle (the
+    inverted index) carries 8-byte keys instead of ~n-word strings, at the
+    cost of a vanishing collision probability (~1e-9 per doc pair at 1e5
+    shingles/doc). Kept off by default so the result is exactly the string
+    Jaccard the DuckDB oracle computes.
     """
-    sh = shingles(df, id_col, text_col, n).cache()
+    sh = shingles(df, id_col, text_col, n)
+    if hash_shingles:
+        sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
     joinable = sh
@@ -444,4 +455,95 @@ def embedding_pairs(
         scored.filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
         .orderBy("id_a", "id_b")
+    )
+
+
+# --- pair graph -> dedup groups ---------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph (the step that
+    turns near-dup PAIRS into dedup GROUPS): returns (id, component) where
+    component is the minimum id reachable from the node.
+
+    Hash-min label propagation: every node starts labelled with its own
+    id; each round, nodes adopt the minimum label among themselves and
+    their neighbors; converged when no label changes. Each round is one
+    equi-join + partial-aggregated groupBy — O(diameter) rounds, and
+    near-dup graphs are shallow (clusters are cliques or near-cliques, so
+    2-3 rounds typical). Labels are cached per round and lineage is
+    truncated with localCheckpoint so the plan does not grow with the
+    iteration count (the classic iterative-Spark trap).
+
+    At web scale the same loop holds (shuffle keyed by node id); if
+    diameters grow, the large-star/small-star variant halves round count
+    — not needed for near-dup clustering.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    # materialize the edge list once: it joins into EVERY iteration, and its
+    # upstream plan (e.g. a jaccard candidate join) must not be re-executed
+    # per round
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    comp = nodes.withColumn("component", F.col("id")).localCheckpoint()
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(comp, sym["dst"] == comp["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_comp = (
+            comp.join(nbr_min, comp["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    return comp
+
+
+def dedup_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Assign every document to its near-dup component and mark the
+    representative (minimum id): (id, component, is_representative).
+    Documents with no near-dup pair form singleton components. The
+    downstream corpus filter is `filter(is_representative)`."""
+    comp = connected_components(pairs, id_a, id_b)
+    return (
+        df.select(id_col)
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+        .withColumn(
+            "is_representative", F.col(id_col) == F.col("component")
+        )
     )

@@ -334,6 +334,82 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def ext_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.tf_idf(docs).orderBy("doc_id", "word")
+
+
+EXT_TF_IDF_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split_regex(TRIM(LOWER(text)), '\s+')) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+dfreq AS (SELECT word, COUNT(*) AS doc_freq FROM tf GROUP BY word),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.word, tf.tf, dfreq.doc_freq,
+       ROUND(tf.tf * (LN((n.n_docs + 1.0) / (dfreq.doc_freq + 1.0)) + 1.0), 6)
+         AS tf_idf
+FROM tf JOIN dfreq USING (word) CROSS JOIN n
+ORDER BY doc_id, word
+"""
+
+
+def ext_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (exact n-gram Jaccard) clustered into components via
+    iterative hash-min label propagation, every document assigned a group
+    and the minimum id marked representative. The oracle computes the same
+    components with a recursive CTE — an iterative Spark algorithm checked
+    value-for-value against declarative SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    return dedup.dedup_groups(docs, pairs).orderBy("doc_id")
+
+
+EXT_DEDUP_GROUPS_SQL = r"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(TRIM(text), '\s+')) AS w,
+         generate_subscripts(string_split_regex(TRIM(text), '\s+'), 1) AS i
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON inter.id_a = sa.doc_id
+  JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE ROUND(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+)
+SELECT id AS doc_id, MIN(comp) AS component,
+       (id = MIN(comp)) AS is_representative
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
 # --- sampling / chunking / vectors ----------------------------------------------
 
 
@@ -446,14 +522,12 @@ WITH u AS (
          generate_subscripts(embedding, 1) AS pos,
          CAST(unnest(CAST(embedding AS DOUBLE[])) AS DECIMAL(20,10)) AS v
   FROM embeddings
-),
-n AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label)
-SELECT u.label, pos,
+)
+SELECT label, pos,
        ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS centroid_val,
-       ANY_VALUE(n.n_vectors) AS n_vectors
-FROM u JOIN n ON u.label = n.label
-GROUP BY u.label, pos
-ORDER BY u.label, pos
+       COUNT(*) AS n_vectors
+FROM u GROUP BY label, pos
+ORDER BY label, pos
 """
 
 
@@ -685,6 +759,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_chunk_documents": ext_chunk_documents,
     "ext_vector_norms": ext_vector_norms,
     "ext_label_centroids": ext_label_centroids,
+    "ext_tf_idf": ext_tf_idf,
+    "ext_dedup_groups": ext_dedup_groups,
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_ngram_jaccard": ext_dedup_ngram_jaccard,
     "ext_dedup_minhash": ext_dedup_minhash,
@@ -721,6 +797,8 @@ EXT_ORACLES: dict[str, str] = {
     "ext_chunk_documents": EXT_CHUNK_SQL,
     "ext_vector_norms": EXT_VECTOR_NORMS_SQL,
     "ext_label_centroids": EXT_LABEL_CENTROIDS_SQL,
+    "ext_tf_idf": EXT_TF_IDF_SQL,
+    "ext_dedup_groups": EXT_DEDUP_GROUPS_SQL,
     "ext_dedup_exact": EXT_DEDUP_EXACT_SQL,
     "ext_dedup_ngram_jaccard": EXT_DEDUP_JACCARD_SQL,
     "ext_dedup_embedding": EXT_DEDUP_EMBEDDING_SQL,

@@ -223,3 +223,42 @@ def rolling_fingerprints(
         F.array_distinct(F.filter(hashes, lambda h: F.pmod(h, F.lit(mod)) == 0))
     )
     return df.select(F.col(id_col), selected.alias("fingerprints"))
+
+
+def tf_idf(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-(document, term) TF-IDF with smoothed IDF
+    (``ln((N+1)/(df+1)) + 1``, the sklearn convention): returns
+    (id, word, tf, doc_freq, tf_idf).
+
+    Two partial-aggregated groupBys (term frequency, then document
+    frequency) and one join on the term — the corpus-size scalar N rides
+    along via a 1-row cross join so the whole computation stays in the
+    plan (no driver collect). The term join is the only wide exchange and
+    its key cardinality is the vocabulary, not the corpus."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("word"),
+    )
+    tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    idf = (
+        F.log(
+            (F.col("__n").cast("double") + 1.0)
+            / (F.col("doc_freq").cast("double") + 1.0)
+        )
+        + 1.0
+    )
+    return (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "word",
+            "tf",
+            "doc_freq",
+            F.round(F.col("tf").cast("double") * idf, 6).alias("tf_idf"),
+        )
+    )

@@ -50,14 +50,16 @@ def label_centroids(
             F.transform(F.col(vec_col), lambda x: x.cast("decimal(20,10)"))
         ).alias("pos", "v"),
     ).withColumn("pos", (F.col("pos") + 1).cast("long"))
-    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_vectors"))
+    # every vector contributes exactly one value per pos, so COUNT(*) inside
+    # the (label, pos) group IS the per-label vector count — no second scan
+    # or join needed
     return (
         exploded.groupBy(label_col, "pos")
         .agg(
             F.round(
                 F.sum("v").cast("double") / F.count(F.lit(1)), 6
-            ).alias("centroid_val")
+            ).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
         )
-        .join(counts, label_col)
         .select(label_col, "pos", "centroid_val", "n_vectors")
     )

@@ -205,3 +205,24 @@ def sessionized_activity(
             "n_events",
         )
     )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose key was already seen within
+    the watermark horizon (``dropDuplicatesWithinWatermark``) — the
+    streaming counterpart of ``ext.dedup.exact_dedup`` for continuous
+    ingest (at-least-once sources redeliver; this makes the pipeline
+    effectively-once per key).
+
+    State is one entry per key, evicted once the watermark passes ``delay``
+    — bounded memory regardless of stream length, which unbounded
+    ``dropDuplicates`` on a stream does not give. Batch frames fall back
+    to plain ``dropDuplicates`` (same semantics on a bounded input)."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)

@@ -309,3 +309,24 @@ def test_stopword_stats_known_text(spark):
     got = {r["doc_id"]: (r["n_stopwords"], r["stopword_ratio"]) for r in text.stopword_stats(df).collect()}
     assert got[1] == (3, 0.6)   # the, and, the / 5 tokens
     assert got[2] == (0, 0.0)
+
+
+def test_jaccard_hashed_shingles_equivalent(spark, sf_dir):
+    """The scale path (8-byte hashed shingle keys in the inverted-index
+    join) must produce the identical pair set and scores as the exact
+    string path — xxhash64 collisions are the only divergence channel and
+    must not appear at fixture scale."""
+    from aircan_spark.data import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    hashed = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.3, hash_shingles=True
+        ).collect()
+    }
+    assert exact == hashed

@@ -196,3 +196,46 @@ def test_pii_counts_and_redaction(spark):
     red = row["text_redacted"]
     assert "<EMAIL>" in red and "<URL>" in red and "<IP>" in red
     assert "a@b.com" not in red and "10.0.0.1" not in red
+
+
+def test_connected_components_chain_and_isolated(spark):
+    """A 3-node chain collapses to one component; a separate pair forms its
+    own; nodes absent from any pair don't appear (dedup_groups adds them)."""
+    from aircan_spark.ext import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_groups_singletons_and_representatives(spark):
+    from aircan_spark.ext import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    rows = {r["doc_id"]: r for r in dedup.dedup_groups(docs, pairs).collect()}
+    assert rows[1]["component"] == 1 and rows[1]["is_representative"]
+    assert rows[2]["component"] == 1 and not rows[2]["is_representative"]
+    assert rows[9]["component"] == 9 and rows[9]["is_representative"]  # singleton
+
+
+def test_tf_idf_values(spark):
+    from aircan_spark.ext import text as t
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    rows = {(r["doc_id"], r["word"]): r for r in t.tf_idf(df).collect()}
+    # 'a' appears in both docs: idf = ln(3/3)+1 = 1
+    assert rows[(1, "a")]["tf"] == 2 and rows[(1, "a")]["doc_freq"] == 2
+    assert rows[(1, "a")]["tf_idf"] == pytest.approx(2.0, abs=1e-6)
+    # 'b' only in doc 1: idf = ln(3/2)+1
+    assert rows[(1, "b")]["tf_idf"] == pytest.approx(
+        round(math.log(3 / 2) + 1, 6), abs=1e-6
+    )

@@ -183,3 +183,33 @@ def test_sessionized_streaming_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sessions").collect()
     }
     assert streamed == batch
+
+
+def test_stream_dedup_drops_redelivered_rows(spark, tmp_path):
+    """Duplicate key within the watermark horizon -> one surviving row;
+    batch mode degrades to plain dropDuplicates."""
+    from aircan_spark.streaming import stream_dedup
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(100)
+    # simulate at-least-once redelivery: every row arrives twice
+    doubled = events.union(events)
+    src = str(tmp_path / "dup_src")
+    doubled.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_dedup(stream, ["event_id"], delay="2 hours")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    out = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out"
+    ).collect()[0]
+    assert out["n"] == 100 and out["d"] == 100
+
+    assert stream_dedup(doubled, ["event_id"]).count() == 100  # batch fallback
