@@ -239,3 +239,93 @@ def test_tf_idf_values(spark):
     assert rows[(1, "b")]["tf_idf"] == pytest.approx(
         round(math.log(3 / 2) + 1, 6), abs=1e-6
     )
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized differential test: the distributed as-of join must agree
+    with pandas.merge_asof (backward, exact-match allowed) on every row.
+    Timestamps are globally unique so tie-break ambiguity can't flake."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2024-01-01")
+    all_ts = rng.choice(10**6, size=400, replace=False)
+    lts, rts = all_ts[:250], all_ts[250:]
+    left_pd = pd.DataFrame(
+        {
+            "event_id": np.arange(250),
+            "user_id": rng.integers(0, 12, 250),
+            "ts": base + pd.to_timedelta(lts, unit="s"),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "event_id": np.arange(1000, 1150),
+            "user_id": rng.integers(0, 12, 150),
+            "ts": base + pd.to_timedelta(rts, unit="s"),
+        }
+    )
+    want = pd.merge_asof(
+        left_pd.sort_values("ts"),
+        right_pd.sort_values("ts").rename(
+            columns={"event_id": "right_event_id"}
+        )[["right_event_id", "user_id", "ts"]],
+        on="ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    ).set_index("event_id")["right_event_id"]
+
+    out = relational.asof_join(
+        spark.createDataFrame(left_pd),
+        spark.createDataFrame(right_pd),
+        on="user_id",
+        right_cols=["event_id"],
+    )
+    got = {r["event_id"]: r["event_id_right"] for r in out.collect()}
+    assert len(got) == 250
+    for eid, want_right in want.items():
+        expected = None if pd.isna(want_right) else int(want_right)
+        assert got[eid] == expected, f"event {eid}: {got[eid]} != {expected}"
+
+
+def test_range_join_matches_bruteforce(spark):
+    """Randomized differential test: bucketed range join == brute-force
+    cross join + predicate filter."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2024-01-01")
+    left_pd = pd.DataFrame(
+        {
+            "event_id": np.arange(120),
+            "user_id": rng.integers(0, 6, 120),
+            "ts": base + pd.to_timedelta(rng.integers(0, 7200, 120), unit="s"),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "event_id": np.arange(500, 650),
+            "user_id": rng.integers(0, 6, 150),
+            "ts": base + pd.to_timedelta(rng.integers(0, 7200, 150), unit="s"),
+        }
+    )
+    brute = left_pd.merge(right_pd, on="user_id", suffixes=("", "_r"))
+    brute = brute[
+        (brute["ts_r"] >= brute["ts"] - pd.Timedelta(minutes=10))
+        & (brute["ts_r"] < brute["ts"])
+    ]
+    want = set(zip(brute["event_id"], brute["event_id_r"]))
+
+    out = relational.range_join(
+        spark.createDataFrame(left_pd),
+        spark.createDataFrame(right_pd),
+        on="user_id",
+        lower="-10 minutes",
+        upper="0 seconds",
+        right_cols=["event_id"],
+    )
+    got = set((r["event_id"], r["event_id_right"]) for r in out.collect())
+    assert got == want
