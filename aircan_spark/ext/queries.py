@@ -334,6 +334,31 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def ext_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language 5-95% length band filter — the outlier-trimming corpus
+    filter; bounds broadcast, data rows never shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        relational.filter_by_group_quantiles(docs, ["lang"], "n_chars")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+EXT_LENGTH_FILTER_SQL = r"""
+WITH p AS (
+  SELECT lang,
+         quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, lang, n_chars
+FROM documents JOIN p USING (lang)
+WHERE n_chars >= lo AND n_chars <= hi
+ORDER BY doc_id
+"""
+
+
 def ext_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return text.tf_idf(docs).orderBy("doc_id", "word")
@@ -760,6 +785,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_vector_norms": ext_vector_norms,
     "ext_label_centroids": ext_label_centroids,
     "ext_tf_idf": ext_tf_idf,
+    "ext_length_filter": ext_length_filter,
     "ext_dedup_groups": ext_dedup_groups,
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_ngram_jaccard": ext_dedup_ngram_jaccard,
@@ -798,6 +824,7 @@ EXT_ORACLES: dict[str, str] = {
     "ext_vector_norms": EXT_VECTOR_NORMS_SQL,
     "ext_label_centroids": EXT_LABEL_CENTROIDS_SQL,
     "ext_tf_idf": EXT_TF_IDF_SQL,
+    "ext_length_filter": EXT_LENGTH_FILTER_SQL,
     "ext_dedup_groups": EXT_DEDUP_GROUPS_SQL,
     "ext_dedup_exact": EXT_DEDUP_EXACT_SQL,
     "ext_dedup_ngram_jaccard": EXT_DEDUP_JACCARD_SQL,

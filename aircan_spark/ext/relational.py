@@ -268,3 +268,31 @@ def grouped_percentiles(
         for p in percentiles
     ]
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def filter_by_group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lower_q: float = 0.05,
+    upper_q: float = 0.95,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` lies inside the per-group
+    [lower_q, upper_q] quantile band — the standard outlier-trimming
+    corpus filter (e.g. drop the shortest/longest 5% of documents per
+    language).
+
+    The quantile frame is one row per group; it broadcasts, so the filter
+    costs one scan + a map-side join — no shuffle of the data rows."""
+    bounds = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, {lower_q})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {upper_q})").alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_cols)
+        .filter(
+            (F.col(value_col) >= F.col("__lo"))
+            & (F.col(value_col) <= F.col("__hi"))
+        )
+        .drop("__lo", "__hi")
+    )

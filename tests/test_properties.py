@@ -117,3 +117,63 @@ def test_rownum_deterministic_under_reordering(spark):
     n2 = {(r["k"], r[ROW_NUMBER_COLUMN]) for r in with_row_number(df2, order_by=["k"]).collect()}
     # explicit order_by makes numbering independent of physical layout
     assert n1 == n2
+
+
+# --- chunking / sampling laws (Spark, few frames; laws are the subject) --------
+
+
+def test_chunking_reconstruction_law(spark):
+    """For ANY (chunk_size, overlap) the stride-prefixes of the chunks
+    concatenated reproduce the token stream, and each chunk holds exactly
+    min(chunk_size, n - start) tokens (windows overrunning the document
+    are truncated, so several trailing chunks may be short)."""
+    from aircan_spark.ext.chunking import chunk_documents
+
+    words = [f"t{i}" for i in range(57)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    for chunk_size, overlap in [(8, 0), (8, 3), (5, 4), (57, 0), (64, 10), (1, 0)]:
+        stride = chunk_size - overlap
+        rows = sorted(
+            chunk_documents(df, chunk_size=chunk_size, overlap=overlap).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        rebuilt = []
+        for r in rows:
+            rebuilt.extend(r["chunk_text"].split(" ")[:stride])
+        assert rebuilt[: len(words)] == words, (chunk_size, overlap)
+        for r in rows:
+            start = r["chunk_id"] * stride
+            assert r["n_chunk_tokens"] == min(chunk_size, 57 - start), (
+                chunk_size, overlap, r["chunk_id"],
+            )
+
+
+def test_hash_split_is_partition_function(spark):
+    """Every row lands in exactly one split and the union is the input —
+    for any weights dict."""
+    from aircan_spark.ext.sampling import hash_split
+
+    ids = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    for weights in [None, {"a": 0.5, "b": 0.5}, {"x": 0.99, "y": 0.01}]:
+        out = hash_split(ids, "id", weights=weights, seed=5)
+        assert out.count() == 500
+        assert out.select("id").distinct().count() == 500
+        labels = {r["split"] for r in out.select("split").distinct().collect()}
+        expect = set((weights or {"train": 1, "val": 1, "test": 1}).keys())
+        assert labels <= expect
+
+
+def test_stratified_sample_is_subset_and_deterministic(spark):
+    from aircan_spark.ext.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(f"g{i % 7}", i) for i in range(300)], "g string, id long"
+    )
+    out = stratified_sample(df, ["g"], 3, "id", seed=9)
+    ids = {r["id"] for r in out.collect()}
+    assert ids <= set(range(300))
+    per_group = {r["g"]: r["n"] for r in out.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 3 for n in per_group.values())
+    again = {r["id"] for r in stratified_sample(df, ["g"], 3, "id", seed=9).collect()}
+    assert ids == again
