@@ -18,6 +18,7 @@ from aircan_spark.data import load_table as _load
 from aircan_spark.ext import (
     chunking,
     dedup,
+    features,
     multimodal,
     relational,
     sampling,
@@ -556,6 +557,69 @@ ORDER BY label, pos
 """
 
 
+def ext_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user recency/frequency/accumulation features (lag + cumulative
+    windows in one shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    return features.user_event_features(ev).orderBy("event_id")
+
+
+EXT_EVENT_FEATURES_SQL = r"""
+SELECT event_id, user_id,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS micros_since_prev,
+       COUNT(*) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+         AS n_prev_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                 OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DECIMAL(24,6)) AS VARCHAR) AS cum_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
+def ext_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cats = ["click", "error", "purchase", "signup", "view"]
+    return relational.pivot_counts(ev, ["user_id"], "event_type", cats).orderBy(
+        "user_id"
+    )
+
+
+EXT_PIVOT_SQL = r"""
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click') AS click,
+       COUNT(*) FILTER (event_type = 'error') AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS signup,
+       COUNT(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep each document with
+    probability min(n_chars/300, 1) — longer documents kept more often,
+    decided per-row by portable hash (no RNG state, subset-stable)."""
+    docs = _t(spark, sf_dir, "documents")
+    prob = F.least(F.col("n_chars") / 300.0, F.lit(1.0))
+    return (
+        sampling.bernoulli_sample(docs, "doc_id", prob, seed=42)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+EXT_WEIGHTED_SAMPLE_SQL = r"""
+SELECT doc_id, n_chars
+FROM documents
+WHERE CAST(('0x' || SUBSTR(md5('42-' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+           % 10000 AS DOUBLE)
+      < LEAST(n_chars / 300.0, 1.0) * 10000
+ORDER BY doc_id
+"""
+
+
 # --- dedup -------------------------------------------------------------------------
 
 
@@ -786,6 +850,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_label_centroids": ext_label_centroids,
     "ext_tf_idf": ext_tf_idf,
     "ext_length_filter": ext_length_filter,
+    "ext_event_features": ext_event_features,
+    "ext_pivot_counts": ext_pivot_counts,
+    "ext_weighted_sample": ext_weighted_sample,
     "ext_dedup_groups": ext_dedup_groups,
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_ngram_jaccard": ext_dedup_ngram_jaccard,
@@ -825,6 +892,9 @@ EXT_ORACLES: dict[str, str] = {
     "ext_label_centroids": EXT_LABEL_CENTROIDS_SQL,
     "ext_tf_idf": EXT_TF_IDF_SQL,
     "ext_length_filter": EXT_LENGTH_FILTER_SQL,
+    "ext_event_features": EXT_EVENT_FEATURES_SQL,
+    "ext_pivot_counts": EXT_PIVOT_SQL,
+    "ext_weighted_sample": EXT_WEIGHTED_SAMPLE_SQL,
     "ext_dedup_groups": EXT_DEDUP_GROUPS_SQL,
     "ext_dedup_exact": EXT_DEDUP_EXACT_SQL,
     "ext_dedup_ngram_jaccard": EXT_DEDUP_JACCARD_SQL,

@@ -296,3 +296,19 @@ def filter_by_group_quantiles(
         )
         .drop("__lo", "__hi")
     )
+
+
+def pivot_counts(
+    df: DataFrame,
+    key_cols: list[str],
+    pivot_col: str,
+    values: list[str],
+) -> DataFrame:
+    """Long-to-wide count pivot: one row per key, one column per pivot
+    value, missing combinations filled with 0.
+
+    ``values`` is explicit so the plan needs no pre-pass distinct scan to
+    discover categories (on 100 TB that discovery is a full extra job) and
+    the output schema is stable for downstream consumers."""
+    out = df.groupBy(*key_cols).pivot(pivot_col, values).count()
+    return out.fillna(0, subset=values)

@@ -81,3 +81,16 @@ def stratified_sample(
         .filter(F.col("__rn") <= n_per_group)
         .drop("__rn")
     )
+
+
+def bernoulli_sample(
+    df: DataFrame, id_col: str, prob_col: Column, seed: int = 42
+) -> DataFrame:
+    """Deterministic per-row weighted sampling: keep a row iff its hash
+    bucket falls below ``prob_col`` (a [0,1] column — constant, or data-
+    dependent like a quality score). Reproducible across runs, engines,
+    and subsets; zero shuffle (narrow filter)."""
+    bucket = hash_bucket(F.col(id_col), seed)
+    return df.filter(
+        bucket.cast("double") < prob_col.cast("double") * BUCKETS
+    )

@@ -95,3 +95,51 @@ def test_label_centroids(spark):
            for r in out.collect()}
     assert got[(0, 1)] == (2.0, 2) and got[(0, 2)] == (4.0, 2)
     assert got[(1, 1)] == (10.0, 1) and got[(1, 2)] == (20.0, 1)
+
+
+def test_user_event_features_crafted(spark):
+    from datetime import datetime, timedelta
+
+    from aircan_spark.ext.features import user_event_features
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (1, 5, t0, 1.5),
+            (2, 5, t0 + timedelta(seconds=5), 2.5),
+            (3, 6, t0, 10.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    rows = {r["event_id"]: r for r in user_event_features(df).collect()}
+    assert rows[1]["micros_since_prev"] is None and rows[1]["n_prev_events"] == 0
+    assert rows[2]["micros_since_prev"] == 5_000_000
+    assert rows[2]["n_prev_events"] == 1
+    assert rows[2]["cum_value"] == "4.000000"
+    assert rows[3]["n_prev_events"] == 0 and rows[3]["cum_value"] == "10.000000"
+
+
+def test_pivot_counts_fills_missing_with_zero(spark):
+    from aircan_spark.ext.relational import pivot_counts
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "user_id long, kind string"
+    )
+    rows = {r["user_id"]: r for r in
+            pivot_counts(df, ["user_id"], "kind", ["a", "b", "c"]).collect()}
+    assert (rows[1]["a"], rows[1]["b"], rows[1]["c"]) == (2, 0, 0)
+    assert (rows[2]["a"], rows[2]["b"], rows[2]["c"]) == (0, 1, 0)
+
+
+def test_bernoulli_sample_extremes_and_stability(spark, ids):
+    from aircan_spark.ext.sampling import bernoulli_sample
+    from pyspark.sql import functions as F
+
+    assert bernoulli_sample(ids, "id", F.lit(0.0)).count() == 0
+    assert bernoulli_sample(ids, "id", F.lit(1.0)).count() == 1000
+    half = bernoulli_sample(ids, "id", F.lit(0.5), seed=3)
+    n = half.count()
+    assert abs(n - 500) < 80  # hash-uniform
+    kept = {r["id"] for r in half.collect()}
+    sub = bernoulli_sample(ids.filter(F.col("id") < 100), "id", F.lit(0.5), seed=3)
+    assert {r["id"] for r in sub.collect()} == {i for i in kept if i < 100}
