@@ -21,12 +21,13 @@ scale to a multi-executor cluster:
 - ``streaming`` incremental ingest, windowed + session + stateful aggs
 - ``callbacks`` status reporting / failure email side-channel
 - ``ext``       beyond-reference operators: dedup (exact/jaccard/minhash/
-                simhash/embedding), similarity search (brute/LSH/IVF),
-                text analysis (stats/quality/lang-id/repetition/PII/
-                fingerprints), as-of + range joins, top-k/rollup/
-                percentiles, deterministic shuffle/split/stratified
-                sampling, token chunking, vector norms/centroids,
-                multimodal column plumbing
+                simhash/embedding/components), similarity search (brute/
+                LSH/IVF), text analysis (stats/quality/lang-id/repetition/
+                PII/fingerprints/tf-idf), as-of + range joins, top-k/
+                rollup/percentiles/pivot, deterministic shuffle/split/
+                stratified/weighted sampling, token chunking, vector
+                norms/centroids, per-user sequence features, multimodal
+                column plumbing
 """
 
 __version__ = "0.1.0"
