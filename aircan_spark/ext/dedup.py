@@ -547,3 +547,51 @@ def dedup_groups(
             "is_representative", F.col(id_col) == F.col("component")
         )
     )
+
+
+# --- eval-set decontamination ------------------------------------------------------
+
+
+def contamination_flags(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 1,
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Flag training documents that share >= ``min_overlap`` word n-grams
+    with ANY evaluation document — the decontamination pass run before
+    training so benchmark text does not leak into the corpus (production
+    pipelines use n ~ 8-13; the default suits short fixture docs).
+
+    Returns (id, n_contaminated_shingles, contaminated) for every train
+    row. The eval shingle set is deduplicated and joined once; eval sets
+    are tiny next to a training corpus, so at scale that side broadcasts
+    and the train side never shuffles. ``hash_shingles=True`` joins on
+    8-byte xxhash64 keys instead of strings (same trade-off as
+    ``ngram_jaccard_pairs``)."""
+    tsh = shingles(train, id_col, text_col, n)
+    esh = shingles(eval_df, id_col, text_col, n).select("shingle").distinct()
+    if hash_shingles:
+        tsh = tsh.select(id_col, F.xxhash64("shingle").alias("shingle"))
+        esh = esh.select(F.xxhash64("shingle").alias("shingle")).distinct()
+    hits = (
+        tsh.join(F.broadcast(esh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated_shingles", F.lit(0)).alias(
+                "n_contaminated_shingles"
+            ),
+            (
+                F.coalesce("n_contaminated_shingles", F.lit(0)) >= min_overlap
+            ).alias("contaminated"),
+        )
+    )

@@ -382,6 +382,42 @@ ORDER BY doc_id, word
 """
 
 
+def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag corpus docs sharing any word 3-gram
+    with the held-out slice (doc_id % 50 == 0). The eval shingle set
+    broadcasts; the corpus side never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    return dedup.contamination_flags(docs, eval_df, n=3).orderBy("doc_id")
+
+
+EXT_DECONTAMINATE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(TRIM(text), '\s+')) AS w,
+         generate_subscripts(string_split_regex(TRIM(text), '\s+'), 1) AS i
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+),
+esh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n
+  FROM sh JOIN esh USING (shingle)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(hits.n, 0) AS n_contaminated_shingles,
+       COALESCE(hits.n, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def ext_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (exact n-gram Jaccard) clustered into components via
     iterative hash-min label propagation, every document assigned a group
@@ -854,6 +890,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_pivot_counts": ext_pivot_counts,
     "ext_weighted_sample": ext_weighted_sample,
     "ext_dedup_groups": ext_dedup_groups,
+    "ext_decontaminate": ext_decontaminate,
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_ngram_jaccard": ext_dedup_ngram_jaccard,
     "ext_dedup_minhash": ext_dedup_minhash,
@@ -896,6 +933,7 @@ EXT_ORACLES: dict[str, str] = {
     "ext_pivot_counts": EXT_PIVOT_SQL,
     "ext_weighted_sample": EXT_WEIGHTED_SAMPLE_SQL,
     "ext_dedup_groups": EXT_DEDUP_GROUPS_SQL,
+    "ext_decontaminate": EXT_DECONTAMINATE_SQL,
     "ext_dedup_exact": EXT_DEDUP_EXACT_SQL,
     "ext_dedup_ngram_jaccard": EXT_DEDUP_JACCARD_SQL,
     "ext_dedup_embedding": EXT_DEDUP_EMBEDDING_SQL,

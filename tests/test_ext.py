@@ -330,3 +330,29 @@ def test_jaccard_hashed_shingles_equivalent(spark, sf_dir):
         ).collect()
     }
     assert exact == hashed
+
+
+def test_contamination_flags_crafted(spark):
+    """A train doc sharing a 3-gram with the eval set is flagged; disjoint
+    docs are not; hashed mode agrees with string mode."""
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),     # shares 'alpha beta gamma'
+            (2, "one two three four five"),    # disjoint
+            (3, "x y alpha beta gamma"),       # shares at the tail
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma epsilon")], ["doc_id", "text"]
+    )
+    for hs in (False, True):
+        rows = {
+            r["doc_id"]: r
+            for r in dedup.contamination_flags(
+                train, eval_df, n=3, hash_shingles=hs
+            ).collect()
+        }
+        assert rows[1]["contaminated"] and rows[1]["n_contaminated_shingles"] == 1
+        assert not rows[2]["contaminated"]
+        assert rows[3]["contaminated"]
