@@ -502,23 +502,25 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_comp = (
+        # carry the improved-this-round flag through the checkpoint so the
+        # convergence check is a filter over materialized rows, not a
+        # second join
+        stepped = (
             comp.join(nbr_min, comp["id"] == nbr_min["src"], "left")
             .select(
                 "id",
                 F.least(
                     "component", F.coalesce("nbr_component", "component")
                 ).alias("component"),
+                (
+                    F.col("nbr_component").isNotNull()
+                    & (F.col("nbr_component") < F.col("component"))
+                ).alias("__changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        comp = new_comp
+        changed = stepped.filter(F.col("__changed")).count()
+        comp = stepped.drop("__changed")
         if changed == 0:
             break
     return comp
