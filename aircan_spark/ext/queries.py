@@ -382,6 +382,23 @@ ORDER BY doc_id, word
 """
 
 
+def ext_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.vocab_topk(docs, k=100).orderBy("rank")
+
+
+EXT_VOCAB_TOPK_SQL = r"""
+WITH w AS (
+  SELECT unnest(string_split_regex(TRIM(LOWER(text)), '\s+')) AS word
+  FROM documents
+),
+f AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word)
+SELECT word, freq,
+       CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS BIGINT) AS rank
+FROM f ORDER BY rank LIMIT 100
+"""
+
+
 def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: flag corpus docs sharing any word 3-gram
     with the held-out slice (doc_id % 50 == 0). The eval shingle set
@@ -891,6 +908,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_weighted_sample": ext_weighted_sample,
     "ext_dedup_groups": ext_dedup_groups,
     "ext_decontaminate": ext_decontaminate,
+    "ext_vocab_topk": ext_vocab_topk,
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_ngram_jaccard": ext_dedup_ngram_jaccard,
     "ext_dedup_minhash": ext_dedup_minhash,
@@ -934,6 +952,7 @@ EXT_ORACLES: dict[str, str] = {
     "ext_weighted_sample": EXT_WEIGHTED_SAMPLE_SQL,
     "ext_dedup_groups": EXT_DEDUP_GROUPS_SQL,
     "ext_decontaminate": EXT_DECONTAMINATE_SQL,
+    "ext_vocab_topk": EXT_VOCAB_TOPK_SQL,
     "ext_dedup_exact": EXT_DEDUP_EXACT_SQL,
     "ext_dedup_ngram_jaccard": EXT_DEDUP_JACCARD_SQL,
     "ext_dedup_embedding": EXT_DEDUP_EMBEDDING_SQL,

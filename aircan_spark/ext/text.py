@@ -262,3 +262,31 @@ def tf_idf(
             F.round(F.col("tf").cast("double") * idf, 6).alias("tf_idf"),
         )
     )
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", k: int = 100
+) -> DataFrame:
+    """Top-k corpus vocabulary by frequency (the Zipf-curve head):
+    (word, freq, rank), rank 1 = most frequent, ties broken
+    alphabetically.
+
+    The global sort + limit compiles to TakeOrderedAndProject — each task
+    keeps its local top-k and only k rows reach the driver-side heap, so
+    the full vocabulary (easily 1e8 words at web scale) never sorts or
+    collects; the rank window then runs over k rows only."""
+    from pyspark.sql import Window
+
+    freq = (
+        df.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+                "word"
+            )
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    head = freq.orderBy(F.col("freq").desc(), "word").limit(k)
+    w = Window.orderBy(F.col("freq").desc(), "word")
+    return head.withColumn("rank", F.row_number().over(w).cast("long"))
+

@@ -356,3 +356,23 @@ def test_contamination_flags_crafted(spark):
         assert rows[1]["contaminated"] and rows[1]["n_contaminated_shingles"] == 1
         assert not rows[2]["contaminated"]
         assert rows[3]["contaminated"]
+
+
+def test_vocab_topk_crafted_and_plan(spark):
+    """Top-k vocabulary: exact frequencies, tie-break alphabetical, and the
+    global sort+limit must compile to TakeOrderedAndProject (per-task local
+    top-k heap) — never a full sort of the vocabulary."""
+    df = spark.createDataFrame(
+        [(1, "b a b c  B"), (2, "a b A")], ["doc_id", "text"]
+    )
+    out = text.vocab_topk(df, k=2)
+    rows = [(r["word"], r["freq"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert rows == [("b", 4, 1), ("a", 3, 2)]  # 'c' cut by k=2
+    plan = (
+        text.vocab_topk(df, k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort of the full vocab
