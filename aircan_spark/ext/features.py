@@ -44,3 +44,76 @@ def user_event_features(
         .cast("string")
         .alias("cum_value"),
     )
+
+
+def rolling_event_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    span_seconds: int = 3600,
+) -> DataFrame:
+    """Time-range rolling aggregates per entity: for every event, the
+    count / sum / mean of values in the trailing ``span_seconds`` window
+    (inclusive of the current row) — the sliding-feature pass (e.g.
+    "requests and spend in the last hour") a training pipeline computes
+    per example.
+
+    One hash shuffle on the key; the RANGE frame over integer epoch
+    micros is streaming-evaluated within each sorted partition. The sum
+    accumulates in DECIMAL (exact, order-independent) and the mean is
+    derived as decimal-sum / count — identical across engines, unlike a
+    float avg() whose value depends on accumulation order."""
+    micros = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(micros)
+        .rangeBetween(-span_seconds * 1_000_000, 0)
+    )
+    win_sum = F.sum(F.col(value_col).cast("decimal(18,6)")).over(w)
+    win_cnt = F.count(value_col).over(w)
+    return events.select(
+        F.col(id_col),
+        F.col(key_col),
+        win_cnt.alias("win_count"),
+        win_sum.cast("decimal(24,6)").cast("string").alias("win_sum"),
+        F.round(win_sum.cast("double") / win_cnt, 6).alias("win_mean"),
+    )
+
+
+def zscore_normalize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "zscore",
+) -> DataFrame:
+    """Per-group z-score standardization: (value - group mean) / group
+    sample stddev, appended as ``out_col`` (rounded to 6; NULL when the
+    value is NULL or the group variance is 0).
+
+    The moment frame (one row per group: n, sum, sum-of-squares in exact
+    DECIMAL) broadcasts back onto the data, so the rows themselves never
+    shuffle — same shape as the quantile-band filter. Mean and variance
+    are derived from the exact integer/decimal moments in one double
+    expression, so results are bit-identical across engines; a native
+    stddev_samp() would differ in the last ulp with partial-agg order."""
+    v_dec = F.col(value_col).cast("decimal(18,6)")
+    moments = df.groupBy(*group_cols).agg(
+        F.count(value_col).alias("__n"),
+        F.sum(v_dec).alias("__s1"),
+        F.sum(v_dec * v_dec).alias("__s2"),
+    )
+    n = F.col("__n").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    var = (s2 - s1 * s1 / n) / (n - 1.0)
+    z = F.when(
+        var > 0.0,
+        F.round((F.col(value_col) - s1 / n) / F.sqrt(var), 6),
+    )
+    return (
+        df.join(F.broadcast(moments), group_cols)
+        .withColumn(out_col, z)
+        .drop("__n", "__s1", "__s2")
+    )

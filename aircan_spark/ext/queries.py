@@ -881,7 +881,185 @@ FROM documents ORDER BY media_id
 """
 
 
+# --- corpus statistics / relevance wave ------------------------------------------------
+
+
+def ext_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus bigrams (collocation mining head)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.ngram_counts(docs, n=2, k=100).orderBy("rank")
+
+
+EXT_NGRAM_TOPK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w,
+         generate_subscripts(string_split_regex(TRIM(LOWER(text)), '\s+'), 1) AS i
+  FROM documents
+),
+grams AS (
+  SELECT a.w || ' ' || b.w AS ngram
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+f AS (SELECT ngram, COUNT(*) AS freq FROM grams GROUP BY ngram)
+SELECT ngram, freq,
+       CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, ngram) AS BIGINT) AS rank
+FROM f ORDER BY rank LIMIT 100
+"""
+
+
+BM25_QUERY_TERMS = ["join", "merge", "window"]
+
+
+def ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed 3-term query."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bm25_scores(docs, BM25_QUERY_TERMS).orderBy("doc_id")
+
+
+EXT_BM25_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS w
+  FROM documents
+),
+lens AS (SELECT doc_id, len(w) AS dl, w FROM toks),
+scalars AS (SELECT COUNT(*) AS n, SUM(dl) AS total_dl FROM lens),
+words AS (
+  SELECT doc_id, dl, unnest(w) AS word FROM lens
+),
+tf AS (
+  SELECT doc_id, dl, word, COUNT(*) AS tf
+  FROM words WHERE word IN ('join', 'merge', 'window')
+  GROUP BY doc_id, dl, word
+),
+dfreq AS (SELECT word, COUNT(*) AS doc_freq FROM tf GROUP BY word),
+comp AS (
+  SELECT tf.doc_id,
+         CAST(
+           LN(1.0 + (CAST(s.n AS DOUBLE) - CAST(d.doc_freq AS DOUBLE) + 0.5)
+                    / (CAST(d.doc_freq AS DOUBLE) + 0.5))
+           * CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE)
+                                     / (CAST(s.total_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))
+           AS DECIMAL(27,12)) AS comp
+  FROM tf JOIN dfreq d ON tf.word = d.word CROSS JOIN scalars s
+)
+SELECT doc_id, ROUND(CAST(SUM(comp) AS DOUBLE), 6) AS score,
+       COUNT(*) AS n_terms_matched
+FROM comp GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def ext_rolling_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1h per-user rolling count/sum/mean for every event."""
+    ev = _t(spark, sf_dir, "events")
+    return features.rolling_event_stats(ev, span_seconds=3600).orderBy("event_id")
+
+
+EXT_ROLLING_EVENT_SQL = r"""
+SELECT event_id, user_id,
+       COUNT(value) OVER w AS win_count,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DECIMAL(24,6)) AS VARCHAR)
+         AS win_sum,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / COUNT(value) OVER w, 6) AS win_mean
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+def ext_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score of event values (broadcast moments,
+    data rows never shuffle)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return features.zscore_normalize(ev, ["event_type"], "value").orderBy(
+        "event_id"
+    )
+
+
+EXT_ZSCORE_SQL = r"""
+WITH m AS (
+  SELECT event_type,
+         COUNT(value) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+         SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) > 0.0
+            THEN ROUND((e.value - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       / SQRT((CAST(s2 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                              / (CAST(n AS DOUBLE) - 1.0)), 6)
+       END AS zscore
+FROM events e JOIN m ON e.event_type = m.event_type
+ORDER BY e.event_id
+"""
+
+
+def ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin histogram of order totals over [0, 500000]."""
+    orders = _t(spark, sf_dir, "orders")
+    return relational.histogram(orders, "o_totalprice", 0.0, 500000.0, 20).orderBy(
+        "bin"
+    )
+
+
+EXT_HISTOGRAM_SQL = r"""
+WITH b AS (
+  SELECT LEAST(CAST(FLOOR((o_totalprice - 0.0) / 25000.0) AS BIGINT), 19) AS bin
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0.0 AND o_totalprice <= 500000.0
+)
+SELECT bin,
+       ROUND(0.0 + bin * 25000.0, 6) AS bin_lo,
+       ROUND(0.0 + (bin + 1) * 25000.0, 6) AS bin_hi,
+       COUNT(*) AS n
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+def ext_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem counts + quantity totals cubed over (returnflag,
+    linestatus): every subset of the two dimensions, ALL-labelled."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("decimal(18,6)").alias("qty"),
+    )
+    return relational.cube_counts(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("qty").cast("decimal(24,6)").cast("string").alias("sum_qty"),
+        ],
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+EXT_CUBE_SQL = r"""
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS VARCHAR)
+         AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_ngram_topk": ext_ngram_topk,
+    "ext_bm25": ext_bm25,
+    "ext_rolling_event_stats": ext_rolling_event_stats,
+    "ext_zscore": ext_zscore,
+    "ext_histogram": ext_histogram,
+    "ext_cube_agg": ext_cube_agg,
     "ext_text_stats": ext_text_stats,
     "ext_quality_score": ext_quality_score,
     "ext_lang_id": ext_lang_id,
@@ -925,6 +1103,12 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
+    "ext_ngram_topk": EXT_NGRAM_TOPK_SQL,
+    "ext_bm25": EXT_BM25_SQL,
+    "ext_rolling_event_stats": EXT_ROLLING_EVENT_SQL,
+    "ext_zscore": EXT_ZSCORE_SQL,
+    "ext_histogram": EXT_HISTOGRAM_SQL,
+    "ext_cube_agg": EXT_CUBE_SQL,
     "ext_stream_window_counts": EXT_STREAM_WINDOW_SQL,
     "ext_stream_sessions": EXT_STREAM_SESSIONS_SQL,
     "ext_text_stats": EXT_TEXT_STATS_SQL,

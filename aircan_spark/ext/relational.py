@@ -312,3 +312,61 @@ def pivot_counts(
     the output schema is stable for downstream consumers."""
     out = df.groupBy(*key_cols).pivot(pivot_col, values).count()
     return out.fillna(0, subset=values)
+
+
+def cube_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    agg_exprs: list[F.Column],
+    all_label: str = "ALL",
+) -> DataFrame:
+    """Cube over ``group_cols``: aggregates for every subset of the
+    grouping keys (2^k level combinations), grouping-null cells labelled
+    ``all_label`` — the cross-dimension dashboard companion of
+    ``rollup_counts``. Group columns must be strings (callers cast
+    first).
+
+    Same physical shape as rollup: Expand replicates each input row once
+    per level combination, then ONE partial-aggregated hash aggregate —
+    the shuffle carries per-task partial rows, never the 2^k-expanded
+    data. At high k the expansion factor itself is the cost driver: keep
+    k small (<= 3) at 100 TB or pre-aggregate first."""
+    out = df.cube(*group_cols).agg(*agg_exprs)
+    for c in group_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(all_label)))
+    return out
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Fixed-width histogram of ``value_col`` over [lo, hi]: one row per
+    NON-EMPTY bin — (bin, bin_lo, bin_hi, n). Values outside [lo, hi]
+    are dropped; hi itself lands in the last bin. The distribution-
+    profiling primitive behind corpus length/score dashboards.
+
+    The bin index is a row-local expression, so this is a single
+    partial-aggregated groupBy on an at-most-``n_bins``-key space: the
+    shuffle carries <= n_bins rows per task regardless of data size.
+    Empty bins are omitted by construction (sparse output) — zero-fill
+    client-side if a dense vector is needed."""
+    width = (hi - lo) / n_bins
+    binned = df.filter(
+        F.col(value_col).isNotNull()
+        & (F.col(value_col) >= lo)
+        & (F.col(value_col) <= hi)
+    ).select(
+        F.least(
+            F.floor((F.col(value_col) - lo) / width), F.lit(n_bins - 1)
+        ).cast("long").alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).select(
+        "bin",
+        F.round(F.lit(lo) + F.col("bin") * width, 6).alias("bin_lo"),
+        F.round(F.lit(lo) + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
+        "n",
+    )

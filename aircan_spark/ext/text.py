@@ -290,3 +290,90 @@ def vocab_topk(
     w = Window.orderBy(F.col("freq").desc(), "word")
     return head.withColumn("rank", F.row_number().over(w).cast("long"))
 
+
+def ngram_counts(
+    df: DataFrame, text_col: str = "text", n: int = 2, k: int = 100
+) -> DataFrame:
+    """Top-k word n-grams by corpus frequency: (ngram, freq, rank), ties
+    broken lexicographically. The collocation/phrase-mining counterpart of
+    ``vocab_topk``.
+
+    The n-gram arrays are built row-locally with higher-order functions
+    (slice + array_join — no self-join on token position), then one
+    partial-aggregated groupBy counts them; the global sort+limit compiles
+    to TakeOrderedAndProject so only k rows ever leave the executors."""
+    from pyspark.sql import Window
+
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")),
+    ).otherwise(F.array())
+    freq = (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    head = freq.orderBy(F.col("freq").desc(), "ngram").limit(k)
+    w = Window.orderBy(F.col("freq").desc(), "ngram")
+    return head.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag of query
+    terms: (id, score) for docs matching >= 1 term, score rounded to 6.
+    IDF is the Lucene non-negative form ``ln(1 + (N-df+0.5)/(df+0.5))``.
+
+    Scale shape: the term filter lands BEFORE the tf groupBy, so the only
+    wide shuffle carries (doc, matched-term) rows — docs without query
+    terms never shuffle. Corpus scalars (N, total token count -> avgdl)
+    ride along as a broadcast 1-row frame, and per-term doc frequencies
+    (<= |query| rows) broadcast back; nothing collects to the driver.
+    Per-term score components are cast to DECIMAL before the per-doc sum
+    so the total is independent of partial-aggregation order."""
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    )
+    lens = toks.select(id_col, F.size("__toks").alias("dl"), F.col("__toks"))
+    scalars = lens.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("dl").cast("long")).alias("__total_dl"),
+    )
+    words = lens.select(
+        id_col, "dl", F.explode("__toks").alias("word")
+    ).filter(F.col("word").isin(list(query_terms)))
+    tf = words.groupBy(id_col, "dl", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = F.col("__n").cast("double")
+    avgdl = F.col("__total_dl").cast("double") / n
+    idf = F.log(
+        1.0
+        + (n - F.col("doc_freq").cast("double") + 0.5)
+        / (F.col("doc_freq").cast("double") + 0.5)
+    )
+    tf_d = F.col("tf").cast("double")
+    comp = (
+        idf
+        * tf_d
+        * (k1 + 1.0)
+        / (tf_d + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn("__comp", comp.cast("decimal(27,12)"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("__comp").cast("double"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+    )

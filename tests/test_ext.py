@@ -376,3 +376,37 @@ def test_vocab_topk_crafted_and_plan(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan  # no global sort of the full vocab
+
+
+def test_ngram_counts_crafted_and_plan(spark):
+    """Bigram top-k: exact counts, single-word docs contribute nothing,
+    and the head compiles to TakeOrderedAndProject."""
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo")], ["doc_id", "text"]
+    )
+    out = text.ngram_counts(df, n=2, k=10)
+    rows = [(r["ngram"], r["freq"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert rows == [("a b", 3, 1), ("b a", 1, 2)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_crafted(spark):
+    """Hand-computed BM25 on a 3-doc corpus; docs with no query term are
+    absent from the output."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "join join scan"), (2, "join"), (3, "scan sort")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text.bm25_scores(df, ["join"]).collect()}
+    assert set(rows) == {1, 2}
+    n, avgdl, dfreq, k1, b = 3, 6 / 3, 2, 1.2, 0.75
+    idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+
+    def score(tf, dl):
+        return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    assert rows[1]["score"] == score(2, 3) and rows[1]["n_terms_matched"] == 1
+    assert rows[2]["score"] == score(1, 1)

@@ -143,3 +143,91 @@ def test_bernoulli_sample_extremes_and_stability(spark, ids):
     kept = {r["id"] for r in half.collect()}
     sub = bernoulli_sample(ids.filter(F.col("id") < 100), "id", F.lit(0.5), seed=3)
     assert {r["id"] for r in sub.collect()} == {i for i in kept if i < 100}
+
+
+def test_rolling_event_stats_window_boundaries(spark):
+    """Trailing window includes the current row and events exactly at the
+    span edge; older events fall out; keys never mix."""
+    from datetime import datetime
+
+    from aircan_spark.ext.features import rolling_event_stats
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(secs):
+        return datetime.fromtimestamp(t0.timestamp() + secs)
+
+    df = spark.createDataFrame(
+        [
+            (1, at(0), 10, 1.0),
+            (2, at(3600), 10, 2.0),     # exactly 1h later: row 1 still in
+            (3, at(3601), 10, 4.0),     # row 1 just fell out
+            (4, at(0), 99, 100.0),      # other key, same ts
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    rows = {
+        r["event_id"]: r
+        for r in rolling_event_stats(df, span_seconds=3600).collect()
+    }
+    assert rows[1]["win_count"] == 1 and rows[1]["win_mean"] == 1.0
+    assert rows[2]["win_count"] == 2 and rows[2]["win_mean"] == 1.5
+    assert rows[3]["win_count"] == 2 and rows[3]["win_mean"] == 3.0
+    assert rows[4]["win_count"] == 1 and rows[4]["win_mean"] == 100.0
+    assert rows[2]["win_sum"] == "3.000000"
+
+
+def test_zscore_crafted_and_degenerate_group(spark):
+    """Known z-scores for a 3-value group; a zero-variance group yields
+    NULL; NULL values pass through as NULL and don't shift the moments."""
+    from aircan_spark.ext.features import zscore_normalize
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.0),
+            (2, "a", 2.0),
+            (3, "a", 3.0),
+            (4, "b", 5.0),
+            (5, "b", 5.0),
+            (6, "a", None),
+        ],
+        "id long, g string, value double",
+    )
+    rows = {r["id"]: r["zscore"] for r in zscore_normalize(df, ["g"], "value").collect()}
+    assert rows[1] == -1.0 and rows[2] == 0.0 and rows[3] == 1.0
+    assert rows[4] is None and rows[5] is None  # zero variance
+    assert rows[6] is None
+
+
+def test_histogram_boundaries(spark):
+    """lo lands in bin 0, hi in the last bin, out-of-range rows drop,
+    empty bins are absent."""
+    from aircan_spark.ext.relational import histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (9.99,), (10.0,), (100.0,), (-0.01,), (100.01,), (None,)],
+        "v double",
+    )
+    rows = {r["bin"]: r for r in histogram(df, "v", 0.0, 100.0, 10).collect()}
+    assert set(rows) == {0, 1, 9}
+    assert rows[0]["n"] == 2          # 0.0, 9.99
+    assert rows[1]["n"] == 1          # 10.0
+    assert rows[9]["n"] == 1          # 100.0 clamps into the last bin
+    assert rows[9]["bin_lo"] == 90.0 and rows[9]["bin_hi"] == 100.0
+
+
+def test_cube_counts_levels(spark):
+    """Cube emits all 4 level combinations for 2 dims; subtotals agree."""
+    from aircan_spark.ext.relational import cube_counts
+
+    df = spark.createDataFrame(
+        [("x", "d1"), ("x", "d2"), ("y", "d1")], "t string, d string"
+    )
+    rows = {
+        (r["t"], r["d"]): r["n"]
+        for r in cube_counts(df, ["t", "d"], [F.count(F.lit(1)).alias("n")]).collect()
+    }
+    assert rows[("ALL", "ALL")] == 3
+    assert rows[("x", "ALL")] == 2 and rows[("y", "ALL")] == 1
+    assert rows[("ALL", "d1")] == 2 and rows[("ALL", "d2")] == 1
+    assert rows[("x", "d1")] == 1 and len(rows) == 8
