@@ -11,7 +11,7 @@ operator scales linearly with corpus bytes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -44,4 +44,47 @@ def chunk_documents(
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.size(F.split(F.col("chunk_text"), r"\s+")).alias("n_chunk_tokens"),
         "chunk_text",
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 256,
+    n_buckets: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic sequence packing: assign every document to a
+    training pack of ~``seq_len`` tokens — (id, bucket, n_tokens,
+    pack_id). Documents are spread over ``n_buckets`` hash buckets
+    (portable md5 bucketing, so the assignment is engine- and
+    cluster-size-independent), then packed greedily in id order within
+    each bucket: a document starts in the pack where the bucket's
+    running token count (exclusive of itself) lands. Oversized documents
+    own their pack start and overflow into the next — pair with
+    ``chunk_documents`` when hard sequence caps are needed.
+
+    Scale shape: one shuffle partitioned by bucket; the running sum is a
+    streaming window within each sorted bucket partition. n_buckets
+    bounds parallelism, not correctness — packs are bucket-local, so
+    growing the bucket count for a bigger cluster never changes any
+    pack's contents, only how many build concurrently."""
+    from aircan_spark.ext.sampling import hash_bucket
+    from aircan_spark.ext.text import token_count
+
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    cum = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            hash_bucket(F.col(id_col), seed, n_buckets).alias("bucket"),
+            token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "pack_id",
+            F.floor((cum - F.col("n_tokens")) / F.lit(seq_len)).cast("long"),
+        )
     )

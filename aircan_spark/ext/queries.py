@@ -1053,7 +1053,216 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def ext_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus normalization: control chars -> spaces, whitespace
+    collapsed, lowercased, trimmed (pure JVM regex, scan-fused)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.clean_text(docs).orderBy("doc_id")
+
+
+EXT_CLEAN_TEXT_SQL = r"""
+SELECT doc_id,
+       TRIM(regexp_replace(
+              regexp_replace(LOWER(text), '[\x00-\x1f\x7f-\x9f]', ' ', 'g'),
+              '\s+', ' ', 'g')) AS clean
+FROM documents ORDER BY doc_id
+"""
+
+
+def ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorized event values (row-preserving outlier clamp,
+    broadcast quantile bounds)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return relational.winsorize_by_group(
+        ev, ["event_type"], "value", 0.05, 0.95, out_col="value_w"
+    ).select("event_id", "event_type", "value_w").orderBy("event_id")
+
+
+EXT_WINSORIZE_SQL = r"""
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       CASE WHEN e.value IS NULL THEN NULL
+            ELSE ROUND(GREATEST(LEAST(e.value, b.hi), b.lo), 6) END AS value_w
+FROM events e JOIN b USING (event_type)
+ORDER BY e.event_id
+"""
+
+
+def ext_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type distinct-user cardinality (the HLL++ approx path is
+    the 100 TB swap-in, property-tested for error bound)."""
+    ev = _t(spark, sf_dir, "events")
+    return relational.distinct_counts(
+        ev, ["event_type"], "user_id", exact=True
+    ).orderBy("event_type")
+
+
+EXT_DISTINCT_COUNTS_SQL = r"""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def ext_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — LeftAnti physical join; the orders side
+    projects to its key column only before the exchange."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        cust.join(orders, "c_custkey", "left_anti")
+        .select("c_custkey", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+EXT_ANTI_JOIN_SQL = r"""
+SELECT c_custkey, c_nationkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def ext_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation membership algebra over customer vs supplier presence:
+    INTERSECT / EXCEPT both ways, tagged and unioned. Each set op is a
+    distinct-aggregate under the hood; the inputs are pre-projected to
+    the single key column so the exchanges carry only nation keys."""
+    cn = _t(spark, sf_dir, "customer").select("c_nationkey").distinct()
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("c_nationkey"))
+        .distinct()
+    )
+    tagged = (
+        cn.intersect(sn).withColumn("membership", F.lit("both"))
+        .unionByName(cn.subtract(sn).withColumn("membership", F.lit("customer_only")))
+        .unionByName(sn.subtract(cn).withColumn("membership", F.lit("supplier_only")))
+    )
+    return tagged.select(
+        F.col("c_nationkey").alias("nationkey"), "membership"
+    ).orderBy("nationkey")
+
+
+EXT_SET_OPS_SQL = r"""
+WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS membership FROM (SELECT * FROM cn INTERSECT SELECT * FROM sn)
+UNION ALL
+SELECT nationkey, 'customer_only' FROM (SELECT * FROM cn EXCEPT SELECT * FROM sn)
+UNION ALL
+SELECT nationkey, 'supplier_only' FROM (SELECT * FROM sn EXCEPT SELECT * FROM cn)
+ORDER BY nationkey
+"""
+
+
+def ext_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON field extraction from the event props payload (one
+    from_json parse per row, scan-fused)."""
+    from aircan_spark.ext import semistructured
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    return semistructured.json_fields(
+        ev, "props", {"k": "bigint"}, keep=["event_id"]
+    ).orderBy("event_id")
+
+
+EXT_JSON_EXTRACT_SQL = r"""
+SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
+FROM events ORDER BY event_id
+"""
+
+
+def ext_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy token-count packing into ~256-token packs
+    within 8 portable hash buckets."""
+    docs = _t(spark, sf_dir, "documents")
+    return chunking.pack_documents(
+        docs, seq_len=256, n_buckets=8, seed=42
+    ).orderBy("doc_id")
+
+
+EXT_PACK_DOCUMENTS_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(('0x' || SUBSTR(md5('42-' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % 8 AS BIGINT) AS bucket,
+         CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, bucket, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM d
+)
+SELECT doc_id, bucket, n_tokens,
+       CAST(FLOOR((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id
+FROM c ORDER BY doc_id
+"""
+
+
+MIXTURE_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+
+
+def ext_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixture: per-source sampling rates building a
+    target training mix (hash-decided, subset-stable, zero shuffle)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.mixture_sample(
+        docs, "doc_id", "source", MIXTURE_RATES
+    ).orderBy("doc_id")
+
+
+EXT_MIXTURE_SAMPLE_SQL = r"""
+SELECT doc_id, source
+FROM documents
+WHERE CAST(('0x' || SUBSTR(md5('42-' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+           % 10000 AS DOUBLE)
+      < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.75
+                     WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25
+                     ELSE 0.0 END) * 10000
+ORDER BY doc_id
+"""
+
+
+def ext_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus composition: doc counts, char totals, and shares
+    (exact integer division, broadcast global totals)."""
+    docs = _t(spark, sf_dir, "documents")
+    return relational.group_share(docs, ["source"], "n_chars").orderBy("source")
+
+
+EXT_CORPUS_MIX_SQL = r"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n, SUM(CAST(n_chars AS BIGINT)) AS w
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n) AS tn, SUM(w) AS tw FROM per)
+SELECT source, n, w,
+       ROUND(CAST(n AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS share,
+       ROUND(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS weight_share
+FROM per CROSS JOIN tot ORDER BY source
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_json_extract": ext_json_extract,
+    "ext_pack_documents": ext_pack_documents,
+    "ext_mixture_sample": ext_mixture_sample,
+    "ext_corpus_mix": ext_corpus_mix,
+    "ext_clean_text": ext_clean_text,
+    "ext_winsorize": ext_winsorize,
+    "ext_distinct_counts": ext_distinct_counts,
+    "ext_anti_join": ext_anti_join,
+    "ext_set_ops": ext_set_ops,
     "ext_ngram_topk": ext_ngram_topk,
     "ext_bm25": ext_bm25,
     "ext_rolling_event_stats": ext_rolling_event_stats,
@@ -1103,6 +1312,15 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
+    "ext_json_extract": EXT_JSON_EXTRACT_SQL,
+    "ext_pack_documents": EXT_PACK_DOCUMENTS_SQL,
+    "ext_mixture_sample": EXT_MIXTURE_SAMPLE_SQL,
+    "ext_corpus_mix": EXT_CORPUS_MIX_SQL,
+    "ext_clean_text": EXT_CLEAN_TEXT_SQL,
+    "ext_winsorize": EXT_WINSORIZE_SQL,
+    "ext_distinct_counts": EXT_DISTINCT_COUNTS_SQL,
+    "ext_anti_join": EXT_ANTI_JOIN_SQL,
+    "ext_set_ops": EXT_SET_OPS_SQL,
     "ext_ngram_topk": EXT_NGRAM_TOPK_SQL,
     "ext_bm25": EXT_BM25_SQL,
     "ext_rolling_event_stats": EXT_ROLLING_EVENT_SQL,

@@ -370,3 +370,101 @@ def histogram(
         F.round(F.lit(lo) + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
         "n",
     )
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lower_q: float = 0.05,
+    upper_q: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorize ``value_col`` within each group: values below/above the
+    [lower_q, upper_q] quantiles are CLAMPED to the bounds (not dropped —
+    the row-preserving alternative to ``filter_by_group_quantiles`` when
+    downstream needs every example, e.g. outlier-robust feature scaling).
+
+    Same scale shape as the band filter: the per-group bound frame
+    broadcasts, data rows never shuffle; clamp is a row-local
+    least/greatest. Exact percentile per group at fixture scale;
+    approx_percentile is the 100 TB swap-in."""
+    out_col = out_col or value_col
+    bounds = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, {lower_q})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {upper_q})").alias("__hi"),
+    )
+    # least/greatest SKIP nulls (both engines, with version-dependent
+    # edge semantics) — gate explicitly so NULL values stay NULL.
+    clamped = F.when(
+        F.col(value_col).isNotNull(),
+        F.round(
+            F.greatest(F.least(F.col(value_col), F.col("__hi")), F.col("__lo")),
+            6,
+        ),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_cols)
+        .withColumn(out_col, clamped)
+        .drop("__lo", "__hi")
+    )
+
+
+def distinct_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-group distinct cardinality of ``value_col``.
+
+    ``exact=True`` runs COUNT(DISTINCT) — Catalyst expands it to a
+    two-phase aggregate (partial distinct on (group, value), then count),
+    so the wide shuffle carries distinct pairs, not raw rows. At 100 TB
+    with high-cardinality values that pair set is the bottleneck:
+    ``exact=False`` swaps in approx_count_distinct (HyperLogLog++,
+    ``rsd`` relative error) whose sketch is constant-size per group and
+    merges map-side — shuffle volume drops from |distinct pairs| to
+    |groups| * sketch_size."""
+    agg = (
+        F.count_distinct(F.col(value_col))
+        if exact
+        else F.approx_count_distinct(value_col, rsd)
+    )
+    return df.groupBy(*group_cols).agg(agg.alias("n_distinct"))
+
+
+def group_share(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-group corpus composition report: row count, optional weight
+    total, and each group's share of the whole — the mix dashboard a
+    training-data pipeline checks before and after sampling.
+
+    Two tiny aggregates (per-group and global), both partial-aggregated;
+    the global 1-row frame rides back via broadcast cross join so the
+    share division stays in-plan. Shares divide exact integer counts, so
+    they're bit-identical across engines."""
+    per = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        *(
+            [F.sum(F.col(weight_col).cast("long")).alias("w")]
+            if weight_col
+            else []
+        ),
+    )
+    total = per.agg(
+        F.sum("n").alias("__tn"),
+        *([F.sum("w").alias("__tw")] if weight_col else []),
+    )
+    out = per.crossJoin(F.broadcast(total)).withColumn(
+        "share", F.round(F.col("n") / F.col("__tn"), 6)
+    )
+    if weight_col:
+        out = out.withColumn(
+            "weight_share", F.round(F.col("w") / F.col("__tw"), 6)
+        )
+    return out.drop("__tn", "__tw")

@@ -94,3 +94,23 @@ def bernoulli_sample(
     return df.filter(
         bucket.cast("double") < prob_col.cast("double") * BUCKETS
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Training-mix construction: keep each row with its group's sampling
+    rate (groups absent from ``rates`` drop entirely) — the
+    source-weighting pass that turns raw corpus proportions into a
+    target data mixture. Deterministic per row (md5 bucket), so the mix
+    is reproducible and subset-stable like every sampler here; the rate
+    lookup is a row-local literal map — no join, no shuffle."""
+    mapping = F.create_map(
+        *[F.lit(x) for kv in rates.items() for x in kv]
+    )
+    prob = F.coalesce(mapping[F.col(group_col)], F.lit(0.0))
+    return bernoulli_sample(df, id_col, prob, seed)

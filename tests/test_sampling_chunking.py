@@ -231,3 +231,43 @@ def test_cube_counts_levels(spark):
     assert rows[("x", "ALL")] == 2 and rows[("y", "ALL")] == 1
     assert rows[("ALL", "d1")] == 2 and rows[("ALL", "d2")] == 1
     assert rows[("x", "d1")] == 1 and len(rows) == 8
+
+
+def test_pack_documents_greedy_boundaries(spark):
+    """With one bucket, packing is the exclusive-cumsum floor in id
+    order: docs straddling a boundary start in the earlier pack."""
+    from aircan_spark.ext.chunking import pack_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),          # cum 3  -> pack 0
+            (2, "a b c"),          # cum 6  -> pack 0 (starts at 3)
+            (3, "a b c d"),        # cum 10 -> pack 1 (starts at 6)
+            (4, "a b c d e f"),    # cum 16 -> pack 2 (starts at 10)
+            (5, "a b"),            # cum 18 -> pack 3 (starts at 16)
+        ],
+        ["doc_id", "text"],
+    )
+    out = pack_documents(docs, seq_len=5, n_buckets=1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert all(r["bucket"] == 0 for r in rows.values())
+    assert [rows[i]["pack_id"] for i in (1, 2, 3, 4, 5)] == [0, 0, 1, 2, 3]
+    assert rows[4]["n_tokens"] == 6
+
+
+def test_mixture_sample_rates(spark):
+    """Rate 1.0 keeps every row, absent sources drop entirely, and a
+    mid rate keeps a plausible fraction — all hash-deterministic."""
+    from aircan_spark.ext.sampling import mixture_sample
+
+    rows = [(i, "keep" if i % 3 == 0 else ("half" if i % 3 == 1 else "drop")) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = mixture_sample(df, "id", "src", {"keep": 1.0, "half": 0.5}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], set()).add(r["id"])
+    assert len(by_src.get("keep", ())) == 1000
+    assert "drop" not in by_src
+    assert 350 < len(by_src["half"]) < 650
+    again = mixture_sample(df, "id", "src", {"keep": 1.0, "half": 0.5}).collect()
+    assert {r["id"] for r in again} == {r["id"] for r in out}
