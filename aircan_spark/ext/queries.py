@@ -1253,7 +1253,113 @@ FROM per CROSS JOIN tot ORDER BY source
 """
 
 
+def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets: event counts per type AND per day (no
+    cross cells) in one Expand + single hash agg."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").cast("string").alias("day")
+    )
+    return relational.grouping_sets_counts(
+        ev,
+        [["event_type"], ["day"]],
+        [F.count(F.lit(1)).alias("n_events")],
+    ).orderBy("event_type", "day")
+
+
+EXT_GROUPING_SETS_SQL = r"""
+WITH e AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events
+)
+SELECT COALESCE(day, 'ALL') AS day,
+       COALESCE(event_type, 'ALL') AS event_type,
+       COUNT(*) AS n_events
+FROM e GROUP BY GROUPING SETS ((event_type), (day))
+ORDER BY event_type, day
+"""
+
+
+def ext_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction: each user's most recent event (ts desc,
+    event_id desc tie-break) — WindowGroupLimit bounds the shuffle at
+    one row per key per task."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return (
+        relational.latest_by_key(ev, ["user_id"], "ts", "event_id")
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    )
+
+
+EXT_LATEST_BY_KEY_SQL = r"""
+SELECT user_id, event_id, event_type
+FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def ext_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile banding of document lengths via broadcast thresholds (the
+    scale-safe alternative to a single-partition global NTILE)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return relational.quantile_buckets(docs, "n_chars", 10).orderBy("doc_id")
+
+
+EXT_QUANTILE_BUCKETS_SQL = r"""
+WITH b AS (
+  SELECT list_transform(
+           quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           q -> ROUND(q, 6)) AS bounds
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(len(list_filter(b.bounds, x -> n_chars > x)) AS BIGINT) AS bucket
+FROM documents CROSS JOIN b
+ORDER BY doc_id
+"""
+
+
+def ext_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (per-vector scale, 4x
+    storage cut; codes emitted as a portable comma-joined string)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from aircan_spark.ext import vectors as V
+
+    return V.quantize_int8(emb).orderBy("vec_id")
+
+
+EXT_QUANTIZE_SQL = r"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> ABS(x))) / 127.0 AS scale0
+  FROM v
+)
+SELECT vec_id,
+       ROUND(scale0, 9) AS scale,
+       CASE WHEN scale0 > 0.0
+            THEN array_to_string(
+                   list_transform(e, x -> CAST(ROUND(x / scale0) AS BIGINT)), ',')
+            ELSE array_to_string(list_transform(e, x -> 0), ',')
+       END AS qvec
+FROM s ORDER BY vec_id
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_grouping_sets": ext_grouping_sets,
+    "ext_latest_by_key": ext_latest_by_key,
+    "ext_quantile_buckets": ext_quantile_buckets,
+    "ext_quantize_embeddings": ext_quantize_embeddings,
     "ext_json_extract": ext_json_extract,
     "ext_pack_documents": ext_pack_documents,
     "ext_mixture_sample": ext_mixture_sample,
@@ -1312,6 +1418,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
+    "ext_grouping_sets": EXT_GROUPING_SETS_SQL,
+    "ext_latest_by_key": EXT_LATEST_BY_KEY_SQL,
+    "ext_quantile_buckets": EXT_QUANTILE_BUCKETS_SQL,
+    "ext_quantize_embeddings": EXT_QUANTIZE_SQL,
     "ext_json_extract": EXT_JSON_EXTRACT_SQL,
     "ext_pack_documents": EXT_PACK_DOCUMENTS_SQL,
     "ext_mixture_sample": EXT_MIXTURE_SAMPLE_SQL,

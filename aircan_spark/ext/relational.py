@@ -468,3 +468,86 @@ def group_share(
             "weight_share", F.round(F.col("w") / F.col("__tw"), 6)
         )
     return out.drop("__tn", "__tw")
+
+
+def grouping_sets_counts(
+    df: DataFrame,
+    sets: list[list[str]],
+    agg_exprs: list[F.Column],
+    all_label: str = "ALL",
+) -> DataFrame:
+    """Explicit GROUPING SETS aggregation — only the requested level
+    combinations, unlike rollup (prefix hierarchy) or cube (all 2^k).
+    Grouping-null cells are labelled ``all_label``; group columns must be
+    strings (callers cast first).
+
+    Physically identical family to rollup/cube: Expand replicates each
+    row once per requested set (the expansion factor is len(sets), which
+    the caller controls exactly), then ONE partial-aggregated hash
+    aggregate."""
+    cols = sorted({c for s in sets for c in s})
+    out = df.groupingSets([list(s) for s in sets], *[F.col(c) for c in cols]).agg(
+        *agg_exprs
+    )
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(all_label)))
+    return out
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Latest record per key (CDC/log compaction: ``ORDER BY order_col
+    DESC, tie_col DESC`` row 1 per key) — the upsert-log collapse that
+    turns an append stream into current state.
+
+    row_number + rank-1 filter benefits from WindowGroupLimit pushdown:
+    each map task forwards at most ONE row per key into the shuffle, so
+    the exchange carries |keys| rows, not |log|."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc(), F.col(tie_col).desc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Global quantile bucketing (curriculum deciles, difficulty tiers):
+    assign each row the index of its quantile band, 0..n_buckets-1.
+
+    NOT a global NTILE — that is a single unpartitioned window (one task
+    sorts everything at 100 TB). Instead the n-1 interior quantile
+    thresholds (rounded to 6 so the cut points are engine-portable)
+    broadcast as a 1-row array frame and each row counts the thresholds
+    below its value — a row-local higher-order function over <= n-1
+    elements, zero data shuffle. Ties around a cut all land on the same
+    side, so bucket populations can deviate from exactly 1/n where mass
+    concentrates — the correct behavior for a value-based banding."""
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        F.array(
+            *[
+                F.round(F.expr(f"percentile({value_col}, {p})"), 6)
+                for p in ps
+            ]
+        ).alias("__bounds")
+    )
+    bucket = F.size(
+        F.filter(F.col("__bounds"), lambda b: F.col(value_col) > b)
+    ).cast("long")
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out_col, bucket)
+        .drop("__bounds")
+    )

@@ -348,9 +348,14 @@ def bm25_scores(
         F.count(F.lit(1)).alias("__n"),
         F.sum(F.col("dl").cast("long")).alias("__total_dl"),
     )
-    words = lens.select(
-        id_col, "dl", F.explode("__toks").alias("word")
-    ).filter(F.col("word").isin(list(query_terms)))
+    # Filter INSIDE the array before exploding: the Generate emits only
+    # query-term hits (a handful per doc), not every corpus token — a
+    # post-explode filter can't be pushed back above the Generate.
+    terms = list(query_terms)
+    matches = F.filter(
+        F.col("__toks"), lambda w: w.isin(terms)
+    )
+    words = lens.select(id_col, "dl", F.explode(matches).alias("word"))
     tf = words.groupBy(id_col, "dl", "word").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
     n = F.col("__n").cast("double")

@@ -226,3 +226,65 @@ def stream_dedup(
     if events.isStreaming:
         return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "-10 minutes",
+    upper: str = "0 seconds",
+    watermark: str = "1 hour",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Stream-stream interval join (attribution: each left event pairs
+    with the right events of the same key inside
+    ``[left.ts + lower, left.ts + upper)``, inner semantics).
+
+    Streaming inputs get watermarks on BOTH sides plus the event-time
+    range condition — exactly what Spark needs to bound join state: each
+    side buffers only rows younger than watermark + window span, evicted
+    as the watermark advances, so state is O(rate x horizon) regardless
+    of stream age. The join itself hash-partitions both sides by the
+    key — one shuffle each, the same cost shape as the batch
+    ``ext.relational.range_join`` (which is this operator's
+    batch-parity oracle in tests).
+
+    Batch frames run the identical predicate as a plain join — same
+    semantics on bounded input, letting the equivalence test compare
+    stream output against the bucketed batch implementation."""
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c != on]
+
+    r_renamed = right.select(
+        F.col(on).alias("__rkey"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    l_in, r_in = left, r_renamed
+    if left.isStreaming:
+        l_in = l_in.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        r_in = r_in.withWatermark(f"__r_{right_ts}", watermark)
+
+    def shift(interval: str):
+        iv = F.expr(f"INTERVAL {interval.lstrip('-').strip()}")
+        return (
+            F.col(left_ts) - iv
+            if interval.strip().startswith("-")
+            else F.col(left_ts) + iv
+        )
+
+    cond = (
+        (F.col(on) == F.col("__rkey"))
+        & (F.col(f"__r_{right_ts}") >= shift(lower))
+        & (F.col(f"__r_{right_ts}") < shift(upper))
+    )
+    joined = l_in.join(r_in, cond, "inner").drop("__rkey")
+    taken = set(left.columns)
+    for c in right_cols:
+        name = c + suffix if c in taken else c
+        joined = joined.withColumnRenamed(f"__r_{c}", name)
+    return joined

@@ -419,3 +419,61 @@ def test_json_fields_malformed_and_missing(spark):
     assert rows[2] == (None, None)   # malformed -> NULLs, no ANSI throw
     assert rows[3] == (None, "y")
     assert rows[4] == (None, None)
+
+
+def test_grouping_sets_exact_levels(spark):
+    """Only the requested sets appear — no cross cells, no grand total."""
+    from aircan_spark.ext.relational import grouping_sets_counts
+
+    df = spark.createDataFrame(
+        [("x", "d1"), ("x", "d2"), ("y", "d1")], "t string, d string"
+    )
+    rows = {
+        (r["t"], r["d"]): r["n"]
+        for r in grouping_sets_counts(
+            df, [["t"], ["d"]], [F.count(F.lit(1)).alias("n")]
+        ).collect()
+    }
+    assert rows == {
+        ("x", "ALL"): 2, ("y", "ALL"): 1,
+        ("ALL", "d1"): 2, ("ALL", "d2"): 1,
+    }
+
+
+def test_latest_by_key_ties_and_plan(spark):
+    """Latest ts wins; equal ts falls to the tie column; plan shows the
+    WindowGroupLimit rank pushdown."""
+    from datetime import datetime
+
+    from aircan_spark.ext.relational import latest_by_key
+
+    t0, t1 = datetime(2024, 1, 1), datetime(2024, 1, 2)
+    df = spark.createDataFrame(
+        [(1, 10, t0, "old"), (2, 10, t1, "new"), (3, 20, t0, "a"), (4, 20, t0, "b")],
+        "event_id long, user_id long, ts timestamp, tag string",
+    )
+    out = latest_by_key(df, ["user_id"], "ts", "event_id")
+    rows = {r["user_id"]: r for r in out.collect()}
+    assert rows[10]["tag"] == "new"
+    assert rows[20]["event_id"] == 4       # ts tie -> higher event_id
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_quantile_buckets_monotone_no_global_sort(spark):
+    """Buckets are monotone in the value, cover 0..n-1 on uniform data,
+    and the plan has no global Sort or single-partition Window."""
+    from aircan_spark.ext.relational import quantile_buckets
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1000)], "id long, v double")
+    out = quantile_buckets(df, "v", 10)
+    rows = sorted((r["v"], r["bucket"]) for r in out.collect())
+    buckets = [b for _, b in rows]
+    assert buckets == sorted(buckets)                 # monotone
+    assert set(buckets) == set(range(10))
+    import collections
+
+    sizes = collections.Counter(buckets)
+    assert max(sizes.values()) - min(sizes.values()) <= 2  # ~uniform
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan                      # no ntile window

@@ -271,3 +271,24 @@ def test_mixture_sample_rates(spark):
     assert 350 < len(by_src["half"]) < 650
     again = mixture_sample(df, "id", "src", {"keep": 1.0, "half": 0.5}).collect()
     assert {r["id"] for r in again} == {r["id"] for r in out}
+
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    """Codes stay in [-127, 127], the max-|x| component hits ±127,
+    dequantization reconstructs within scale/2 per cell, zero vectors
+    quantize to zero with scale 0."""
+    from aircan_spark.ext.vectors import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    q1 = [int(x) for x in rows[1]["qvec"].split(",")]
+    s1 = rows[1]["scale"]
+    assert min(q1) >= -127 and max(q1) <= 127
+    assert -127 in q1                                  # the max-|x| cell
+    for orig, code in zip([1.0, -2.0, 0.5], q1):
+        assert abs(code * s1 - orig) <= s1 / 2 + 1e-9
+    assert rows[2]["scale"] == 0.0
+    assert rows[2]["qvec"] == "0,0,0"

@@ -213,3 +213,59 @@ def test_stream_dedup_drops_redelivered_rows(spark, tmp_path):
     assert out["n"] == 100 and out["d"] == 100
 
     assert stream_dedup(doubled, ["event_id"]).count() == 100  # batch fallback
+
+
+def test_stream_interval_join_equals_batch_range_join(spark, tmp_path):
+    """Stream-stream interval join (watermarked both sides) must produce
+    exactly the pairs the batch bucketed range_join produces on the same
+    data."""
+    from aircan_spark.ext.relational import range_join
+    from aircan_spark.streaming import stream_interval_join
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.limit(150)
+    views = events.limit(300).select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    lsrc, rsrc = str(tmp_path / "clicks"), str(tmp_path / "views")
+    clicks.write.parquet(lsrc)
+    views.write.parquet(rsrc)
+
+    want = {
+        (r["event_id"], r["view_id"])
+        for r in range_join(
+            clicks,
+            views,
+            on="user_id",
+            lower="-30 minutes",
+            upper="0 seconds",
+            right_cols=["view_id"],
+        ).collect()
+    }
+
+    ls = spark.readStream.schema(spark.read.parquet(lsrc).schema).parquet(lsrc)
+    rs = spark.readStream.schema(spark.read.parquet(rsrc).schema).parquet(rsrc)
+    joined = stream_interval_join(
+        ls,
+        rs,
+        on="user_id",
+        lower="-30 minutes",
+        upper="0 seconds",
+        watermark="2 hours",
+        right_cols=["view_id", "ts"],
+    ).select("event_id", "view_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        (r["event_id"], r["view_id"])
+        for r in spark.sql("SELECT event_id, view_id FROM sj").collect()
+    }
+    assert got == want and len(want) > 0
