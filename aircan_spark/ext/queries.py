@@ -1355,7 +1355,72 @@ FROM s ORDER BY vec_id
 """
 
 
+def ext_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-flavor star join: 1996 revenue by nation within one
+    region — lineitem |><| orders |><| customer |><| nation |><| region
+    with a decimal-exact revenue aggregate.
+
+    Scale shape: the date filter prunes orders AT THE SCAN (parquet
+    predicate pushdown), nation/region are explicit broadcasts, customer
+    is left to AQE (broadcast at small SF, shuffle join at 100 TB), and
+    the lineitem->orders equi-join is the single big exchange. Revenue
+    accumulates in DECIMAL so the result is order-independent."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+        ).alias("rev"),
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum("rev").cast("decimal(38,12)").cast("string").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("n_name")
+    )
+
+
+EXT_STAR_JOIN_SQL = r"""
+SELECT n_name,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+                 AS DECIMAL(38,12)) AS VARCHAR) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1997-01-01'
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_star_join": ext_star_join,
     "ext_grouping_sets": ext_grouping_sets,
     "ext_latest_by_key": ext_latest_by_key,
     "ext_quantile_buckets": ext_quantile_buckets,
@@ -1418,6 +1483,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
+    "ext_star_join": EXT_STAR_JOIN_SQL,
     "ext_grouping_sets": EXT_GROUPING_SETS_SQL,
     "ext_latest_by_key": EXT_LATEST_BY_KEY_SQL,
     "ext_quantile_buckets": EXT_QUANTILE_BUCKETS_SQL,

