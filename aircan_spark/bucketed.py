@@ -129,6 +129,32 @@ class BucketedParquetTable:
         # leaf dir is read directly and the column is not resurrected.
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel: read the table as of an earlier committed
+        ``version`` (snapshot isolation over the manifest history). Only
+        versions still retained by ``keep_versions`` are readable — the
+        GC deletes data dirs no retained snapshot references, exactly
+        like VACUUM horizon semantics on a lakehouse table."""
+        m = self.manifest()
+        if m is None:
+            raise FileNotFoundError(f"table {self.name} does not exist at {self.path}")
+        if int(m["version"]) == version:
+            return self.read()
+        for snap in m.get("history", []):
+            if int(snap["version"]) == version:
+                paths = [
+                    os.path.join(self.path, d)
+                    for dirs in snap["buckets"].values()
+                    for d in dirs
+                ]
+                return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        retained = [int(s["version"]) for s in m.get("history", [])] + [
+            int(m["version"])
+        ]
+        raise ValueError(
+            f"version {version} not retained (readable: {sorted(retained)})"
+        )
+
     def max_id(self, column: str = ROW_NUMBER_COLUMN) -> int:
         m = self.manifest()
         if m is None:

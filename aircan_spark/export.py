@@ -39,6 +39,7 @@ EXPORT_EXT = {
     "ndjson": "ndjson",
     "jsonl": "ndjson",
     "parquet": "parquet",
+    "orc": "orc",
 }
 
 
@@ -76,19 +77,20 @@ def export_ordered(
         ordered.write.mode("overwrite").option(
             "timestampFormat", timestamp_format
         ).json(shard_dir)
-    else:  # parquet
+    else:  # parquet / orc — columnar, non-concatenable (reference K6)
         if single_file:
-            # Parquet can't be concatenated (reference K6): single-partition
-            # write, accepting the one-task cost the caller opted into.
+            # single-partition write, accepting the one-task cost the
+            # caller opted into.
             ordered = ordered.coalesce(1)
-        ordered.write.mode("overwrite").parquet(shard_dir)
+        writer = ordered.write.mode("overwrite")
+        (writer.parquet if ext == "parquet" else writer.orc)(shard_dir)
 
     if not single_file:
         return shard_dir
 
     target = os.path.join(out_dir, f"export.{ext}")
     parts = sorted(glob.glob(os.path.join(shard_dir, "part-*")))
-    if ext == "parquet":
+    if ext in ("parquet", "orc"):
         shutil.move(parts[0], target)
     else:
         # Driver-side compose; the header line is kept from the first CSV

@@ -13,6 +13,7 @@ of accumulation order across engines.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -117,3 +118,35 @@ def zscore_normalize(
         .withColumn(out_col, z)
         .drop("__n", "__s1", "__s2")
     )
+
+
+def mad_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Median absolute deviation per group — the outlier-robust spread
+    statistic (stddev is dominated by the very outliers a corpus filter
+    wants to find). Returns (groups..., mad rounded to 6).
+
+    This is the engine's UDAF surface demonstrated for real: median
+    needs the group's values held together, which no built-in
+    partial-aggregate expresses, so a pandas GROUPED_AGG UDF
+    (Arrow-batched, one call per group) computes it. The UDF sorts
+    internally, so results are independent of row arrival order —
+    safe to oracle across engines (numpy and DuckDB both interpolate
+    the even-count median). At 100 TB prefer the two-pass approx
+    formulation (approx median broadcast back, then approx median of
+    deviations) — kept exact here for oracle-checkability; groups must
+    fit in executor memory (they're per-key, not per-corpus)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _mad(v: pd.Series) -> float:
+        arr = v.dropna().to_numpy(dtype="float64")
+        if arr.size == 0:
+            return None
+        return round(float(np.median(np.abs(arr - np.median(arr)))), 6)
+
+    return df.groupBy(*group_cols).agg(_mad(F.col(value_col)).alias("mad"))

@@ -1419,7 +1419,25 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+def ext_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust spread per event type: median absolute deviation via the
+    pandas GROUPED_AGG UDAF surface (sort-internal, order-independent)."""
+    ev = _t(spark, sf_dir, "events")
+    return features.mad_by_group(ev, ["event_type"], "value").orderBy("event_type")
+
+
+EXT_MAD_SQL = r"""
+WITH m AS (
+  SELECT event_type, median(value) AS md FROM events GROUP BY event_type
+)
+SELECT e.event_type, ROUND(median(ABS(e.value - m.md)), 6) AS mad
+FROM events e JOIN m USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_mad": ext_mad,
     "ext_star_join": ext_star_join,
     "ext_grouping_sets": ext_grouping_sets,
     "ext_latest_by_key": ext_latest_by_key,
@@ -1483,6 +1501,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
+    "ext_mad": EXT_MAD_SQL,
     "ext_star_join": EXT_STAR_JOIN_SQL,
     "ext_grouping_sets": EXT_GROUPING_SETS_SQL,
     "ext_latest_by_key": EXT_LATEST_BY_KEY_SQL,

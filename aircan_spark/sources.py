@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 from aircan_spark.schema import descriptor_to_struct, sanitize_column_name
 
 # format -> (spark format, reader options); mirrors storage.py:214-222
-_FORMATS = {"csv", "tsv", "json", "ndjson", "jsonl", "parquet"}
+_FORMATS = {"csv", "tsv", "json", "ndjson", "jsonl", "parquet", "orc"}
 
 
 def infer_format(path: str, declared: str | None = None) -> str:
@@ -82,7 +82,8 @@ def read_resource(
     - ndjson/jsonl: ``spark.read.json`` line mode (S2).
     - json: JSON **array** documents via ``multiLine`` (S3) — the
       reference's ijson incremental parse becomes a declarative read.
-    - parquet: native vectorized reader (S4).
+    - parquet/orc: native vectorized columnar readers (S4; orc is a
+      beyond-reference format Spark provides for free).
     - ``.gz`` sources decompress transparently (S5). NOTE a gzip file is
       non-splittable -> single-task read, same as the reference's
       single-threaded stream; at scale recompress on ingest (SURVEY §7.4).
@@ -122,8 +123,8 @@ def read_resource(
         df = reader.json(path)
         if schema is not None:
             df = df.select(*[f.name for f in schema.fields])
-    elif fmt == "parquet":
-        df = spark.read.parquet(path)
+    elif fmt in ("parquet", "orc"):
+        df = spark.read.parquet(path) if fmt == "parquet" else spark.read.orc(path)
         if schema is not None:
             df = df.select(
                 *[df[f.name].cast(f.dataType).alias(f.name) for f in schema.fields]

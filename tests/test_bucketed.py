@@ -179,3 +179,27 @@ def test_compact_noop_when_unfragmented(spark, tmp_path):
     v = t.manifest()["version"]
     assert t.compact() == []
     assert t.manifest()["version"] == v  # no commit happened
+
+
+def test_read_version_time_travel(spark, tmp_path):
+    """An upsert commits a new version; read_version returns the prior
+    snapshot bit-for-bit while current read sees the merge; unretained
+    versions raise with the readable list."""
+    t = BucketedParquetTable(spark, str(tmp_path), "t", keys=["k"], num_buckets=8)
+    df = base_df(spark)
+    t.overwrite(df)
+    v1 = t.current_version()
+    before = [tuple(r) for r in t.read().select("k", "val").orderBy("k").collect()]
+
+    t.upsert(stage_df(spark), job_ts=TS2)
+    v2 = t.current_version()
+    assert v2 != v1
+
+    old = [tuple(r) for r in t.read_version(v1).select("k", "val").orderBy("k").collect()]
+    assert old == before
+    now = [tuple(r) for r in t.read().select("k", "val").orderBy("k").collect()]
+    assert now != before
+    assert [tuple(r) for r in t.read_version(v2).select("k", "val").orderBy("k").collect()] == now
+
+    with pytest.raises(ValueError, match="not retained"):
+        t.read_version(v1 - 1 if v1 > 0 else 999)

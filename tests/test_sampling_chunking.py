@@ -292,3 +292,20 @@ def test_quantize_int8_roundtrip_and_zero_vector(spark):
         assert abs(code * s1 - orig) <= s1 / 2 + 1e-9
     assert rows[2]["scale"] == 0.0
     assert rows[2]["qvec"] == "0,0,0"
+
+
+def test_mad_by_group_crafted(spark):
+    """Hand-computed MAD; NULLs are ignored; all-null group yields NULL;
+    result is independent of row order (UDF sorts internally)."""
+    from aircan_spark.ext.features import mad_by_group
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0), ("a", None),
+         ("b", 7.0), ("c", None)],
+        "g string, value double",
+    )
+    rows = {r["g"]: r["mad"] for r in mad_by_group(df, ["g"], "value").collect()}
+    # a: median(1,2,3,100)=2.5; |v-2.5|=(1.5,0.5,0.5,97.5); median=1.0
+    assert rows["a"] == 1.0
+    assert rows["b"] == 0.0
+    assert rows["c"] is None

@@ -211,3 +211,22 @@ def test_export_csv_sharded_order(spark, tmp_path):
                     first_of_each.append(int(line.split(",")[0]))
         assert first_of_each == sorted(first_of_each)
     assert sorted(ids) == list(range(1, 5001))
+
+
+def test_read_orc_and_export_orc_roundtrip(spark, tmp_path):
+    """ORC read/write: export a frame to single-file ORC, read it back via
+    read_resource with declared format and by extension inference."""
+    from aircan_spark.export import export_ordered
+    from aircan_spark.sources import infer_format, read_resource
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", None)],
+        "_id long, name string, score double",
+    )
+    out = export_ordered(df, str(tmp_path / "out"), fmt="orc", single_file=True)
+    assert out.endswith("export.orc")
+    assert infer_format(out) == "orc"
+    back = read_resource(spark, out, fmt="orc")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    sharded = export_ordered(df, str(tmp_path / "out2"), fmt="orc", single_file=False)
+    assert spark.read.orc(sharded).count() == 3
