@@ -1436,7 +1436,93 @@ GROUP BY e.event_type ORDER BY e.event_type
 """
 
 
+def ext_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: customer-name pairs within edit distance 1,
+    blocked on the name minus its last 2 chars (equi-join on the block
+    key, levenshtein verify inside blocks only)."""
+    from aircan_spark.ext import entity
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        entity.fuzzy_self_join(cust, "c_custkey", "c_name", max_dist=1, tail=2)
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
+    )
+
+
+EXT_FUZZY_JOIN_SQL = r"""
+WITH k AS (
+  SELECT c_custkey AS id, c_name AS name,
+         SUBSTR(c_name, 1, GREATEST(LENGTH(c_name) - 2, 0)) AS block
+  FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM k a JOIN k b ON a.block = b.block AND a.id < b.id
+WHERE levenshtein(a.name, b.name) <= 1
+ORDER BY id_a, id_b
+"""
+
+
+def ext_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column profile of orders (nulls / distinct / min / max
+    per column, stack-unpivoted)."""
+    from aircan_spark import profile as P
+
+    orders = _t(spark, sf_dir, "orders")
+    return P.profile(
+        orders, ["o_orderkey", "o_custkey", "o_totalprice"]
+    ).orderBy("column")
+
+
+EXT_PROFILE_SQL = r"""
+WITH w AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nulls_ok,
+         COUNT(DISTINCT o_orderkey) AS nd_ok,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS min_ok,
+         CAST(MAX(o_orderkey) AS VARCHAR) AS max_ok,
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nulls_ck,
+         COUNT(DISTINCT o_custkey) AS nd_ck,
+         CAST(MIN(o_custkey) AS VARCHAR) AS min_ck,
+         CAST(MAX(o_custkey) AS VARCHAR) AS max_ck,
+         SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nulls_tp,
+         COUNT(DISTINCT o_totalprice) AS nd_tp,
+         CAST(MIN(o_totalprice) AS VARCHAR) AS min_tp,
+         CAST(MAX(o_totalprice) AS VARCHAR) AS max_tp
+  FROM orders
+)
+SELECT 'o_orderkey' AS "column", n AS n_rows, nulls_ok AS n_nulls,
+       nd_ok AS n_distinct, min_ok AS min_value, max_ok AS max_value FROM w
+UNION ALL
+SELECT 'o_custkey', n, nulls_ck, nd_ck, min_ck, max_ck FROM w
+UNION ALL
+SELECT 'o_totalprice', n, nulls_tp, nd_tp, min_tp, max_tp FROM w
+ORDER BY "column"
+"""
+
+
+def ext_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governed export: customer names replaced by salted SHA-256 tokens
+    (referentially stable, row-local, zero shuffle)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return text.pseudonymize(cust, ["c_name"], salt="pepper-1").orderBy(
+        "c_custkey"
+    )
+
+
+EXT_PSEUDONYMIZE_SQL = r"""
+SELECT c_custkey,
+       CASE WHEN c_name IS NULL THEN NULL
+            ELSE sha256('pepper-1' || c_name) END AS c_name_token
+FROM customer ORDER BY c_custkey
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_pseudonymize": ext_pseudonymize,
+    "ext_fuzzy_join": ext_fuzzy_join,
+    "ext_profile": ext_profile,
     "ext_mad": ext_mad,
     "ext_star_join": ext_star_join,
     "ext_grouping_sets": ext_grouping_sets,
@@ -1501,6 +1587,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
+    "ext_pseudonymize": EXT_PSEUDONYMIZE_SQL,
+    "ext_fuzzy_join": EXT_FUZZY_JOIN_SQL,
+    "ext_profile": EXT_PROFILE_SQL,
     "ext_mad": EXT_MAD_SQL,
     "ext_star_join": EXT_STAR_JOIN_SQL,
     "ext_grouping_sets": EXT_GROUPING_SETS_SQL,

@@ -409,3 +409,29 @@ def clean_text(
         )
     )
     return df.select(F.col(id_col), cleaned.alias(out_col))
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    salt: str,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Governed export: replace identifier columns with salted SHA-256
+    digests — referentially stable (the same value maps to the same
+    token, so joins still work) but not reversible without the salt.
+    NULLs stay NULL. Row-local projection: zero shuffle, codegen-fused.
+
+    The salt must be managed as a secret; rotating it breaks referential
+    continuity across exports by design."""
+    keep = keep if keep is not None else [c for c in df.columns if c not in cols]
+    return df.select(
+        *keep,
+        *[
+            F.when(
+                F.col(c).isNotNull(),
+                F.sha2(F.concat(F.lit(salt), F.col(c).cast("string")), 256),
+            ).alias(f"{c}_token")
+            for c in cols
+        ],
+    )

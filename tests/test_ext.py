@@ -423,3 +423,20 @@ def test_clean_text_crafted(spark):
     assert got[1] == "a b c"
     assert got[2] == "x y z"
     assert got[3] == "already clean"
+
+
+def test_pseudonymize_stable_salted_null_safe(spark):
+    """Same value -> same token (join-stable); different salt -> different
+    token; NULLs stay NULL; raw values absent from the output."""
+    df = spark.createDataFrame(
+        [(1, "alice", 9.0), (2, "alice", 8.0), (3, None, 7.0)],
+        ["id", "user", "score"],
+    )
+    out = text.pseudonymize(df, ["user"], salt="s1")
+    rows = {r["id"]: r["user_token"] for r in out.collect()}
+    assert rows[1] == rows[2] and rows[1] is not None and len(rows[1]) == 64
+    assert rows[3] is None
+    assert "user" not in out.columns
+    other = {r["id"]: r["user_token"]
+             for r in text.pseudonymize(df, ["user"], salt="s2").collect()}
+    assert other[1] != rows[1]

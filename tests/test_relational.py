@@ -528,3 +528,46 @@ def test_grouped_percentiles_approx_within_tolerance(spark):
             )
     # sanity: the exact interpolated aggregate still runs alongside
     assert grouped_percentiles(docs, ["lang"], "n_chars").count() == len(values)
+
+
+def test_fuzzy_self_join_blocking_and_verify(spark):
+    """Same-block pairs within the distance match; near pairs in
+    different blocks are (by design) not compared; oversized blocks drop
+    under the cap."""
+    from aircan_spark.ext.entity import fuzzy_self_join
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha01"),
+            (2, "alpha02"),   # dist 1 from alpha01, same block 'alpha'
+            (3, "alpha99"),   # same block, dist 2 -> filtered by verify
+            (4, "blpha01"),   # dist 1 from alpha01 but block 'blpha' -> missed (blocking recall)
+        ],
+        ["id", "name"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_self_join(df, "id", "name", max_dist=1, tail=2).collect()
+    }
+    assert pairs == {(1, 2): 1}
+
+    capped = fuzzy_self_join(
+        df, "id", "name", max_dist=2, tail=2, max_block_size=2
+    ).collect()
+    assert capped == []  # the 3-name 'alpha' block exceeded the cap
+
+
+def test_profile_nulls_distinct_minmax(spark):
+    from aircan_spark.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", None), (None, "b", None)],
+        "x long, s string, dead string",
+    )
+    rows = {r["column"]: r for r in profile(df).collect()}
+    assert rows["x"]["n_rows"] == 3 and rows["x"]["n_nulls"] == 1
+    assert rows["x"]["n_distinct"] == 2
+    assert (rows["x"]["min_value"], rows["x"]["max_value"]) == ("1", "2")
+    assert rows["s"]["n_distinct"] == 2 and rows["s"]["n_nulls"] == 0
+    assert rows["dead"]["n_distinct"] == 0
+    assert rows["dead"]["min_value"] is None and rows["dead"]["max_value"] is None
