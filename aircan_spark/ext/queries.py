@@ -1519,7 +1519,110 @@ FROM customer ORDER BY c_custkey
 """
 
 
+def ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution funnel: daily purchase counts split by whether a
+    same-user click preceded the purchase within 1 hour — COMPOSED from
+    the bucketed ``range_join`` (clicks explode into <= 2 time buckets;
+    no per-user cross product) plus a distinct + left join back.
+
+    The composition is the point: funnel analytics at 100 TB is a
+    bounded interval join, never a sort of each user's full history."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    pairs = relational.range_join(
+        purchases,
+        clicks,
+        on="user_id",
+        lower="-1 hours",
+        upper="0 seconds",
+        right_cols=["click_id"],
+    )
+    attributed = pairs.select("event_id").distinct().withColumn(
+        "__attr", F.lit(1)
+    )
+    return (
+        purchases.join(attributed, "event_id", "left")
+        .groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.coalesce(F.col("__attr"), F.lit(0))).alias("n_attributed"),
+        )
+        .withColumn(
+            "attribution_rate",
+            F.round(F.col("n_attributed") / F.col("n_purchases"), 6),
+        )
+        .orderBy("day")
+    )
+
+
+EXT_FUNNEL_SQL = r"""
+WITH p AS (
+  SELECT event_id, user_id, ts, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+  FROM events WHERE event_type = 'purchase'
+),
+a AS (
+  SELECT p.day,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM events c
+           WHERE c.event_type = 'click' AND c.user_id = p.user_id
+             AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+         ) THEN 1 ELSE 0 END AS attr
+  FROM p
+)
+SELECT day, COUNT(*) AS n_purchases, SUM(attr) AS n_attributed,
+       ROUND(CAST(SUM(attr) AS DOUBLE) / COUNT(*), 6) AS attribution_rate
+FROM a GROUP BY day ORDER BY day
+"""
+
+
+def ext_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    distinct actives per (cohort_week, weeks_since). Two hash aggregates
+    (first-seen per user, distinct actives per cell) joined on the user
+    key — no per-user window, no global sort."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("d")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("d")).cast("date").alias("w")
+    ).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            (F.datediff("w", "cohort_week") / 7).cast("long").alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+EXT_RETENTION_SQL = r"""
+WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+c AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(d)) AS DATE) AS cohort_week
+  FROM e GROUP BY user_id
+),
+a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', d) AS DATE) AS w FROM e)
+SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
+       CAST(date_diff('day', cohort_week, w) / 7 AS BIGINT) AS weeks_since,
+       COUNT(DISTINCT a.user_id) AS n_active_users
+FROM a JOIN c ON a.user_id = c.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_funnel": ext_funnel,
+    "ext_retention": ext_retention,
     "ext_pseudonymize": ext_pseudonymize,
     "ext_fuzzy_join": ext_fuzzy_join,
     "ext_profile": ext_profile,
@@ -1587,6 +1690,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
+    "ext_funnel": EXT_FUNNEL_SQL,
+    "ext_retention": EXT_RETENTION_SQL,
     "ext_pseudonymize": EXT_PSEUDONYMIZE_SQL,
     "ext_fuzzy_join": EXT_FUZZY_JOIN_SQL,
     "ext_profile": EXT_PROFILE_SQL,
