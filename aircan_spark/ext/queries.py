@@ -1620,7 +1620,225 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization: a session breaks after a 30-minute
+    silence per user. lag + conditional flag + running sum, all inside
+    per-user windows, then one hash aggregate per (user, session).
+
+    Scale shape: every window is PARTITIONED BY user_id — one hash
+    exchange on the user key, per-key sorts only (no global sort, no
+    single-partition window). Timestamps compare natively (no epoch
+    truncation) so sub-second gaps are exact; outputs are epoch micros
+    (BIGINT) for engine-independent value hashing."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+        )
+        .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
+        .orderBy("user_id", "session_idx")
+    )
+
+
+EXT_SESSIONIZE_SQL = r"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+FROM sessioned GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+"""
+
+
+def ext_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled daily event counts over a generated date spine
+    (min..max day). The spine comes from a 1-row bounds aggregate +
+    ``sequence``/``explode`` — generated, never stored — and the daily
+    aggregate (tiny: one row per day) is explicitly broadcast onto it.
+
+    Scale shape: the only exchange over the big table is the daily
+    count's partial agg; the spine join moves O(days) rows."""
+    ev = _t(spark, sf_dir, "events").select(F.to_date("ts").alias("d"))
+    daily = ev.groupBy("d").agg(F.count(F.lit(1)).alias("n_events"))
+    spine = (
+        ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("d"))
+    )
+    return (
+        spine.join(F.broadcast(daily), "d", "left")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+EXT_GAP_FILL_SQL = r"""
+WITH e AS (SELECT CAST(ts AS DATE) AS d FROM events),
+b AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM e),
+spine AS (
+  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+  FROM b
+),
+daily AS (SELECT d, COUNT(*) AS n_events FROM e GROUP BY d)
+SELECT CAST(spine.d AS VARCHAR) AS day,
+       COALESCE(daily.n_events, 0) AS n_events
+FROM spine LEFT JOIN daily ON spine.d = daily.d
+ORDER BY day
+"""
+
+
+def ext_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-flavor pricing summary: per (returnflag, linestatus)
+    decimal-exact sums of qty / base price / discounted price / charge
+    plus row counts, under a shipdate cutoff.
+
+    Scale shape: the cutoff filter pushes to the parquet scan, the
+    4-column projection prunes the read, and everything else is ONE
+    partial+final hash aggregate over a handful of groups — the map-side
+    combine shrinks the shuffle to O(groups x partitions). DECIMAL
+    accumulation makes the sums order-independent across engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    d = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    one = F.lit(1).cast("decimal(18,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("decimal(38,6)").cast("string").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("decimal(38,6)").cast("string").alias("sum_base_price"),
+            F.sum(d("l_extendedprice") * (one - d("l_discount")))
+            .cast("decimal(38,12)").cast("string").alias("sum_disc_price"),
+            F.sum(d("l_extendedprice") * (one - d("l_discount")) * (one + d("l_tax")))
+            .cast("decimal(38,18)").cast("string").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+EXT_PRICING_SUMMARY_SQL = r"""
+SELECT l_returnflag, l_linestatus,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_base_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+                 AS DECIMAL(38,12)) AS VARCHAR) AS sum_disc_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+                     * (CAST(1 AS DECIMAL(18,6)) + CAST(l_tax AS DECIMAL(18,6))))
+                 AS DECIMAL(38,18)) AS VARCHAR) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def ext_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-flavor: top-20 customers by returned-item revenue.
+    lineitem(R) |><| orders -> per-customer decimal revenue -> join
+    customer -> global top-k.
+
+    Scale shape: the returnflag filter pushes to the scan; the one big
+    exchange is lineitem->orders on orderkey; per-customer revenue is a
+    hash agg (small output), so the customer join's left side is already
+    reduced and AQE can broadcast it; the final top-20 compiles to
+    TakeOrderedAndProject (per-task heaps, no global sort)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+        ).alias("rev"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    per_cust = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("rev").cast("decimal(38,12)").alias("_rev"),
+            F.count(F.lit(1)).alias("n_return_items"),
+        )
+    )
+    return (
+        per_cust.join(cust, per_cust["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.col("_rev").cast("string").alias("revenue"),
+            "n_return_items",
+            F.col("_rev").alias("_ord"),
+        )
+        .orderBy(F.col("_ord").desc(), "c_custkey")
+        .limit(20)
+        .drop("_ord")
+    )
+
+
+EXT_TOP_CUSTOMERS_SQL = r"""
+SELECT c_custkey, c_name, c_mktsegment,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+                 AS DECIMAL(38,12)) AS VARCHAR) AS revenue,
+       COUNT(*) AS n_return_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                  * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+              AS DECIMAL(38,12)) DESC, c_custkey
+LIMIT 20
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_sessionize": ext_sessionize,
+    "ext_gap_fill": ext_gap_fill,
+    "ext_pricing_summary": ext_pricing_summary,
+    "ext_top_customers": ext_top_customers,
     "ext_funnel": ext_funnel,
     "ext_retention": ext_retention,
     "ext_pseudonymize": ext_pseudonymize,
@@ -1690,6 +1908,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
+    "ext_sessionize": EXT_SESSIONIZE_SQL,
+    "ext_gap_fill": EXT_GAP_FILL_SQL,
+    "ext_pricing_summary": EXT_PRICING_SUMMARY_SQL,
+    "ext_top_customers": EXT_TOP_CUSTOMERS_SQL,
     "ext_funnel": EXT_FUNNEL_SQL,
     "ext_retention": EXT_RETENTION_SQL,
     "ext_pseudonymize": EXT_PSEUDONYMIZE_SQL,
