@@ -1834,7 +1834,190 @@ LIMIT 20
 """
 
 
+def ext_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-flavor existence query: orders with at least one lineitem
+    shipped >60 days after the order date, counted by priority — a LEFT
+    SEMI join (equi on orderkey + residual date condition).
+
+    Scale shape: semi join never duplicates or widens the left side (the
+    probe stops at first match), both scans project 2-3 columns, and the
+    priority count is a tiny hash agg. One exchange on orderkey."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "leftsemi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+EXT_LATE_ORDERS_SQL = r"""
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def ext_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral sequence extraction: the first 20 events (by
+    time) joined into a `view>click>purchase` path string — the
+    sequence-mining / session-replay input shape for training pipelines.
+
+    Scale shape: a row_number filter per user BEFORE the collect caps
+    every group at 20 rows (WindowGroupLimit pushes the cap into the
+    shuffle), so collect_list is bounded — never an unbounded per-user
+    array. One exchange on user_id serves both the window and the agg."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first20 = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+    return (
+        first20.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("seq"),
+            F.count(F.lit(1)).alias("n_seq"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EXT_EVENT_SEQUENCES_SQL = r"""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY rn) AS seq,
+       COUNT(*) AS n_seq
+FROM ranked WHERE rn <= 20
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def ext_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample (k=5 docs per source) ordered by
+    a portable md5 hash — the subset-stable 'show me 5 examples of every
+    source' primitive (engine-independent, re-runnable, no rand()).
+
+    Scale shape: row_number over (source, hash order) with the <=k
+    filter compiles to WindowGroupLimit — per-task group limits run
+    BEFORE the exchange, so the shuffle carries O(k x groups), not the
+    corpus."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id")
+    keyed = docs.withColumn(
+        "sample_key", F.md5(F.concat(F.lit("7-"), F.col("doc_id").cast("string")))
+    )
+    w = Window.partitionBy("source").orderBy("sample_key", "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", F.col("rn").alias("rank"), "doc_id", "sample_key")
+        .orderBy("source", "rank")
+    )
+
+
+EXT_GROUP_SAMPLE_SQL = r"""
+WITH keyed AS (
+  SELECT source, doc_id,
+         md5('7-' || CAST(doc_id AS VARCHAR)) AS sample_key
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, sample_key,
+         row_number() OVER (PARTITION BY source ORDER BY sample_key, doc_id) AS rn
+  FROM keyed
+)
+SELECT source, rn AS rank, doc_id, sample_key
+FROM ranked WHERE rn <= 5 ORDER BY source, rank
+"""
+
+
+def ext_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-flavor conditional-aggregate share: PROMO parts' slice
+    of March-1996 revenue — CASE-gated decimal sums in ONE aggregate
+    (never two passes), share derived from the exact decimals.
+
+    Scale shape: the shipdate window pushes to the lineitem scan before
+    the join; part joins on partkey (AQE broadcasts at small SF, shuffle
+    join at scale — part is a data-sized table, not a guaranteed-small
+    dim); the global agg is a 1-row partial+final."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    ).select(
+        "l_partkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+        ).alias("rev"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    agg = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(F.lit(0).cast("decimal(18,6)")))
+            .cast("decimal(38,12)").alias("_promo"),
+            F.sum("rev").cast("decimal(38,12)").alias("_total"),
+        )
+    )
+    return agg.select(
+        F.col("_promo").cast("string").alias("promo_revenue"),
+        F.col("_total").cast("string").alias("total_revenue"),
+        F.round(
+            F.col("_promo").cast("double") / F.col("_total").cast("double") * 100, 6
+        ).alias("promo_share_pct"),
+    )
+
+
+EXT_PROMO_SHARE_SQL = r"""
+WITH j AS (
+  SELECT p_type,
+         CAST(l_extendedprice AS DECIMAL(18,6))
+         * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-01'
+    AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+),
+a AS (
+  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,12)) AS p,
+         CAST(SUM(rev) AS DECIMAL(38,12)) AS t
+  FROM j
+)
+SELECT CAST(p AS VARCHAR) AS promo_revenue,
+       CAST(t AS VARCHAR) AS total_revenue,
+       ROUND(CAST(p AS DOUBLE) / CAST(t AS DOUBLE) * 100, 6) AS promo_share_pct
+FROM a
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_late_orders": ext_late_orders,
+    "ext_event_sequences": ext_event_sequences,
+    "ext_group_sample": ext_group_sample,
+    "ext_promo_share": ext_promo_share,
     "ext_sessionize": ext_sessionize,
     "ext_gap_fill": ext_gap_fill,
     "ext_pricing_summary": ext_pricing_summary,
@@ -1908,6 +2091,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
+    "ext_late_orders": EXT_LATE_ORDERS_SQL,
+    "ext_event_sequences": EXT_EVENT_SEQUENCES_SQL,
+    "ext_group_sample": EXT_GROUP_SAMPLE_SQL,
+    "ext_promo_share": EXT_PROMO_SHARE_SQL,
     "ext_sessionize": EXT_SESSIONIZE_SQL,
     "ext_gap_fill": EXT_GAP_FILL_SQL,
     "ext_pricing_summary": EXT_PRICING_SUMMARY_SQL,
