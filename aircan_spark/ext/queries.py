@@ -2013,7 +2013,135 @@ FROM a
 """
 
 
+def ext_next_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap analysis: lead() per user gives time-to-next-event,
+    aggregated to a mean gap per event_type. The mean is derived from an
+    exact decimal micros sum / count (float avg is accumulation-order
+    dependent across engines — SNIPPETS cross-engine lesson).
+
+    Scale shape: lead() runs in per-user windows (one exchange on
+    user_id), then a tiny per-type hash agg."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "gap_us", F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(
+                F.sum(F.col("gap_us").cast("decimal(27,0)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EXT_NEXT_EVENT_GAP_SQL = r"""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+         - epoch_us(ts) AS gap_us
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_gaps,
+       ROUND(CAST(SUM(CAST(gap_us AS DECIMAL(27,0))) AS DOUBLE) / COUNT(*), 6) AS avg_gap_us,
+       MAX(gap_us) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def ext_segment_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative ranking inside each market segment: percent_rank + ntile
+    quartiles over account balance (custkey tie-break makes every rank
+    row-unique and both engines' ntile deterministic).
+
+    Scale shape: per-segment windows — one exchange on mktsegment; skew
+    is bounded (segments are a fixed small set, each window is a
+    per-partition sort, no global sort)."""
+    from pyspark.sql.window import Window
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    return (
+        cust.withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        .withColumn("quartile", F.ntile(4).over(w))
+        .orderBy("c_mktsegment", F.col("c_acctbal").desc(), "c_custkey")
+    )
+
+
+EXT_SEGMENT_RANK_SQL = r"""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ntile(4) OVER w AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
+"""
+
+
+def ext_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative daily order revenue: decimal day sums, then a running
+    total over the ORDERED DAY AXIS.
+
+    Scale shape: the expensive part (per-day revenue) is a partial+final
+    hash agg over the big table; the unpartitioned running-total window
+    runs AFTER aggregation over O(days) rows — a global window over raw
+    orders would serialize, over the day axis it's bounded and fine at
+    any SF. Decimal accumulation keeps the cumsum order-independent."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("price"),
+    )
+    daily = orders.groupBy("day").agg(
+        F.sum("price").cast("decimal(38,6)").alias("day_revenue")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.withColumn(
+            "cum_revenue", F.sum("day_revenue").over(w).cast("decimal(38,6)")
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("day_revenue").cast("string").alias("day_revenue"),
+            F.col("cum_revenue").cast("string").alias("cum_revenue"),
+        )
+        .orderBy("day")
+    )
+
+
+EXT_RUNNING_REVENUE_SQL = r"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS day_revenue
+  FROM orders GROUP BY 1
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(day_revenue AS VARCHAR) AS day_revenue,
+       CAST(CAST(SUM(day_revenue) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DECIMAL(38,6)) AS VARCHAR) AS cum_revenue
+FROM daily ORDER BY day
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_next_event_gap": ext_next_event_gap,
+    "ext_segment_rank": ext_segment_rank,
+    "ext_running_revenue": ext_running_revenue,
     "ext_late_orders": ext_late_orders,
     "ext_event_sequences": ext_event_sequences,
     "ext_group_sample": ext_group_sample,
@@ -2091,6 +2219,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
+    "ext_next_event_gap": EXT_NEXT_EVENT_GAP_SQL,
+    "ext_segment_rank": EXT_SEGMENT_RANK_SQL,
+    "ext_running_revenue": EXT_RUNNING_REVENUE_SQL,
     "ext_late_orders": EXT_LATE_ORDERS_SQL,
     "ext_event_sequences": EXT_EVENT_SEQUENCES_SQL,
     "ext_group_sample": EXT_GROUP_SAMPLE_SQL,
