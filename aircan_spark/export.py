@@ -104,3 +104,36 @@ def export_ordered(
                     shutil.copyfileobj(src, out, length=1 << 20)
     shutil.rmtree(shard_dir, ignore_errors=True)
     return target
+
+
+def export_partitioned(
+    df: DataFrame,
+    out_dir: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+    *,
+    max_records_per_file: int | None = None,
+) -> str:
+    """Hive-partitioned columnar export: one directory per distinct value
+    combination of ``partition_by`` (``col=value/...``), the layout Spark,
+    Hive, Trino, and DuckDB all prune on.
+
+    This is the scale-path sink the reference cannot express (its GCS
+    compose is a flat blob list): a downstream reader filtering on a
+    partition column touches ONLY the matching directories — the filter
+    becomes a PartitionFilter resolved against directory names, no data
+    files opened outside the selection. ``max_records_per_file`` caps
+    file size so a skewed partition value still splits into parallel
+    read units.
+    """
+    fmt = fmt.lower()
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"partitioned export requires columnar fmt, got: {fmt}")
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition columns not in frame: {missing}")
+    writer = df.write.mode("overwrite").partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    (writer.parquet if fmt == "parquet" else writer.orc)(out_dir)
+    return out_dir

@@ -8,6 +8,7 @@ weaker rows-only check plus recall tests in tests/test_ext.py.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2138,7 +2139,96 @@ FROM daily ORDER BY day
 """
 
 
+def ext_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink round-trip: documents written
+    ``source=<v>/part-*.parquet``, read back with a partition-column
+    filter, aggregated per source.
+
+    Scale shape: the read-back filter resolves against DIRECTORY NAMES
+    (PartitionFilters in the scan node — asserted in
+    tests/test_sources_validate_export.py); files outside the three
+    selected sources are never opened. This is the layout contract every
+    downstream engine (Spark/Trino/Hive/DuckDB) prunes on."""
+    import hashlib
+    import tempfile
+
+    from aircan_spark.export import export_partitioned
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars", "source")
+    # stable per-sf output dir: overwrite-mode re-runs reuse it (no /tmp
+    # accumulation across driver invocations)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "aircan_part_export_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    export_partitioned(docs, out, ["source"])
+    back = spark.read.parquet(out).filter(
+        F.col("source").isin("src1", "src2", "src3")
+    )
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+EXT_PARTITIONED_EXPORT_SQL = r"""
+SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM documents
+WHERE source IN ('src1', 'src2', 'src3')
+GROUP BY source ORDER BY source
+"""
+
+
+def ext_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7/Q9-flavor supplier volume: revenue by supplier nation and
+    ship year. lineitem joins supplier on suppkey (data-sized table —
+    shuffle join at scale, AQE broadcasts at small SF), nation is an
+    explicit broadcast; decimal-exact revenue.
+
+    Scale shape: 3-column lineitem projection, one orderkey-free exchange
+    (suppkey), tiny (nation x year) hash agg output."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+        ).alias("rev"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", "ship_year")
+        .agg(
+            F.sum("rev").cast("decimal(38,12)").cast("string").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("n_name", "ship_year")
+    )
+
+
+EXT_SUPPLIER_VOLUME_SQL = r"""
+SELECT n_name, EXTRACT(YEAR FROM l_shipdate) AS ship_year,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+                 AS DECIMAL(38,12)) AS VARCHAR) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name, ship_year ORDER BY n_name, ship_year
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_partitioned_export": ext_partitioned_export,
+    "ext_supplier_volume": ext_supplier_volume,
     "ext_next_event_gap": ext_next_event_gap,
     "ext_segment_rank": ext_segment_rank,
     "ext_running_revenue": ext_running_revenue,
@@ -2219,6 +2309,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
+    "ext_partitioned_export": EXT_PARTITIONED_EXPORT_SQL,
+    "ext_supplier_volume": EXT_SUPPLIER_VOLUME_SQL,
     "ext_next_event_gap": EXT_NEXT_EVENT_GAP_SQL,
     "ext_segment_rank": EXT_SEGMENT_RANK_SQL,
     "ext_running_revenue": EXT_RUNNING_REVENUE_SQL,

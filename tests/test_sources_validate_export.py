@@ -230,3 +230,40 @@ def test_read_orc_and_export_orc_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
     sharded = export_ordered(df, str(tmp_path / "out2"), fmt="orc", single_file=False)
     assert spark.read.orc(sharded).count() == 3
+
+
+def test_export_partitioned_layout_and_pruning(spark, tmp_path):
+    """Hive-partitioned export: directory-per-value layout, and a filter
+    on the partition column becomes a PartitionFilter in the scan (files
+    outside the selection are never listed as data to read)."""
+    import os
+
+    from aircan_spark.export import export_partitioned
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", i * 1.0) for i in range(30)],
+        "id long, grp string, val double",
+    )
+    out = export_partitioned(df, str(tmp_path / "part_out"), ["grp"])
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("grp=")
+    ) == ["grp=g0", "grp=g1", "grp=g2"]
+
+    back = spark.read.parquet(out).filter("grp = 'g1'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "grp" in plan.split("PartitionFilters")[1][:120]
+    assert back.count() == 10
+    # partition column round-trips as a real column
+    assert {r.grp for r in back.collect()} == {"g1"}
+
+
+def test_export_partitioned_rejects_bad_args(spark, tmp_path):
+    import pytest as _pytest
+
+    from aircan_spark.export import export_partitioned
+
+    df = spark.createDataFrame([(1, "a")], "id long, grp string")
+    with _pytest.raises(ValueError):
+        export_partitioned(df, str(tmp_path / "x"), ["nope"])
+    with _pytest.raises(ValueError):
+        export_partitioned(df, str(tmp_path / "x"), ["grp"], fmt="csv")
