@@ -2226,7 +2226,105 @@ GROUP BY n_name, ship_year ORDER BY n_name, ship_year
 """
 
 
+def ext_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stream reconciliation: daily click vs purchase counts FULL
+    OUTER joined on the day axis, absent sides zero-filled, with the
+    imbalance delta — the audit query for 'did sink B receive everything
+    source A sent'.
+
+    Scale shape: both inputs aggregate FIRST (partial+final hash aggs);
+    the full-outer join runs over two O(days) frames, never raw events.
+    Full outer can't broadcast — but at O(days) rows the sort-merge is
+    trivial at any SF."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("day").agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("day").agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        clicks.join(purchases, "day", "full_outer")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            (
+                F.coalesce("n_clicks", F.lit(0))
+                - F.coalesce("n_purchases", F.lit(0))
+            ).alias("delta"),
+        )
+        .orderBy("day")
+    )
+
+
+EXT_RECONCILE_SQL = r"""
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT CAST(COALESCE(c.day, p.day) AS VARCHAR) AS day,
+       COALESCE(n_clicks, 0) AS n_clicks,
+       COALESCE(n_purchases, 0) AS n_purchases,
+       COALESCE(n_clicks, 0) - COALESCE(n_purchases, 0) AS delta
+FROM c FULL OUTER JOIN p ON c.day = p.day
+ORDER BY day
+"""
+
+
+def ext_union_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two projections of documents with
+    DIFFERENT column sets combined via ``unionByName(allowMissing
+    Columns=True)`` — the batch-boundary schema-drift append the
+    reference handles with its recreate-vs-append decision tree (D4),
+    expressed as a single relational op (missing columns null-filled,
+    matched BY NAME, never by position).
+
+    Scale shape: union is a zero-shuffle concatenation of scans; the
+    final ordering is the only exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    old_batch = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "source", "n_chars"
+    )
+    new_batch = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", "lang"
+    )
+    return (
+        old_batch.unionByName(new_batch, allowMissingColumns=True)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.coalesce("lang", F.lit("?")).alias("lang"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXT_UNION_EVOLVE_SQL = r"""
+SELECT doc_id, source, n_chars, COALESCE(lang, '?') AS lang
+FROM (
+  SELECT doc_id, source, n_chars, NULL AS lang
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL BY NAME
+  SELECT doc_id, source, NULL AS n_chars, lang
+  FROM documents WHERE doc_id % 2 = 1
+)
+ORDER BY doc_id
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_reconcile": ext_reconcile,
+    "ext_union_evolve": ext_union_evolve,
     "ext_partitioned_export": ext_partitioned_export,
     "ext_supplier_volume": ext_supplier_volume,
     "ext_next_event_gap": ext_next_event_gap,
@@ -2309,6 +2407,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
+    "ext_reconcile": EXT_RECONCILE_SQL,
+    "ext_union_evolve": EXT_UNION_EVOLVE_SQL,
     "ext_partitioned_export": EXT_PARTITIONED_EXPORT_SQL,
     "ext_supplier_volume": EXT_SUPPLIER_VOLUME_SQL,
     "ext_next_event_gap": EXT_NEXT_EVENT_GAP_SQL,
