@@ -2322,7 +2322,111 @@ ORDER BY doc_id
 """
 
 
+def ext_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (streaming.py::stream_enrich)
+    in batch-parity mode: events left-join the customer dim (broadcast —
+    the stream side never shuffles), unmatched users fall back to
+    'unknown', then segment x event_type counts."""
+    from aircan_spark.streaming import stream_enrich
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream_enrich(
+        ev,
+        cust,
+        on=("user_id", "c_custkey"),
+        dim_cols=["c_mktsegment"],
+        default={"c_mktsegment": "unknown"},
+    )
+    return (
+        enriched.groupBy(
+            F.col("c_mktsegment").alias("segment"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("segment", "event_type")
+    )
+
+
+EXT_STREAM_ENRICH_SQL = r"""
+SELECT COALESCE(c_mktsegment, 'unknown') AS segment, event_type,
+       COUNT(*) AS n_events
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2 ORDER BY segment, event_type
+"""
+
+
+def ext_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic argmin/argmax per group: the event carrying the
+    smallest / largest value per event_type, via MIN/MAX over a
+    (value, event_id) struct — lexicographic struct ordering gives an
+    exact tie-break inside ONE hash aggregate (no window, no self-join).
+
+    Scale shape: partial min/max structs combine map-side; the shuffle
+    carries one struct per (partition, group)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    lo = F.min(F.struct("value", "event_id"))
+    hi = F.max(F.struct("value", "event_id"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(lo["value"], 6).alias("min_value"),
+            lo["event_id"].alias("min_event_id"),
+            F.round(hi["value"], 6).alias("max_value"),
+            hi["event_id"].alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EXT_ARGMINMAX_SQL = r"""
+SELECT event_type,
+       ROUND((MIN({'value': value, 'event_id': event_id})).value, 6) AS min_value,
+       (MIN({'value': value, 'event_id': event_id})).event_id AS min_event_id,
+       ROUND((MAX({'value': value, 'event_id': event_id})).value, 6) AS max_value,
+       (MAX({'value': value, 'event_id': event_id})).event_id AS max_event_id
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def ext_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: the most frequent lang per source (count agg,
+    then row_number over (count DESC, lang) — built-in MODE() leaves tie
+    choice engine-defined, the explicit ranking does not).
+
+    Scale shape: the heavy input collapses in the first hash agg
+    ((source, lang) cells); the window ranks O(cells) rows with a
+    WindowGroupLimit cap."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").select("source", "lang")
+    cells = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), "lang")
+    return (
+        cells.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("mode_lang"), F.col("n").alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+EXT_MODE_SQL = r"""
+WITH cells AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, lang, n,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rn
+  FROM cells
+)
+SELECT source, lang AS mode_lang, n AS n_docs
+FROM ranked WHERE rn = 1 ORDER BY source
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_stream_enrich": ext_stream_enrich,
+    "ext_argminmax": ext_argminmax,
+    "ext_mode_by_group": ext_mode_by_group,
     "ext_reconcile": ext_reconcile,
     "ext_union_evolve": ext_union_evolve,
     "ext_partitioned_export": ext_partitioned_export,
@@ -2407,6 +2511,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
+    "ext_stream_enrich": EXT_STREAM_ENRICH_SQL,
+    "ext_argminmax": EXT_ARGMINMAX_SQL,
+    "ext_mode_by_group": EXT_MODE_SQL,
     "ext_reconcile": EXT_RECONCILE_SQL,
     "ext_union_evolve": EXT_UNION_EVOLVE_SQL,
     "ext_partitioned_export": EXT_PARTITIONED_EXPORT_SQL,

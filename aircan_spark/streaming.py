@@ -288,3 +288,35 @@ def stream_interval_join(
         name = c + suffix if c in taken else c
         joined = joined.withColumnRenamed(f"__r_{c}", name)
     return joined
+
+
+def stream_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: tuple[str, str],
+    dim_cols: list[str] | None = None,
+    how: str = "left",
+    default: dict[str, str] | None = None,
+) -> DataFrame:
+    """Stream-static dimension enrichment: each (micro-batch of the)
+    stream joins a bounded dimension frame keyed ``on=(stream_key,
+    dim_key)``; unmatched rows keep flowing with ``default`` fills
+    (left semantics) instead of being dropped.
+
+    Scale shape: the static side is explicitly ``broadcast()`` — a
+    stream-static join must NOT shuffle the stream per micro-batch; with
+    the dim replicated to executors the stream stays in its source
+    partitioning and the join is map-side. Stream-static joins need no
+    watermark (no cross-batch state: the static side is re-resolved per
+    batch, which also picks up slowly-changing-dimension updates).
+
+    Works identically on a batch frame (same plan minus the micro-batch
+    loop), which is what the DuckDB oracle checks."""
+    skey, dkey = on
+    if dim_cols is None:
+        dim_cols = [c for c in dim.columns if c != dkey]
+    d = dim.select(F.col(dkey).alias("__dkey"), *dim_cols)
+    out = stream.join(F.broadcast(d), stream[skey] == d["__dkey"], how).drop("__dkey")
+    for col, val in (default or {}).items():
+        out = out.withColumn(col, F.coalesce(F.col(col), F.lit(val)))
+    return out

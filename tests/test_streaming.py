@@ -269,3 +269,52 @@ def test_stream_interval_join_equals_batch_range_join(spark, tmp_path):
         for r in spark.sql("SELECT event_id, view_id FROM sj").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_enrich_equals_batch(spark, tmp_path):
+    """Stream-static enrichment: a parquet-file stream joined to the
+    static customer dim produces exactly the batch join's rows, and
+    unmatched keys flow through with the default fill."""
+    from aircan_spark.streaming import stream_enrich
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    src = str(tmp_path / "enrich_src")
+    # shift half the user_ids out of the dim's key range -> default path
+    ev = events.limit(300).withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.col("user_id") + 100000).otherwise(
+            F.col("user_id")
+        ),
+    ).select("event_id", "user_id", "event_type")
+    ev.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def enrich(df):
+        return stream_enrich(
+            df, cust, on=("user_id", "c_custkey"),
+            dim_cols=["c_mktsegment"], default={"c_mktsegment": "unknown"},
+        )
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        enrich(stream)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        (r.event_id, r.c_mktsegment)
+        for r in spark.sql("SELECT event_id, c_mktsegment FROM enriched").collect()
+    }
+    want = {
+        (r.event_id, r.c_mktsegment)
+        for r in enrich(spark.read.parquet(src)).collect()
+    }
+    assert got == want and len(got) == 300
+    assert any(seg == "unknown" for _, seg in got)
