@@ -2423,7 +2423,86 @@ FROM ranked WHERE rn = 1 ORDER BY source
 """
 
 
+def ext_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation funnel — exact dedup, length filter,
+    quality filter — as ONE declarative plan: every per-doc flag is
+    computed in a single projection pass, the dedup representative is one
+    row_number over the fingerprint key, and all four stage counts fall
+    out of ONE conditional-sum aggregate.
+
+    Scale shape: one scan of the corpus, one exchange (fingerprint), one
+    tiny global agg. The naive form (filter + count per stage) scans the
+    corpus four times; this is the composition argument for an engine
+    with declarative plans."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    flagged = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(norm).alias("fp"),
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .alias("n_tokens"),
+        (
+            F.length(F.regexp_replace("text", "[^0-9]", ""))
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("digit_ratio"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    staged = flagged.withColumn(
+        "is_rep", (F.row_number().over(w) == 1).cast("int")
+    ).select(
+        "is_rep",
+        (F.col("n_chars").between(100, 20000)).cast("int").alias("len_ok"),
+        ((F.col("digit_ratio") < 0.3) & (F.col("n_tokens") >= 20))
+        .cast("int")
+        .alias("qual_ok"),
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("is_rep").alias("n_after_dedup"),
+        F.sum(F.col("is_rep") * F.col("len_ok")).alias("n_after_length"),
+        F.sum(F.col("is_rep") * F.col("len_ok") * F.col("qual_ok")).alias(
+            "n_retained"
+        ),
+        F.round(
+            F.sum(F.col("is_rep") * F.col("len_ok") * F.col("qual_ok"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("retention_rate"),
+    )
+
+
+EXT_CURATION_FUNNEL_SQL = r"""
+WITH flagged AS (
+  SELECT doc_id, n_chars,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         / GREATEST(length(text), 1) AS digit_ratio
+  FROM documents
+),
+staged AS (
+  SELECT CASE WHEN row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+              THEN 1 ELSE 0 END AS is_rep,
+         CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1 ELSE 0 END AS len_ok,
+         CASE WHEN digit_ratio < 0.3 AND n_tokens >= 20 THEN 1 ELSE 0 END AS qual_ok
+  FROM flagged
+)
+SELECT COUNT(*) AS n_total,
+       SUM(is_rep) AS n_after_dedup,
+       SUM(is_rep * len_ok) AS n_after_length,
+       SUM(is_rep * len_ok * qual_ok) AS n_retained,
+       ROUND(CAST(SUM(is_rep * len_ok * qual_ok) AS DOUBLE) / COUNT(*), 6) AS retention_rate
+FROM staged
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_curation_funnel": ext_curation_funnel,
     "ext_stream_enrich": ext_stream_enrich,
     "ext_argminmax": ext_argminmax,
     "ext_mode_by_group": ext_mode_by_group,
@@ -2511,6 +2590,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
+    "ext_curation_funnel": EXT_CURATION_FUNNEL_SQL,
     "ext_stream_enrich": EXT_STREAM_ENRICH_SQL,
     "ext_argminmax": EXT_ARGMINMAX_SQL,
     "ext_mode_by_group": EXT_MODE_SQL,
