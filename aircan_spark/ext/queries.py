@@ -2501,7 +2501,164 @@ FROM staged
 """
 
 
+def ext_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per returnflag,
+    derived from EXACT decimal moments (n, Σx, Σy, Σxy, Σx², Σy²) —
+    native corr() accumulates in floating point and differs in the last
+    ulps between engines/partitionings; decimal moments make the result
+    bit-identical and order-independent.
+
+    Scale shape: one partial+final hash agg; the moments are algebraic,
+    so map-side combine applies."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(15,3)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(15,3)").alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    corr = (m["n"] * m["sxy"] - m["sx"] * m["sy"]) / F.sqrt(
+        (m["n"] * m["sxx"] - m["sx"] * m["sx"])
+        * (m["n"] * m["syy"] - m["sy"] * m["sy"])
+    )
+    return m.select(
+        "l_returnflag",
+        m["n"].cast("long").alias("n_rows"),
+        F.round(corr, 6).alias("qty_price_corr"),
+    ).orderBy("l_returnflag")
+
+
+EXT_CORRELATION_SQL = r"""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(15,3))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,3))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(15,3)) * CAST(l_extendedprice AS DECIMAL(15,3))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(15,3)) * CAST(l_quantity AS DECIMAL(15,3))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,3)) * CAST(l_extendedprice AS DECIMAL(15,3))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       ROUND((n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS qty_price_corr
+FROM m ORDER BY l_returnflag
+"""
+
+
+def ext_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average of daily order revenue: decimal day
+    sums, then a rows-bounded window over the ORDERED DAY AXIS (sum/count
+    over the trailing frame — exact decimal numerator).
+
+    Scale shape: like ext_running_revenue, the unpartitioned window runs
+    over the O(days) aggregate, never raw orders."""
+    from pyspark.sql.window import Window
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.to_date("o_orderdate").alias("day"),
+            F.col("o_totalprice").cast("decimal(18,6)").alias("price"),
+        )
+        .groupBy("day")
+        .agg(F.sum("price").cast("decimal(38,6)").alias("day_revenue"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return (
+        daily.withColumn(
+            "ma7",
+            F.round(
+                F.sum("day_revenue").over(w).cast("double")
+                / F.count(F.lit(1)).over(w),
+                6,
+            ),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("day_revenue").cast("string").alias("day_revenue"),
+            "ma7",
+        )
+        .orderBy("day")
+    )
+
+
+EXT_MOVING_AVG_SQL = r"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS day_revenue
+  FROM orders GROUP BY 1
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(day_revenue AS VARCHAR) AS day_revenue,
+       ROUND(CAST(SUM(day_revenue) OVER w AS DOUBLE) / COUNT(*) OVER w, 6) AS ma7
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
+
+
+def ext_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth: month-axis decimal sums,
+    lag(12) over the ordered month axis, growth percent from the exact
+    decimals (NULL for the first year — no prior-year base).
+
+    Scale shape: the lag window runs over O(months) aggregated rows."""
+    from pyspark.sql.window import Window
+
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            F.col("o_totalprice").cast("decimal(18,6)").alias("price"),
+        )
+        .groupBy("month")
+        .agg(F.sum("price").cast("decimal(38,6)").alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue", 12).over(w)
+    return (
+        monthly.withColumn(
+            "yoy_pct",
+            F.round(
+                (F.col("revenue").cast("double") - prev.cast("double"))
+                / prev.cast("double")
+                * 100,
+                6,
+            ),
+        )
+        .select(
+            F.col("month").cast("string").alias("month"),
+            F.col("revenue").cast("string").alias("revenue"),
+            "yoy_pct",
+        )
+        .orderBy("month")
+    )
+
+
+EXT_YOY_SQL = r"""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT CAST(month AS VARCHAR) AS month,
+       CAST(revenue AS VARCHAR) AS revenue,
+       ROUND((CAST(revenue AS DOUBLE) - CAST(lag(revenue, 12) OVER (ORDER BY month) AS DOUBLE))
+             / CAST(lag(revenue, 12) OVER (ORDER BY month) AS DOUBLE) * 100, 6) AS yoy_pct
+FROM monthly ORDER BY month
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_correlation": ext_correlation,
+    "ext_moving_avg": ext_moving_avg,
+    "ext_yoy_growth": ext_yoy_growth,
     "ext_curation_funnel": ext_curation_funnel,
     "ext_stream_enrich": ext_stream_enrich,
     "ext_argminmax": ext_argminmax,
@@ -2590,6 +2747,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
+    "ext_correlation": EXT_CORRELATION_SQL,
+    "ext_moving_avg": EXT_MOVING_AVG_SQL,
+    "ext_yoy_growth": EXT_YOY_SQL,
     "ext_curation_funnel": EXT_CURATION_FUNNEL_SQL,
     "ext_stream_enrich": EXT_STREAM_ENRICH_SQL,
     "ext_argminmax": EXT_ARGMINMAX_SQL,
