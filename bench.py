@@ -39,6 +39,20 @@ def main() -> None:
 
     load_table(spark, sf_dir, "lineitem").count()
 
+    # Pre-spawn the Python/Arrow UDF workers (one per core) so the first
+    # pandas-UDF query measures the operator, not one-time worker startup —
+    # on a cluster these workers are long-lived (spark.python.worker.reuse).
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    def _noop_batches(it):
+        for b in it:
+            yield b
+
+    spark.range(int(cpus) * 4, numPartitions=int(cpus)).mapInPandas(
+        _noop_batches, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         start = time.perf_counter()
