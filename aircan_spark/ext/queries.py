@@ -2655,7 +2655,73 @@ FROM monthly ORDER BY month
 """
 
 
+def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (segment, nation): every
+    equivalence class with its size and a below-k flag (k=5), plus the
+    governed-export decision input — the per-class rows that would need
+    suppression or generalization.
+
+    Scale shape: one hash agg over the QI combination; the audit output
+    is O(distinct QI combos), never row-level."""
+    cust = _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey")
+    return (
+        cust.groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .withColumn("below_k", (F.col("class_size") < 5).cast("int"))
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+EXT_K_ANONYMITY_SQL = r"""
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS class_size,
+       CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS below_k
+FROM customer
+GROUP BY c_mktsegment, c_nationkey
+ORDER BY c_mktsegment, c_nationkey
+"""
+
+
+def ext_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 derivation from a change log:
+    each user's value history becomes versioned validity ranges —
+    valid_from = the change timestamp, valid_to = the NEXT change (NULL
+    for the current version). One lead() in per-key windows.
+
+    Scale shape: one exchange on the entity key; per-key sorts only.
+    Epoch-micros outputs for engine-independent hashing."""
+    from pyspark.sql.window import Window
+
+    changes = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    ).select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            F.round("value", 6).alias("value"),
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+            (F.lead("ts").over(w).isNull()).cast("int").alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from_us")
+    )
+
+
+EXT_SCD2_SQL = r"""
+SELECT user_id, ROUND(value, 6) AS value,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER w) AS valid_to_us,
+       CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+FROM events
+WHERE event_type = 'signup'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, valid_from_us
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_k_anonymity": ext_k_anonymity,
+    "ext_scd2": ext_scd2,
     "ext_correlation": ext_correlation,
     "ext_moving_avg": ext_moving_avg,
     "ext_yoy_growth": ext_yoy_growth,
@@ -2747,6 +2813,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
+    "ext_k_anonymity": EXT_K_ANONYMITY_SQL,
+    "ext_scd2": EXT_SCD2_SQL,
     "ext_correlation": EXT_CORRELATION_SQL,
     "ext_moving_avg": EXT_MOVING_AVG_SQL,
     "ext_yoy_growth": EXT_YOY_SQL,
