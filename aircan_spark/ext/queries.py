@@ -2719,7 +2719,80 @@ ORDER BY user_id, valid_from_us
 """
 
 
+def ext_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Usage heatmap axes: event counts per (ISO weekday, hour) cell —
+    the load-profile / anomaly-baseline primitive. Spark ``weekday()``
+    (0=Monday) aligned to DuckDB ``isodow - 1``.
+
+    Scale shape: one partial+final hash agg into a fixed 7x24 output."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.weekday("ts").cast("long").alias("weekday"),
+        F.hour("ts").cast("long").alias("hour"),
+    )
+    return (
+        ev.groupBy("weekday", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("weekday", "hour")
+    )
+
+
+EXT_WEEKDAY_PROFILE_SQL = r"""
+SELECT isodow(ts) - 1 AS weekday, EXTRACT(HOUR FROM ts) AS hour,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2 ORDER BY weekday, hour
+"""
+
+
+def ext_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key forward-fill imputation: error events carry no valid
+    measurement (masked to NULL), each takes the user's most recent
+    prior value — ``last(..., ignorenulls)`` over a trailing per-user
+    window, the standard gap-imputation primitive for sensor/telemetry
+    prep.
+
+    Scale shape: one exchange on user_id, per-key ordered scan; the
+    trailing frame keeps state O(1) per row."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    masked = ev.withColumn(
+        "v",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        masked.select(
+            "user_id",
+            "event_id",
+            (F.col("event_type") == "error").cast("int").alias("was_masked"),
+            F.round(F.last("v", ignorenulls=True).over(w), 6).alias("value_ffill"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+EXT_FORWARD_FILL_SQL = r"""
+SELECT user_id, event_id,
+       CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS was_masked,
+       ROUND(LAST_VALUE(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                        IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_ffill
+FROM events ORDER BY user_id, event_id
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_weekday_profile": ext_weekday_profile,
+    "ext_forward_fill": ext_forward_fill,
     "ext_k_anonymity": ext_k_anonymity,
     "ext_scd2": ext_scd2,
     "ext_correlation": ext_correlation,
@@ -2813,6 +2886,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
+    "ext_weekday_profile": EXT_WEEKDAY_PROFILE_SQL,
+    "ext_forward_fill": EXT_FORWARD_FILL_SQL,
     "ext_k_anonymity": EXT_K_ANONYMITY_SQL,
     "ext_scd2": EXT_SCD2_SQL,
     "ext_correlation": EXT_CORRELATION_SQL,
