@@ -2790,7 +2790,94 @@ FROM events ORDER BY user_id, event_id
 """
 
 
+def ext_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality audit for orders |><| lineitem on orderkey:
+    per-side row/distinct-key counts, max per-key multiplicity, and the
+    EXACT join output size — the 'will this join explode' check run
+    before committing to a shuffle at scale.
+
+    Scale shape: two hash aggs (one per side, keyed by the join key) and
+    a join of the two small per-key count frames; the predicted size is
+    Σ cnt_l × cnt_r — no execution of the audited join itself."""
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    lc = li.groupBy("k").agg(F.count(F.lit(1)).alias("cl"))
+    oc = orders.groupBy("k").agg(F.count(F.lit(1)).alias("cr"))
+    joined = lc.join(oc, "k", "inner")
+    return (
+        joined.agg(
+            F.sum("cl").alias("_left_matched"),
+            F.sum("cr").alias("_right_matched"),
+            F.max("cl").alias("max_left_multiplicity"),
+            F.max("cr").alias("max_right_multiplicity"),
+            F.sum(F.col("cl") * F.col("cr")).alias("join_output_rows"),
+            F.count(F.lit(1)).alias("n_matched_keys"),
+        )
+        .select(
+            "n_matched_keys",
+            "max_left_multiplicity",
+            "max_right_multiplicity",
+            "join_output_rows",
+        )
+    )
+
+
+EXT_JOIN_AUDIT_SQL = r"""
+WITH lc AS (SELECT l_orderkey AS k, COUNT(*) AS cl FROM lineitem GROUP BY 1),
+oc AS (SELECT o_orderkey AS k, COUNT(*) AS cr FROM orders GROUP BY 1),
+j AS (SELECT cl, cr FROM lc JOIN oc USING (k))
+SELECT COUNT(*) AS n_matched_keys,
+       MAX(cl) AS max_left_multiplicity,
+       MAX(cr) AS max_right_multiplicity,
+       SUM(cl * cr) AS join_output_rows
+FROM j
+"""
+
+
+def ext_ri_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan foreign keys per relation
+    (lineitem->orders on orderkey, orders->customer on custkey) as LEFT
+    ANTI joins, reported as one long-format frame.
+
+    Scale shape: anti joins never widen the probe side; each relation is
+    one equi-exchange; counts are tiny aggregates."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    li_orphans = li.join(
+        orders.select("o_orderkey"), li["l_orderkey"] == orders["o_orderkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_orphans"))
+    ord_orphans = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_orphans"))
+    return (
+        li_orphans.select(
+            F.lit("lineitem->orders").alias("relation"), "n_orphans"
+        )
+        .unionAll(
+            ord_orphans.select(
+                F.lit("orders->customer").alias("relation"), "n_orphans"
+            )
+        )
+        .orderBy("relation")
+    )
+
+
+EXT_RI_CHECK_SQL = r"""
+SELECT 'lineitem->orders' AS relation,
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+ORDER BY relation
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_join_audit": ext_join_audit,
+    "ext_ri_check": ext_ri_check,
     "ext_weekday_profile": ext_weekday_profile,
     "ext_forward_fill": ext_forward_fill,
     "ext_k_anonymity": ext_k_anonymity,
@@ -2886,6 +2973,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
+    "ext_join_audit": EXT_JOIN_AUDIT_SQL,
+    "ext_ri_check": EXT_RI_CHECK_SQL,
     "ext_weekday_profile": EXT_WEEKDAY_PROFILE_SQL,
     "ext_forward_fill": EXT_FORWARD_FILL_SQL,
     "ext_k_anonymity": EXT_K_ANONYMITY_SQL,
