@@ -2875,7 +2875,92 @@ ORDER BY relation
 """
 
 
+def ext_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness/staleness audit: latest event per type vs the global
+    watermark, lag in seconds — the 'is source X falling behind' monitor.
+
+    Scale shape: one tiny per-type MAX agg; the global max derives from
+    the same aggregate (no second scan — a window over the O(types)
+    frame)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    per_type = ev.groupBy("event_type").agg(
+        F.unix_micros(F.max("ts")).alias("latest_us")
+    )
+    w = Window.partitionBy()
+    return (
+        per_type.withColumn("global_latest_us", F.max("latest_us").over(w))
+        .select(
+            "event_type",
+            "latest_us",
+            # floor on BOTH engines: DuckDB's double->bigint cast rounds,
+            # Spark's truncates — explicit floor removes the ambiguity
+            F.floor((F.col("global_latest_us") - F.col("latest_us")) / 1_000_000)
+            .cast("long")
+            .alias("lag_seconds"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EXT_FRESHNESS_SQL = r"""
+WITH per_type AS (
+  SELECT event_type, epoch_us(MAX(ts)) AS latest_us FROM events GROUP BY 1
+)
+SELECT event_type, latest_us,
+       CAST(FLOOR((MAX(latest_us) OVER () - latest_us) / 1000000) AS BIGINT) AS lag_seconds
+FROM per_type ORDER BY event_type
+"""
+
+
+def ext_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit: per market segment, exact-interpolated
+    Q1/Q3 of account balance, 1.5-IQR fences, and the out-of-fence count
+    — two passes (tiny fence agg broadcast back onto the rows), the
+    standard distribution-drift gate.
+
+    Scale shape: pass 1 is a per-group percentile agg (O(groups) out);
+    pass 2 re-scans with the broadcast fences — data rows never shuffle."""
+    cust = _t(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    fences = cust.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile("c_acctbal", F.lit(0.75)), 4).alias("q3"),
+    )
+    flagged = cust.join(F.broadcast(fences), "c_mktsegment")
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        flagged.groupBy("c_mktsegment", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                ((F.col("c_acctbal") < lo) | (F.col("c_acctbal") > hi)).cast("int")
+            ).alias("n_outliers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+EXT_IQR_SQL = r"""
+WITH fences AS (
+  SELECT c_mktsegment,
+         ROUND(quantile_cont(c_acctbal, 0.25), 4) AS q1,
+         ROUND(quantile_cont(c_acctbal, 0.75), 4) AS q3
+  FROM customer GROUP BY 1
+)
+SELECT c.c_mktsegment, q1, q3, COUNT(*) AS n_rows,
+       SUM(CASE WHEN c.c_acctbal < q1 - 1.5 * (q3 - q1)
+                  OR c.c_acctbal > q3 + 1.5 * (q3 - q1)
+                THEN 1 ELSE 0 END) AS n_outliers
+FROM customer c JOIN fences f ON c.c_mktsegment = f.c_mktsegment
+GROUP BY c.c_mktsegment, q1, q3 ORDER BY c.c_mktsegment
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_freshness": ext_freshness,
+    "ext_iqr_outliers": ext_iqr_outliers,
     "ext_join_audit": ext_join_audit,
     "ext_ri_check": ext_ri_check,
     "ext_weekday_profile": ext_weekday_profile,
@@ -2973,6 +3058,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
+    "ext_freshness": EXT_FRESHNESS_SQL,
+    "ext_iqr_outliers": EXT_IQR_SQL,
     "ext_join_audit": EXT_JOIN_AUDIT_SQL,
     "ext_ri_check": EXT_RI_CHECK_SQL,
     "ext_weekday_profile": EXT_WEEKDAY_PROFILE_SQL,
