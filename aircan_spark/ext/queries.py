@@ -2958,7 +2958,102 @@ GROUP BY c.c_mktsegment, q1, q3 ORDER BY c.c_mktsegment
 """
 
 
+def ext_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: per-user consecutive event-type
+    bigrams (lag in per-user time order), counted globally with each
+    source state's outgoing probability — the Markov-chain input for
+    sequence modeling / funnel discovery.
+
+    Scale shape: lag() in per-user windows (one exchange on user_id),
+    then a tiny (types x types) hash agg; probabilities derive from a
+    window over the O(types²) aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bigrams = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    counts = bigrams.groupBy(
+        F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("from_type")
+    return (
+        counts.withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(wt), 6)
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EXT_TRANSITIONS_SQL = r"""
+WITH bigrams AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM bigrams WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM counts ORDER BY from_type, to_type
+"""
+
+
+def ext_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language lexical diversity: corpus type-token ratio and mean
+    token length from ROW-LOCAL array HOFs (no explode, no shuffle per
+    token), aggregated as exact integer moments with one final division.
+
+    Scale shape: the entire per-doc computation is a projection; the only
+    exchange is the per-language final agg."""
+    docs = _t(spark, sf_dir, "documents").select("lang", F.trim("text").alias("t"))
+    toks = F.split(F.col("t"), r"\s+")
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.length(F.regexp_replace("t", r"\s+", "")).alias("n_alpha"),
+    ).filter(F.col("n_tok") > 0)
+    # ratio-of-sums (integer moments, ONE final division) — a mean of
+    # per-row decimal quotients would expose engine-specific division
+    # scales; integer sums are exact everywhere
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("n_types").cast("double") / F.sum("n_tok"), 6
+            ).alias("corpus_ttr"),
+            F.round(
+                F.sum("n_alpha").cast("double") / F.sum("n_tok"), 6
+            ).alias("mean_token_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+EXT_LEXICAL_SQL = r"""
+WITH per_doc AS (
+  SELECT lang,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+         len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_types,
+         length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_alpha
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(n_types) AS DOUBLE) / SUM(n_tok), 6) AS corpus_ttr,
+       ROUND(CAST(SUM(n_alpha) AS DOUBLE) / SUM(n_tok), 6) AS mean_token_len
+FROM per_doc WHERE n_tok > 0
+GROUP BY lang ORDER BY lang
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_transitions": ext_transitions,
+    "ext_lexical_diversity": ext_lexical_diversity,
     "ext_freshness": ext_freshness,
     "ext_iqr_outliers": ext_iqr_outliers,
     "ext_join_audit": ext_join_audit,
@@ -3058,6 +3153,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
+    "ext_transitions": EXT_TRANSITIONS_SQL,
+    "ext_lexical_diversity": EXT_LEXICAL_SQL,
     "ext_freshness": EXT_FRESHNESS_SQL,
     "ext_iqr_outliers": EXT_IQR_SQL,
     "ext_join_audit": EXT_JOIN_AUDIT_SQL,
