@@ -3051,7 +3051,124 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def ext_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment: the share of segment
+    revenue held by its top-decile customers (per-customer decimal
+    revenue -> per-segment P90 threshold -> conditional share).
+
+    Scale shape: the raw tables collapse to per-customer revenue first
+    (one orderkey exchange + one custkey agg); the percentile + share
+    passes run over the O(customers) aggregate with broadcast
+    thresholds — raw rows are touched once."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+        ).alias("rev"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum("rev").cast("decimal(38,6)").alias("crev"))
+    )
+    thresholds = per_cust.groupBy("c_mktsegment").agg(
+        F.round(F.percentile(F.col("crev").cast("double"), F.lit(0.9)), 4).alias("p90")
+    )
+    tagged = per_cust.join(F.broadcast(thresholds), "c_mktsegment")
+    return (
+        tagged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(
+                F.when(F.col("crev").cast("double") >= F.col("p90"), F.col("crev"))
+                .otherwise(F.lit(0).cast("decimal(38,6)"))
+            ).cast("decimal(38,6)").alias("_top"),
+            F.sum("crev").cast("decimal(38,6)").alias("_total"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            F.round(
+                F.col("_top").cast("double") / F.col("_total").cast("double"), 6
+            ).alias("top_decile_share"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+EXT_PARETO_SQL = r"""
+WITH per_cust AS (
+  SELECT c_mktsegment, c_custkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                  * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+              AS DECIMAL(38,6)) AS crev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT c_mktsegment, ROUND(quantile_cont(CAST(crev AS DOUBLE), 0.9), 4) AS p90
+  FROM per_cust GROUP BY 1
+)
+SELECT p.c_mktsegment, COUNT(*) AS n_customers,
+       ROUND(CAST(CAST(SUM(CASE WHEN CAST(crev AS DOUBLE) >= p90 THEN crev
+                                ELSE CAST(0 AS DECIMAL(38,6)) END) AS DECIMAL(38,6)) AS DOUBLE)
+             / CAST(CAST(SUM(crev) AS DECIMAL(38,6)) AS DOUBLE), 6) AS top_decile_share
+FROM per_cust p JOIN t ON p.c_mktsegment = t.c_mktsegment
+GROUP BY p.c_mktsegment ORDER BY p.c_mktsegment
+"""
+
+
+def ext_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day DISTINCT active users per day. Distinct counts are
+    NOT mergeable from daily distincts — the exact path compacts events
+    to the (day, user) pair frame first, then counts each pair into the
+    <= 7 trailing days it belongs to via a generated day offset (pairs
+    explode x7, but pairs << raw events).
+
+    At 100 TB the same query swaps the exact pair explode for
+    ``hll_sketch_agg`` per day + ``hll_union_agg`` over the trailing
+    window (mergeable sketches — see ext_distinct_counts for the HLL
+    surface); the exact form IS the oracle here."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    pairs = ev.distinct()
+    days = ev.select("d").distinct()
+    contrib = pairs.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "d"
+    ).select("user_id", F.date_add("d", F.col("off")).alias("day"))
+    return (
+        contrib.join(days, contrib["day"] == days["d"])
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("n_active_7d"))
+        .select(F.col("day").cast("string").alias("day"), "n_active_7d")
+        .orderBy("day")
+    )
+
+
+EXT_ROLLING_DISTINCT_SQL = r"""
+WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+contrib AS (
+  SELECT user_id, d + CAST(off AS INTEGER) AS day
+  FROM pairs, (SELECT unnest(generate_series(0, 6)) AS off)
+)
+SELECT CAST(days.d AS VARCHAR) AS day,
+       COUNT(DISTINCT user_id) AS n_active_7d
+FROM contrib JOIN days ON contrib.day = days.d
+GROUP BY days.d ORDER BY day
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ext_pareto_share": ext_pareto_share,
+    "ext_rolling_distinct": ext_rolling_distinct,
     "ext_transitions": ext_transitions,
     "ext_lexical_diversity": ext_lexical_diversity,
     "ext_freshness": ext_freshness,
@@ -3153,6 +3270,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
 # candidate generation) -> rows-only check; everything else has an oracle.
 EXT_ORACLES: dict[str, str] = {
+    "ext_pareto_share": EXT_PARETO_SQL,
+    "ext_rolling_distinct": EXT_ROLLING_DISTINCT_SQL,
     "ext_transitions": EXT_TRANSITIONS_SQL,
     "ext_lexical_diversity": EXT_LEXICAL_SQL,
     "ext_freshness": EXT_FRESHNESS_SQL,
