@@ -41,8 +41,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # ns -> µs timestamp (Spark has no nanosecond resolution). Integer
-        # division: float division rounds at ~1.7e15 (52-bit mantissa) and
-        # lands 1µs off the truncation every other engine does.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Some driver snapshots store ts as INT64 TIMESTAMP(NANOS) (arrives
+        # as a raw long under nanosAsLong), others as plain timestamp[us].
+        # Convert only the long case: ns -> µs via integer division (float
+        # division rounds at ~1.7e15, a 52-bit mantissa, and lands 1µs off
+        # the truncation every other engine does).
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # unix_micros()/window() want TIMESTAMP. Pin the session to UTC
+            # so the NTZ->LTZ cast is wall-clock-preserving and epoch
+            # extraction agrees with DuckDB's naive-as-UTC reading of the
+            # same parquet.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)

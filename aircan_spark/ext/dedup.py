@@ -403,21 +403,26 @@ def embedding_pairs(
         )
         buckets = hyperplane_bucket_udf(planes)
         bucketed = vecs.select(
-            id_col, "v", F.posexplode(buckets(F.col("v"))).alias("table", "bucket")
+            id_col, F.posexplode(buckets(F.col("v"))).alias("table", "bucket")
         )
-        a = bucketed.select(
-            F.col(id_col).alias("id_a"), F.col("v").alias("va"), "table", "bucket"
-        )
-        b = bucketed.select(
-            F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "table", "bucket"
-        )
+        # bucket-join BARE ids (vectors would fan out x num_tables through
+        # the shuffle), dedup the candidate pairs, then re-attach vectors
+        # once per side — the same dedup-before-re-attach shape minhash uses
+        a = bucketed.select(F.col(id_col).alias("id_a"), "table", "bucket")
+        b = bucketed.select(F.col(id_col).alias("id_b"), "table", "bucket")
         cand = (
             a.join(b, ["table", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "va", "id_b", "vb")
+            .select("id_a", "id_b")
             .distinct()
         )
-        scored = cand.withColumn("cosine", F.round(_cosine(F.col("va"), F.col("vb")), 6))
+        va = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+        vb = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+        scored = (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .withColumn("cosine", F.round(_cosine(F.col("va"), F.col("vb")), 6))
+        )
     else:
         # Exact all-pairs, vectorized: each input batch is scored against
         # the full corpus matrix with one numpy matmul. The corpus is

@@ -740,6 +740,21 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_pairs(emb, threshold=0.4, lsh_bits=0)
 
 
+def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for embedding near-dup: multi-table hyperplane LSH
+    bucket equi-join (no all-pairs, no driver-side corpus matrix). Output
+    is a high-recall subset of ``ext_dedup_embedding`` (recall measured in
+    tests/test_ext.py) — rows-only contract, the exact query stays the
+    oracle baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # 6 bits x 24 tables: at cosine 0.4 the per-bit collision prob is
+    # ~0.63, so table hit-rate ~0.63^6=0.06 and recall 1-(1-0.06)^24~0.79
+    # on worst-case (exactly-at-threshold) pairs; higher-cosine dupes are
+    # found with near-certainty. Bits dial bucket size (candidate volume),
+    # tables dial recall.
+    return dedup.embedding_pairs(emb, threshold=0.4, lsh_bits=6, num_tables=24)
+
+
 EXT_DEDUP_EMBEDDING_SQL = r"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 pairs AS (
@@ -1243,7 +1258,7 @@ def ext_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXT_CORPUS_MIX_SQL = r"""
 WITH per AS (
-  SELECT source, COUNT(*) AS n, SUM(CAST(n_chars AS BIGINT)) AS w
+  SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS w
   FROM documents GROUP BY source
 ),
 tot AS (SELECT SUM(n) AS tn, SUM(w) AS tw FROM per)
@@ -1479,15 +1494,15 @@ def ext_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_PROFILE_SQL = r"""
 WITH w AS (
   SELECT COUNT(*) AS n,
-         SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nulls_ok,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_ok,
          COUNT(DISTINCT o_orderkey) AS nd_ok,
          CAST(MIN(o_orderkey) AS VARCHAR) AS min_ok,
          CAST(MAX(o_orderkey) AS VARCHAR) AS max_ok,
-         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nulls_ck,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_ck,
          COUNT(DISTINCT o_custkey) AS nd_ck,
          CAST(MIN(o_custkey) AS VARCHAR) AS min_ck,
          CAST(MAX(o_custkey) AS VARCHAR) AS max_ck,
-         SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nulls_tp,
+         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_tp,
          COUNT(DISTINCT o_totalprice) AS nd_tp,
          CAST(MIN(o_totalprice) AS VARCHAR) AS min_tp,
          CAST(MAX(o_totalprice) AS VARCHAR) AS max_tp
@@ -1575,7 +1590,7 @@ a AS (
          ) THEN 1 ELSE 0 END AS attr
   FROM p
 )
-SELECT day, COUNT(*) AS n_purchases, SUM(attr) AS n_attributed,
+SELECT day, COUNT(*) AS n_purchases, CAST(SUM(attr) AS BIGINT) AS n_attributed,
        ROUND(CAST(SUM(attr) AS DOUBLE) / COUNT(*), 6) AS attribution_rate
 FROM a GROUP BY day ORDER BY day
 """
@@ -1671,10 +1686,10 @@ WITH flagged AS (
 ),
 sessioned AS (
   SELECT user_id, ts,
-         SUM(new_session) OVER (
+         CAST(SUM(new_session) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS session_idx
+         ) AS BIGINT) AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx, COUNT(*) AS n_events,
@@ -2176,7 +2191,7 @@ def ext_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_PARTITIONED_EXPORT_SQL = r"""
-SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 WHERE source IN ('src1', 'src2', 'src3')
 GROUP BY source ORDER BY source
@@ -2493,9 +2508,9 @@ staged AS (
   FROM flagged
 )
 SELECT COUNT(*) AS n_total,
-       SUM(is_rep) AS n_after_dedup,
-       SUM(is_rep * len_ok) AS n_after_length,
-       SUM(is_rep * len_ok * qual_ok) AS n_retained,
+       CAST(SUM(is_rep) AS BIGINT) AS n_after_dedup,
+       CAST(SUM(is_rep * len_ok) AS BIGINT) AS n_after_length,
+       CAST(SUM(is_rep * len_ok * qual_ok) AS BIGINT) AS n_retained,
        ROUND(CAST(SUM(is_rep * len_ok * qual_ok) AS DOUBLE) / COUNT(*), 6) AS retention_rate
 FROM staged
 """
@@ -2829,7 +2844,7 @@ j AS (SELECT cl, cr FROM lc JOIN oc USING (k))
 SELECT COUNT(*) AS n_matched_keys,
        MAX(cl) AS max_left_multiplicity,
        MAX(cr) AS max_right_multiplicity,
-       SUM(cl * cr) AS join_output_rows
+       CAST(SUM(cl * cr) AS BIGINT) AS join_output_rows
 FROM j
 """
 
@@ -2950,9 +2965,9 @@ WITH fences AS (
   FROM customer GROUP BY 1
 )
 SELECT c.c_mktsegment, q1, q3, COUNT(*) AS n_rows,
-       SUM(CASE WHEN c.c_acctbal < q1 - 1.5 * (q3 - q1)
+       CAST(SUM(CASE WHEN c.c_acctbal < q1 - 1.5 * (q3 - q1)
                   OR c.c_acctbal > q3 + 1.5 * (q3 - q1)
-                THEN 1 ELSE 0 END) AS n_outliers
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM customer c JOIN fences f ON c.c_mktsegment = f.c_mktsegment
 GROUP BY c.c_mktsegment, q1, q3 ORDER BY c.c_mktsegment
 """
@@ -3009,7 +3024,14 @@ def ext_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the entire per-doc computation is a projection; the only
     exchange is the per-language final agg."""
-    docs = _t(spark, sf_dir, "documents").select("lang", F.trim("text").alias("t"))
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("lang", F.trim("text").alias("t"))
+        # blank docs: split('', '\s+') yields [''] (n_tok=1), so the
+        # n_tok>0 guard below can't exclude them — match the oracle's
+        # explicit whitespace-only pre-filter
+        .filter(F.length(F.col("t")) > 0)
+    )
     toks = F.split(F.col("t"), r"\s+")
     per_doc = docs.select(
         "lang",
@@ -3259,6 +3281,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_dedup_minhash": ext_dedup_minhash,
     "ext_dedup_simhash": ext_dedup_simhash,
     "ext_dedup_embedding": ext_dedup_embedding,
+    "ext_dedup_embedding_lsh": ext_dedup_embedding_lsh,
     "ext_sim_topk_brute": ext_sim_topk_brute,
     "ext_sim_topk_lsh": ext_sim_topk_lsh,
     "ext_sim_topk_ivf": ext_sim_topk_ivf,

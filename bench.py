@@ -3,9 +3,15 @@
 
     SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+    SPARK_GRAFT_WARM     "1" -> run the suite twice, report the warm pass
+                         (plans compiled, JIT hot — the steady-state number
+                         a long-lived cluster session sees)
 
 Each query is forced end-to-end with a noop sink (full computation, no
-driver collect bottleneck); per-query wall seconds reported plus the total.
+driver collect bottleneck). The final stdout line is a SHORT parseable
+JSON summary (r01 lesson: a 115-key inline map overflowed the driver's
+tail capture -> parsed:null); the full per-query map goes to
+bench_queries.json next to this file.
 """
 
 from __future__ import annotations
@@ -53,21 +59,48 @@ def main() -> None:
         _noop_batches, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+    def run_suite() -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name, fn in QUERIES.items():
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 3)
+        return timings
+
+    warm_mode = os.environ.get("SPARK_GRAFT_WARM") == "1"
+    cold = run_suite()
+    warm = run_suite() if warm_mode else None
+    timings = warm if warm is not None else cold
 
     total = round(sum(timings.values()), 3)
+    top = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_queries.json"), "w") as f:
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                "cpus": int(cpus),
+                "mode": "warm" if warm_mode else "cold",
+                "cold_total": round(sum(cold.values()), 3),
+                "warm_total": round(sum(warm.values()), 3) if warm else None,
+                "queries": timings,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    # SHORT final line — the driver tail-captures stdout; keep it well under
+    # one terminal line even as the suite grows
     print(
         json.dumps(
             {
                 "metric": "suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
+                "mode": "warm" if warm_mode else "cold",
+                "top5": {k: v for k, v in top},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

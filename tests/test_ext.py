@@ -108,6 +108,28 @@ def test_embedding_lsh_recall(spark):
         assert recall >= 0.5, f"lsh recall {recall} over {len(exact)} pairs"
 
 
+def test_declared_embedding_lsh_query(spark):
+    """The declared ext_dedup_embedding_lsh contract query: subset of the
+    exact pairs at the same threshold, with measured recall at its actual
+    declared parameters (8 bits x 16 tables)."""
+    from aircan_spark.ext.queries import ext_dedup_embedding, ext_dedup_embedding_lsh
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in ext_dedup_embedding(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in ext_dedup_embedding_lsh(spark, SF_DIR).collect()
+    }
+    assert set(approx) <= set(exact)
+    for pair, cos in approx.items():
+        assert cos == exact[pair]  # candidates are scored exactly
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.6, f"declared-lsh recall {recall} over {len(exact)} pairs"
+
+
 def test_lsh_topk_recall_vs_brute(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)

@@ -49,6 +49,46 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def dtype_kind(series: pd.Series) -> str:
+    """Collapse a column to the dtype KIND the driver's hash distinguishes.
+
+    Round-1 lesson (VERDICT r01): the driver hash is dtype-sensitive —
+    DuckDB's SUM(integer) returns HUGEINT which lands in pandas as
+    float64, while Spark returns BIGINT/int64, and the hash diverges even
+    when every value is identical. Decimal vs float is NOT distinguished
+    (decimal-sum queries passed the driver with DuckDB mapping DECIMAL to
+    float64), so Decimal objects count as 'f'.
+    """
+    if pd.api.types.is_bool_dtype(series):
+        return "b"
+    if pd.api.types.is_integer_dtype(series):
+        return "i"
+    if pd.api.types.is_float_dtype(series):
+        return "f"
+    if pd.api.types.is_datetime64_any_dtype(series):
+        return "t"
+    nonnull = series.dropna()
+    if len(nonnull) == 0:
+        return "?"  # all-NULL: kind unknowable, value compare still runs
+    v = nonnull.iloc[0]
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return "f"
+    if isinstance(v, bool):
+        return "b"
+    if isinstance(v, int):
+        return "i"
+    if isinstance(v, float):
+        return "f"
+    if isinstance(v, (datetime.date, datetime.datetime, pd.Timestamp)):
+        return "t"
+    if isinstance(v, str):
+        return "s"
+    return "o"  # arrays/structs — compared by value only
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, oracle):
     if name not in ORACLES:
@@ -57,11 +97,27 @@ def test_query_matches_oracle(name, spark, oracle):
         df = QUERIES[name](spark, SF_DIR)
         assert df.count() >= 0
         return
-    got = canonicalize(QUERIES[name](spark, SF_DIR).toPandas())
-    want = canonicalize(oracle.sql(ORACLES[name]).df())
-    assert list(got.columns) == list(want.columns), (
-        f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
+    got_raw = QUERIES[name](spark, SF_DIR).toPandas()
+    want_raw = oracle.sql(ORACLES[name]).df()
+    got_raw = got_raw.reindex(sorted(got_raw.columns), axis=1)
+    want_raw = want_raw.reindex(sorted(want_raw.columns), axis=1)
+    assert list(got_raw.columns) == list(want_raw.columns), (
+        f"{name}: column mismatch {list(got_raw.columns)} vs {list(want_raw.columns)}"
     )
+    # dtype-strict gate: the driver hashes typed values, so an int column on
+    # one side vs a float column on the other fails even with equal values
+    kind_mismatch = {
+        c: (dtype_kind(got_raw[c]), dtype_kind(want_raw[c]))
+        for c in got_raw.columns
+        if "?" not in (dtype_kind(got_raw[c]), dtype_kind(want_raw[c]))
+        and dtype_kind(got_raw[c]) != dtype_kind(want_raw[c])
+    }
+    assert not kind_mismatch, (
+        f"{name}: dtype-kind mismatch (spark, oracle) = {kind_mismatch} — "
+        f"driver hash WILL fail; cast the oracle (e.g. SUM->BIGINT) or the query"
+    )
+    got = canonicalize(got_raw)
+    want = canonicalize(want_raw)
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
