@@ -63,7 +63,13 @@ def export_ordered(
         raise ValueError(f"unsupported export format: {fmt}")
     ext = EXPORT_EXT[fmt]
 
-    ordered = df.orderBy(F.col(order_column).asc()) if order_column in df.columns else df
+    if order_column not in df.columns:
+        raise ValueError(
+            f"order column {order_column!r} not in frame columns {df.columns}; "
+            f"an ordered export without its order column would silently "
+            f"produce arbitrary order — pass the right order_column"
+        )
+    ordered = df.orderBy(F.col(order_column).asc())
     shard_dir = os.path.join(out_dir, f"_shards_{ext}")
 
     if ext == "csv":

@@ -1,13 +1,14 @@
 """Multimodal column plumbing — image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow-batched pandas over mapInPandas.
 
-The actual decoders (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernels are stubbed two ways:
-- ``decode_stub=...`` raising NotImplementedError — the marked seam where
-  a real decoder plugs in;
-- a deterministic fake (byte-derived pseudo-features) that keeps every
-  piece of Spark plumbing REAL and testable: schema, partitioning, UDF
-  signatures, Arrow batch shapes.
+Decode status:
+- REAL, stdlib-only: WAV PCM audio (``wave`` + numpy — duration/rate/RMS)
+  and image dimensions (PNG IHDR / JPEG SOFn / GIF / BMP header parse).
+- Seamed (marked ``NotImplementedError`` / NULL passthrough): full pixel
+  decode + resample (PIL/opencv), compressed audio (soundfile/librosa),
+  video keyframes (ffmpeg) — those libs aren't in this container; the
+  surrounding Spark plumbing (schema, Arrow batching, partition-local
+  execution) is identical either way.
 
 Scale design: media bytes never leave the executor they were read on —
 all kernels are mapInPandas (per-partition Arrow batches, no shuffle);
@@ -96,29 +97,72 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+_JPEG_SOF_MARKERS = frozenset(
+    (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color-type -> samples/pixel
+
+
+def image_dims(blob: bytes) -> tuple[int, int, int] | None:
+    """REAL (width, height, channels) from container headers — stdlib-only
+    ``struct`` parsing of PNG IHDR, JPEG SOFn, GIF logical screen and BMP
+    info header. Returns None for unrecognized/truncated containers (full
+    pixel decode is the PIL seam, not needed for dimensions)."""
+    import struct
+
+    if blob is None or len(blob) < 10:
+        return None
+    if blob[:8] == b"\x89PNG\r\n\x1a\n" and len(blob) >= 26:
+        w, h = struct.unpack(">II", blob[16:24])
+        return w, h, _PNG_CHANNELS.get(blob[25], 3)
+    if blob[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 9 < len(blob) and blob[i] == 0xFF:
+            marker = blob[i + 1]
+            if marker in _JPEG_SOF_MARKERS:
+                h, w = struct.unpack(">HH", blob[i + 5 : i + 9])
+                return w, h, blob[i + 9]
+            i += 2 + struct.unpack(">H", blob[i + 2 : i + 4])[0]
+        return None
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", blob[6:10])
+        return w, h, 3
+    if blob[:2] == b"BM" and len(blob) >= 26:
+        w, h = struct.unpack("<ii", blob[18:26])
+        return w, abs(h), 3  # negative height = top-down rows
+    return None
+
+
 def decode_images(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode image blobs to (width, height, channels).
 
-    STUB: real decoding needs PIL/opencv (absent here). ``fake=True``
-    derives deterministic pseudo-dimensions from the first bytes so the
-    distributed plumbing is exercised end-to-end; ``fake=False`` raises at
-    the marked seam."""
+    Default: REAL stdlib header parse (PNG/JPEG/GIF/BMP via
+    :func:`image_dims`); unrecognized containers yield NULL dims — at
+    corpus scale undecodable blobs are data, not errors. Full pixel decode
+    (needed for resize/model input, not for dimensions) remains the PIL
+    seam in :func:`resize_images`. ``fake=True`` keeps the legacy
+    byte-derived pseudo-dims for plumbing tests."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                # >>> real decoder goes here (PIL.Image.open over io.BytesIO) <<<
-                raise NotImplementedError(
-                    "image decode requires PIL/opencv — not available in this "
-                    "environment; run with fake=True for plumbing tests"
-                )
             content = pdf["content"]
+            if fake:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "width": content.map(lambda b: 1 + int(b[0]) % 64 if b else None),
+                        "height": content.map(lambda b: 1 + int(b[-1]) % 64 if b else None),
+                        "channels": content.map(lambda b: 3 if b else None),
+                    }
+                )
+                continue
+            dims = content.map(image_dims)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": content.map(lambda b: 1 + int(b[0]) % 64 if b else None),
-                    "height": content.map(lambda b: 1 + int(b[-1]) % 64 if b else None),
-                    "channels": content.map(lambda b: 3 if b else None),
+                    "width": dims.map(lambda d: d[0] if d else None),
+                    "height": dims.map(lambda d: d[1] if d else None),
+                    "channels": dims.map(lambda d: d[2] if d else None),
                 }
             )
 
@@ -220,28 +264,53 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+_PCM_NORM = {1: ("u1", 128.0, 128.0), 2: ("<i2", 0.0, 32768.0), 4: ("<i4", 0.0, 2147483648.0)}
+
+
+def wav_features(blob: bytes) -> tuple[float, int, float] | None:
+    """REAL WAV PCM decode, stdlib-only: RIFF/fmt parsing via ``wave``,
+    sample normalization to [-1, 1) per bit depth, RMS over all channels.
+    Returns (duration_s, sample_rate, rms) or None if not a decodable
+    PCM WAV (compressed codecs are the soundfile/librosa seam)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if blob is None or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(bytes(blob))) as w:
+            n_frames, rate, width = w.getnframes(), w.getframerate(), w.getsampwidth()
+            raw = w.readframes(n_frames)
+    except (wave.Error, EOFError):
+        return None
+    if width not in _PCM_NORM or rate <= 0:
+        return None  # 24-bit / compressed: plug a real codec at the seam
+    dtype, offset, scale = _PCM_NORM[width]
+    x = (np.frombuffer(raw, dtype=dtype).astype("float64") - offset) / scale
+    rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+    return (round(n_frames / rate, 6), rate, round(rms, 6))
+
+
 def audio_features(df: DataFrame, fake: bool = False, assumed_rate: int = 16_000) -> DataFrame:
     """Audio blob features (duration / sample rate / RMS energy).
 
-    STUB at the decode seam (librosa/soundfile absent). ``fake=True``
-    treats the blob as raw unsigned 8-bit PCM at ``assumed_rate`` — a real
-    deterministic computation through the real batch path; swapping the
-    body for an actual codec changes nothing around it."""
+    Default: REAL stdlib WAV PCM decode (:func:`wav_features` — 8/16/32-bit
+    PCM; header-declared rate, normalized RMS). Non-WAV codecs yield NULLs
+    — mp3/ogg/flac decode is the soundfile/librosa seam. ``fake=True``
+    keeps the legacy raw-8-bit-PCM interpretation for plumbing tests."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            if not fake:
-                # >>> real decoder goes here (soundfile.read / librosa.load) <<<
-                raise NotImplementedError(
-                    "audio decode requires librosa/soundfile — not available "
-                    "in this environment; run with fake=True for plumbing tests"
-                )
 
             def feats(blob):
                 if blob is None or not len(blob):
                     return (None, None, None)
+                if not fake:
+                    return wav_features(blob) or (None, None, None)
                 x = np.frombuffer(blob, dtype="uint8").astype("float64") - 128.0
                 return (
                     round(len(x) / assumed_rate, 6),

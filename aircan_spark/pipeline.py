@@ -39,6 +39,7 @@ from aircan_spark import ROW_NUMBER_COLUMN, UPDATED_AT_COLUMN
 from aircan_spark.export import export_ordered
 from aircan_spark.rownum import with_row_number
 from aircan_spark.schema import (
+    decide_schema_action,
     sanitize_descriptor,
     struct_to_descriptor,
     unique_keys as descriptor_keys,
@@ -108,6 +109,25 @@ def run(spark: SparkSession, config: dict[str, Any]) -> dict[str, Any]:
         )
     else:
         table = ParquetTable(spark, warehouse, config["table_name"])
+
+    # --- schema-drift decision (reference D4: compare_schema,
+    # api_loader.py:70-150) — consulted on every incremental load of an
+    # existing table. Type change on same columns => SchemaDriftError (the
+    # append-enabled prohibition). Column-set drift => policy:
+    #   on_schema_drift: 'evolve' (default) keeps the engine's additive
+    #   append (D3 — removed columns stay, added columns backfill NULL);
+    #   'recreate' mirrors the reference datastore (drop + reload).
+    if method in ("append", "upsert") and table.exists():
+        decision = decide_schema_action(
+            table.read().schema,
+            typed.schema,
+            type_overrides=config.get("data_dictionary"),
+            append_enabled=True,
+        )
+        if decision["action"] == "recreate" and (
+            config.get("on_schema_drift", "evolve") == "recreate"
+        ):
+            method = "overwrite"
 
     # --- row numbering (reference 2c/2d: MAX+1 offset, stream inject) ------
     start = 1

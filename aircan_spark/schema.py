@@ -228,3 +228,88 @@ def compare_schemas(
         "type_changed": type_changed,
         "action": action,
     }
+
+
+class SchemaDriftError(ValueError):
+    """Prohibited schema drift (reference: AirflowCKANException on type
+    change for an append-enabled resource, api_loader.py:133-136)."""
+
+
+# Overrides the reference ignores when diffing against the stored type
+# (api_loader.py:114-117): synthetic frictionless types with no storage
+# analog, and 'integer' re-declared over an already-integer column.
+_OVERRIDE_IGNORED_TYPES = frozenset({"year", "yearmonth", "geopoint"})
+_INTEGER_SPARK_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def decide_schema_action(
+    old: T.StructType,
+    new: T.StructType,
+    *,
+    type_overrides: dict[str, str] | None = None,
+    append_enabled: bool = False,
+) -> dict[str, Any]:
+    """Recreate-vs-append decision tree (reference: compare_schema,
+    dependencies_legacy/api_loader.py:70-150).
+
+    ``type_overrides``: per-column frictionless types a curator declared in
+    the data dictionary (the CKAN ``info.type`` analog). An override wins
+    over the incoming schema's inferred type — except the reference's
+    ignore rules: synthetic types (year/yearmonth/geopoint) and 'integer'
+    over an already-integer column are no-ops.
+
+    ``append_enabled``: resources loaded incrementally must never change an
+    existing column's type (previous data would be silently reinterpreted)
+    -> SchemaDriftError, mirroring api_loader.py:133-136.
+
+    Returns ``{'action': 'append'|'recreate', 'schema': effective new
+    StructType (overrides applied), 'type_changed': [...], 'added': [...],
+    'removed': [...]}``. Column-set drift (added OR removed columns) =>
+    recreate, matching the reference's set-equality test — the engine's
+    additive-append evolution (D3) remains available to callers that skip
+    this gate.
+    """
+    overrides = type_overrides or {}
+    system = {ROW_NUMBER_COLUMN, UPDATED_AT_COLUMN}
+    old_map = {f.name: f.dataType for f in old.fields if f.name not in system}
+    new_map = {f.name: f.dataType for f in new.fields if f.name not in system}
+
+    # effective incoming type: data-dictionary override wins (ignore rules
+    # applied against the OLD stored type, as the reference does)
+    effective: dict[str, T.DataType] = {}
+    type_changed: list[str] = []
+    for name, new_t in new_map.items():
+        old_t = old_map.get(name)
+        ov = overrides.get(name)
+        eff = new_t
+        if ov is not None:
+            if ov in _OVERRIDE_IGNORED_TYPES:
+                pass
+            elif ov == "integer" and isinstance(old_t, _INTEGER_SPARK_TYPES):
+                pass
+            else:
+                eff = frictionless_to_spark_type(ov)
+        effective[name] = eff
+        if old_t is not None and old_t != eff:
+            type_changed.append(name)
+
+    added = [c for c in new_map if c not in old_map]
+    removed = [c for c in old_map if c not in new_map]
+
+    if type_changed and not added and not removed and append_enabled:
+        raise SchemaDriftError(
+            f"cannot change type of existing fields in an append-enabled "
+            f"resource: {type_changed}"
+        )
+    action = "recreate" if (added or removed or type_changed) else "append"
+    fields = [
+        T.StructField(f.name, effective.get(f.name, f.dataType), f.nullable, f.metadata)
+        for f in new.fields
+    ]
+    return {
+        "action": action,
+        "schema": T.StructType(fields),
+        "type_changed": type_changed,
+        "added": added,
+        "removed": removed,
+    }

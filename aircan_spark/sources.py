@@ -14,9 +14,11 @@ real cluster sources land on HDFS/S3/GCS and Spark reads them directly).
 
 from __future__ import annotations
 
+import hashlib
 import os
-import shutil
 import tempfile
+import time
+import urllib.error
 import urllib.request
 from typing import Any
 
@@ -50,19 +52,56 @@ def is_http_url(path: str) -> bool:
     return path.startswith(("http://", "https://"))
 
 
-def fetch_to_local(url: str, headers: dict[str, str] | None = None) -> str:
+# Retry policy mirrors the reference downloader (dependencies_legacy/
+# utils.py:320-337): Retry(total=3, backoff_factor=0.3,
+# status_forcelist=[402, 408, 502, 503, 504]).
+RETRYABLE_HTTP_STATUSES = frozenset({402, 408, 502, 503, 504})
+FETCH_MAX_RETRIES = 3
+FETCH_BACKOFF_FACTOR = 0.3
+
+
+def fetch_to_local(
+    url: str,
+    headers: dict[str, str] | None = None,
+    *,
+    max_retries: int = FETCH_MAX_RETRIES,
+    backoff_factor: float = FETCH_BACKOFF_FACTOR,
+    return_hash: bool = False,
+) -> str | tuple[str, str]:
     """Download an HTTP resource to a local temp file Spark can read.
 
-    Analog of download_resource_file (dependencies_legacy/utils.py:320-355)
-    without the MD5 side-channel; retries are left to the caller's policy.
+    Analog of download_resource_file (dependencies_legacy/utils.py:320-355):
+    bounded retry with exponential backoff on flaky-portal statuses
+    (402/408/502/503/504) and connection errors, and an MD5 computed while
+    streaming (the reference's change-detection side-channel) — pass
+    ``return_hash=True`` to get ``(path, md5hex)``.
     """
     suffix = os.path.basename(url.split("?")[0]) or "resource"
     fd, local = tempfile.mkstemp(prefix="aircan_src_", suffix="_" + suffix)
     os.close(fd)
-    req = urllib.request.Request(url, headers=headers or {})
-    with urllib.request.urlopen(req) as resp, open(local, "wb") as out:
-        shutil.copyfileobj(resp, out, length=1 << 20)
-    return local
+
+    attempt = 0
+    while True:
+        try:
+            req = urllib.request.Request(url, headers=headers or {})
+            digest = hashlib.md5()
+            with urllib.request.urlopen(req) as resp, open(local, "wb") as out:
+                while True:
+                    chunk = resp.read(1 << 20)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+                    digest.update(chunk)
+            return (local, digest.hexdigest()) if return_hash else local
+        except urllib.error.HTTPError as e:
+            if e.code not in RETRYABLE_HTTP_STATUSES or attempt >= max_retries:
+                raise
+        except urllib.error.URLError:
+            if attempt >= max_retries:
+                raise
+        attempt += 1
+        # urllib3-style schedule: factor * 2^(attempt-1)
+        time.sleep(backoff_factor * (2 ** (attempt - 1)))
 
 
 def read_resource(

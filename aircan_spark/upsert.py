@@ -201,7 +201,14 @@ def merge(
         insert_cols.append(F.lit(None).cast(target_types[c]).alias(c))
     for c in preserve_columns:
         if c in target.columns:
-            insert_cols.append(F.lit(None).cast(target_types[c]).alias(c))
+            if c in anti.columns:
+                # Reference MERGE includes ALL stage columns in the INSERT
+                # (warehouse.py merge_upsert_anyvalue_dedup): "preserve"
+                # applies to the UPDATE SET only — a brand-new row takes
+                # the stage's value. NULL only when the stage lacks it.
+                insert_cols.append(F.col(c).cast(target_types[c]).alias(c))
+            else:
+                insert_cols.append(F.lit(None).cast(target_types[c]).alias(c))
     insert_cols.append(F.lit(job_ts).alias(updated_at_column))
     inserts = anti.select(*insert_cols)
 

@@ -205,11 +205,111 @@ def test_multimodal_byte_features_roundtrip(spark):
     assert joined.filter(F.col("n_bytes") != F.col("len")).count() == 0
 
 
-def test_multimodal_decode_stub_raises(spark):
+def test_multimodal_unrecognized_blobs_yield_null_dims(spark):
+    # text bytes are not an image container: real decode yields NULL dims
+    # (undecodable blobs are data at corpus scale, not errors)
     docs = load_table(spark, SF_DIR, "documents").limit(5)
     media = multimodal.attach_binary(docs, "doc_id", "text")
-    with pytest.raises(Exception, match="NotImplementedError|image decode"):
-        multimodal.decode_images(media, fake=False).collect()
+    rows = multimodal.decode_images(media, fake=False).collect()
+    assert rows and all(r["width"] is None and r["channels"] is None for r in rows)
+
+
+def _png_bytes(w, h, color_type=6):
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = b"".join(b"\x00" + bytes(w * nch) for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _jpeg_bytes(w, h, nch=3):
+    import struct
+
+    # SOI + APP0(JFIF) + SOF0 + EOI — enough of a container for header parse
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof = struct.pack(">BHHB", 8, h, w, nch) + bytes(3 * nch)
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xd9"
+    )
+
+
+def _wav_bytes(rate=8000, freq=440.0, seconds=0.25, width=2):
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    x = np.sin(2 * np.pi * freq * t)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(width)
+        wv.setframerate(rate)
+        if width == 2:
+            wv.writeframes(b"".join(struct.pack("<h", int(v * 32767)) for v in x))
+        else:
+            wv.writeframes(bytes(int(128 + v * 127) for v in x))
+    return buf.getvalue()
+
+
+def test_image_dims_real_containers(spark):
+    import struct
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + bytes(20)
+    bmp = b"BM" + bytes(16) + struct.pack("<ii", 64, -48) + bytes(20)
+    blobs = [
+        (1, _png_bytes(17, 9, color_type=6)),
+        (2, _png_bytes(5, 3, color_type=0)),
+        (3, _jpeg_bytes(640, 480)),
+        (4, gif),
+        (5, bmp),
+        (6, b"not an image at all"),
+    ]
+    df = spark.createDataFrame(blobs, "media_id long, content binary").withColumns(
+        {"mime_type": F.lit("application/octet-stream"), "meta": F.create_map()}
+    )
+    got = {r["media_id"]: (r["width"], r["height"], r["channels"])
+           for r in multimodal.decode_images(df).collect()}
+    assert got[1] == (17, 9, 4)
+    assert got[2] == (5, 3, 1)
+    assert got[3] == (640, 480, 3)
+    assert got[4] == (320, 200, 3)
+    assert got[5] == (64, 48, 3)  # negative BMP height = top-down
+    assert got[6] == (None, None, None)
+
+
+def test_wav_features_real_decode(spark):
+    import math
+
+    blobs = [(1, _wav_bytes(rate=8000, seconds=0.25, width=2)),
+             (2, _wav_bytes(rate=16000, seconds=0.5, width=1)),
+             (3, b"\x00\x01\x02 not audio")]
+    df = spark.createDataFrame(blobs, "media_id long, content binary").withColumns(
+        {"mime_type": F.lit("audio/wav"), "meta": F.create_map()}
+    )
+    got = {r["media_id"]: r for r in multimodal.audio_features(df).collect()}
+    assert got[1]["sample_rate"] == 8000 and got[1]["duration_s"] == 0.25
+    assert got[2]["sample_rate"] == 16000 and got[2]["duration_s"] == 0.5
+    # full-scale sine RMS = 1/sqrt(2); 16-bit quantization keeps it tight
+    assert abs(got[1]["rms"] - 1 / math.sqrt(2)) < 0.01
+    assert got[3]["duration_s"] is None and got[3]["sample_rate"] is None
 
 
 def test_multimodal_fake_decode_deterministic(spark):

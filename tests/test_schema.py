@@ -152,3 +152,145 @@ def test_survey_inventory_matches_driver_contract():
             assert key in qs, f"SURVEY claims {key} but queries() lacks it"
             if "| oracle" in line:
                 assert key in oracles, f"SURVEY says {key} is oracle-checked"
+
+
+# --- D4: recreate-vs-append decision tree (reference compare_schema,
+# dependencies_legacy/api_loader.py:70-150) ----------------------------------
+
+
+def _st(*fields):
+    from pyspark.sql import types as T
+
+    m = {"int": T.LongType(), "str": T.StringType(), "dbl": T.DoubleType(),
+         "i32": T.IntegerType(), "date": T.DateType()}
+    return T.StructType([T.StructField(n, m[t], True) for n, t in fields])
+
+
+def test_decide_identical_schemas_append():
+    from aircan_spark.schema import decide_schema_action
+
+    old = _st(("a", "int"), ("b", "str"))
+    d = decide_schema_action(old, _st(("a", "int"), ("b", "str")))
+    assert d["action"] == "append"
+    assert d["type_changed"] == [] and d["added"] == [] and d["removed"] == []
+
+
+def test_decide_column_set_drift_recreates():
+    from aircan_spark.schema import decide_schema_action
+
+    old = _st(("a", "int"), ("b", "str"))
+    # added column
+    d = decide_schema_action(old, _st(("a", "int"), ("b", "str"), ("c", "dbl")))
+    assert d["action"] == "recreate" and d["added"] == ["c"]
+    # removed column
+    d = decide_schema_action(old, _st(("a", "int")))
+    assert d["action"] == "recreate" and d["removed"] == ["b"]
+    # column drift never raises, even append-enabled (reference: the raise
+    # lives inside the same-columns branch only)
+    d = decide_schema_action(old, _st(("a", "int")), append_enabled=True)
+    assert d["action"] == "recreate"
+
+
+def test_decide_type_change_recreates_or_raises():
+    import pytest as _pytest
+
+    from aircan_spark.schema import SchemaDriftError, decide_schema_action
+
+    old = _st(("a", "int"), ("b", "str"))
+    new = _st(("a", "dbl"), ("b", "str"))
+    assert decide_schema_action(old, new)["action"] == "recreate"
+    with _pytest.raises(SchemaDriftError, match="append-enabled"):
+        decide_schema_action(old, new, append_enabled=True)
+
+
+def test_decide_data_dictionary_override_wins():
+    from pyspark.sql import types as T
+
+    from aircan_spark.schema import decide_schema_action
+
+    old = _st(("a", "str"), ("b", "str"))
+    new = _st(("a", "str"), ("b", "str"))
+    # curator declared a=date in the data dictionary -> effective type
+    # differs from stored -> recreate with the override applied
+    d = decide_schema_action(old, new, type_overrides={"a": "date"})
+    assert d["action"] == "recreate" and d["type_changed"] == ["a"]
+    assert d["schema"]["a"].dataType == T.DateType()
+
+
+def test_decide_override_ignore_rules():
+    from aircan_spark.schema import decide_schema_action
+
+    # synthetic types are ignored (api_loader.py:114-115)
+    old = _st(("a", "str"))
+    d = decide_schema_action(old, _st(("a", "str")), type_overrides={"a": "yearmonth"})
+    assert d["action"] == "append"
+    # 'integer' over an already-integer column is ignored (the int4 rule)
+    old = _st(("a", "i32"))
+    d = decide_schema_action(old, _st(("a", "i32")), type_overrides={"a": "integer"})
+    assert d["action"] == "append"
+
+
+def test_decide_system_columns_excluded():
+    from pyspark.sql import types as T
+
+    from aircan_spark.schema import decide_schema_action
+
+    old = T.StructType(
+        list(_st(("a", "int"), ("_id", "int")).fields)
+        + [T.StructField("_updated_at", T.TimestampType(), True)]
+    )
+    d = decide_schema_action(old, _st(("a", "int")))
+    assert d["action"] == "append" and d["removed"] == []
+
+
+def test_pipeline_append_type_change_raises(spark, tmp_path):
+    """pipeline.run consults the decision tree on incremental loads: a
+    same-column type change on append is the reference's prohibited case."""
+    import pytest as _pytest
+
+    from aircan_spark.pipeline import run
+    from aircan_spark.schema import SchemaDriftError
+
+    src = str(tmp_path / "v1.csv")
+    open(src, "w").write("sku,name\n1,a\n")
+    wh = str(tmp_path / "wh")
+    cfg = {
+        "resource_path": src,
+        "table_name": "t",
+        "warehouse": wh,
+        "schema_descriptor": {"fields": [{"name": "sku", "type": "integer"},
+                                         {"name": "name", "type": "string"}]},
+        "method": "overwrite",
+    }
+    run(spark, cfg)
+    cfg2 = dict(cfg)
+    cfg2["method"] = "append"
+    cfg2["schema_descriptor"] = {"fields": [{"name": "sku", "type": "number"},
+                                            {"name": "name", "type": "string"}]}
+    with _pytest.raises(SchemaDriftError):
+        run(spark, cfg2)
+
+
+def test_pipeline_drift_recreate_policy(spark, tmp_path):
+    """on_schema_drift='recreate': column-set drift on append rebuilds the
+    table (reference datastore recreate); default 'evolve' keeps additive
+    append."""
+    from aircan_spark.pipeline import run
+
+    src = str(tmp_path / "v1.csv")
+    open(src, "w").write("sku,name\n1,a\n2,b\n")
+    wh = str(tmp_path / "wh")
+    base = {
+        "table_name": "t",
+        "warehouse": wh,
+        "schema_descriptor": {"fields": [{"name": "sku", "type": "integer"},
+                                         {"name": "name", "type": "string"}]},
+    }
+    run(spark, {**base, "resource_path": src, "method": "overwrite"})
+
+    src2 = str(tmp_path / "v2.csv")
+    open(src2, "w").write("sku,name,extra\n3,c,x\n")
+    d2 = {"fields": base["schema_descriptor"]["fields"] + [{"name": "extra", "type": "string"}]}
+    res = run(spark, {**base, "resource_path": src2, "method": "append",
+                      "schema_descriptor": d2, "on_schema_drift": "recreate"})
+    assert res["rows"] == 1  # recreated: only the new load remains

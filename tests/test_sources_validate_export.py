@@ -267,3 +267,79 @@ def test_export_partitioned_rejects_bad_args(spark, tmp_path):
         export_partitioned(df, str(tmp_path / "x"), ["nope"])
     with _pytest.raises(ValueError):
         export_partitioned(df, str(tmp_path / "x"), ["grp"], fmt="csv")
+
+
+def test_export_ordered_missing_order_column_raises(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="order column"):
+        export_ordered(df, str(tmp_path / "nope"), "csv")
+
+
+def test_fetch_to_local_retries_flaky_server_and_returns_md5(tmp_path):
+    """Flaky-portal policy (reference dependencies_legacy/utils.py:320-337):
+    retryable statuses are retried with backoff, the body lands intact, and
+    the MD5 side-channel matches the payload."""
+    import hashlib
+    import http.server
+    import threading
+
+    from aircan_spark.sources import fetch_to_local
+
+    payload = b"a,b\n1,2\n3,4\n"
+    fails = {"left": 2}
+
+    class Flaky(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if fails["left"] > 0:
+                fails["left"] -= 1
+                self.send_response(503)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Flaky)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/data.csv"
+        path, md5 = fetch_to_local(url, backoff_factor=0.01, return_hash=True)
+        assert open(path, "rb").read() == payload
+        assert md5 == hashlib.md5(payload).hexdigest()
+        assert fails["left"] == 0
+
+        # non-retryable status -> immediate raise
+        import urllib.error
+
+        import pytest as _pytest
+
+        class NotFound(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                self.send_response(404)
+                self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        srv2 = http.server.HTTPServer(("127.0.0.1", 0), NotFound)
+        threading.Thread(target=srv2.serve_forever, daemon=True).start()
+        try:
+            with _pytest.raises(urllib.error.HTTPError):
+                fetch_to_local(
+                    f"http://127.0.0.1:{srv2.server_port}/x.csv", backoff_factor=0.01
+                )
+        finally:
+            srv2.shutdown()
+
+        # retries exhausted -> raises the retryable error
+        fails["left"] = 99
+        with _pytest.raises(urllib.error.HTTPError):
+            fetch_to_local(url, max_retries=1, backoff_factor=0.01)
+    finally:
+        srv.shutdown()

@@ -168,3 +168,28 @@ def test_backfill_updated_at(spark, tmp_path):
     rows = {r["sku"]: r["_updated_at"] for r in t.read().collect()}
     assert rows[10] == TS1  # already set: untouched
     assert rows[20] == TS2 and rows[30] == TS2  # NULLs backfilled
+
+
+def test_merge_preserve_columns_insert_takes_stage_value(spark):
+    """Reference MERGE includes all stage columns in the INSERT — preserve
+    applies only to the UPDATE SET (warehouse.py merge_upsert_anyvalue_dedup).
+    A NOT MATCHED row must take the stage's value for a preserved column;
+    NULL only when the stage lacks the column entirely."""
+    from aircan_spark.upsert import merge
+
+    target = spark.createDataFrame(
+        [(10, "a", "keep-me", 1)], "sku int, name string, note string, _id long"
+    )
+    # stage HAS the preserved column
+    stage = spark.createDataFrame(
+        [(10, "a2", "stage-note"), (20, "b", "new-note")],
+        "sku int, name string, note string",
+    )
+    out = {r["sku"]: r for r in merge(target, stage, ["sku"], preserve_columns=("note",)).collect()}
+    assert out[10]["note"] == "keep-me"  # matched: preserved from target
+    assert out[20]["note"] == "new-note"  # insert: stage value, not NULL
+    # stage LACKS the preserved column -> insert gets NULL
+    stage2 = spark.createDataFrame([(30, "c")], "sku int, name string")
+    out2 = {r["sku"]: r for r in merge(target, stage2, ["sku"], preserve_columns=("note",)).collect()}
+    assert out2[30]["note"] is None
+    assert out2[10]["note"] == "keep-me"
