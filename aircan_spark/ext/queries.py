@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from aircan_spark.data import fan_out
 from aircan_spark.data import load_table as _load
@@ -3387,3 +3388,455 @@ EXT_ORACLES: dict[str, str] = {
     "ext_sim_topk_brute": EXT_SIM_TOPK_SQL,
     "ext_mm_byte_features": EXT_MM_BYTES_SQL,
 }
+
+
+# --- round-2 analytics wave: classic warehouse flavors (Q2/Q11/Q16/Q22) +
+# inequality/independence/vocabulary/trending ---------------------------------------
+
+
+def ext_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest observed supplier per part (TPC-H Q2 flavor without
+    partsupp): per (part, supplier) mean unit price from lineitem, then the
+    per-part argmin via MIN over a (price, suppkey) struct — engine-neutral
+    deterministic tie-break, no window needed.
+
+    Scale shape: one (partkey, suppkey) exchange for the pair agg, one
+    partkey exchange for the argmin; both partial-aggregated map-side. The
+    selective part filter prunes before the final join, and the part dim
+    broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_extendedprice").cast("decimal(18,6)").alias("price"),
+        F.col("l_quantity").cast("decimal(18,6)").alias("qty"),
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 45).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    pair = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                (F.sum("price") / F.sum("qty")).cast("decimal(38,6)"), 4
+            ).alias("unit_price")
+        )
+    )
+    best = (
+        pair.groupBy("l_partkey")
+        .agg(F.min(F.struct("unit_price", "l_suppkey")).alias("b"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("b.l_suppkey").alias("best_suppkey"),
+            F.col("b.unit_price").cast("double").alias("best_unit_price"),
+        )
+    )
+    return (
+        best.join(F.broadcast(part), "p_partkey")
+        .select("p_partkey", "p_brand", "p_size", "best_suppkey", "best_unit_price")
+        .orderBy("p_partkey")
+    )
+
+
+EXT_MIN_COST_SUPPLIER_SQL = r"""
+WITH pair AS (
+  SELECT l_partkey, l_suppkey,
+         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+               / SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)), 4)
+           AS unit_price
+  FROM lineitem GROUP BY 1, 2
+),
+best AS (
+  SELECT l_partkey AS p_partkey, l_suppkey AS best_suppkey,
+         CAST(unit_price AS DOUBLE) AS best_unit_price,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY unit_price, l_suppkey) AS rn
+  FROM pair
+)
+SELECT p.p_partkey, p.p_brand, p.p_size, b.best_suppkey, b.best_unit_price
+FROM best b JOIN part p USING (p_partkey)
+WHERE b.rn = 1 AND p.p_size >= 45
+ORDER BY p.p_partkey
+"""
+
+
+def ext_nation_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation revenue share vs the corpus total, keeping nations
+    above a fraction threshold (TPC-H Q11 flavor: GROUP BY + HAVING
+    against a global scalar).
+
+    Scale shape: lineitem collapses per-suppkey first (the big exchange),
+    then joins the small supplier/nation dims broadcast; the global total
+    is a 1-row aggregate joined as a broadcast literal, never a second
+    scan of the fact."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+        ).alias("rev"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum("rev").cast("decimal(38,6)").alias("srev")
+    )
+    per_nation = (
+        per_supp.join(F.broadcast(sup), per_supp["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum("srev").cast("decimal(38,6)").alias("value"))
+    )
+    total = per_nation.agg(F.sum("value").cast("decimal(38,6)").alias("tot"))
+    return (
+        per_nation.join(F.broadcast(total))
+        .withColumn(
+            "share", F.round(F.col("value").cast("double") / F.col("tot").cast("double"), 6)
+        )
+        .filter(F.col("share") > 0.04)
+        .select("n_name", F.col("value").cast("double").alias("value"), "share")
+        .orderBy("n_name")
+    )
+
+
+EXT_NATION_VALUE_SHARE_SQL = r"""
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+              * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+           AS DECIMAL(38,6)) AS srev
+  FROM lineitem GROUP BY 1
+),
+per_nation AS (
+  SELECT n.n_name, CAST(SUM(srev) AS DECIMAL(38,6)) AS value
+  FROM per_supp
+  JOIN supplier s ON l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(value) AS DECIMAL(38,6)) AS tot FROM per_nation)
+SELECT n_name, CAST(value AS DOUBLE) AS value,
+       ROUND(CAST(value AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+FROM per_nation CROSS JOIN tot
+WHERE ROUND(CAST(value AS DOUBLE) / CAST(tot AS DOUBLE), 6) > 0.04
+ORDER BY n_name
+"""
+
+
+def ext_part_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, size-band) excluding a supplier
+    denylist (TPC-H Q16 flavor: COUNT(DISTINCT) with a NOT-IN rewritten as
+    LEFT ANTI).
+
+    Scale shape: observed (partkey, suppkey) pairs dedup map-side before
+    any join; the denylist (negative-balance suppliers) is tiny and
+    broadcast for the anti join; the part dim broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        (F.floor(F.col("p_size") / 10) * 10).cast("int").alias("size_band"),
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "size_band")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy("p_brand", "size_band")
+    )
+
+
+EXT_PART_SUPPLIER_COUNT_SQL = r"""
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+keep AS (
+  SELECT * FROM pairs
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+)
+SELECT p.p_brand, CAST(FLOOR(p.p_size / 10) * 10 AS INTEGER) AS size_band,
+       CAST(COUNT(DISTINCT k.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM keep k JOIN part p ON k.l_partkey = p.p_partkey
+GROUP BY 1, 2 ORDER BY p_brand, size_band
+"""
+
+
+def ext_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Well-funded customers with no orders (TPC-H Q22 flavor): balance
+    above the positive-balance average AND no order history — scalar-
+    subquery threshold + LEFT ANTI existence check, reported per nation.
+
+    Scale shape: the average is a 1-row broadcast; the anti join probes
+    orders by custkey only (key-projected build side); output is
+    O(nations)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 4).alias("threshold")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(orders, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+EXT_IDLE_CUSTOMERS_SQL = r"""
+WITH thresh AS (
+  SELECT ROUND(AVG(c_acctbal), 4) AS threshold FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+FROM customer CROSS JOIN thresh
+WHERE c_acctbal > threshold
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def ext_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per market segment — the
+    standard rank formula G = 2*Σ(i*x_i)/(n*Σx) - (n+1)/n over ascending
+    per-customer revenue.
+
+    Scale shape: raw rows collapse to per-customer revenue first; the rank
+    window partitions by segment over the O(customers) aggregate (never
+    the fact table); ties carry identical values so rank order among ties
+    cannot change the statistic."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+        ).alias("rev"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum("rev").cast("decimal(38,6)").alias("crev"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("crev", "c_custkey")
+    ranked = per_cust.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("i") * F.col("crev")).cast("decimal(38,6)").alias("_iws"),
+            F.sum("crev").cast("decimal(38,6)").alias("_tot"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            F.round(
+                F.lit(2.0) * F.col("_iws").cast("double")
+                / (F.col("n_customers") * F.col("_tot").cast("double"))
+                - (F.col("n_customers") + F.lit(1.0)) / F.col("n_customers"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+EXT_GINI_SQL = r"""
+WITH per_cust AS (
+  SELECT c_mktsegment, c_custkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+              * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+           AS DECIMAL(38,6)) AS crev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_mktsegment, crev,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY crev, c_custkey) AS i
+  FROM per_cust
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       ROUND(2.0 * CAST(SUM(i * crev) AS DOUBLE)
+             / (COUNT(*) * CAST(SUM(crev) AS DOUBLE))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def ext_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment × order-priority independence audit: observed contingency
+    counts vs expected-under-independence, with each cell's chi-square
+    contribution — the classic pre-modeling association check.
+
+    Scale shape: one (segment, priority) hash agg over the joined fact;
+    the margins are tiny aggregates of the cell frame joined back
+    broadcast; output is O(segments × priorities)."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    row_tot = cells.groupBy("c_mktsegment").agg(F.sum("observed").alias("rt"))
+    col_tot = cells.groupBy("o_orderpriority").agg(F.sum("observed").alias("ct"))
+    grand = cells.agg(F.sum("observed").alias("gt"))
+    return (
+        cells.join(F.broadcast(row_tot), "c_mktsegment")
+        .join(F.broadcast(col_tot), "o_orderpriority")
+        .join(F.broadcast(grand))
+        .withColumn("expected", F.round(F.col("rt") * F.col("ct") / F.col("gt"), 4))
+        .withColumn(
+            "contribution",
+            F.round(
+                F.pow(F.col("observed") - F.col("rt") * F.col("ct") / F.col("gt"), 2)
+                / (F.col("rt") * F.col("ct") / F.col("gt")),
+                6,
+            ),
+        )
+        .select("c_mktsegment", "o_orderpriority", "observed", "expected", "contribution")
+        .orderBy("c_mktsegment", "o_orderpriority")
+    )
+
+
+EXT_CHI_SQUARE_SQL = r"""
+WITH cells AS (
+  SELECT c_mktsegment, o_orderpriority, COUNT(*) AS observed
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+rt AS (SELECT c_mktsegment, CAST(SUM(observed) AS BIGINT) AS rt FROM cells GROUP BY 1),
+ct AS (SELECT o_orderpriority, CAST(SUM(observed) AS BIGINT) AS ct FROM cells GROUP BY 1),
+gt AS (SELECT CAST(SUM(observed) AS BIGINT) AS gt FROM cells)
+SELECT c.c_mktsegment, c.o_orderpriority, c.observed,
+       ROUND(CAST(rt.rt AS DOUBLE) * ct.ct / gt.gt, 4) AS expected,
+       ROUND(POW(c.observed - CAST(rt.rt AS DOUBLE) * ct.ct / gt.gt, 2)
+             / (CAST(rt.rt AS DOUBLE) * ct.ct / gt.gt), 6) AS contribution
+FROM cells c
+JOIN rt USING (c_mktsegment)
+JOIN ct USING (o_orderpriority)
+CROSS JOIN gt
+ORDER BY c.c_mktsegment, c.o_orderpriority
+"""
+
+
+def ext_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary size and hapax-legomena share (words seen
+    exactly once) — a corpus-maturity / OCR-noise signal: noisy extractions
+    show inflated hapax mass.
+
+    Scale shape: tokens explode once, partial-agg to (lang, word) counts
+    (the only big exchange), then collapse to O(languages). No per-row
+    Python anywhere."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", F.lower(F.trim(F.col("text"))).alias("t")
+    )
+    words = (
+        docs.filter(F.length("t") > 0)
+        .select("lang", F.explode(F.split("t", r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    vocab = words.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        vocab.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            "lang",
+            "vocab_size",
+            "n_hapax",
+            F.round(F.col("n_hapax") / F.col("vocab_size"), 6).alias("hapax_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+EXT_HAPAX_SQL = r"""
+WITH words AS (
+  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+vocab AS (
+  SELECT lang, w, COUNT(*) AS n FROM words WHERE w <> '' GROUP BY 1, 2
+)
+SELECT lang, COUNT(*) AS vocab_size,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS hapax_share
+FROM vocab GROUP BY lang ORDER BY lang
+"""
+
+
+def ext_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per ISO week by volume — the trending-topics
+    shape: windowed counts then a rank head per window.
+
+    Scale shape: the only fact-table exchange is the (week, type) partial
+    agg; the rank window runs over O(weeks × types) rows and compiles to
+    WindowGroupLimit pushdown. Deterministic tie-break (count desc, type
+    asc)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"), "event_type"
+    )
+    counts = ev.groupBy("week", "event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("week").orderBy(F.col("n_events").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("week", "rnk", "event_type", "n_events")
+        .orderBy("week", "rnk")
+    )
+
+
+EXT_TRENDING_SQL = r"""
+WITH counts AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT week, event_type, n_events,
+         ROW_NUMBER() OVER (PARTITION BY week ORDER BY n_events DESC, event_type) AS rnk
+  FROM counts
+)
+SELECT week, rnk, event_type, n_events FROM ranked
+WHERE rnk <= 3 ORDER BY week, rnk
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_min_cost_supplier": ext_min_cost_supplier,
+        "ext_nation_value_share": ext_nation_value_share,
+        "ext_part_supplier_count": ext_part_supplier_count,
+        "ext_idle_customers": ext_idle_customers,
+        "ext_gini": ext_gini,
+        "ext_chi_square": ext_chi_square,
+        "ext_hapax_ratio": ext_hapax_ratio,
+        "ext_trending_topk": ext_trending_topk,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_min_cost_supplier": EXT_MIN_COST_SUPPLIER_SQL,
+        "ext_nation_value_share": EXT_NATION_VALUE_SHARE_SQL,
+        "ext_part_supplier_count": EXT_PART_SUPPLIER_COUNT_SQL,
+        "ext_idle_customers": EXT_IDLE_CUSTOMERS_SQL,
+        "ext_gini": EXT_GINI_SQL,
+        "ext_chi_square": EXT_CHI_SQUARE_SQL,
+        "ext_hapax_ratio": EXT_HAPAX_SQL,
+        "ext_trending_topk": EXT_TRENDING_SQL,
+    }
+)
