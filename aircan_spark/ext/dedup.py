@@ -416,12 +416,32 @@ def embedding_pairs(
             .select("id_a", "id_b")
             .distinct()
         )
-        va = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-        vb = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+        # per-vector norms computed ONCE (same fold expression _cosine
+        # uses, so results stay bit-identical to the exact path) and carried
+        # through the re-attach joins — per-pair work is then just the dot
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        normed = vecs.select(id_col, "v", norm.alias("n"))
+        va = normed.select(
+            F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+        )
+        vb = normed.select(
+            F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         scored = (
             cand.join(va, "id_a")
             .join(vb, "id_b")
-            .withColumn("cosine", F.round(_cosine(F.col("va"), F.col("vb")), 6))
+            .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
         )
     else:
         # Exact all-pairs, vectorized: each input batch is scored against
