@@ -3840,3 +3840,225 @@ EXT_ORACLES.update(
         "ext_trending_topk": EXT_TRENDING_SQL,
     }
 )
+
+
+# --- round-2 wave 2: reshaping, sketches, ranking classics -------------------------
+
+
+def ext_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (melt): customer balance/counts as (metric,
+    value) rows via the built-in ``unpivot`` — the inverse of the count
+    pivot (X44), needed constantly for plotting/export layers.
+
+    Scale shape: unpivot is a row-local Expand (no shuffle); the only
+    exchange is the final per-metric aggregate, O(metrics) output."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    long = cust.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .orderBy("metric")
+    )
+
+
+EXT_UNPIVOT_SQL = r"""
+WITH long AS (
+  SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS value FROM customer
+  UNION ALL
+  SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+)
+SELECT metric, COUNT(*) AS n_rows, ROUND(SUM(value), 2) AS sum_value,
+       ROUND(MIN(value), 2) AS min_value, ROUND(MAX(value), 2) AS max_value
+FROM long GROUP BY metric ORDER BY metric
+"""
+
+
+def ext_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 unshipped orders by revenue (TPC-H Q3 flavor): segment
+    filter on the customer dim, date residuals both sides, revenue agg,
+    global top-k.
+
+    Scale shape: both date filters reach the scans (PushedFilters); the
+    customer dim broadcasts; the global top-10 compiles to
+    TakeOrderedAndProject — no full sort of the aggregate."""
+    cutoff = "1995-03-15"
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+        ).alias("rev"),
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum("rev").cast("decimal(38,6)"), 4).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+EXT_SHIPPING_PRIORITY_SQL = r"""
+SELECT l_orderkey, o_orderdate,
+       CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+            * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+            AS DECIMAL(38,6)), 4) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def ext_shipmode_priority_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-shipment priority mix per return flag (TPC-H Q12 flavor):
+    CASE-gated conditional counts over one scan — high- vs low-priority
+    order shares among late lines.
+
+    Scale shape: single fact exchange on the tiny group key; the orders
+    dim join carries only (orderkey, priority); conditional sums are
+    map-side partial."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+EXT_SHIPMODE_SQL = r"""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def ext_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer-order graph: how many customers
+    placed exactly k orders — the shape check before any graph/dedup-group
+    work (heavy right tail = hub keys = skew risk).
+
+    Scale shape: two cheap aggregates (custkey, then degree) — both
+    partial-agged; output is O(distinct degrees)."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    deg = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("degree")
+    )
+
+
+EXT_DEGREE_SQL = r"""
+WITH deg AS (SELECT o_custkey, COUNT(*) AS degree FROM orders GROUP BY 1)
+SELECT degree, COUNT(*) AS n_customers FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+def ext_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mean character entropy (Shannon, bits) — an OCR-noise
+    / gibberish signal: natural text sits ~4-4.5 bits, random base64-ish
+    noise pushes toward 6.
+
+    Scale shape: per-doc entropy is ROW-LOCAL (aggregate over the doc's
+    own char histogram via HOFs — no explode, no per-char shuffle); the
+    only exchange is the per-language mean. Entropy uses exact integer
+    char counts; one log2 per distinct char per doc."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", F.lower(F.trim(F.col("text"))).alias("t")
+    ).filter(F.length("t") > 0)
+    chars = F.split(F.col("t"), "")
+    # distinct chars -> per-char count via size(filter(...)) — all row-local
+    per_doc = docs.select(
+        "lang",
+        F.length("t").alias("n"),
+        F.transform(
+            F.array_distinct(chars),
+            lambda c: F.size(F.filter(chars, lambda x: x == c)),
+        ).alias("counts"),
+    )
+    log2 = lambda col: F.log(col) / F.log(F.lit(2.0))  # noqa: E731
+    ent = F.aggregate(
+        F.col("counts"),
+        F.lit(0.0),
+        lambda acc, k: acc - (k / F.col("n")) * log2(k / F.col("n")),
+    )
+    return (
+        per_doc.select("lang", ent.alias("h"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("h"), 6).alias("mean_entropy_bits"),
+        )
+        .orderBy("lang")
+    )
+
+
+EXT_CHAR_ENTROPY_SQL = r"""
+WITH chars AS (
+  SELECT lang, doc_id AS doc, unnest(string_split(lower(trim(text)), '')) AS c,
+         length(lower(trim(text))) AS n
+  FROM documents WHERE length(trim(text)) > 0
+),
+counts AS (
+  SELECT lang, doc, n, COUNT(*) AS k FROM chars GROUP BY 1, 2, 3, c
+),
+per_doc AS (
+  SELECT lang, doc,
+         -SUM((CAST(k AS DOUBLE) / n) * log2(CAST(k AS DOUBLE) / n)) AS h
+  FROM counts GROUP BY 1, 2
+)
+SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(h), 6) AS mean_entropy_bits
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_unpivot": ext_unpivot,
+        "ext_shipping_priority": ext_shipping_priority,
+        "ext_shipmode_priority_audit": ext_shipmode_priority_audit,
+        "ext_degree_distribution": ext_degree_distribution,
+        "ext_char_entropy": ext_char_entropy,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_unpivot": EXT_UNPIVOT_SQL,
+        "ext_shipping_priority": EXT_SHIPPING_PRIORITY_SQL,
+        "ext_shipmode_priority_audit": EXT_SHIPMODE_SQL,
+        "ext_degree_distribution": EXT_DEGREE_SQL,
+        "ext_char_entropy": EXT_CHAR_ENTROPY_SQL,
+    }
+)
