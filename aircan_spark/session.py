@@ -47,3 +47,76 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# --- C7: per-site credential/connection resolution ----------------------------------
+#
+# The reference resolves cloud clients from per-site Airflow connections
+# named "{site_id}_google_cloud" (dependencies/cloud/clients.py:39-66,
+# dags/pipeline_ckan_to_bigquery.py:246-252). The Spark analog is per-site
+# filesystem conf: the same naming scheme, resolved from the environment
+# into spark.hadoop.* keys that scope credentials to one session (or, for
+# s3a, to one bucket via per-bucket keys).
+
+_SITE_ENV_SCHEMES: dict[str, dict[str, str]] = {
+    # conf key (relative) -> env var suffix, looked up as {SITE_ID}_{SUFFIX}
+    "s3": {
+        "spark.hadoop.fs.s3a.access.key": "AWS_ACCESS_KEY_ID",
+        "spark.hadoop.fs.s3a.secret.key": "AWS_SECRET_ACCESS_KEY",
+    },
+    "gcs": {
+        "spark.hadoop.google.cloud.auth.service.account.json.keyfile": "GCP_KEYFILE",
+        "spark.hadoop.fs.gs.project.id": "GCP_PROJECT",
+    },
+}
+_SITE_OPTIONAL: dict[str, dict[str, str]] = {
+    "s3": {
+        # S3-compatible stores (MinIO/R2/Wasabi) + region, mirroring the
+        # reference s3_client(endpoint_url=..., region_name=...)
+        "spark.hadoop.fs.s3a.endpoint": "S3_ENDPOINT_URL",
+        "spark.hadoop.fs.s3a.endpoint.region": "AWS_REGION",
+    },
+    "gcs": {},
+}
+
+
+def site_storage_conf(
+    site_id: str,
+    kind: str,
+    *,
+    env: dict[str, str] | None = None,
+    bucket: str | None = None,
+) -> dict[str, str]:
+    """Resolve a site's object-store credentials into Spark conf.
+
+    ``site_id`` scopes the env lookup exactly like the reference's
+    ``{site_id}_google_cloud`` connection ids: ``{SITE_ID}_AWS_ACCESS_KEY_ID``
+    etc. ``bucket`` (s3 only) emits per-bucket s3a keys so one session can
+    talk to multiple sites' buckets with different credentials —
+    the multi-tenant layout the reference runs DAG-per-site for.
+
+    Raises KeyError naming every missing variable (fail fast at DAG parse
+    time, not mid-load)."""
+    if kind not in _SITE_ENV_SCHEMES:
+        raise ValueError(f"unknown storage kind {kind!r}; one of {sorted(_SITE_ENV_SCHEMES)}")
+    env = os.environ if env is None else env
+    prefix = site_id.upper().replace("-", "_")
+    conf: dict[str, str] = {}
+    missing: list[str] = []
+    for conf_key, suffix in _SITE_ENV_SCHEMES[kind].items():
+        var = f"{prefix}_{suffix}"
+        if var in env:
+            conf[conf_key] = env[var]
+        else:
+            missing.append(var)
+    if missing:
+        raise KeyError(f"site {site_id!r}: missing credential env vars {missing}")
+    for conf_key, suffix in _SITE_OPTIONAL[kind].items():
+        var = f"{prefix}_{suffix}"
+        if var in env:
+            conf[conf_key] = env[var]
+    if bucket and kind == "s3":
+        conf = {
+            k.replace("fs.s3a.", f"fs.s3a.bucket.{bucket}."): v for k, v in conf.items()
+        }
+    return conf

@@ -134,3 +134,103 @@ def export_dump_to_path(df: DataFrame, dst: str, fmt: str = "csv") -> str:
     else:
         writer.parquet(dst)
     return dst
+
+
+# --- K8/J2: Postgres COPY fast path ------------------------------------------------
+
+
+def _quote_ident(name: str) -> str:
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _copy_sql(table: str, columns: list[str]) -> str:
+    cols = ", ".join(_quote_ident(c) for c in columns)
+    return (
+        f"COPY {_quote_ident(table)} ({cols}) FROM STDIN "
+        f"WITH (DELIMITER ',', FORMAT csv, HEADER 1, ENCODING 'UTF8')"
+    )
+
+
+def _upsert_sqls(table: str, columns: list[str], unique_keys: list[str]) -> tuple[str, str, str]:
+    """(temp-table DDL, temp COPY, merge INSERT..ON CONFLICT) — the
+    reference's three-phase upsert (postgres_loader.py:121-134)."""
+    cols = ", ".join(_quote_ident(c) for c in columns)
+    tmp = f"temp_{table}"
+    keys = ", ".join(_quote_ident(k) for k in unique_keys)
+    update_set = ", ".join(
+        f"{_quote_ident(c)}=EXCLUDED.{_quote_ident(c)}"
+        for c in columns
+        if c not in unique_keys
+    )
+    ddl = (
+        f"CREATE TEMPORARY TABLE {_quote_ident(tmp)} "
+        f"(LIKE {_quote_ident(table)}) ON COMMIT DROP"
+    )
+    merge = (
+        f"INSERT INTO {_quote_ident(table)} ({cols}) "
+        f"SELECT {cols} FROM {_quote_ident(tmp)} "
+        f"ON CONFLICT ({keys}) DO UPDATE SET {update_set}"
+    )
+    return ddl, _copy_sql(tmp, columns), merge
+
+
+def copy_to_postgres(
+    df: DataFrame,
+    table: str,
+    connection_factory: Callable[[], Any],
+    *,
+    unique_keys: list[str] | None = None,
+    chunk_rows: int = 85_000,
+) -> None:
+    """Postgres bulk load via COPY FROM STDIN (reference K8/J2 fast path,
+    postgres_loader.py:86-212 — the reference picked COPY FROM STDIN over
+    superuser COPY; same here).
+
+    Spark-first shape: **each partition opens its own connection and
+    streams its rows as CSV chunks** (85k rows per buffer, the reference's
+    chunksize) — N partitions COPY in parallel, which is how a 1000-executor
+    load saturates a Postgres cluster's ingest nodes; the reference's
+    single pandas loop is the 1-partition special case. With
+    ``unique_keys``, each partition COPYs into a session-temp table and
+    merges with INSERT .. ON CONFLICT DO UPDATE (EXCLUDED columns), so
+    concurrent partitions upsert safely.
+
+    ``connection_factory``: zero-arg picklable callable returning a DBAPI
+    connection whose cursor supports ``copy_expert`` (psycopg2-style). The
+    driver jar / psycopg2 are absent in this container — injectable by
+    design, unit-tested against a recording fake.
+    """
+    columns = list(df.columns)
+    keys = list(unique_keys or [])
+    missing = [k for k in keys if k not in columns]
+    if missing:
+        raise ValueError(f"unique keys absent from frame: {missing}")
+
+    def load_partition(rows: Iterator) -> None:
+        import csv as _csv
+        import io as _io
+
+        conn = connection_factory()
+        try:
+            cur = conn.cursor()
+            cur.execute("SET datestyle = 'DMY'")  # reference day-first parity
+            if keys:
+                ddl, copy_stmt, merge = _upsert_sqls(table, columns, keys)
+                cur.execute(ddl)
+            else:
+                copy_stmt, merge = _copy_sql(table, columns), None
+            for batch in chunky(rows, chunk_rows):
+                buf = _io.StringIO()
+                w = _csv.writer(buf)
+                w.writerow(columns)  # HEADER 1
+                for row in batch:
+                    w.writerow(["" if v is None else v for v in row])
+                buf.seek(0)
+                cur.copy_expert(copy_stmt, buf)
+            if merge is not None:
+                cur.execute(merge)
+            conn.commit()
+        finally:
+            conn.close()
+
+    df.foreachPartition(load_partition)

@@ -294,3 +294,43 @@ def test_pipeline_drift_recreate_policy(spark, tmp_path):
     res = run(spark, {**base, "resource_path": src2, "method": "append",
                       "schema_descriptor": d2, "on_schema_drift": "recreate"})
     assert res["rows"] == 1  # recreated: only the new load remains
+
+
+# --- C7: per-site credential resolution ---------------------------------------------
+
+
+def test_site_storage_conf_s3():
+    from aircan_spark.session import site_storage_conf
+
+    env = {
+        "PORTAL_A_AWS_ACCESS_KEY_ID": "AK",
+        "PORTAL_A_AWS_SECRET_ACCESS_KEY": "SK",
+        "PORTAL_A_S3_ENDPOINT_URL": "https://minio.example",
+    }
+    conf = site_storage_conf("portal-a", "s3", env=env)
+    assert conf["spark.hadoop.fs.s3a.access.key"] == "AK"
+    assert conf["spark.hadoop.fs.s3a.secret.key"] == "SK"
+    assert conf["spark.hadoop.fs.s3a.endpoint"] == "https://minio.example"
+    # per-bucket scoping for multi-tenant sessions
+    scoped = site_storage_conf("portal-a", "s3", env=env, bucket="dumps")
+    assert scoped["spark.hadoop.fs.s3a.bucket.dumps.access.key"] == "AK"
+
+
+def test_site_storage_conf_missing_vars_listed():
+    import pytest as _pytest
+
+    from aircan_spark.session import site_storage_conf
+
+    with _pytest.raises(KeyError, match="SITE1_AWS_SECRET_ACCESS_KEY"):
+        site_storage_conf("site1", "s3", env={"SITE1_AWS_ACCESS_KEY_ID": "x"})
+    with _pytest.raises(ValueError, match="unknown storage kind"):
+        site_storage_conf("site1", "azure", env={})
+
+
+def test_site_storage_conf_gcs():
+    from aircan_spark.session import site_storage_conf
+
+    env = {"SITE2_GCP_KEYFILE": "/secrets/k.json", "SITE2_GCP_PROJECT": "proj"}
+    conf = site_storage_conf("site2", "gcs", env=env)
+    assert conf["spark.hadoop.google.cloud.auth.service.account.json.keyfile"] == "/secrets/k.json"
+    assert conf["spark.hadoop.fs.gs.project.id"] == "proj"

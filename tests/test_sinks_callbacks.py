@@ -83,3 +83,114 @@ def test_failure_email_redaction():
     assert "secret-bucket" not in mail["html"]
     assert "res-9" in mail["subject"]
     assert redact("ok s3a://bucket/k") == "ok s3a://<redacted>"
+
+
+# --- K8/J2 COPY fast path -----------------------------------------------------------
+
+
+def _make_recording_factory(log_dir):
+    """Connection factory whose fakes are defined INSIDE the closure so
+    cloudpickle ships them by value to executor workers (a module-level
+    class would need this test module importable on the worker)."""
+
+    def factory():
+        import os
+        import uuid
+
+        class Cur:
+            def _log(self, kind, payload):
+                p = os.path.join(log_dir, f"{kind}_{uuid.uuid4().hex}.log")
+                with open(p, "w") as f:
+                    f.write(payload)
+
+            def execute(self, sql):
+                self._log("execute", sql)
+
+            def copy_expert(self, sql, buf):
+                self._log("copy", sql + "\n---\n" + buf.read())
+
+        class Conn:
+            def cursor(self):
+                return Cur()
+
+            def commit(self):
+                pass
+
+            def close(self):
+                pass
+
+        return Conn()
+
+    return factory
+
+
+def _read_logs(log_dir, kind):
+    import glob
+
+    return [open(p).read() for p in sorted(glob.glob(f"{log_dir}/{kind}_*.log"))]
+
+
+def test_copy_to_postgres_insert_path(spark, tmp_path):
+    from aircan_spark.sinks import copy_to_postgres
+
+    log_dir = str(tmp_path)
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 2.5), (3, 'quo"te', 3.5)],
+        "id int, name string, score double",
+    ).coalesce(1)
+    copy_to_postgres(df, "target", _make_recording_factory(log_dir))
+
+    copies = _read_logs(log_dir, "copy")
+    assert len(copies) == 1
+    sql, csv_body = copies[0].split("\n---\n")
+    assert 'COPY "target" ("id", "name", "score") FROM STDIN' in sql
+    assert "FORMAT csv" in sql and "HEADER 1" in sql
+    lines = csv_body.strip().splitlines()
+    assert lines[0] == "id,name,score"
+    assert len(lines) == 4  # header + 3 rows
+    assert any('"quo""te"' in ln for ln in lines)  # csv-quoted embedded quote
+    assert any(ln.startswith("1,a,") and ln.endswith(",") for ln in lines)  # NULL -> empty
+    # no upsert machinery on the insert path
+    assert all("ON CONFLICT" not in e for e in _read_logs(log_dir, "execute"))
+
+
+def test_copy_to_postgres_upsert_path(spark, tmp_path):
+    from aircan_spark.sinks import copy_to_postgres
+
+    log_dir = str(tmp_path)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string").coalesce(1)
+    copy_to_postgres(
+        df, "target", _make_recording_factory(log_dir), unique_keys=["id"]
+    )
+    execs = _read_logs(log_dir, "execute")
+    assert any('CREATE TEMPORARY TABLE "temp_target" (LIKE "target") ON COMMIT DROP' in e for e in execs)
+    assert any(
+        'INSERT INTO "target" ("id", "name") SELECT' in e
+        and 'ON CONFLICT ("id") DO UPDATE SET "name"=EXCLUDED."name"' in e
+        for e in execs
+    )
+    copies = _read_logs(log_dir, "copy")
+    assert len(copies) == 1 and 'COPY "temp_target"' in copies[0]
+
+
+def test_copy_to_postgres_parallel_partitions(spark, tmp_path):
+    """Each partition COPYs independently — the parallel-load shape."""
+    from aircan_spark.sinks import copy_to_postgres
+
+    log_dir = str(tmp_path)
+    df = spark.range(0, 100).repartition(4)
+    copy_to_postgres(df, "t", _make_recording_factory(log_dir))
+    copies = _read_logs(log_dir, "copy")
+    assert len(copies) == 4
+    total = sum(len(c.split("\n---\n")[1].strip().splitlines()) - 1 for c in copies)
+    assert total == 100
+
+
+def test_copy_to_postgres_missing_key_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from aircan_spark.sinks import copy_to_postgres
+
+    df = spark.createDataFrame([(1,)], "id int")
+    with _pytest.raises(ValueError, match="unique keys absent"):
+        copy_to_postgres(df, "t", _make_recording_factory(str(tmp_path)), unique_keys=["nope"])
