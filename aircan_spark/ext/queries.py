@@ -4062,3 +4062,128 @@ EXT_ORACLES.update(
         "ext_char_entropy": EXT_CHAR_ENTROPY_SQL,
     }
 )
+
+
+# --- round-2 wave 3: sketches + exact-k weighted sampling ---------------------------
+
+
+def ext_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: build a 4x2048 CMS over corpus
+    tokens, then point-estimate the 20 most frequent words against their
+    exact counts (overestimate = CMS error, always >= 0).
+
+    The sketch is a FIXED-SIZE (depth x width) mergeable summary — the
+    100 TB telemetry primitive: build per shard/day, merge by count
+    addition, estimate without rescanning. Hashing is portable md5
+    arithmetic, so the DuckDB oracle reproduces the ESTIMATES bit-for-bit,
+    not just the exact counts.
+
+    Scale shape: token explode is the only corpus-sized stage; the sketch
+    agg key space is depth*width; estimation broadcast-joins the tiny
+    sketch."""
+    from aircan_spark.ext import sketch as cms
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.lower(F.trim(F.col("text"))).alias("t")
+    ).filter(F.length("t") > 0)
+    words = docs.select(F.explode(F.split("t", r"\s+")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    exact = words.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = exact.orderBy(F.col("exact_count").desc(), "w").limit(20)
+    sk = cms.count_min_build(words, "w", depth=4, width=2048, seed=42)
+    est = cms.count_min_estimate(sk, top, "w", depth=4, width=2048, seed=42)
+    return (
+        top.join(est, top["w"] == est["item"])
+        .select(
+            F.col("w").alias("word"),
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.col("exact_count").desc(), "word")
+    )
+
+
+EXT_CMS_SQL = r"""
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+w2 AS (SELECT w FROM words WHERE w <> ''),
+exact AS (SELECT w, COUNT(*) AS exact_count FROM w2 GROUP BY w),
+top AS (SELECT w, exact_count FROM exact ORDER BY exact_count DESC, w LIMIT 20),
+r AS (SELECT unnest(range(4)) AS rw),
+sketch AS (
+  SELECT rw,
+         CAST(('0x' || SUBSTR(md5('42:' || CAST(rw AS VARCHAR) || '-' || w), 1, 8))::UBIGINT
+              % 2048 AS BIGINT) AS bucket,
+         COUNT(*) AS cnt
+  FROM w2 CROSS JOIN r GROUP BY 1, 2
+),
+est AS (
+  SELECT t.w, MIN(COALESCE(s.cnt, 0)) AS cms_estimate
+  FROM top t CROSS JOIN r
+  LEFT JOIN sketch s
+    ON s.rw = r.rw
+   AND s.bucket = CAST(('0x' || SUBSTR(md5('42:' || CAST(r.rw AS VARCHAR) || '-' || t.w), 1, 8))::UBIGINT
+                       % 2048 AS BIGINT)
+  GROUP BY t.w
+)
+SELECT t.w AS word, t.exact_count, e.cms_estimate,
+       e.cms_estimate - t.exact_count AS overestimate
+FROM top t JOIN est e ON t.w = e.w
+ORDER BY t.exact_count DESC, word
+"""
+
+
+def ext_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k weighted sampling without replacement per language
+    (Efraimidis–Spirakis A-ES over n_chars weights): the curation pass
+    that draws a fixed-size quality-weighted subset per stratum.
+
+    Deterministic (md5-derived uniforms, 12-decimal-rounded keys, id
+    tie-break) — the DuckDB oracle replays the identical draw. Per-group
+    top-k compiles to WindowGroupLimit."""
+    from aircan_spark.ext.sampling import aes_weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return (
+        aes_weighted_sample(
+            docs, "doc_id", F.col("n_chars"), k=5, group_col="lang", seed=42
+        )
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    )
+
+
+EXT_WEIGHTED_SAMPLE_K_SQL = r"""
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         ROUND(POW(
+           ('0x' || SUBSTR(md5('42-' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+             / 4294967296.0 + 1.0 / 4294967296.0,
+           1.0 / n_chars), 12) AS k
+  FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT lang, doc_id, n_chars FROM ranked WHERE rn <= 5 ORDER BY lang, doc_id
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_cms_heavy_hitters": ext_cms_heavy_hitters,
+        "ext_weighted_sample_k": ext_weighted_sample_k,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_cms_heavy_hitters": EXT_CMS_SQL,
+        "ext_weighted_sample_k": EXT_WEIGHTED_SAMPLE_K_SQL,
+    }
+)

@@ -114,3 +114,43 @@ def mixture_sample(
     )
     prob = F.coalesce(mapping[F.col(group_col)], F.lit(0.0))
     return bernoulli_sample(df, id_col, prob, seed)
+
+
+def aes_weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column,
+    k: int,
+    group_col: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly k rows (per group):
+    Efraimidis–Spirakis A-ES — key = u^(1/w) with u deterministic from
+    md5(seed, id); the k largest keys are a weighted-without-replacement
+    sample. Complements ``bernoulli_sample`` (with-replacement semantics,
+    variable output size).
+
+    Deterministic and cross-engine portable: u is integer md5 arithmetic,
+    the key is rounded to 12 decimals before ranking so JVM-vs-C libm ulp
+    differences cannot flip the cut, and ties break on id. Top-k per group
+    compiles to WindowGroupLimit (each map task forwards at most k rows
+    per group); ungrouped top-k is TakeOrderedAndProject."""
+    u = (
+        F.conv(F.substring(shuffle_key(F.col(id_col), seed), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    # clamp away from 0 so ln/pow stay finite; 2^-32 shift is uniform
+    u = u + F.lit(1.0 / 4294967296.0)
+    key = F.round(F.pow(u, F.lit(1.0) / weight_col.cast("double")), 12)
+    keyed = df.withColumn("_aes_key", key)
+    if group_col is None:
+        out = keyed.orderBy(F.col("_aes_key").desc(), F.col(id_col)).limit(k)
+    else:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col("_aes_key").desc(), F.col(id_col)
+        )
+        out = keyed.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= k
+        ).drop("_rn")
+    return out.drop("_aes_key")

@@ -309,3 +309,70 @@ def test_mad_by_group_crafted(spark):
     assert rows["a"] == 1.0
     assert rows["b"] == 0.0
     assert rows["c"] is None
+
+
+# --- count-min sketch properties ----------------------------------------------------
+
+
+def test_cms_never_underestimates_and_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from aircan_spark.ext import sketch as cms
+
+    items = spark.createDataFrame(
+        [(f"w{i % 50}",) for i in range(2000)], "item string"
+    )
+    sk = cms.count_min_build(items, "item", depth=4, width=256, seed=7)
+    exact = items.groupBy("item").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms.count_min_estimate(sk, exact.select("item"), "item", depth=4, width=256, seed=7)
+    joined = {r["item"]: (r["exact"], r["cms_estimate"])
+              for r in exact.join(est, "item").collect()}
+    assert len(joined) == 50
+    n = 2000
+    for item, (ex, e) in joined.items():
+        assert e >= ex, f"{item}: CMS underestimated {e} < {ex}"
+        assert e <= ex + 2 * n / 256 * 4  # loose classic bound
+
+
+def test_cms_merge_equals_build_on_union(spark):
+    from aircan_spark.ext import sketch as cms
+
+    a = spark.createDataFrame([(f"x{i % 10}",) for i in range(300)], "item string")
+    b = spark.createDataFrame([(f"x{i % 7}",) for i in range(200)], "item string")
+    merged = cms.count_min_merge(
+        cms.count_min_build(a, "item", depth=3, width=64, seed=1),
+        cms.count_min_build(b, "item", depth=3, width=64, seed=1),
+    )
+    direct = cms.count_min_build(a.unionByName(b), "item", depth=3, width=64, seed=1)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_aes_weighted_sample_properties(spark):
+    from pyspark.sql import functions as F
+
+    from aircan_spark.ext.sampling import aes_weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3), float(1 + i % 9)) for i in range(300)],
+        "id long, grp string, wt double",
+    )
+    out = aes_weighted_sample(df, "id", F.col("wt"), k=4, group_col="grp", seed=9)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["grp"], []).append(r["id"])
+    assert all(len(v) == 4 for v in per.values())
+    # deterministic across runs
+    again = aes_weighted_sample(df, "id", F.col("wt"), k=4, group_col="grp", seed=9)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+    # ungrouped top-k path
+    topk = aes_weighted_sample(df, "id", F.col("wt"), k=10, seed=9)
+    assert topk.count() == 10
+    # heavier rows are sampled more often: weight-1 ids vs weight-8 ids
+    heavy = spark.createDataFrame(
+        [(i, 100.0 if i % 2 == 0 else 0.01) for i in range(400)],
+        "id long, wt double",
+    )
+    picked = aes_weighted_sample(heavy, "id", F.col("wt"), k=50, seed=3).collect()
+    n_heavy = sum(1 for r in picked if r["wt"] == 100.0)
+    assert n_heavy >= 45  # overwhelming-majority heavy picks
