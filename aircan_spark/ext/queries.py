@@ -737,6 +737,9 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine dedup — the ORACLE BASELINE (O(n²),
+    driver-collected corpus matrix; verification scale only). The declared
+    100 TB path is ``ext_dedup_embedding_lsh`` below."""
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_pairs(emb, threshold=0.4, lsh_bits=0)
 
@@ -3413,26 +3416,29 @@ def ext_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 45).select(
         "p_partkey", "p_brand", "p_size"
     )
+    # the selective dim filter acts as the fact filter: broadcast-join it
+    # BEFORE the wide (partkey, suppkey) aggregate so ~90% of pairs never
+    # enter the hash agg (Catalyst can't infer this pushdown — the
+    # predicate lives on the dim, the join is the filter)
+    li = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
     pair = (
-        li.groupBy("l_partkey", "l_suppkey")
+        li.groupBy("l_partkey", "p_brand", "p_size", "l_suppkey")
         .agg(
             F.round(
                 (F.sum("price") / F.sum("qty")).cast("decimal(38,6)"), 4
             ).alias("unit_price")
         )
     )
-    best = (
-        pair.groupBy("l_partkey")
+    return (
+        pair.groupBy("l_partkey", "p_brand", "p_size")
         .agg(F.min(F.struct("unit_price", "l_suppkey")).alias("b"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            "p_size",
             F.col("b.l_suppkey").alias("best_suppkey"),
             F.col("b.unit_price").cast("double").alias("best_unit_price"),
         )
-    )
-    return (
-        best.join(F.broadcast(part), "p_partkey")
-        .select("p_partkey", "p_brand", "p_size", "best_suppkey", "best_unit_price")
         .orderBy("p_partkey")
     )
 
@@ -4187,3 +4193,62 @@ EXT_ORACLES.update(
         "ext_weighted_sample_k": EXT_WEIGHTED_SAMPLE_K_SQL,
     }
 )
+
+
+def ext_boilerplate_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection per source: the most common 3-token
+    document HEAD and its share of the source's docs — crawl pipelines use
+    exactly this to spot injected headers/navigation chrome before
+    stripping (CCNet-style line dedup collapses to head dedup for
+    single-line docs).
+
+    Scale shape: the head is a row-local projection (split + slice — no
+    explode); one (source, head) partial agg, then a WindowGroupLimit
+    argmax per source; output O(sources)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.lower(F.trim(F.col("text"))).alias("t")
+    ).filter(F.length("t") > 0)
+    head = F.array_join(F.slice(F.split(F.col("t"), r"\s+"), 1, 3), " ")
+    counts = (
+        docs.select("source", head.alias("head"))
+        .groupBy("source", "head")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("n_docs").alias("total"))
+    w = Window.partitionBy("source").orderBy(F.col("n_docs").desc(), F.col("head"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            F.col("head").alias("top_head"),
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("total"), 6).alias("head_share"),
+        )
+        .orderBy("source")
+    )
+
+
+EXT_BOILERPLATE_SQL = r"""
+WITH heads AS (
+  SELECT source,
+         array_to_string(list_slice(regexp_split_to_array(lower(trim(text)), '\s+'), 1, 3), ' ') AS head
+  FROM documents WHERE length(trim(text)) > 0
+),
+counts AS (SELECT source, head, COUNT(*) AS n_docs FROM heads GROUP BY 1, 2),
+totals AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS total FROM counts GROUP BY 1),
+ranked AS (
+  SELECT source, head, n_docs,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_docs DESC, head) AS rn
+  FROM counts
+)
+SELECT r.source, r.head AS top_head, r.n_docs,
+       ROUND(CAST(r.n_docs AS DOUBLE) / t.total, 6) AS head_share
+FROM ranked r JOIN totals t ON r.source = t.source
+WHERE r.rn = 1 ORDER BY r.source
+"""
+
+
+EXT_QUERIES.update({"ext_boilerplate_heads": ext_boilerplate_heads})
+EXT_ORACLES.update({"ext_boilerplate_heads": EXT_BOILERPLATE_SQL})
