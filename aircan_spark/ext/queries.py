@@ -4252,3 +4252,121 @@ WHERE r.rn = 1 ORDER BY r.source
 
 EXT_QUERIES.update({"ext_boilerplate_heads": ext_boilerplate_heads})
 EXT_ORACLES.update({"ext_boilerplate_heads": EXT_BOILERPLATE_SQL})
+
+
+def ext_cross_lang_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language duplicate audit: normalized fingerprints appearing
+    in MORE THAN ONE language — the translation-leak / mislabeled-lang
+    signal a multilingual curation pass checks before per-lang dedup
+    (within-lang dedup would silently keep both copies).
+
+    Scale shape: one fingerprint exchange (same md5 the exact-dedup op
+    uses), HAVING on distinct langs; output rows only for offending
+    fingerprints."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("fp"),
+    )
+    return (
+        docs.groupBy("fp")
+        .agg(
+            F.countDistinct("lang").alias("n_langs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+        )
+        .filter(F.col("n_langs") > 1)
+        .orderBy("fp")
+    )
+
+
+EXT_CROSS_LANG_SQL = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       COUNT(DISTINCT lang) AS n_langs,
+       COUNT(*) AS n_docs,
+       array_to_string(list_sort(list_distinct(list(lang))), ',') AS langs
+FROM documents
+GROUP BY 1 HAVING COUNT(DISTINCT lang) > 1
+ORDER BY fp
+"""
+
+
+def ext_strict_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-ordered 3-step funnel (view -> click -> purchase): a user
+    converts at step N only with an event strictly AFTER their step-N-1
+    completion time (earliest-completion semantics) — the sequence-mining
+    flavor the 2-step attribution funnel (X76) doesn't capture.
+
+    Scale shape: three per-user aggregates chained by user_id equi-joins —
+    each stage collapses to O(users) before the next join, so the fact
+    table is scanned once per step type and never joined to itself
+    row-to-row."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    # single plan, single action: t3 ⊆ t2 ⊆ t1 by construction, so left
+    # joins + conditional counts produce all three stage counts in one job
+    merged = t1.join(t2, "user_id", "left").join(t3, "user_id", "left")
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_viewed"),
+        F.count("t2").alias("n_clicked_after"),
+        F.count("t3").alias("n_purchased_after"),
+        F.round(F.count("t2") / F.count(F.lit(1)), 6).alias("view_to_click"),
+        F.round(F.count("t3") / F.count("t2"), 6).alias("click_to_purchase"),
+    )
+
+
+EXT_STRICT_FUNNEL_SQL = r"""
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM t1) AS n_viewed,
+       (SELECT COUNT(*) FROM t2) AS n_clicked_after,
+       (SELECT COUNT(*) FROM t3) AS n_purchased_after,
+       ROUND(CAST((SELECT COUNT(*) FROM t2) AS DOUBLE)
+             / (SELECT COUNT(*) FROM t1), 6) AS view_to_click,
+       ROUND(CAST((SELECT COUNT(*) FROM t3) AS DOUBLE)
+             / (SELECT COUNT(*) FROM t2), 6) AS click_to_purchase
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_cross_lang_dupes": ext_cross_lang_dupes,
+        "ext_strict_funnel": ext_strict_funnel,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_cross_lang_dupes": EXT_CROSS_LANG_SQL,
+        "ext_strict_funnel": EXT_STRICT_FUNNEL_SQL,
+    }
+)
