@@ -3403,10 +3403,11 @@ def ext_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part argmin via MIN over a (price, suppkey) struct — engine-neutral
     deterministic tie-break, no window needed.
 
-    Scale shape: one (partkey, suppkey) exchange for the pair agg, one
-    partkey exchange for the argmin; both partial-aggregated map-side. The
-    selective part filter prunes before the final join, and the part dim
-    broadcasts."""
+    Scale shape: the filtered part dim broadcast-joins BEFORE the pair
+    aggregate (the dim filter is the fact filter — ~90% of pairs never
+    enter the hash agg), then one (partkey, suppkey) exchange for the pair
+    agg and one partkey exchange for the argmin, both partial-aggregated
+    map-side."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_suppkey",
