@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from aircan_spark.rownum import with_row_number
+
 from aircan_spark.data import fan_out
 from aircan_spark.data import load_table as _load
 from aircan_spark.ext import (
@@ -3614,10 +3616,15 @@ def ext_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard rank formula G = 2*Σ(i*x_i)/(n*Σx) - (n+1)/n over ascending
     per-customer revenue.
 
-    Scale shape: raw rows collapse to per-customer revenue first; the rank
-    window partitions by segment over the O(customers) aggregate (never
-    the fact table); ties carry identical values so rank order among ties
-    cannot change the statistic."""
+    Scale shape: raw rows collapse to per-customer revenue first. The
+    per-segment rank is NOT a ``Window.partitionBy(segment)`` — with ~5
+    segments that window sorts millions of rows per segment in ONE task at
+    scale (the low-cardinality-window trap). Instead: range-partitioned
+    GLOBAL numbering ordered by (segment, crev, custkey) — rownum.py's
+    partition-offset scheme, parallel at any size — then the in-segment
+    rank is global_i minus the segment's broadcast start offset (exact
+    cumulative counts over O(segments) rows). Ties carry identical values
+    so rank order among ties cannot change the statistic."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         (
@@ -3633,8 +3640,23 @@ def ext_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "c_custkey")
         .agg(F.sum("rev").cast("decimal(38,6)").alias("crev"))
     )
-    w = Window.partitionBy("c_mktsegment").orderBy("crev", "c_custkey")
-    ranked = per_cust.withColumn("i", F.row_number().over(w))
+    numbered = with_row_number(
+        per_cust, column="_gi", order_by=["c_mktsegment", "crev", "c_custkey"]
+    )
+    seg_counts = per_cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("_n"))
+    seg_offsets = seg_counts.select(
+        "c_mktsegment",
+        (
+            F.sum("_n").over(
+                Window.orderBy("c_mktsegment").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+        ).alias("_off"),
+    ).fillna({"_off": 0})
+    ranked = numbered.join(F.broadcast(seg_offsets), "c_mktsegment").withColumn(
+        "i", F.col("_gi") - F.col("_off")
+    )
     return (
         ranked.groupBy("c_mktsegment")
         .agg(
