@@ -2085,20 +2085,51 @@ def ext_segment_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartiles over account balance (custkey tie-break makes every rank
     row-unique and both engines' ntile deterministic).
 
-    Scale shape: per-segment windows — one exchange on mktsegment; skew
-    is bounded (segments are a fixed small set, each window is a
-    per-partition sort, no global sort)."""
-    from pyspark.sql.window import Window
-
+    Scale shape: NOT ``Window.partitionBy(segment)`` — segments are a
+    fixed small set, so that window sorts millions of rows per segment in
+    one task at scale. Instead: range-partitioned GLOBAL numbering ordered
+    by (segment, balance desc, custkey) via rownum.py's partition-offset
+    scheme, then the in-segment row number is global_i minus the segment's
+    broadcast start offset. The ordering is row-unique, so rank ==
+    row_number and percent_rank/ntile reduce to closed-form arithmetic on
+    (rn, segment size) — bit-equal to the window functions, parallel at
+    any size."""
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("c_acctbal").desc(), "c_custkey"
+    numbered = with_row_number(
+        cust,
+        column="_gi",
+        order_by=[F.col("c_mktsegment"), F.col("c_acctbal").desc(), F.col("c_custkey")],
     )
+    seg = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("_n"))
+    seg = seg.select(
+        "c_mktsegment",
+        "_n",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("c_mktsegment").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    rn = F.col("_gi") - F.col("_off")
+    n = F.col("_n")
+    # percent_rank = (rank-1)/(n-1); row-unique order => rank == rn
+    pct = F.when(n > 1, F.round((rn - 1) / (n - 1), 6)).otherwise(F.lit(0.0))
+    # ntile(4): first (n%4) buckets get ceil(n/4) rows, the rest floor(n/4)
+    q, r = F.floor(n / 4), n % 4
+    boundary = r * (q + 1)
+    quartile = F.when(rn <= boundary, F.floor((rn - 1) / (q + 1)) + 1).otherwise(
+        r + F.floor((rn - boundary - 1) / q) + 1
+    ).cast("int")
     return (
-        cust.withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
-        .withColumn("quartile", F.ntile(4).over(w))
+        numbered.join(F.broadcast(seg), "c_mktsegment")
+        .withColumn("pct_rank", pct)
+        .withColumn("quartile", quartile)
+        .select("c_custkey", "c_mktsegment", "c_acctbal", "pct_rank", "quartile")
         .orderBy("c_mktsegment", F.col("c_acctbal").desc(), "c_custkey")
     )
 
