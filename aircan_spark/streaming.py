@@ -320,3 +320,70 @@ def stream_enrich(
     for col, val in (default or {}).items():
         out = out.withColumn(col, F.coalesce(F.col(col), F.lit(val)))
     return out
+
+
+def stream_sketch_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    item_col: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+    available_now: bool = False,
+):
+    """Incrementally maintain a count-min sketch over a file stream: each
+    micro-batch builds its own sketch (fixed depth x width) and MERGES it
+    into the stored one by count addition — the streaming face of the CMS
+    merge law (ext/sketch.py). The stored summary stays O(depth*width)
+    no matter how much data has streamed through; downstream frequency
+    estimates never rescan history.
+
+    Exactly-once per batch: the merge is a read-modify-write of the tiny
+    sketch parquet keyed by checkpointed batch offsets — a replayed batch
+    overwrites with the same merged result (last_batch_id guard).
+
+    Returns the StreamingQuery; caller awaits/stops it."""
+    import os as _os
+
+    from aircan_spark.ext import sketch as cms
+
+    stream = spark.readStream.schema(schema).json(source_dir)
+    state_path = _os.path.join(sketch_dir, "sketch")
+    marker_path = _os.path.join(sketch_dir, "_last_batch")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # replay guard: a restarted batch must not double-count
+        if _os.path.exists(marker_path):
+            with open(marker_path) as fh:
+                if int(fh.read().strip() or -1) >= batch_id:
+                    return
+        delta = cms.count_min_build(
+            batch_df.select(item_col), item_col, depth=depth, width=width, seed=seed
+        )
+        sess = batch_df.sparkSession
+        try:
+            current = sess.read.parquet(state_path)
+            merged = cms.count_min_merge(current, delta)
+        except Exception:  # first batch: no state yet
+            merged = delta
+        # tiny frame (<= depth*width rows): collect-and-rewrite is exact
+        # and atomic-enough via overwrite; at scale this stays tiny because
+        # the SKETCH doesn't grow with data
+        rows = merged.collect()
+        sess.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(state_path)
+        with open(marker_path, "w") as fh:
+            fh.write(str(batch_id))
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

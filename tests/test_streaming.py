@@ -318,3 +318,66 @@ def test_stream_enrich_equals_batch(spark, tmp_path):
     }
     assert got == want and len(got) == 300
     assert any(seg == "unknown" for _, seg in got)
+
+
+def test_stream_sketch_maintenance_merge_law(spark, tmp_path):
+    """Streaming CMS maintenance: after streaming N files, the stored
+    sketch equals a batch-built sketch over the union of all files — the
+    merge law holds end-to-end through foreachBatch; estimates from the
+    maintained sketch never underestimate exact counts."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from aircan_spark.ext import sketch as cms
+    from aircan_spark.streaming import stream_sketch_maintenance
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = T.StructType([T.StructField("item", T.StringType(), True)])
+    all_items = []
+    for f in range(3):
+        items = [f"w{(i * (f + 1)) % 17}" for i in range(200)]
+        all_items += items
+        with open(src / f"batch{f}.json", "w") as fh:
+            for it in items:
+                fh.write(_json.dumps({"item": it}) + "\n")
+
+    q = stream_sketch_maintenance(
+        spark,
+        str(src),
+        schema,
+        "item",
+        sketch_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        depth=3,
+        width=128,
+        seed=5,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    stored = spark.read.parquet(os.path.join(str(tmp_path / "state"), "sketch"))
+    direct = cms.count_min_build(
+        spark.createDataFrame([(i,) for i in all_items], "item string"),
+        "item",
+        depth=3,
+        width=128,
+        seed=5,
+    )
+    assert sorted(map(tuple, stored.collect())) == sorted(map(tuple, direct.collect()))
+
+    exact = {}
+    for it in all_items:
+        exact[it] = exact.get(it, 0) + 1
+    queries = spark.createDataFrame([(k,) for k in exact], "item string")
+    est = {
+        r["item"]: r["cms_estimate"]
+        for r in cms.count_min_estimate(
+            stored, queries, "item", depth=3, width=128, seed=5
+        ).collect()
+    }
+    for it, ex in exact.items():
+        assert est[it] >= ex
