@@ -813,6 +813,18 @@ def ext_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=5, nlist=16, nprobe=4)
 
 
+def ext_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: corpus scanned as m-byte codes (32x
+    compression at fp32/dim-64), asymmetric-distance scoring via per-query
+    lookup tables — the compression half of IVF-PQ (compose with
+    ext_sim_topk_ivf's cell probe for the full production layout).
+    Rows-only contract; recall measured in tests/test_ext.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    books = similarity.pq_train(emb, m=16, ksub=16, seed=42)
+    return similarity.pq_topk(emb, queries, books, k=5)
+
+
 # --- streaming (batch-parity execution of the streaming plan) -------------------------
 
 
@@ -3322,6 +3334,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_sim_topk_brute": ext_sim_topk_brute,
     "ext_sim_topk_lsh": ext_sim_topk_lsh,
     "ext_sim_topk_ivf": ext_sim_topk_ivf,
+    "ext_sim_topk_pq": ext_sim_topk_pq,
     "ext_stream_window_counts": ext_stream_window_counts,
     "ext_stream_sessions": ext_stream_sessions,
     "ext_mm_byte_features": ext_mm_byte_features,

@@ -229,3 +229,142 @@ def ivf_topk(
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# --- product quantization (the compression half of IVF-PQ) ---------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 100_000,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train product-quantization codebooks: split the vector into ``m``
+    subspaces, k-means each subspace to ``ksub`` centroids. Returns
+    (m, ksub, dim/m) float64 — a few KB that ships in UDF closures.
+
+    Like IVF centroid training, reads a BOUNDED sample to the driver
+    (``sample_size`` rows regardless of corpus size); encoding cost at
+    100 TB is row-local."""
+    total = corpus.count()
+    frac = min(1.0, sample_size / max(total, 1))
+    sample = corpus.select(vec_col).sample(fraction=frac, seed=seed).toPandas()
+    mat = np.array(sample[vec_col].tolist(), dtype="float64")
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        cents = sub[rng.choice(len(sub), size=min(ksub, len(sub)), replace=False)]
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[s, : len(cents)] = cents
+        if len(cents) < ksub:  # degenerate tiny sample: repeat last centroid
+            books[s, len(cents):] = cents[-1]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to m uint8 codes (argmin centroid per subspace) —
+    dim*4 bytes -> m bytes (32x at dim=64, m=8, fp32). Row-local Arrow
+    batches; the codebook rides the closure."""
+    m, ksub, dsub = codebooks.shape
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.ascontiguousarray(codebooks)
+
+    @pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(vs.tolist(), dtype="float64")
+        codes = np.empty((len(mat), m), dtype="int32")
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1)
+        return pd.Series(codes.tolist())
+
+    return df.select(F.col(id_col), encode(F.col(vec_col)).alias("pq_code"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k by ASYMMETRIC PQ distance: the query stays full-
+    precision; each corpus vector is its m-byte code; distance is m table
+    lookups into the query's per-subspace distance table (computed once
+    per query against ksub centroids — not against the corpus).
+
+    Scale shape: corpus is touched only through its codes (32x smaller
+    scan); per-(query, vector) work is m adds. The per-query rank prunes
+    with WindowGroupLimit. This is the scoring half of IVF-PQ — compose
+    with ivf_topk's cell probe to also cut the candidate count."""
+    query_id_col = query_id_col or id_col
+    m, ksub, dsub = codebooks.shape
+    codes = pq_encode(corpus, codebooks, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    q = _as_double(queries, query_id_col, vec_col, "qv").withColumnRenamed(
+        query_id_col, "query_id"
+    )
+    books = np.ascontiguousarray(codebooks)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def dist_table(vs: pd.Series) -> pd.Series:
+        # per query: flattened (m x ksub) table of squared distances from
+        # the query's s-th subvector to every centroid of subspace s
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(vs.tolist(), dtype="float64")
+        out = np.empty((len(mat), m * ksub))
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            out[:, s * ksub : (s + 1) * ksub] = (
+                (sub[:, None, :] - books[s][None, :, :]) ** 2
+            ).sum(axis=2)
+        return pd.Series(out.tolist())
+
+    qt = q.withColumn("dt", dist_table(F.col("qv")))
+    # adc = sum over subspaces of dt[s*ksub + code[s]] — row-local HOF over
+    # the zipped (subspace index, code) pairs
+    pairs = F.broadcast(qt.select("query_id", "dt")).crossJoin(codes)
+    idx = F.transform(
+        F.col("pq_code"), lambda c, i: F.element_at(F.col("dt"), i * ksub + c + 1)
+    )
+    scored = pairs.withColumn(
+        "pq_dist", F.round(F.aggregate(idx, F.lit(0.0), lambda a, x: a + x), 6)
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "pq_dist", "rank")
+        .orderBy("query_id", "rank")
+    )

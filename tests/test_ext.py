@@ -562,3 +562,41 @@ def test_pseudonymize_stable_salted_null_safe(spark):
     other = {r["id"]: r["user_token"]
              for r in text.pseudonymize(df, ["user"], salt="s2").collect()}
     assert other[1] != rows[1]
+
+
+def test_pq_encode_and_recall(spark):
+    """PQ: codes have the right shape/determinism; asymmetric-distance
+    top-k recalls a solid fraction of the exact-L2 neighbors (random
+    vectors are PQ's worst case — threshold is deliberately modest)."""
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = similarity.pq_train(emb, m=16, ksub=16, seed=11)
+    assert books.shape[0] == 16 and books.shape[1] == 16
+
+    codes = similarity.pq_encode(emb, books).collect()
+    n = emb.count()
+    assert len(codes) == n
+    assert all(len(r["pq_code"]) == 16 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r["pq_code"])
+    again = {r["vec_id"]: r["pq_code"] for r in similarity.pq_encode(emb, books).collect()}
+    assert all(again[r["vec_id"]] == r["pq_code"] for r in codes)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    pq = similarity.pq_topk(emb, queries, books, k=5)
+    got = {}
+    for r in pq.collect():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert all(len(v) == 5 for v in got.values())
+
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array(pdf["embedding"].tolist(), dtype="float64")
+    hits = total = 0
+    for qid, neigh in got.items():
+        qv = mat[ids == qid][0]
+        d2 = ((mat - qv) ** 2).sum(axis=1)
+        order = [int(ids[i]) for i in np.argsort(d2, kind="stable") if ids[i] != qid][:5]
+        hits += len(set(order) & set(neigh))
+        total += 5
+    assert hits / total >= 0.3, f"pq recall@5 = {hits/total}"
