@@ -4437,3 +4437,115 @@ EXT_ORACLES.update(
         "ext_strict_funnel": EXT_STRICT_FUNNEL_SQL,
     }
 )
+
+
+def ext_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: cell probe cuts candidates, PQ codes cut bytes — the
+    production layout. Rows-only contract; recall + full-probe==plain-PQ
+    equivalence tested in tests/test_ext.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    books = similarity.pq_train(emb, m=16, ksub=16, seed=42)
+    return similarity.ivfpq_topk(emb, queries, books, k=5, nlist=16, nprobe=4, seed=42)
+
+
+def ext_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential revenue increase from discount removal (TPC-H Q6 flavor):
+    one scan, all three predicates pushed to parquet, single decimal agg —
+    the minimal filter-aggregate every warehouse benchmarks first.
+
+    Scale shape: no join, no wide agg; the scan's PushedFilters carry the
+    date/discount/quantity range predicates, so row groups prune on
+    statistics."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,6)")
+                * F.col("l_discount").cast("decimal(18,6)")
+            )
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+EXT_REVENUE_FORECAST_SQL = r"""
+SELECT COUNT(*) AS n_lines,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def ext_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with very large orders (TPC-H Q18 flavor): orders whose
+    line quantity sum exceeds a threshold, joined back to customer detail.
+
+    Scale shape: the HAVING collapses lineitem per orderkey FIRST (one
+    exchange, partial-agged); only qualifying orderkeys — a tiny set —
+    join orders/customer, so the expensive tables meet AFTER selection,
+    broadcast where small."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+EXT_LARGE_ORDERS_SQL = r"""
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       o_totalprice, CAST(total_qty AS DOUBLE) AS total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_orderkey
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_sim_topk_ivfpq": ext_sim_topk_ivfpq,
+        "ext_revenue_forecast": ext_revenue_forecast,
+        "ext_large_orders": ext_large_orders,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_revenue_forecast": EXT_REVENUE_FORECAST_SQL,
+        "ext_large_orders": EXT_LARGE_ORDERS_SQL,
+    }
+)

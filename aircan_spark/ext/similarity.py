@@ -368,3 +368,82 @@ def pq_topk(
         .select("query_id", "neighbor_id", "pq_dist", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: the production ANN layout — IVF cell probing cuts the
+    CANDIDATE COUNT (~nprobe/nlist of the corpus per query), PQ codes cut
+    the BYTES PER CANDIDATE (m bytes instead of dim floats), asymmetric
+    distance tables make scoring m adds per candidate.
+
+    Scale shape: the corpus is materialized once as (cell, code) — a
+    row-local projection; per-query work is an equi-join on probed cells
+    against codes, no full vectors move. Both training steps (IVF
+    centroids, PQ codebooks) read bounded samples."""
+    query_id_col = query_id_col or id_col
+    m, ksub, dsub = codebooks.shape
+    cents = _train_centroids(corpus, vec_col, nlist, seed)
+    c_assign = _assign_udf(cents, 1)
+    q_assign = _assign_udf(cents, nprobe)
+
+    codes = (
+        pq_encode(corpus, codebooks, id_col, vec_col)
+        .withColumnRenamed(id_col, "neighbor_id")
+        .join(
+            _as_double(corpus, id_col, vec_col, "cv")
+            .select(F.col(id_col).alias("neighbor_id"), c_assign(F.col("cv"))[0].alias("cell")),
+            "neighbor_id",
+        )
+    )
+    q = _as_double(queries, query_id_col, vec_col, "qv").withColumnRenamed(
+        query_id_col, "query_id"
+    )
+    books = np.ascontiguousarray(codebooks)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def dist_table(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(vs.tolist(), dtype="float64")
+        out = np.empty((len(mat), m * ksub))
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            out[:, s * ksub : (s + 1) * ksub] = (
+                (sub[:, None, :] - books[s][None, :, :]) ** 2
+            ).sum(axis=2)
+        return pd.Series(out.tolist())
+
+    qt = q.select(
+        "query_id", dist_table(F.col("qv")).alias("dt"),
+        F.explode(q_assign(F.col("qv"))).alias("cell"),
+    )
+    cand = F.broadcast(qt).join(codes, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    idx = F.transform(
+        F.col("pq_code"), lambda c, i: F.element_at(F.col("dt"), i * ksub + c + 1)
+    )
+    scored = cand.withColumn(
+        "pq_dist", F.round(F.aggregate(idx, F.lit(0.0), lambda a, x: a + x), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "pq_dist", "rank")
+        .orderBy("query_id", "rank")
+    )

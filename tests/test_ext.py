@@ -600,3 +600,45 @@ def test_pq_encode_and_recall(spark):
         hits += len(set(order) & set(neigh))
         total += 5
     assert hits / total >= 0.3, f"pq recall@5 = {hits/total}"
+
+
+def test_ivfpq_topk_recall(spark):
+    """IVF-PQ composition: double approximation (cell probe + quantized
+    distances) still recalls a useful fraction of exact-L2 neighbors, and
+    full probe recovers plain-PQ results (cells then don't prune)."""
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = similarity.pq_train(emb, m=16, ksub=16, seed=11)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    got = {}
+    for r in similarity.ivfpq_topk(
+        emb, queries, books, k=5, nlist=16, nprobe=4, seed=11
+    ).collect():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert all(len(v) == 5 for v in got.values())
+
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array(pdf["embedding"].tolist(), dtype="float64")
+    hits = total = 0
+    for qid, neigh in got.items():
+        qv = mat[ids == qid][0]
+        d2 = ((mat - qv) ** 2).sum(axis=1)
+        order = [int(ids[i]) for i in np.argsort(d2, kind="stable") if ids[i] != qid][:5]
+        hits += len(set(order) & set(neigh))
+        total += 5
+    assert hits / total >= 0.2, f"ivfpq recall@5 = {hits/total}"
+
+    full_probe = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.ivfpq_topk(
+            emb, queries, books, k=5, nlist=8, nprobe=8, seed=11
+        ).collect()
+    }
+    plain_pq = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.pq_topk(emb, queries, books, k=5).collect()
+    }
+    assert full_probe == plain_pq
