@@ -29,6 +29,11 @@ from pyspark.sql import functions as F
 
 from aircan_spark.ext.text import normalize_text
 
+# Hard cap on the brute (lsh_bits=0) embedding_pairs baseline — ~the
+# measured brute-vs-LSH crossover (PERFORMANCE.md); above this the
+# driver-side O(n²) collect is both slower than LSH and a memory hazard.
+BRUTE_PAIRS_MAX_VECTORS = 50_000
+
 
 # --- exact -------------------------------------------------------------------
 
@@ -447,8 +452,20 @@ def embedding_pairs(
         # Exact all-pairs, vectorized: each input batch is scored against
         # the full corpus matrix with one numpy matmul. The corpus is
         # materialized driver-side and closure-broadcast — this is the
-        # VERIFICATION baseline (O(n^2) by definition); the 100 TB path is
-        # lsh_bits>0, whose candidate join scales with bucket occupancy.
+        # ORACLE-ONLY verification baseline (O(n^2) by definition); the
+        # 100 TB path is lsh_bits>0, whose candidate join scales with
+        # bucket occupancy. Guarded so the driver-side collect can never
+        # run beyond verification scale: past the measured ~30k-vector
+        # LSH crossover (PERFORMANCE.md) the brute path is strictly worse
+        # AND holds the whole corpus on the driver.
+        n_vecs = vecs.count()
+        if n_vecs > BRUTE_PAIRS_MAX_VECTORS:
+            raise ValueError(
+                f"embedding_pairs(lsh_bits=0) is the oracle-only brute "
+                f"baseline (driver-side O(n²) collect) and is capped at "
+                f"{BRUTE_PAIRS_MAX_VECTORS} vectors; got {n_vecs}. Use "
+                f"lsh_bits>0 (the LSH scale path) for real corpora."
+            )
         pdf = vecs.toPandas()
         ids_full = pdf[id_col].to_numpy(dtype="int64")
         mat = np.array(pdf["v"].tolist(), dtype="float64")

@@ -130,11 +130,19 @@ FROM documents ORDER BY doc_id
 
 def ext_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOD-p rolling fingerprint sets (xxhash64-based — no DuckDB analog,
-    rows-only check; overlap semantics covered in tests/test_ext.py)."""
+    rows-only check; overlap semantics covered in tests/test_ext.py).
+
+    The raw array<long> column is collapsed to a scalar md5 digest so every
+    harness can canonicalize the output (a raw array column crashes
+    pandas-based sorters — round-2 driver red)."""
     docs = _t(spark, sf_dir, "documents")
     return (
         text.rolling_fingerprints(docs)
-        .select("doc_id", F.size("fingerprints").alias("n_prints"), "fingerprints")
+        .select(
+            "doc_id",
+            F.size("fingerprints").alias("n_prints"),
+            F.md5(F.array_join("fingerprints", ",")).alias("prints_digest"),
+        )
         .orderBy("doc_id")
     )
 
@@ -740,8 +748,9 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine dedup — the ORACLE BASELINE (O(n²),
-    driver-collected corpus matrix; verification scale only). The declared
-    100 TB path is ``ext_dedup_embedding_lsh`` below."""
+    driver-collected corpus matrix; verification scale only, HARD-CAPPED
+    at dedup.BRUTE_PAIRS_MAX_VECTORS so it cannot be invoked at scale).
+    The declared 100 TB path is ``ext_dedup_embedding_lsh`` below."""
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_pairs(emb, threshold=0.4, lsh_bits=0)
 
@@ -4237,7 +4246,7 @@ WITH keyed AS (
            ('0x' || SUBSTR(md5('42-' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
              / 4294967296.0 + 1.0 / 4294967296.0,
            1.0 / n_chars), 12) AS k
-  FROM documents
+  FROM documents WHERE n_chars > 0
 ),
 ranked AS (
   SELECT lang, doc_id, n_chars,

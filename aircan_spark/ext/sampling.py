@@ -134,7 +134,13 @@ def aes_weighted_sample(
     the key is rounded to 12 decimals before ranking so JVM-vs-C libm ulp
     differences cannot flip the cut, and ties break on id. Top-k per group
     compiles to WindowGroupLimit (each map task forwards at most k rows
-    per group); ungrouped top-k is TakeOrderedAndProject."""
+    per group); ungrouped top-k is TakeOrderedAndProject.
+
+    Non-positive weights are EXCLUDED before keying (w=0 has zero A-ES
+    probability mass but would divide by zero; w<0 would invert the key,
+    sampling the worst rows preferentially). Mirror ``WHERE w > 0`` in any
+    oracle replaying the draw."""
+    df = df.filter(weight_col.cast("double") > 0)
     u = (
         F.conv(F.substring(shuffle_key(F.col(id_col), seed), 1, 8), 16, 10)
         .cast("double")

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from aircan_spark import ROW_NUMBER_COLUMN, UPDATED_AT_COLUMN
 from aircan_spark.export import export_ordered
-from aircan_spark.rownum import with_row_number
+from aircan_spark.rownum import release_caches, with_row_number
 from aircan_spark.schema import (
     decide_schema_action,
     sanitize_descriptor,
@@ -128,27 +128,44 @@ def run(spark: SparkSession, config: dict[str, Any]) -> dict[str, Any]:
             config.get("on_schema_drift", "evolve") == "recreate"
         ):
             method = "overwrite"
+            # Persist the curator-declared types on recreate (the reference
+            # reloads with the data-dictionary schema, api_loader.py:70-150)
+            # — not just use them for the decision. try_cast: a cell that
+            # can't take the declared type becomes NULL rather than failing
+            # the job mid-rewrite (validation is the abort gate, not this).
+            typed = typed.select(
+                *[
+                    F.col(f.name).try_cast(f.dataType).alias(f.name)
+                    for f in decision["schema"].fields
+                ]
+            )
 
     # --- row numbering (reference 2c/2d: MAX+1 offset, stream inject) ------
     start = 1
     if method in ("append", "upsert") and table.exists():
         start = table.max_id(rn_col) + 1
-    numbered = with_row_number(typed, column=rn_col, start=start)
 
-    # --- write branch (reference 3/4a/4b, :360-460) -------------------------
-    if method == "upsert":
-        if not keys:
-            raise ValueError("upsert requires unique_keys (config or descriptor)")
-        if num_buckets:
-            table.upsert(numbered, job_ts=job_ts)
+    try:
+        numbered = with_row_number(typed, column=rn_col, start=start)
+
+        # --- write branch (reference 3/4a/4b, :360-460) ---------------------
+        if method == "upsert":
+            if not keys:
+                raise ValueError("upsert requires unique_keys (config or descriptor)")
+            if num_buckets:
+                table.upsert(numbered, job_ts=job_ts)
+            else:
+                table.upsert(numbered, keys, job_ts=job_ts)
+        elif method == "append":
+            table.append(numbered.withColumn(ts_col, F.lit(job_ts)))
+        elif method == "overwrite":
+            table.overwrite(numbered.withColumn(ts_col, F.lit(job_ts)))
         else:
-            table.upsert(numbered, keys, job_ts=job_ts)
-    elif method == "append":
-        table.append(numbered.withColumn(ts_col, F.lit(job_ts)))
-    elif method == "overwrite":
-        table.overwrite(numbered.withColumn(ts_col, F.lit(job_ts)))
-    else:
-        raise ValueError(f"unknown method: {method!r}")
+            raise ValueError(f"unknown method: {method!r}")
+    finally:
+        # every with_row_number cache (including those upsert created for
+        # insert numbering) is materialized by the write above — release.
+        release_caches()
 
     # _updated_at backfill for any legacy NULLs (reference F1, :337-357).
     if method in ("append", "overwrite"):

@@ -34,6 +34,28 @@ from aircan_spark import ROW_NUMBER_COLUMN
 _PID = "__aircan_pid"
 _LOCAL = "__aircan_local_order"
 
+# Frames persisted by with_row_number(cache=True) that have not been
+# released yet. The numbered result is lazy, so the cache must outlive this
+# function call — callers that materialize the result (pipeline.run, table
+# writes) call release_caches() afterwards; otherwise LRU eviction applies.
+_ACTIVE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> int:
+    """Unpersist every frame ``with_row_number`` persisted and not yet
+    released. Call after the numbered frame has been materialized (written
+    or collected); returns the number of caches released. Safe to call
+    repeatedly / with nothing outstanding."""
+    n = 0
+    while _ACTIVE_CACHES:
+        df = _ACTIVE_CACHES.pop()
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return n
+
 
 def with_row_number(
     df: DataFrame,
@@ -65,6 +87,7 @@ def with_row_number(
 
     if cache:
         prepared = prepared.persist()
+        _ACTIVE_CACHES.append(prepared)
 
     counts = {
         row[_PID]: row["cnt"]
@@ -92,6 +115,6 @@ def with_row_number(
     )
     data_cols = [c for c in df.columns if c != column]
     # The persisted intermediate stays cached so the numbering pass reuses
-    # the exact partitioning the counts were taken from; Spark evicts it
-    # LRU once downstream consumers materialize.
+    # the exact partitioning the counts were taken from. Callers release it
+    # via release_caches() once the numbered frame materializes.
     return numbered.select(column, *data_cols)

@@ -192,8 +192,14 @@ def copy_to_postgres(
     load saturates a Postgres cluster's ingest nodes; the reference's
     single pandas loop is the 1-partition special case. With
     ``unique_keys``, each partition COPYs into a session-temp table and
-    merges with INSERT .. ON CONFLICT DO UPDATE (EXCLUDED columns), so
-    concurrent partitions upsert safely.
+    merges with INSERT .. ON CONFLICT DO UPDATE (EXCLUDED columns). Two
+    hazards make concurrent per-partition merges unsafe on a raw frame —
+    duplicate keys INSIDE one partition fail the merge outright
+    ("cannot affect row a second time") and the same key merging from two
+    partitions at once can deadlock — so with ``unique_keys`` the frame is
+    first deduped per key (deterministic first-by-`_id`, the engine's A2
+    rule) and hash-repartitioned on the keys, which confines every key to
+    exactly one partition/connection.
 
     ``connection_factory``: zero-arg picklable callable returning a DBAPI
     connection whose cursor supports ``copy_expert`` (psycopg2-style). The
@@ -205,6 +211,10 @@ def copy_to_postgres(
     missing = [k for k in keys if k not in columns]
     if missing:
         raise ValueError(f"unique keys absent from frame: {missing}")
+    if keys:
+        from aircan_spark.upsert import dedup_stage
+
+        df = dedup_stage(df, keys).repartition(*[F.col(k) for k in keys])
 
     def load_partition(rows: Iterator) -> None:
         import csv as _csv

@@ -322,6 +322,21 @@ def stream_enrich(
     return out
 
 
+def read_sketch_state(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """Read the current committed sketch from a ``stream_sketch_maintenance``
+    state directory by resolving its atomic pointer file. Raises
+    FileNotFoundError when no state has been committed yet."""
+    import json as _json
+    import os as _os
+
+    pointer_path = _os.path.join(sketch_dir, "_current.json")
+    if not _os.path.exists(pointer_path):
+        raise FileNotFoundError(f"no committed sketch state in {sketch_dir}")
+    with open(pointer_path) as fh:
+        pointer = _json.load(fh)
+    return spark.read.parquet(_os.path.join(sketch_dir, pointer["version"]))
+
+
 def stream_sketch_maintenance(
     spark: SparkSession,
     source_dir: str,
@@ -341,45 +356,90 @@ def stream_sketch_maintenance(
     no matter how much data has streamed through; downstream frequency
     estimates never rescan history.
 
-    Exactly-once per batch: the merge is a read-modify-write of the tiny
-    sketch parquet keyed by checkpointed batch offsets — a replayed batch
-    overwrites with the same merged result (last_batch_id guard).
+    Exactly-once per batch, crash- and restart-safe:
+
+    - Each committed state is a fully-written versioned directory
+      (``v{run_id}-{batch_id}``); a tiny JSON *pointer* file names the
+      current one and is itself replaced atomically (tmp + ``os.replace``).
+      The batch id lives INSIDE the same atomically-committed artifact as
+      the sketch, so a crash between "sketch written" and "marker written"
+      cannot double-merge a replayed batch — the pointer still names the
+      pre-batch state and the replay recomputes the identical merge.
+    - The pointer also records a *run id* minted per checkpoint directory
+      (``_sketch_run_id`` inside the checkpoint dir). Restarting with a
+      FRESH checkpoint but the same sketch_dir restarts batch ids at 0;
+      the run-id mismatch makes the stale guard inapplicable and the
+      sketch REBUILDS from the re-streamed source instead of silently
+      skipping every batch (or double-counting into dead state).
+    - A missing state path is the only condition treated as "first batch";
+      any other read failure propagates (a transient/corrupt read must not
+      silently discard the accumulated sketch).
 
     Returns the StreamingQuery; caller awaits/stops it."""
+    import json as _json
     import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
 
     from aircan_spark.ext import sketch as cms
 
     stream = spark.readStream.schema(schema).json(source_dir)
-    state_path = _os.path.join(sketch_dir, "sketch")
-    marker_path = _os.path.join(sketch_dir, "_last_batch")
+    pointer_path = _os.path.join(sketch_dir, "_current.json")
+
+    # run identity: one uuid per checkpoint lineage — cleared checkpoint
+    # dir => new uuid => stored batch-id guards no longer apply
+    _os.makedirs(checkpoint_dir, exist_ok=True)
+    run_id_path = _os.path.join(checkpoint_dir, "_sketch_run_id")
+    if _os.path.exists(run_id_path):
+        with open(run_id_path) as fh:
+            run_id = fh.read().strip()
+    else:
+        run_id = _uuid.uuid4().hex[:12]
+        with open(run_id_path, "w") as fh:
+            fh.write(run_id)
+
+    def _read_pointer() -> dict | None:
+        if not _os.path.exists(pointer_path):
+            return None
+        with open(pointer_path) as fh:
+            return _json.load(fh)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # replay guard: a restarted batch must not double-count
-        if _os.path.exists(marker_path):
-            with open(marker_path) as fh:
-                if int(fh.read().strip() or -1) >= batch_id:
-                    return
+        pointer = _read_pointer()
+        same_run = pointer is not None and pointer.get("run_id") == run_id
+        if same_run and pointer["batch_id"] >= batch_id:
+            return  # replayed batch: committed state already includes it
         delta = cms.count_min_build(
             batch_df.select(item_col), item_col, depth=depth, width=width, seed=seed
         )
         sess = batch_df.sparkSession
-        try:
+        if same_run:
+            state_path = _os.path.join(sketch_dir, pointer["version"])
+            # state named by a committed pointer must be readable —
+            # anything else is a real error, never "start over"
             current = sess.read.parquet(state_path)
             merged = cms.count_min_merge(current, delta)
-        except Exception:  # first batch: no state yet
+        else:
+            # no pointer (true first batch) or foreign run id (fresh
+            # checkpoint re-streams the source from scratch): (re)build
             merged = delta
-        # tiny frame (<= depth*width rows): collect-and-rewrite is exact
-        # and atomic-enough via overwrite; at scale this stays tiny because
-        # the SKETCH doesn't grow with data
+        # tiny frame (<= depth*width rows): collect-and-rewrite is exact;
+        # at scale this stays tiny because the SKETCH doesn't grow with data
+        version = f"v{run_id}-{batch_id}"
         rows = merged.collect()
         sess.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(state_path)
-        with open(marker_path, "w") as fh:
-            fh.write(str(batch_id))
+        ).parquet(_os.path.join(sketch_dir, version))
+        tmp = pointer_path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"run_id": run_id, "batch_id": batch_id, "version": version}, fh)
+        _os.replace(tmp, pointer_path)  # the atomic commit point
+        if pointer is not None:  # GC the superseded version, best-effort
+            _shutil.rmtree(
+                _os.path.join(sketch_dir, pointer["version"]), ignore_errors=True
+            )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -24,6 +24,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from aircan_spark.rownum import with_row_number
 from aircan_spark.schema import descriptor_to_struct
 
 ERROR_CAP = 1000  # reference default limit_errors (pipeline_ckan_to_bigquery.py:296)
@@ -70,6 +71,7 @@ def validate(
     error_cap: int = ERROR_CAP,
     row_limit: int | None = None,
     day_first: bool = False,
+    row_start: int = 2,
 ) -> dict[str, Any]:
     """Validate a raw (string-typed) frame against a descriptor.
 
@@ -77,6 +79,11 @@ def validate(
     (pipeline_ckan_to_bigquery.py:300-311): ``valid``, ``row_count``,
     ``error_count`` (capped), ``errors`` (list of {row, field, code,
     value}).
+
+    ``row_start``: the row number reported for the FIRST data row.
+    Defaults to 2 — frictionless numbers physical file rows, so with a
+    header row the first data row is row 2 (matching the reference's
+    report rows exactly). Pass 1 for headerless sources.
     """
     if row_limit:
         raw = raw.limit(row_limit)  # reference limit_rows (validation.py:20-27)
@@ -113,8 +120,13 @@ def validate(
             ).alias(f"__err_{name}")
         )
     if cell_errors:
+        # 1-based source row positions (frictionless row numbering), not
+        # opaque monotonically_increasing_id values: partition-offset
+        # numbering over the cached frame preserves source order with no
+        # global window (rownum.py).
+        numbered = with_row_number(raw, column="__row", start=row_start, cache=False)
         errs = (
-            raw.select(F.monotonically_increasing_id().alias("__row"), *cell_errors)
+            numbered.select("__row", *cell_errors)
             .select(
                 "__row",
                 F.explode(

@@ -376,3 +376,26 @@ def test_aes_weighted_sample_properties(spark):
     picked = aes_weighted_sample(heavy, "id", F.col("wt"), k=50, seed=3).collect()
     n_heavy = sum(1 for r in picked if r["wt"] == 100.0)
     assert n_heavy >= 45  # overwhelming-majority heavy picks
+
+
+def test_aes_weighted_sample_nonpositive_weights_excluded(spark):
+    """A-ES semantics for invalid weights (r2 advice): w=0 would divide by
+    zero and w<0 would INVERT the key (sampling worst rows first) — both
+    are excluded from the draw entirely, and the draw over the remaining
+    rows is unchanged by their presence (subset stability)."""
+    from pyspark.sql import functions as F
+
+    from aircan_spark.ext.sampling import aes_weighted_sample
+
+    good = [(i, float(1 + i % 5)) for i in range(100)]
+    bad = [(1000, 0.0), (1001, -3.0), (1002, -0.5)]
+    clean = spark.createDataFrame(good, "id long, wt double")
+    dirty = spark.createDataFrame(good + bad, "id long, wt double")
+    picked_clean = sorted(
+        r["id"] for r in aes_weighted_sample(clean, "id", F.col("wt"), k=20, seed=4).collect()
+    )
+    picked_dirty = sorted(
+        r["id"] for r in aes_weighted_sample(dirty, "id", F.col("wt"), k=20, seed=4).collect()
+    )
+    assert picked_clean == picked_dirty
+    assert all(i < 1000 for i in picked_dirty)

@@ -332,7 +332,7 @@ def test_stream_sketch_maintenance_merge_law(spark, tmp_path):
     from pyspark.sql import types as T
 
     from aircan_spark.ext import sketch as cms
-    from aircan_spark.streaming import stream_sketch_maintenance
+    from aircan_spark.streaming import read_sketch_state, stream_sketch_maintenance
 
     src = tmp_path / "src"
     src.mkdir()
@@ -359,7 +359,7 @@ def test_stream_sketch_maintenance_merge_law(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    stored = spark.read.parquet(os.path.join(str(tmp_path / "state"), "sketch"))
+    stored = read_sketch_state(spark, str(tmp_path / "state"))
     direct = cms.count_min_build(
         spark.createDataFrame([(i,) for i in all_items], "item string"),
         "item",
@@ -381,3 +381,70 @@ def test_stream_sketch_maintenance_merge_law(spark, tmp_path):
     }
     for it, ex in exact.items():
         assert est[it] >= ex
+
+
+def test_stream_sketch_restart_semantics(spark, tmp_path):
+    """Restart hazards around the maintained sketch:
+
+    1. same checkpoint, re-run with no new data -> state unchanged (the
+       committed batch-id guard skips replays);
+    2. FRESH checkpoint, same sketch_dir -> run-id mismatch REBUILDS the
+       sketch from the re-streamed source (r2 advice: the stale marker
+       must not silently skip every batch of the new lineage);
+    3. a pointer naming unreadable state raises instead of silently
+       restarting from the current batch."""
+    import json as _json
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from aircan_spark.ext import sketch as cms
+    from aircan_spark.streaming import read_sketch_state, stream_sketch_maintenance
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = T.StructType([T.StructField("item", T.StringType(), True)])
+    items = [f"w{i % 7}" for i in range(100)]
+    with open(src / "a.json", "w") as fh:
+        for it in items:
+            fh.write(_json.dumps({"item": it}) + "\n")
+
+    def run(ckpt: str) -> None:
+        q = stream_sketch_maintenance(
+            spark, str(src), schema, "item",
+            sketch_dir=str(tmp_path / "state"), checkpoint_dir=str(tmp_path / ckpt),
+            depth=3, width=64, seed=7, available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    first = sorted(map(tuple, read_sketch_state(spark, str(tmp_path / "state")).collect()))
+
+    # 1: same checkpoint again — nothing new to process, state unchanged
+    run("ckpt1")
+    again = sorted(map(tuple, read_sketch_state(spark, str(tmp_path / "state")).collect()))
+    assert again == first
+
+    # 2: fresh checkpoint re-streams the whole source; run-id mismatch
+    # must REBUILD (not skip, not double-merge): state == batch-built,
+    # i.e. identical to the first run's result
+    run("ckpt2")
+    rebuilt = sorted(map(tuple, read_sketch_state(spark, str(tmp_path / "state")).collect()))
+    direct = cms.count_min_build(
+        spark.createDataFrame([(i,) for i in items], "item string"),
+        "item", depth=3, width=64, seed=7,
+    )
+    assert rebuilt == sorted(map(tuple, direct.collect())) == first
+
+    # 3: corrupt the committed state (pointer intact) and stream NEW data
+    # under the same checkpoint — the merge must raise, not quietly
+    # restart the sketch from the new batch's delta
+    pointer = _json.load(open(tmp_path / "state" / "_current.json"))
+    shutil.rmtree(os.path.join(str(tmp_path / "state"), pointer["version"]))
+    with open(src / "b.json", "w") as fh:
+        fh.write(_json.dumps({"item": "w0"}) + "\n")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        run("ckpt2")
