@@ -83,6 +83,20 @@ class BucketedParquetTable:
     def _commit(self, manifest: dict, keep_versions: int = 2) -> None:
         os.makedirs(self.path, exist_ok=True)
         prev = self.manifest()
+        # stale-commit detection (same optimistic contract as ParquetTable):
+        # every operation bases its new manifest on the one it read, so a
+        # commit must advance the version by exactly 1 — anything else
+        # means another writer committed in between
+        now_v = prev["version"] if prev else 0
+        if manifest["version"] != now_v + 1:
+            from aircan_spark.table import ConcurrentWriteError
+
+            raise ConcurrentWriteError(
+                f"bucketed table {self.name}: manifest moved to v{now_v} "
+                f"during this operation (attempted commit "
+                f"v{manifest['version']}); refusing to clobber the "
+                f"concurrent commit"
+            )
         history = (prev or {}).get("history", [])
         if prev is not None:
             history = (history + [{k: prev[k] for k in ("version", "buckets")}])[

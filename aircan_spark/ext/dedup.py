@@ -523,8 +523,13 @@ def connected_components(
     iteration count (the classic iterative-Spark trap).
 
     At web scale the same loop holds (shuffle keyed by node id); if
-    diameters grow, the large-star/small-star variant halves round count
-    — not needed for near-dup clustering.
+    diameters grow, the large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") converges in
+    O(log² n) rounds — the escalation path if this ever raises on real
+    graphs. Hash-min needs O(diameter) rounds, so a graph deeper than
+    ``max_iter`` CANNOT be labelled correctly by this loop; rather than
+    silently returning partially-propagated (wrong) components, the loop
+    raises when the final round still changed labels.
     """
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -565,6 +570,14 @@ def connected_components(
         comp = stepped.drop("__changed")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds ({changed} labels still changing): the "
+            f"graph's diameter exceeds the round budget. Raise max_iter, "
+            f"or for deep graphs use a large-star/small-star formulation "
+            f"(O(log² n) rounds) instead of hash-min."
+        )
     return comp
 
 

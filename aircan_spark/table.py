@@ -25,6 +25,19 @@ use Delta/Iceberg for this; the mechanism here keeps the engine dependency
 Reference analogs: table lifecycle D1/D2/D7 (warehouse.py:61-69,138-151,
 445-456), loads K2/K3 (warehouse.py:73-135,300-359), upsert J1
 (warehouse.py:430-491).
+
+Concurrency contract (the reference gets this from BigQuery job atomicity,
+warehouse.py:430-491; this engine states it explicitly): ONE writer per
+table at a time is the supported mode. Rewriting operations practice
+optimistic concurrency — each records the snapshot version it started
+from and re-checks it at the pointer flip; a concurrent commit in between
+raises ``ConcurrentWriteError`` instead of silently clobbering the other
+writer's snapshot (first committer wins). The check-then-flip window is
+microseconds but not zero, and appends (which add files into the CURRENT
+snapshot without a version flip) concurrent with a rewrite can land in
+the about-to-be-superseded snapshot — serializing concurrent writers for
+real requires a transactional catalog (Delta/Iceberg), which is exactly
+what a production deployment would swap in here.
 """
 
 from __future__ import annotations
@@ -40,6 +53,12 @@ from aircan_spark import ROW_NUMBER_COLUMN, UPDATED_AT_COLUMN
 from aircan_spark import upsert as upsert_mod
 
 _VERSION_FILE = "_VERSION"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed a snapshot between this operation's read
+    and its commit — the rewrite is based on stale data (see the module
+    concurrency contract)."""
 
 
 class ParquetTable:
@@ -67,8 +86,21 @@ class ParquetTable:
         v = version if version is not None else self.current_version()
         return os.path.join(self.path, f"v{v}")
 
-    def _commit(self, version: int, keep_snapshots: int = 2) -> None:
+    def _commit(
+        self,
+        version: int,
+        keep_snapshots: int = 2,
+        expected_base: int | None = None,
+    ) -> None:
         os.makedirs(self.path, exist_ok=True)
+        if expected_base is not None:
+            now = self.current_version()
+            if now != expected_base:
+                raise ConcurrentWriteError(
+                    f"table {self.name}: version moved {expected_base} -> "
+                    f"{now} during this rewrite; refusing to clobber the "
+                    f"concurrent commit (retry on the new snapshot)"
+                )
         tmp = self._version_path() + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(str(version))
@@ -101,9 +133,10 @@ class ParquetTable:
     # ---- writes ----------------------------------------------------------------
     def overwrite(self, df: DataFrame) -> None:
         """WRITE_TRUNCATE analog (reference K2): new snapshot, flip pointer."""
-        v = self.current_version() + 1
+        base = self.current_version()
+        v = base + 1
         df.write.mode("overwrite").parquet(self.snapshot_dir(v))
-        self._commit(v)
+        self._commit(v, expected_base=base)
 
     def _align_types(self, df: DataFrame) -> DataFrame:
         """Cast columns shared with the table to the table's types — the
@@ -154,6 +187,9 @@ class ParquetTable:
             self.create_empty_like(stage)
         else:
             stage = self._align_types(stage)
+        # base captured BEFORE the read: the merge plan scans this exact
+        # snapshot, so the commit check detects any version moved since
+        base = self.current_version()
         merged = upsert_mod.merge(
             self.read(),
             stage,
@@ -161,23 +197,24 @@ class ParquetTable:
             preserve_columns=preserve_columns,
             job_ts=job_ts,
         )
-        v = self.current_version() + 1
+        v = base + 1
         merged.write.mode("overwrite").parquet(self.snapshot_dir(v))
-        self._commit(v)
+        self._commit(v, expected_base=base)
 
     def backfill_updated_at(
         self, job_ts: dt.datetime, column: str = UPDATED_AT_COLUMN
     ) -> None:
         """UPDATE t SET _updated_at=@ts WHERE _updated_at IS NULL
         (reference F1, warehouse.py:337-357) as a coalesce projection."""
+        base = self.current_version()
         df = self.read()
         if column not in df.columns:
             df = df.withColumn(column, F.lit(job_ts))
         else:
             df = df.withColumn(column, F.coalesce(F.col(column), F.lit(job_ts)))
-        v = self.current_version() + 1
+        v = base + 1
         df.write.mode("overwrite").parquet(self.snapshot_dir(v))
-        self._commit(v)
+        self._commit(v, expected_base=base)
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

@@ -193,3 +193,42 @@ def test_merge_preserve_columns_insert_takes_stage_value(spark):
     out2 = {r["sku"]: r for r in merge(target, stage2, ["sku"], preserve_columns=("note",)).collect()}
     assert out2[30]["note"] is None
     assert out2[10]["note"] == "keep-me"
+
+
+def test_concurrent_commit_detected(spark, tmp_path):
+    """Optimistic-concurrency contract (module docstring): a rewrite based
+    on a snapshot that another writer superseded must raise
+    ConcurrentWriteError at the pointer flip, not clobber the other commit.
+    Simulated by a second table handle committing between the first
+    handle's read and its commit."""
+    from aircan_spark.table import ConcurrentWriteError
+
+    df = with_row_number(spark.createDataFrame([(1, "a")], "sku int, name string"))
+    t = ParquetTable(spark, str(tmp_path), "race")
+    t.overwrite(df)
+    assert t.current_version() == 1
+
+    # another writer moves the version while our rewrite is in flight
+    other = ParquetTable(spark, str(tmp_path), "race")
+    other.overwrite(df)  # v2
+    with pytest.raises(ConcurrentWriteError):
+        t._commit(2, expected_base=1)  # our rewrite thought base was v1
+    assert t.current_version() == 2  # the concurrent commit survives
+
+
+def test_bucketed_concurrent_commit_detected(spark, tmp_path):
+    from aircan_spark.bucketed import BucketedParquetTable
+    from aircan_spark.table import ConcurrentWriteError
+
+    df = with_row_number(
+        spark.createDataFrame([(1, "a"), (2, "b")], "sku int, name string")
+    )
+    b = BucketedParquetTable(spark, str(tmp_path), "brace", keys=["sku"], num_buckets=4)
+    b.overwrite(df)
+    m = b.manifest()
+    assert m["version"] == 1
+    # a commit NOT based on the current manifest (version skip) is stale
+    stale = dict(m, version=3)
+    with pytest.raises(ConcurrentWriteError):
+        b._commit(stale)
+    assert b.manifest()["version"] == 1
