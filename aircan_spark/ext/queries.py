@@ -924,6 +924,77 @@ FROM documents ORDER BY media_id
 """
 
 
+def ext_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, end-to-end and oracle-checked (no ``fake=``):
+    per document a deterministic gradient BMP is synthesized
+    (W=16+id%17, H=16+id%13, gray value (x*7+y*13+id)%256), pushed through
+    the real decode→nearest-neighbor-resize→re-encode kernel
+    (multimodal.decode_pixels/nn_resize/encode_bmp), decoded AGAIN from
+    the resized BMP bytes, and summarized as the mean sampled gray value.
+    Nearest-neighbor sampling at floor((i+0.5)*src/8) is closed-form, so
+    DuckDB replays the whole pipeline without touching a single image
+    byte — the oracle checks the codec round-trip AND the resample
+    geometry. All kernels are partition-local mapInPandas (no shuffle)."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make_bmp(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                w, h = 16 + did % 17, 16 + did % 13
+                x = np.arange(w, dtype="int64")[None, :]
+                y = np.arange(h, dtype="int64")[:, None]
+                gray = ((x * 7 + y * 13 + int(did)) % 256).astype("u1")
+                rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                ids.append(did)
+                blobs.append(multimodal.encode_bmp(rgb))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(make_bmp, "media_id bigint, content binary")
+    resized = multimodal.resize_images(media, width=8, height=8)
+
+    def mean_gray(batches):
+        for pdf in batches:
+            def m(blob):
+                px = multimodal.decode_pixels(blob)
+                return round(float(px[:, :, 0].astype("float64").mean()), 6)
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "pixel_mean": pdf["content"].map(m),
+                }
+            )
+
+    return resized.mapInPandas(
+        mean_gray, "media_id bigint, width int, height int, pixel_mean double"
+    ).orderBy("media_id")
+
+
+EXT_MM_RESIZE_SQL = r"""
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h FROM documents
+),
+sampled AS (
+  SELECT d.doc_id,
+         CAST(FLOOR((gx.i + 0.5) * d.w / 8.0) AS BIGINT) AS sx,
+         CAST(FLOOR((gy.j + 0.5) * d.h / 8.0) AS BIGINT) AS sy
+  FROM dims d, generate_series(0, 7) gx(i), generate_series(0, 7) gy(j)
+)
+SELECT doc_id AS media_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       ROUND(AVG((sx * 7 + sy * 13 + doc_id) % 256), 6) AS pixel_mean
+FROM sampled GROUP BY doc_id ORDER BY media_id
+"""
+
+
 # --- corpus statistics / relevance wave ------------------------------------------------
 
 
@@ -3347,6 +3418,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ext_stream_window_counts": ext_stream_window_counts,
     "ext_stream_sessions": ext_stream_sessions,
     "ext_mm_byte_features": ext_mm_byte_features,
+    "ext_mm_resize": ext_mm_resize,
 }
 
 # minhash/simhash/LSH ANN are non-SQL-expressible (algorithm-specific
@@ -3445,6 +3517,7 @@ EXT_ORACLES: dict[str, str] = {
     "ext_dedup_embedding": EXT_DEDUP_EMBEDDING_SQL,
     "ext_sim_topk_brute": EXT_SIM_TOPK_SQL,
     "ext_mm_byte_features": EXT_MM_BYTES_SQL,
+    "ext_mm_resize": EXT_MM_RESIZE_SQL,
 }
 
 

@@ -362,13 +362,69 @@ def test_multimodal_resize_fake_shapes(spark):
         assert len(r["content"]) == 32  # exactly width*height bytes
 
 
-def test_multimodal_resize_stub_raises(spark):
-    import pytest as _pytest
-
+def test_multimodal_resize_real_undecodable_yields_null(spark):
+    """The real (fake=False) path: blobs the decoder cannot reach (plain
+    text is not a BMP/TGA) yield NULL content — data, not errors."""
     docs = load_table(spark, SF_DIR, "documents").limit(2)
     media = multimodal.attach_binary(docs, "doc_id", "text", "text/plain")
-    with _pytest.raises(Exception, match="PIL"):
-        multimodal.resize_images(media, fake=False).collect()
+    out = multimodal.resize_images(media, fake=False).collect()
+    assert len(out) == 2
+    assert all(r["content"] is None and r["width"] is None for r in out)
+
+
+def test_multimodal_pixel_codecs_roundtrip():
+    """BMP encode→decode is lossless for arbitrary RGB (incl. non-multiple
+    -of-4 row widths); TGA type-2 decodes both bottom-up and top-down;
+    nn_resize matches the closed-form floor((i+0.5)*src/dst) sampling."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for h, w in [(5, 7), (16, 16), (13, 29), (1, 1)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        rt = multimodal.decode_pixels(multimodal.encode_bmp(img))
+        assert rt is not None and (rt == img).all()
+    # TGA type-2, bottom-up BGR
+    h, w = 6, 9
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    tga = (
+        bytes([0, 0, 2] + [0] * 9)
+        + struct.pack("<HH", w, h)
+        + bytes([24, 0])
+        + px[:, :, ::-1][::-1].tobytes()
+    )
+    d = multimodal.decode_pixels(tga)
+    assert d is not None and (d == px).all()
+    # resize geometry
+    img = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    r = multimodal.nn_resize(img, 8, 4)
+    ys = ((np.arange(4) + 0.5) * 20 / 4).astype(int)
+    xs = ((np.arange(8) + 0.5) * 30 / 8).astype(int)
+    assert r.shape == (4, 8, 3) and (r == img[ys[:, None], xs[None, :]]).all()
+    # truncated / compressed containers refuse cleanly
+    assert multimodal.decode_pixels(b"BM123") is None
+    assert multimodal.decode_pixels(b"\x89PNG\r\n\x1a\n" + bytes(40)) is None
+
+
+def test_multimodal_resize_real_bmp_end_to_end(spark):
+    """Real resize over real BMP blobs in Spark: output is itself a valid
+    BMP whose decoded pixels equal the numpy reference resample."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    imgs = {i: rng.integers(0, 256, (10 + i, 12 + i, 3), dtype=np.uint8) for i in range(4)}
+    media = spark.createDataFrame(
+        [(i, bytearray(multimodal.encode_bmp(img))) for i, img in imgs.items()],
+        "media_id long, content binary",
+    )
+    out = {r["media_id"]: r for r in multimodal.resize_images(media, 6, 5).collect()}
+    assert len(out) == 4
+    for i, img in imgs.items():
+        r = out[i]
+        assert (r["width"], r["height"]) == (6, 5)
+        got = multimodal.decode_pixels(bytes(r["content"]))
+        assert (got == multimodal.nn_resize(img, 6, 5)).all()
 
 
 def test_multimodal_audio_features_fake(spark):
