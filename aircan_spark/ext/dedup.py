@@ -652,3 +652,54 @@ def contamination_flags(
             ).alias("contaminated"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide repeated-line removal (the CCNet/C4 curation pass):
+    a line survives only at its FIRST occurrence in corpus order
+    (ascending ``id_col``, then position within the document); later
+    copies — boilerplate headers, navigation chrome, license blocks —
+    are dropped and each document's text is reconstructed from its
+    surviving lines.
+
+    Scale shape: one exchange keyed by the line text (high cardinality —
+    no hot partition beyond genuinely viral lines), first-occurrence via
+    row_number inside each line's group, reconstruction via a groupBy on
+    the doc id with a row-local sort of (pos, line) structs. Returns
+    (id, text_kept, n_lines_kept, n_lines_dropped)."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col).alias("did"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy("did", "pos")
+    marked = lines.withColumn("__rn", F.row_number().over(w))
+    kept = marked.filter(F.col("__rn") == 1)
+    rebuilt = kept.groupBy("did").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text_kept"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = lines.groupBy("did").agg(F.count(F.lit(1)).alias("__n_total"))
+    return (
+        totals.join(rebuilt, "did", "left")
+        .select(
+            F.col("did").alias(id_col),
+            F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+            F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+            (F.col("__n_total") - F.coalesce("n_lines_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+    )

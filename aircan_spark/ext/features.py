@@ -150,3 +150,29 @@ def mad_by_group(
         return round(float(np.median(np.abs(arr - np.median(arr)))), 6)
 
     return df.groupBy(*group_cols).agg(_mad(F.col(value_col)).alias("mad"))
+
+
+def debounce_events(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    gap_seconds: int = 60,
+) -> DataFrame:
+    """Gap-filter repeated events: drop an event when the SAME (user,
+    type) fired less than ``gap_seconds`` earlier — the batch analog of
+    client-side debouncing, used to strip double-clicks/retry storms
+    before behavioral aggregation.
+
+    Semantics are lag-based (gap to the previous event, kept or not):
+    deterministic, one window over real keys (user x type — no
+    low-cardinality trap), and exactly replayable in SQL. Ties on ts
+    break by event_id so reruns keep the same row."""
+    w = Window.partitionBy(user_col, type_col).orderBy(ts_col, "event_id")
+    prev_ts = F.lag(ts_col).over(w)
+    gap = F.col(ts_col).cast("double") - prev_ts.cast("double")
+    return (
+        df.withColumn("__gap", gap)
+        .filter(F.col("__gap").isNull() | (F.col("__gap") >= gap_seconds))
+        .drop("__gap")
+    )

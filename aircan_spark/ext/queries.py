@@ -4631,3 +4631,467 @@ EXT_ORACLES.update(
         "ext_large_orders": EXT_LARGE_ORDERS_SQL,
     }
 )
+
+
+# --- round-3 wave: TPC-H flavors Q13/Q17/Q19/Q15/Q8 -------------------------------
+
+
+def ext_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders-per-customer distribution INCLUDING zero-order customers
+    (TPC-H Q13 flavor): LEFT OUTER join so silent customers survive, then
+    a two-level aggregation — per-customer counts (shuffle on custkey),
+    then the tiny O(distinct counts) histogram.
+
+    Scale shape: the first agg is the only real exchange; the second
+    groups O(customers) rows down to O(max orders per customer) — no
+    global window anywhere."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+EXT_ORDER_COUNT_DIST_SQL = r"""
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def ext_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost to small-quantity orders for one brand
+    (TPC-H Q17 flavor): the correlated subquery `l_quantity <
+    0.2*AVG(l_quantity) per part` becomes a per-part aggregate joined
+    back — both joins broadcast (parts of one brand are a sliver of the
+    part table), so lineitem never shuffles.
+
+    Determinism note: l_quantity is integral, so the per-part AVG (exact
+    integer sum / count) and the 0.2x threshold are bit-identical across
+    engines — the boundary filter cannot flip."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    brand_li = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).drop("p_partkey")
+    thresholds = brand_li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * F.lit(0.2)).alias("qty_cut")
+    )
+    return (
+        brand_li.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                .cast("decimal(38,6)")
+                / F.lit(7.0)
+            )
+            .cast("double")
+            .alias("avg_yearly"),
+        )
+    )
+
+
+EXT_SMALL_QTY_SQL = r"""
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+),
+cuts AS (
+  SELECT l_partkey, AVG(l_quantity) * 0.2 AS qty_cut
+  FROM brand_li GROUP BY l_partkey
+)
+SELECT COUNT(*) AS n_lines,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) / 7.0 AS DOUBLE)
+         AS avg_yearly
+FROM brand_li JOIN cuts USING (l_partkey)
+WHERE l_quantity < qty_cut
+"""
+
+
+def ext_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue under an OR-of-ANDs predicate (TPC-H Q19 flavor): three
+    brand/size/quantity bands OR-ed together. Catalyst keeps the whole
+    disjunction as one post-join filter but pushes the common parts
+    (quantity range, size lower bound) to the scans; the part side
+    broadcasts."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    band = (
+        ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return j.filter(band).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+        )
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+EXT_DISJUNCTIVE_SQL = r"""
+SELECT COUNT(*) AS n_lines,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+            AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+"""
+
+
+def ext_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum quarterly revenue, ties kept (TPC-H
+    Q15 flavor). The MAX is a broadcast SCALAR compared against the
+    per-supplier aggregate — no global window over the supplier axis (the
+    low-cardinality-window trap: O(suppliers) rows in one task at scale).
+    Decimal revenue makes the equality comparison exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+        )
+        .cast("decimal(38,6)")
+        .alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("mx"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), rev["total_revenue"] == top["mx"])
+        .join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
+        .select(
+            F.col("s_suppkey"),
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+EXT_TOP_SUPPLIER_SQL = r"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+              * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+           AS DECIMAL(38,6)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def ext_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_5 suppliers' share of revenue from ASIA customers per order
+    year (TPC-H Q8 flavor): lineitem joins orders (shuffle on orderkey),
+    every dimension (customer->nation->region, supplier->nation)
+    broadcasts; the share is a CASE-gated decimal numerator over the same
+    aggregate — one exchange for the final (year) grouping."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+    asia_cust = (
+        cust.join(
+            F.broadcast(
+                nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+                .filter(F.col("r_name") == "ASIA")
+                .select("n_nationkey")
+            ),
+            cust["c_nationkey"] == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    sup_nation = sup.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        sup["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+
+    vol = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(asia_cust), orders["o_custkey"] == asia_cust["c_custkey"])
+        .join(F.broadcast(sup_nation), li["l_suppkey"] == sup_nation["s_suppkey"])
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    agg = joined.groupBy("o_year").agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(F.lit(0).cast("decimal(18,6)")))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("nation_volume"),
+        F.sum("volume").cast("decimal(38,6)").cast("double").alias("total_volume"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        F.round(F.col("nation_volume") / F.col("total_volume"), 6).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+EXT_MARKET_SHARE_SQL = r"""
+WITH asia_cust AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+joined AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,6))
+           * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS volume,
+         n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN asia_cust ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS DOUBLE) AS nation_volume,
+       CAST(CAST(SUM(volume) AS DECIMAL(38,6)) AS DOUBLE) AS total_volume,
+       ROUND(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS DOUBLE)
+             / CAST(CAST(SUM(volume) AS DECIMAL(38,6)) AS DOUBLE), 6) AS mkt_share
+FROM joined GROUP BY o_year ORDER BY o_year
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_order_count_distribution": ext_order_count_distribution,
+        "ext_small_quantity_revenue": ext_small_quantity_revenue,
+        "ext_disjunctive_revenue": ext_disjunctive_revenue,
+        "ext_top_revenue_supplier": ext_top_revenue_supplier,
+        "ext_market_share": ext_market_share,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_order_count_distribution": EXT_ORDER_COUNT_DIST_SQL,
+        "ext_small_quantity_revenue": EXT_SMALL_QTY_SQL,
+        "ext_disjunctive_revenue": EXT_DISJUNCTIVE_SQL,
+        "ext_top_revenue_supplier": EXT_TOP_SUPPLIER_SQL,
+        "ext_market_share": EXT_MARKET_SHARE_SQL,
+    }
+)
+
+
+# --- round-3 wave: corpus curation + event hygiene ops ----------------------------
+
+
+def ext_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping, oracle-checked end-to-end: each document is
+    wrapped in deterministic HTML/markdown/entity chrome (tags, a md
+    link, escaped entities), pushed through text.strip_markup, and the
+    cleaned text must reduce back to the original words plus the anchor
+    text — both engines replay the identical regex chain (no lookaround,
+    RE2-safe patterns)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    marked = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<div class="post"><p>'),
+            F.col("text"),
+            F.lit('</p></div> [read more](http://example.com/x?q=1) &amp; <b>fin&#39;</b>'),
+        ).alias("text"),
+    )
+    return (
+        text.strip_markup(marked)
+        .select("doc_id", F.md5(F.col("text_clean")).alias("clean_digest"))
+        .orderBy("doc_id")
+    )
+
+
+EXT_STRIP_MARKUP_SQL = r"""
+WITH marked AS (
+  SELECT doc_id,
+         '<div class="post"><p>' || text ||
+         '</p></div> [read more](http://example.com/x?q=1) &amp; <b>fin&#39;</b>' AS t
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id,
+         TRIM(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(t, '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+               '<[^>]*>', ' ', 'g'),
+             '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+             '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+           '\s+', ' ', 'g')) AS text_clean
+  FROM marked
+)
+SELECT doc_id, md5(text_clean) AS clean_digest FROM cleaned ORDER BY doc_id
+"""
+
+
+def ext_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-line removal (CCNet/C4 curation), with planted
+    duplicates: every synthetic document is (own text \n successor's
+    text), so each line occurs in exactly two documents and only the
+    first corpus occurrence survives. Checks the full pipeline — global
+    first-occurrence choice (one exchange keyed by line), per-doc
+    reconstruction order, drop accounting."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    succ = docs.select(
+        F.col("doc_id").alias("bid"), F.col("text").alias("btext")
+    )
+    two = docs.join(
+        succ, succ["bid"] == (F.col("doc_id") + 1) % F.lit(n_docs)
+    ).select("doc_id", F.concat("text", F.lit("\n"), "btext").alias("text"))
+    return (
+        dedup.line_dedup(two)
+        .select(
+            "doc_id",
+            F.md5("text_kept").alias("kept_digest"),
+            "n_lines_kept",
+            "n_lines_dropped",
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXT_LINE_DEDUP_SQL = r"""
+WITH two AS (
+  SELECT a.doc_id, a.text || chr(10) || b.text AS text
+  FROM documents a
+  JOIN documents b ON b.doc_id = (a.doc_id + 1) % (SELECT COUNT(*) FROM documents)
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM two
+),
+firsts AS (
+  SELECT doc_id, pos, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lines
+),
+kept AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_kept,
+         COUNT(*) AS n_kept
+  FROM firsts WHERE rn = 1 GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_tot FROM lines GROUP BY doc_id)
+SELECT t.doc_id,
+       md5(COALESCE(k.text_kept, '')) AS kept_digest,
+       COALESCE(k.n_kept, 0) AS n_lines_kept,
+       t.n_tot - COALESCE(k.n_kept, 0) AS n_lines_dropped
+FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY doc_id
+"""
+
+
+def ext_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-storm suppression: drop events repeating the same (user,
+    type) within 24h of the previous one, then count survivors per type.
+    The lag window partitions on real keys; the summary agg is O(types)."""
+    ev = _t(spark, sf_dir, "events")
+    kept = features.debounce_events(ev, gap_seconds=86400)
+    return (
+        kept.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("event_type")
+    )
+
+
+EXT_DEBOUNCE_SQL = r"""
+WITH lagged AS (
+  SELECT event_type,
+         epoch(ts) - epoch(LAG(ts) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_kept
+FROM lagged WHERE gap IS NULL OR gap >= 86400
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def ext_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list heads for every word in >= 50 documents: df plus the
+    first 20 doc ids. The head is rank-capped (WindowGroupLimit) so no
+    stop-word posting list ever materializes whole."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text.inverted_index(docs, min_df=50, postings_cap=20)
+        .orderBy("word")
+    )
+
+
+EXT_INVERTED_INDEX_SQL = r"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id AS did,
+         unnest(string_split_regex(TRIM(LOWER(text)), '\s+')) AS word
+  FROM documents
+),
+dfreq AS (SELECT word, COUNT(*) AS df FROM pairs WHERE word <> '' GROUP BY word),
+ranked AS (
+  SELECT word, did, ROW_NUMBER() OVER (PARTITION BY word ORDER BY did) AS rn
+  FROM pairs WHERE word <> ''
+),
+heads AS (
+  SELECT word, string_agg(CAST(did AS VARCHAR), ',' ORDER BY did) AS postings_head
+  FROM ranked WHERE rn <= 20 GROUP BY word
+)
+SELECT d.word, d.df, h.postings_head
+FROM dfreq d JOIN heads h USING (word)
+WHERE d.df >= 50 ORDER BY d.word
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_strip_markup": ext_strip_markup,
+        "ext_line_dedup": ext_line_dedup,
+        "ext_debounce": ext_debounce,
+        "ext_inverted_index": ext_inverted_index,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_strip_markup": EXT_STRIP_MARKUP_SQL,
+        "ext_line_dedup": EXT_LINE_DEDUP_SQL,
+        "ext_debounce": EXT_DEBOUNCE_SQL,
+        "ext_inverted_index": EXT_INVERTED_INDEX_SQL,
+    }
+)

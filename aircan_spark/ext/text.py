@@ -435,3 +435,73 @@ def pseudonymize(
             for c in cols
         ],
     )
+
+
+def strip_markup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Markup removal for web-scraped corpora: HTML tags, a fixed set of
+    common entities, and markdown links (keeping the anchor text), then
+    whitespace collapse. Pure regexp chain — scan-fused, JVM-side, no
+    UDF; every pattern avoids lookaround so the same regexes run under
+    RE2-family engines (the oracle replays them verbatim).
+
+    Adds ``text_clean`` next to the original column."""
+    c = F.col(text_col)
+    # order matters: md links before tag strip (anchor text survives),
+    # entities after tags (so &lt;b&gt; does not become a live tag)
+    c = F.regexp_replace(c, r"\[([^\]]*)\]\([^)]*\)", r"$1")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+        ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn("text_clean", c)
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    postings_cap: int = 20,
+) -> DataFrame:
+    """Posting-list construction (the search-index build pass): per word,
+    document frequency and the first ``postings_cap`` doc ids ascending.
+
+    Scale shape: the full df count and the capped posting head are split
+    into two aggregates over the same (word, doc) exchange — the head
+    goes through a WindowGroupLimit rank (each map task forwards at most
+    cap rows per word), so a stop-word's posting list never materializes
+    beyond the cap anywhere."""
+    from pyspark.sql import Window
+
+    pairs = (
+        df.select(
+            F.col(id_col).alias("did"),
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    dfreq = pairs.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("word").orderBy("did")
+    head = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= postings_cap)
+        .groupBy("word")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("did")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("postings_head")
+        )
+    )
+    return (
+        dfreq.filter(F.col("df") >= min_df)
+        .join(head, "word")
+        .select("word", "df", "postings_head")
+    )

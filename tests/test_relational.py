@@ -597,3 +597,69 @@ def test_profile_nulls_distinct_minmax(spark):
     assert rows["s"]["n_distinct"] == 2 and rows["s"]["n_nulls"] == 0
     assert rows["dead"]["n_distinct"] == 0
     assert rows["dead"]["min_value"] is None and rows["dead"]["max_value"] is None
+
+
+def test_strip_markup_kernel(spark):
+    from aircan_spark.ext import text as t
+
+    df = spark.createDataFrame(
+        [(1, '<p>hello <b>world</b></p> [link](http://x.y) &amp; &lt;tag&gt; done'),
+         (2, 'plain text stays'),
+         (3, '<div\nclass="x">multi</div>')],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text_clean"] for r in t.strip_markup(df).collect()}
+    assert got[1] == 'hello world link & <tag> done'
+    assert got[2] == 'plain text stays'
+    assert got[3] == 'multi'
+
+
+def test_line_dedup_first_occurrence(spark):
+    """A line survives only at its first (doc_id, pos) occurrence
+    corpus-wide; docs reduced to nothing come back as empty text."""
+    from aircan_spark.ext import dedup
+
+    df = spark.createDataFrame(
+        [(1, "alpha\nbeta"), (2, "beta\ngamma"), (3, "alpha\nbeta")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.line_dedup(df).collect()}
+    assert rows[1]["text_kept"] == "alpha\nbeta" and rows[1]["n_lines_dropped"] == 0
+    assert rows[2]["text_kept"] == "gamma" and rows[2]["n_lines_dropped"] == 1
+    assert rows[3]["text_kept"] == "" and rows[3]["n_lines_kept"] == 0
+    assert rows[3]["n_lines_dropped"] == 2
+
+
+def test_debounce_events_gap_semantics(spark):
+    import datetime as dt
+
+    from aircan_spark.ext import features
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 7, "click", 0.0, ""),                       # kept (first)
+        (2, base + dt.timedelta(seconds=30), 7, "click", 0.0, ""),   # dropped
+        (3, base + dt.timedelta(seconds=90), 7, "click", 0.0, ""),   # kept (gap 60 from prev EVENT)
+        (4, base + dt.timedelta(seconds=10), 7, "view", 0.0, ""),    # kept (other type)
+        (5, base + dt.timedelta(seconds=20), 8, "click", 0.0, ""),   # kept (other user)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    kept = sorted(r["event_id"] for r in features.debounce_events(ev, gap_seconds=60).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_inverted_index_df_and_cap(spark):
+    from aircan_spark.ext import text as t
+
+    df = spark.createDataFrame(
+        [(i, "common " + ("rare" if i == 0 else "filler")) for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = {r["word"]: r for r in t.inverted_index(df, min_df=2, postings_cap=5).collect()}
+    assert "rare" not in out  # df=1 < min_df
+    assert out["common"]["df"] == 30
+    assert out["common"]["postings_head"] == "0,1,2,3,4"  # capped at 5, ascending
+    assert out["filler"]["df"] == 29
+    assert out["filler"]["postings_head"] == "1,2,3,4,5"
