@@ -5095,3 +5095,120 @@ EXT_ORACLES.update(
         "ext_inverted_index": EXT_INVERTED_INDEX_SQL,
     }
 )
+
+
+# --- round-3 wave: sketch + join-pruning + linear-algebra infrastructure -----------
+
+
+def ext_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram matrix over the first 8 embedding dims, exact decimal path —
+    the verification face of the one-pass covariance/PCA input
+    (vectors.embedding_gram). The pandas-UDF Mᵀ M partial path is the
+    scale twin (equivalence proven in tests/test_ext.py); this declared
+    query uses the explode+decimal formulation precisely because binary
+    floats have no decimal-scale-9 halfway cases, making the sum
+    bit-identical across engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return vectors.embedding_gram(emb, dims=8, exact=True)
+
+
+EXT_EMBEDDING_GRAM_SQL = r"""
+WITH comp AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding[1:8], 1) - 1 AS INTEGER) AS i,
+         CAST(unnest(embedding[1:8]) AS DOUBLE) AS val
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(a.val AS DECIMAL(18,9)) * CAST(b.val AS DECIMAL(18,9)) AS prod
+  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
+)
+SELECT i, j, ROUND(CAST(CAST(SUM(prod) AS DECIMAL(38,18)) AS DOUBLE), 12) AS gram
+FROM pairs GROUP BY i, j ORDER BY i, j
+"""
+
+
+def ext_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog registers over order keys (m=1024, md5-portable hash):
+    the fixed-size distinct sketch whose registers any engine reproduces
+    bit-for-bit (integer/string rho, no floating log). Merge law and
+    estimate accuracy are property-tested; the estimate itself is driver
+    math over these <= m rows."""
+    orders = _t(spark, sf_dir, "orders")
+    from aircan_spark.ext import sketch as cms
+
+    return cms.hll_build(orders, "o_orderkey", b=10, seed=42).orderBy("reg")
+
+
+EXT_HLL_SQL = r"""
+WITH h AS (
+  SELECT CAST(('0x' || SUBSTR(md5('42-' || CAST(o_orderkey AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS hv
+  FROM orders
+),
+rho AS (
+  SELECT hv % 1024 AS reg,
+         CASE WHEN hv // 1024 = 0 THEN 51
+              ELSE 51 - LENGTH(bin(hv // 1024)) END AS rho
+  FROM h
+)
+SELECT reg, MAX(rho) AS max_rho FROM rho GROUP BY reg ORDER BY reg
+"""
+
+
+def ext_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join: lineitems of 1997 urgent orders. The
+    bloom (64 KiB bitmap from the filtered order keys) pre-filters
+    lineitem JVM-side BEFORE the join exchange; the exact LEFT SEMI join
+    then removes false positives, so the result — and this oracle — is
+    exactly the plain semi join. The sketch moves work off the shuffle;
+    it never changes the answer."""
+    from aircan_spark.ext import bloom
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    kept = bloom.bloom_semi_join(li, orders, "l_orderkey", "o_orderkey")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+        )
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+EXT_BLOOM_SEMI_SQL = r"""
+SELECT COUNT(*) AS n_lines,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+            AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+)
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_embedding_gram": ext_embedding_gram,
+        "ext_hll_registers": ext_hll_registers,
+        "ext_bloom_semi_join": ext_bloom_semi_join,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_embedding_gram": EXT_EMBEDDING_GRAM_SQL,
+        "ext_hll_registers": EXT_HLL_SQL,
+        "ext_bloom_semi_join": EXT_BLOOM_SEMI_SQL,
+    }
+)

@@ -100,3 +100,77 @@ def count_min_estimate(
         .groupBy("item")
         .agg(F.min("cnt").alias("cms_estimate"))
     )
+
+
+# --- HyperLogLog registers ----------------------------------------------------------
+
+
+def _hll_hash60(item: Column, seed: int) -> Column:
+    """Portable 60-bit item hash: 15 hex chars of md5('{seed}-{item}') —
+    the same md5 integer arithmetic as the CMS/sampler family, so
+    registers built by ANY engine (or merged across days/clusters) agree
+    bit-for-bit."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("-", F.lit(str(seed)), item.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def hll_build(
+    items: DataFrame,
+    item_col: str,
+    b: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Build HyperLogLog registers over a column: m=2^b registers, each
+    holding max(rho) where rho = 1 + leading zeros of the hash remainder
+    (50-bit window). Output (reg, max_rho) — only non-empty registers, so
+    at most m rows regardless of input size.
+
+    rho is computed with integer/string ops only (51 - bitlength via
+    ``bin``), never floating log2 — exactly replicable in SQL, immune to
+    libm ulp flips. Registers merge by GREATEST (``hll_merge``); the
+    cardinality estimate (``hll_estimate``) is derived from the collected
+    registers driver-side (<= m rows)."""
+    m = 1 << b
+    h = _hll_hash60(F.col(item_col), seed)
+    reg = F.pmod(h, F.lit(m))
+    # integer shift, NOT division: h exceeds 2^53, double division would
+    # silently round; h is non-negative so arithmetic shift is exact
+    w = F.shiftright(h, b)  # remaining ~50 bits
+    rho = F.when(w == 0, F.lit(51)).otherwise(F.lit(51) - F.length(F.bin(w)))
+    return (
+        items.select(reg.alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b_df: DataFrame) -> DataFrame:
+    """Merge two register sets built with the same (b, seed): union +
+    per-register GREATEST — the HLL merge law (same shape as CMS count
+    addition, one tiny agg)."""
+    return (
+        a.unionByName(b_df)
+        .groupBy("reg")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, b: int = 10) -> float:
+    """Cardinality estimate from a register frame: the classic HLL
+    harmonic-mean formula with the small-range (linear counting)
+    correction. Collects <= m rows — driver math over the SKETCH, never
+    the data."""
+    import math
+
+    m = 1 << b
+    rows = {int(r["reg"]): int(r["max_rho"]) for r in registers.collect()}
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -rows.get(j, 0) for j in range(m))
+    est = alpha * m * m / s
+    zeros = m - len(rows)
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)  # linear counting
+    return est

@@ -91,3 +91,77 @@ def quantize_int8(
         F.round(scale, 9).alias("scale"),
         F.array_join(q, ",").alias("qvec"),
     )
+
+
+GRAM_SCHEMA = "i int, j int, partial double"
+
+
+def embedding_gram(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Gram matrix G[i,j] = Σ v[i]·v[j] over all vectors, upper triangle
+    (i <= j) in long form — the one-pass covariance/PCA/whitening input.
+
+    Default (scale path): per-Arrow-batch numpy ``Mᵀ M`` partials inside
+    mapInPandas — each batch emits d(d+1)/2 rows, the only exchange is
+    the O(d²)-key final sum. Double accumulation: fast, order-dependent
+    in the last ulp (fine for numerics, not for hash equality).
+
+    ``exact=True`` (oracle path): row-local explode of component pairs
+    with decimal(18,9)-cast products summed exactly — bit-identical
+    across engines (binary floats have no exact decimal-scale-9 halfway
+    cases, so rounding cannot diverge). O(n·d²) exploded rows — use for
+    verification or small d/dims slices.
+
+    ``dims``: restrict to the first ``dims`` components (slice before any
+    fan-out)."""
+    v = F.col(vec_col)
+    if dims is not None:
+        v = F.slice(v, 1, dims)
+    vecs = df.select(F.transform(v, lambda x: x.cast("double")).alias("v"))
+
+    if exact:
+        a = vecs.select(F.posexplode("v").alias("i", "vi"), F.col("v"))
+        pairs = a.select(
+            "i", "vi", F.posexplode("v").alias("j", "vj")
+        ).filter(F.col("i") <= F.col("j"))
+        prod = (
+            F.col("vi").cast("decimal(18,9)") * F.col("vj").cast("decimal(18,9)")
+        )
+        # round(12): the decimal SUM is exact and identical everywhere,
+        # but decimal->double conversion may double-round (int128 * 1e-18
+        # in some engines) — one ulp at ~1e-17; rounding to 12 decimals
+        # absorbs it without losing numeric meaning
+        return (
+            pairs.groupBy("i", "j")
+            .agg(
+                F.round(
+                    F.sum(prod).cast("decimal(38,18)").cast("double"), 12
+                ).alias("gram")
+            )
+            .orderBy("i", "j")
+        )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf["v"].tolist(), dtype="float64")
+            g = mat.T @ mat
+            iu, ju = np.triu_indices(g.shape[0])
+            yield pd.DataFrame(
+                {"i": iu.astype("int32"), "j": ju.astype("int32"), "partial": g[iu, ju]}
+            )
+
+    partials = vecs.mapInPandas(kernel, GRAM_SCHEMA)
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("partial").alias("gram"))
+        .orderBy("i", "j")
+    )
