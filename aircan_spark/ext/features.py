@@ -176,3 +176,42 @@ def debounce_events(
         .filter(F.col("__gap").isNull() | (F.col("__gap") >= gap_seconds))
         .drop("__gap")
     )
+
+
+def ohlc_resample(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket: str = "day",
+) -> DataFrame:
+    """Downsample a value stream to per-(key, bucket) OHLC bars: open =
+    value at the earliest row, close = at the latest, high/low = extremes,
+    n = row count. The time-series resampling primitive (finance bars,
+    metric rollups) on arbitrary keyed streams.
+
+    open/close use MIN/MAX over (ts, id, value) structs — the argmin trick:
+    one partial-aggregable pass, no window, deterministic under ts ties
+    via the id tiebreak. One exchange on (key, bucket)."""
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    ordkey = F.struct(F.col(ts_col), F.col(id_col), F.col(value_col))
+    return (
+        df.groupBy(F.col(key_col), b)
+        .agg(
+            F.min(ordkey).alias("__first"),
+            F.max(ordkey).alias("__last"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            key_col,
+            "bucket",
+            F.col(f"__first.{value_col}").alias("open"),
+            "high",
+            "low",
+            F.col(f"__last.{value_col}").alias("close"),
+            "n",
+        )
+    )

@@ -5212,3 +5212,257 @@ EXT_ORACLES.update(
         "ext_bloom_semi_join": EXT_BLOOM_SEMI_SQL,
     }
 )
+
+
+# --- round-3 wave: CDC, quality gates, time series, layout -------------------------
+
+
+def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two synthetic snapshots of orders: v2 deletes every
+    97th key, rewrites the price of every 31st, inserts shifted copies of
+    every 113rd. The diff must classify every key exactly and name the
+    changed columns — one FULL OUTER exchange, both sides co-partitioned
+    on the key."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    v2 = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 31 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 113 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderpriority",
+            )
+        )
+    )
+    return (
+        relational.snapshot_diff(orders, v2, keys=["o_orderkey"])
+        .orderBy("o_orderkey")
+    )
+
+
+EXT_SNAPSHOT_DIFF_SQL = r"""
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders
+),
+v2 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 31 = 0 THEN ROUND(o_totalprice * 1.1, 2)
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 113 = 0
+),
+j AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         a.o_orderkey IS NOT NULL AS in_old,
+         b.o_orderkey IS NOT NULL AS in_new,
+         CASE WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus THEN 'o_orderstatus' END AS c1,
+         CASE WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice THEN 'o_totalprice' END AS c2,
+         CASE WHEN a.o_orderpriority IS DISTINCT FROM b.o_orderpriority THEN 'o_orderpriority' END AS c3
+  FROM v1 a FULL OUTER JOIN v2 b USING (o_orderkey)
+),
+classified AS (
+  SELECT o_orderkey,
+         CASE WHEN NOT in_old THEN 'insert'
+              WHEN NOT in_new THEN 'delete'
+              WHEN c1 IS NOT NULL OR c2 IS NOT NULL OR c3 IS NOT NULL THEN 'update'
+         END AS change_type,
+         array_to_string(list_sort(list_filter([c1, c2, c3], x -> x IS NOT NULL)), ',') AS chg
+  FROM j
+)
+SELECT o_orderkey, change_type,
+       CASE WHEN change_type = 'update' THEN chg END AS changed_cols
+FROM classified WHERE change_type IS NOT NULL ORDER BY o_orderkey
+"""
+
+
+def ext_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan declarative quality gate over orders: null-rate, range,
+    set-membership, cardinality and uniqueness checks evaluated as a
+    single aggregate (partial-aggregable expressions only) — the
+    ingest-time contract check at warehouse scale."""
+    from aircan_spark.profile import expectations
+
+    orders = _t(spark, sf_dir, "orders")
+    checks = [
+        {"id": "key_unique", "column": "o_orderkey", "kind": "unique"},
+        {"id": "key_not_null", "column": "o_orderkey", "kind": "not_null_rate", "min": 1.0},
+        {"id": "price_floor", "column": "o_totalprice", "kind": "min", "min": 0.0},
+        {"id": "price_ceiling", "column": "o_totalprice", "kind": "max", "max": 1e7},
+        {"id": "status_domain", "column": "o_orderstatus", "kind": "in_set_rate",
+         "values": ["F", "O", "P"], "min": 1.0},
+        {"id": "priority_card", "column": "o_orderpriority", "kind": "distinct_max", "max": 5},
+    ]
+    return expectations(orders, checks).orderBy("check_id")
+
+
+EXT_EXPECTATIONS_SQL = r"""
+WITH agg AS (
+  SELECT COUNT(*) AS n,
+         COUNT(DISTINCT o_orderkey) AS key_nd,
+         SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS key_nn,
+         CAST(MIN(o_totalprice) AS DOUBLE) AS price_min,
+         CAST(MAX(o_totalprice) AS DOUBLE) AS price_max,
+         SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END) AS status_in,
+         SUM(CASE WHEN o_orderstatus IS NOT NULL THEN 1 ELSE 0 END) AS status_nn,
+         COUNT(DISTINCT o_orderpriority) AS prio_nd
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'key_unique' AS check_id, 'o_orderkey' AS "column", 'unique' AS kind,
+         CAST(key_nd AS DOUBLE) AS observed, CAST(NULL AS DOUBLE) AS threshold,
+         key_nd = key_nn AS passed FROM agg
+  UNION ALL
+  SELECT 'key_not_null', 'o_orderkey', 'not_null_rate',
+         ROUND(CAST(key_nn AS DOUBLE) / n, 6), 1.0,
+         ROUND(CAST(key_nn AS DOUBLE) / n, 6) >= 1.0 FROM agg
+  UNION ALL
+  SELECT 'price_floor', 'o_totalprice', 'min', price_min, 0.0, price_min >= 0.0 FROM agg
+  UNION ALL
+  SELECT 'price_ceiling', 'o_totalprice', 'max', price_max, 1e7, price_max <= 1e7 FROM agg
+  UNION ALL
+  SELECT 'status_domain', 'o_orderstatus', 'in_set_rate',
+         ROUND(CAST(status_in AS DOUBLE) / GREATEST(status_nn, 1), 6), 1.0,
+         ROUND(CAST(status_in AS DOUBLE) / GREATEST(status_nn, 1), 6) >= 1.0 FROM agg
+  UNION ALL
+  SELECT 'priority_card', 'o_orderpriority', 'distinct_max',
+         CAST(prio_nd AS DOUBLE), 5.0, prio_nd <= 5 FROM agg
+) ORDER BY check_id
+"""
+
+
+def ext_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per user over purchase values: argmin/argmax via
+    MIN/MAX over (ts, id, value) structs — one partial-aggregable pass,
+    no window, one (user, day) exchange."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    bars = features.ohlc_resample(ev)
+    return bars.select(
+        "user_id",
+        F.col("bucket").cast("date").alias("day"),
+        F.round("open", 2).alias("open"),
+        F.round("high", 2).alias("high"),
+        F.round("low", 2).alias("low"),
+        F.round("close", 2).alias("close"),
+        "n",
+    ).orderBy("user_id", "day")
+
+
+EXT_OHLC_SQL = r"""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+ranked AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM p
+)
+SELECT user_id, day,
+       ROUND(MAX(CASE WHEN rn_first = 1 THEN value END), 2) AS open,
+       ROUND(MAX(value), 2) AS high,
+       ROUND(MIN(value), 2) AS low,
+       ROUND(MAX(CASE WHEN rn_last = 1 THEN value END), 2) AS close,
+       COUNT(*) AS n
+FROM ranked GROUP BY user_id, day ORDER BY user_id, day
+"""
+
+
+def ext_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the EARLIEST purchase by the same user at or after
+    the click (forward as-of join) — the other merge_asof direction,
+    same one-shuffle union-window plan with the frame reversed."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = relational.asof_join(
+        clicks, purchases, on="user_id", right_cols=["event_id", "value"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_right").alias("purchase_event_id"),
+        F.round("value_right", 2).alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+EXT_ASOF_FORWARD_SQL = r"""
+SELECT c.event_id, c.user_id,
+       p.event_id AS purchase_event_id,
+       ROUND(p.value, 2) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+ORDER BY c.event_id
+"""
+
+
+def ext_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering keys over (user_id, hour-of-stream) —
+    the multi-dimensional layout primitive (OPTIMIZE ZORDER): pure
+    integer bit-interleave, bit-replicable in SQL; cluster_by_zorder
+    range-partitions on this key so every output file covers a compact
+    (user, time) rectangle. The query checks the key math row-for-row."""
+    ev = _t(spark, sf_dir, "events")
+    hours = F.floor(
+        (F.unix_timestamp("ts") - F.lit(1704067200)) / 3600
+    ).cast("long")  # hours since 2024-01-01 (data epoch), non-negative
+    keyed = ev.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("u"),
+        hours.alias("h"),
+    )
+    zkey = relational.zorder_key(["u", "h"], bits=16)
+    return keyed.select("event_id", zkey.alias("zkey")).orderBy("event_id")
+
+
+EXT_ZORDER_SQL = r"""
+WITH base AS (
+  SELECT event_id, CAST(user_id AS BIGINT) AS u,
+         CAST(FLOOR((epoch(ts) - 1704067200) / 3600) AS BIGINT) AS h
+  FROM events
+),
+bits AS (
+  SELECT event_id, u, h, gb.b AS b FROM base, generate_series(0, 15) gb(b)
+),
+terms AS (
+  SELECT event_id,
+         ((u // (1 << b)) % 2) * (1 << (2 * b))
+           + ((h // (1 << b)) % 2) * (1 << (2 * b + 1)) AS term
+  FROM bits
+)
+SELECT event_id, CAST(SUM(term) AS BIGINT) AS zkey
+FROM terms GROUP BY event_id ORDER BY event_id
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_snapshot_diff": ext_snapshot_diff,
+        "ext_expectations": ext_expectations,
+        "ext_ohlc": ext_ohlc,
+        "ext_asof_forward": ext_asof_forward,
+        "ext_zorder_keys": ext_zorder_keys,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_snapshot_diff": EXT_SNAPSHOT_DIFF_SQL,
+        "ext_expectations": EXT_EXPECTATIONS_SQL,
+        "ext_ohlc": EXT_OHLC_SQL,
+        "ext_asof_forward": EXT_ASOF_FORWARD_SQL,
+        "ext_zorder_keys": EXT_ZORDER_SQL,
+    }
+)

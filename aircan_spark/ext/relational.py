@@ -40,19 +40,26 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_right",
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, attach the most recent
-    right row with ``right.ts <= left.ts`` and the same key (inclusive),
-    or NULLs when none exists (left-outer semantics).
+    """As-of join: for every left row, attach the nearest right row with
+    the same key — ``direction="backward"`` (default) takes the most
+    recent right with ``right.ts <= left.ts``, ``"forward"`` the earliest
+    right with ``right.ts >= left.ts`` (both inclusive); NULLs when none
+    exists (left-outer semantics). The pandas ``merge_asof`` pair of
+    directions, distributed.
 
     Implementation: tag and union both sides, then one running
     ``last(payload, ignorenulls=True)`` window per key ordered by
-    (ts, side, right-row order). A single hash shuffle on the key — the
-    same cost as one equi-join — with no inequality-join cross product.
+    (ts, side) — forward flips the tie order and uses ``first`` over the
+    following frame. A single hash shuffle on the key — the same cost as
+    one equi-join — with no inequality-join cross product.
 
-    ``tolerance`` (e.g. ``"10 minutes"``): matches older than
-    ``left_ts - tolerance`` are nulled out, keeping the left row.
+    ``tolerance`` (e.g. ``"10 minutes"``): matches farther than that from
+    ``left_ts`` are nulled out, keeping the left row.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
 
@@ -73,22 +80,38 @@ def asof_join(
         F.lit(None).cast(r.schema["__rpayload"].dataType).alias("__rpayload"),
         lpayload.alias("__lpayload"),
     )
-    w = (
-        Window.partitionBy("__key")
-        # right rows sort before left rows at equal ts -> inclusive match
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        w = (
+            Window.partitionBy("__key")
+            # right rows sort before left rows at equal ts -> inclusive match
+            .orderBy("__ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = F.last("__rpayload", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy("__key")
+            # right rows sort AFTER left rows at equal ts (side desc: left=1
+            # first) so the following frame still sees the equal-ts match
+            .orderBy("__ts", F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = F.first("__rpayload", ignorenulls=True).over(w)
     matched = (
         r.withColumn("__lpayload", F.lit(None).cast(l.schema["__lpayload"].dataType))
         .unionByName(l)
-        .withColumn("__match", F.last("__rpayload", ignorenulls=True).over(w))
+        .withColumn("__match", pick)
         .filter(F.col("__side") == 1)
     )
     if tolerance is not None:
-        in_range = F.col("__match.__rts") >= F.col("__ts") - F.expr(
-            f"INTERVAL {tolerance}"
-        )
+        if direction == "backward":
+            in_range = F.col("__match.__rts") >= F.col("__ts") - F.expr(
+                f"INTERVAL {tolerance}"
+            )
+        else:
+            in_range = F.col("__match.__rts") <= F.col("__ts") + F.expr(
+                f"INTERVAL {tolerance}"
+            )
         matched = matched.withColumn(
             "__match", F.when(in_range, F.col("__match"))
         )
@@ -551,3 +574,98 @@ def quantile_buckets(
         .withColumn(out_col, bucket)
         .drop("__bounds")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC between two snapshots of the same table: per key, classify as
+    ``insert`` (key only in new), ``delete`` (only in old), or ``update``
+    (present in both with any NULL-safe column difference); unchanged
+    keys are dropped. ``changed_cols`` lists the differing columns
+    (sorted, comma-joined) for updates.
+
+    One FULL OUTER equi-join on the keys — both sides shuffle once on
+    the same partitioning; the per-column comparison is a row-local
+    projection. The inverse of upsert.merge: applying the diff's
+    inserts+updates as a stage and deletes as an anti-filter reproduces
+    ``new`` from ``old``."""
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in keys]
+    # presence flags come from sentinel columns, not data columns — a row
+    # whose every compared value is NULL must still read as "present"
+    o = old.select(
+        *keys, *[F.col(c).alias(f"__o_{c}") for c in compare_cols]
+    ).withColumn("__o_present", F.lit(True))
+    n = new.select(
+        *keys, *[F.col(c).alias(f"__n_{c}") for c in compare_cols]
+    ).withColumn("__n_present", F.lit(True))
+    j = o.join(n, keys, "full_outer")
+    changed = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
+                    )
+                    for c in compare_cols
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    kind = (
+        F.when(F.col("__o_present").isNull(), F.lit("insert"))
+        .when(F.col("__n_present").isNull(), F.lit("delete"))
+        .when(F.size(changed) > 0, F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", kind)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *keys,
+            "change_type",
+            F.when(
+                F.col("change_type") == "update", F.array_join(changed, ",")
+            ).alias("changed_cols"),
+        )
+    )
+
+
+def zorder_key(cols: list, bits: int = 16):
+    """Morton/Z-order interleave of N non-negative integer expressions
+    (``bits`` low bits each) into one clustering key — multi-dimensional
+    locality for layout: range-partitioning + sorting by this key keeps
+    rows close in EVERY dimension close on disk, so min/max row-group
+    stats prune multi-dimensional predicates (the Delta/Iceberg OPTIMIZE
+    ZORDER primitive).
+
+    Pure integer arithmetic (shift/mod/multiply), whole-stage-codegen
+    friendly, bit-replicable in any SQL engine."""
+    n = len(cols)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for d, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), b) % 2
+            key = key + bit * F.lit(1 << (b * n + d)).cast("long")
+    return key
+
+
+def cluster_by_zorder(
+    df: DataFrame, cols: list[str], bits: int = 16, num_partitions: int | None = None
+) -> DataFrame:
+    """Physically cluster a frame by the Z-order key of ``cols``:
+    range-partition on the key (balanced output files) and sort within
+    partitions, so every output file covers a compact hyper-rectangle of
+    the key space."""
+    keyed = df.withColumn("__zkey", zorder_key(cols, bits))
+    parted = (
+        keyed.repartitionByRange(num_partitions, "__zkey")
+        if num_partitions
+        else keyed.repartitionByRange("__zkey")
+    )
+    return parted.sortWithinPartitions("__zkey").drop("__zkey")

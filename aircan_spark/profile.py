@@ -43,3 +43,79 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         ),
         F.col("__n").alias("n_rows"),
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def expectations(df: DataFrame, checks: list[dict]) -> DataFrame:
+    """Declarative data-quality gate (Great-Expectations-shaped): evaluate
+    a list of checks in ONE aggregate pass and return one row per check —
+    (check_id, column, kind, observed, threshold, passed).
+
+    Check kinds (each a dict with ``column``, ``kind``, and a bound):
+    - ``not_null_rate``  {min}:  fraction of non-null values >= min
+    - ``min``            {min}:  column minimum >= min
+    - ``max``            {max}:  column maximum <= max
+    - ``distinct_max``   {max}:  exact distinct count <= max
+    - ``in_set_rate``    {values, min}: fraction of non-null values in set
+    - ``unique``         {}:     no duplicated values (distinct == non-null)
+
+    Every bound is evaluated from partial-aggregable expressions
+    (count/sum/min/max/count_distinct), so the whole suite costs one scan
+    regardless of how many checks it carries — the shape that lets a
+    1000-executor ingest gate run as a single job. ``observed`` is the
+    measured value as double (rates, mins, counts), NULL-safe."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, ck in enumerate(checks):
+        c, kind = F.col(ck["column"]), ck["kind"]
+        if kind == "not_null_rate":
+            aggs.append(F.sum(F.when(c.isNotNull(), 1).otherwise(0)).alias(f"__a{i}"))
+        elif kind == "min":
+            aggs.append(F.min(c).cast("double").alias(f"__a{i}"))
+        elif kind == "max":
+            aggs.append(F.max(c).cast("double").alias(f"__a{i}"))
+        elif kind == "distinct_max":
+            aggs.append(F.count_distinct(c).alias(f"__a{i}"))
+        elif kind == "in_set_rate":
+            vals = list(ck["values"])
+            aggs.append(F.sum(F.when(c.isin(*vals), 1).otherwise(0)).alias(f"__a{i}"))
+            aggs.append(F.sum(F.when(c.isNotNull(), 1).otherwise(0)).alias(f"__b{i}"))
+        elif kind == "unique":
+            aggs.append(F.count_distinct(c).alias(f"__a{i}"))
+            aggs.append(F.sum(F.when(c.isNotNull(), 1).otherwise(0)).alias(f"__b{i}"))
+        else:
+            raise ValueError(f"unknown check kind: {kind!r}")
+    wide = df.agg(*aggs)
+
+    rows = []
+    for i, ck in enumerate(checks):
+        kind = ck["kind"]
+        a = F.col(f"__a{i}").cast("double")
+        if kind == "not_null_rate":
+            observed = F.round(a / F.col("__n"), 6)
+            threshold, passed = ck["min"], observed >= ck["min"]
+        elif kind == "min":
+            observed = a
+            threshold, passed = ck["min"], observed >= ck["min"]
+        elif kind == "max":
+            observed = a
+            threshold, passed = ck["max"], observed <= ck["max"]
+        elif kind == "distinct_max":
+            observed = a
+            threshold, passed = ck["max"], observed <= ck["max"]
+        elif kind == "in_set_rate":
+            observed = F.round(a / F.greatest(F.col(f"__b{i}"), F.lit(1)).cast("double"), 6)
+            threshold, passed = ck["min"], observed >= ck["min"]
+        else:  # unique
+            observed = a
+            threshold = None
+            passed = F.col(f"__a{i}") == F.col(f"__b{i}")
+        rows.append(
+            F.struct(
+                F.lit(ck.get("id", f"check_{i}")).alias("check_id"),
+                F.lit(ck["column"]).alias("column"),
+                F.lit(kind).alias("kind"),
+                observed.alias("observed"),
+                F.lit(threshold).cast("double").alias("threshold"),
+                passed.alias("passed"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

@@ -663,3 +663,129 @@ def test_inverted_index_df_and_cap(spark):
     assert out["common"]["postings_head"] == "0,1,2,3,4"  # capped at 5, ascending
     assert out["filler"]["df"] == 29
     assert out["filler"]["postings_head"] == "1,2,3,4,5"
+
+
+def test_snapshot_diff_classification(spark):
+    from aircan_spark.ext import relational
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),          # unchanged -> dropped
+         (2, "B", 21.0),          # update, both columns
+         (4, "d", 40.0),          # update: NULL -> 'd' (NULL-safe compare)
+         (5, "e", 50.0)],         # insert
+        "k long, s string, v double",
+    )
+    rows = {r["k"]: r for r in relational.snapshot_diff(old, new, ["k"]).collect()}
+    assert set(rows) == {2, 3, 4, 5}
+    assert rows[2]["change_type"] == "update" and rows[2]["changed_cols"] == "s,v"
+    assert rows[3]["change_type"] == "delete" and rows[3]["changed_cols"] is None
+    assert rows[4]["change_type"] == "update" and rows[4]["changed_cols"] == "s"
+    assert rows[5]["change_type"] == "insert"
+
+
+def test_asof_forward_direction(spark):
+    from datetime import datetime, timedelta
+
+    from aircan_spark.ext import relational
+
+    t0 = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 7, t0), (2, 7, t0 + timedelta(minutes=10)), (3, 8, t0)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 7, t0, 5.0),                          # equal ts -> inclusive
+         (101, 7, t0 + timedelta(minutes=15), 7.0),  # first AFTER click 2
+         (102, 8, t0 - timedelta(minutes=1), 9.0)],  # only in the PAST -> no match
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = relational.asof_join(
+        left, right, on="user_id", right_cols=["event_id", "value"],
+        direction="forward",
+    )
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert rows[1]["event_id_right"] == 100   # inclusive at equal ts
+    assert rows[2]["event_id_right"] == 101   # earliest following, not any later
+    assert rows[3]["event_id_right"] is None  # forward never looks back
+    # tolerance nulls far-future matches
+    tol = relational.asof_join(
+        left, right, on="user_id", right_cols=["event_id"],
+        direction="forward", tolerance="4 minutes",
+    )
+    trows = {r["event_id"]: r for r in tol.collect()}
+    assert trows[1]["event_id_right"] == 100  # 0 min ahead: inside
+    assert trows[2]["event_id_right"] is None  # 5 min ahead: outside
+
+
+def test_expectations_pass_fail(spark):
+    from aircan_spark.profile import expectations
+
+    df = spark.createDataFrame(
+        [(1, "x", 5.0), (2, "y", -1.0), (2, None, 3.0)],
+        "k long, s string, v double",
+    )
+    checks = [
+        {"id": "uniq", "column": "k", "kind": "unique"},
+        {"id": "nn", "column": "s", "kind": "not_null_rate", "min": 0.9},
+        {"id": "floor", "column": "v", "kind": "min", "min": 0.0},
+        {"id": "card", "column": "k", "kind": "distinct_max", "max": 5},
+        {"id": "domain", "column": "s", "kind": "in_set_rate", "values": ["x", "y"], "min": 1.0},
+    ]
+    rows = {r["check_id"]: r for r in expectations(df, checks).collect()}
+    assert not rows["uniq"]["passed"]            # k=2 duplicated
+    assert not rows["nn"]["passed"]              # 2/3 < 0.9
+    assert rows["nn"]["observed"] == pytest.approx(0.666667)
+    assert not rows["floor"]["passed"]           # min = -1
+    assert rows["card"]["passed"]                # 2 distinct <= 5
+    assert rows["domain"]["passed"]              # all non-null in set
+
+
+def test_ohlc_resample_argminmax(spark):
+    from datetime import datetime, timedelta
+
+    from aircan_spark.ext import features
+
+    t0 = datetime(2024, 3, 1, 9, 0)
+    ev = spark.createDataFrame(
+        [(1, t0, 7, "p", 10.0, ""),
+         (2, t0 + timedelta(hours=2), 7, "p", 30.0, ""),
+         (3, t0 + timedelta(hours=5), 7, "p", 5.0, ""),
+         (4, t0 + timedelta(days=1), 7, "p", 99.0, "")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    rows = {str(r["bucket"])[:10]: r for r in features.ohlc_resample(ev).collect()}
+    d1 = rows["2024-03-01"]
+    assert (d1["open"], d1["high"], d1["low"], d1["close"], d1["n"]) == (10.0, 30.0, 5.0, 5.0, 3)
+    d2 = rows["2024-03-02"]
+    assert (d2["open"], d2["close"], d2["n"]) == (99.0, 99.0, 1)
+
+
+def test_zorder_key_locality(spark):
+    """Z-order key: interleave is exact (manual check on known bits) and
+    clustering by it keeps both dimensions locally compact."""
+    from aircan_spark.ext import relational
+
+    df = spark.createDataFrame([(5, 3)], "u long, h long")
+    # u=5 (101): bits b0=1,b2=1 land at even positions 0,4 -> 1+16 = 17;
+    # h=3 (011): bits b0=1,b1=1 land at odd positions 1,3 -> 2+8 = 10
+    row = df.select(relational.zorder_key(["u", "h"]).alias("z")).collect()[0]
+    assert row["z"] == 27
+    big = spark.createDataFrame(
+        [(i % 64, (i * 7) % 64) for i in range(4096)], "u long, h long"
+    )
+    clustered = relational.cluster_by_zorder(big, ["u", "h"], bits=6, num_partitions=8)
+    # partitions must cover compact sub-rectangles ON AVERAGE (a Z-curve
+    # legitimately jumps at major quadrant boundaries, so a single
+    # partition can straddle one) — mean span well under the global 0..63
+    spans = clustered.withColumn(
+        "pid", F.spark_partition_id()
+    ).groupBy("pid").agg(
+        (F.max("u") - F.min("u")).alias("du"), (F.max("h") - F.min("h")).alias("dh")
+    ).collect()
+    mean_du = sum(r["du"] for r in spans) / len(spans)
+    mean_dh = sum(r["dh"] for r in spans) / len(spans)
+    assert mean_du < 36 and mean_dh < 36, (mean_du, mean_dh)
