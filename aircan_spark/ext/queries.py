@@ -5466,3 +5466,75 @@ EXT_ORACLES.update(
         "ext_zorder_keys": EXT_ZORDER_SQL,
     }
 )
+
+
+def ext_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal split of the event stream: train < cutoff,
+    2-day embargo, test after — per-split counts. Row-local predicate,
+    O(3) output."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        sampling.temporal_split(ev, "ts", "2024-01-20", embargo="2 days")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("split")
+    )
+
+
+EXT_TEMPORAL_SPLIT_SQL = r"""
+SELECT CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 'train'
+            WHEN ts >= TIMESTAMP '2024-01-20' + INTERVAL 2 DAY THEN 'test'
+            ELSE 'embargo' END AS split,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1 ORDER BY split
+"""
+
+
+def ext_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: per-doc mean NLL under a
+    corpus-trained add-one unigram model (top-50 vocab, deterministic
+    tie-break). Tokens exchange once for counting; scoring is a broadcast
+    vocab join — documents never shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.unigram_nll(docs, vocab_size=50).orderBy("doc_id")
+
+
+EXT_UNIGRAM_NLL_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+  FROM documents
+),
+toks2 AS (SELECT * FROM toks WHERE w <> ''),
+counts AS (SELECT w, COUNT(*) AS cnt FROM toks2 GROUP BY w),
+vocab AS (
+  SELECT w, cnt FROM (
+    SELECT w, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS r FROM counts
+  ) WHERE r <= 50
+),
+scalars AS (
+  SELECT (SELECT COUNT(*) FROM toks2) AS n_tokens,
+         (SELECT COUNT(*) FROM vocab) AS v_size
+),
+scored AS (
+  SELECT t.doc_id,
+         -LN(CAST(COALESCE(v.cnt, 0) + 1 AS DOUBLE)
+             / CAST(s.n_tokens + s.v_size + 1 AS DOUBLE)) AS nll
+  FROM toks2 t LEFT JOIN vocab v USING (w) CROSS JOIN scalars s
+)
+SELECT doc_id, ROUND(AVG(nll), 6) AS mean_nll, COUNT(*) AS n_tokens_doc
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_temporal_split": ext_temporal_split,
+        "ext_unigram_nll": ext_unigram_nll,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_temporal_split": EXT_TEMPORAL_SPLIT_SQL,
+        "ext_unigram_nll": EXT_UNIGRAM_NLL_SQL,
+    }
+)

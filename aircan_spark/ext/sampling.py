@@ -160,3 +160,30 @@ def aes_weighted_sample(
             F.col("_rn") <= k
         ).drop("_rn")
     return out.drop("_aes_key")
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    cutoff: str,
+    embargo: str | None = None,
+) -> DataFrame:
+    """Time-based train/test split with an optional embargo gap: rows
+    strictly before ``cutoff`` are ``train``, rows at/after
+    ``cutoff + embargo`` are ``test``, and rows inside the embargo window
+    are ``embargo`` (excluded by the caller) — the leakage guard for
+    models with trailing-window features, where a row just after the
+    cutoff still SEES pre-cutoff data through its feature windows.
+
+    Row-local predicate (no shuffle, scan-pushable); adds ``split``."""
+    cut = F.lit(cutoff).cast("timestamp")
+    if embargo is not None:
+        test_start = cut + F.expr(f"INTERVAL {embargo}")
+    else:
+        test_start = cut
+    label = (
+        F.when(F.col(ts_col) < cut, F.lit("train"))
+        .when(F.col(ts_col) >= test_start, F.lit("test"))
+        .otherwise(F.lit("embargo"))
+    )
+    return df.withColumn("split", label)

@@ -505,3 +505,50 @@ def inverted_index(
         .join(head, "word")
         .select("word", "df", "postings_head")
     )
+
+
+def unigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a corpus unigram
+    model — the cheap perplexity-proxy quality signal (high NLL = tokens
+    the corpus finds surprising = boilerplate/noise/foreign text).
+
+    Model: top-``vocab_size`` words by corpus frequency (ties broken by
+    word — deterministic vocab), add-one smoothing over N tokens;
+    out-of-vocabulary tokens score as an unseen word (count 0). The
+    vocabulary + scalars broadcast into the token join — the corpus
+    exchanges tokens once for counting, documents never shuffle for
+    scoring."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.orderBy(F.col("cnt").desc(), "w")
+    vocab = counts.withColumn("__r", F.row_number().over(wv)).filter(
+        F.col("__r") <= vocab_size
+    ).select("w", "cnt")
+    scalars = toks.agg(F.count(F.lit(1)).alias("n_tokens")).crossJoin(
+        vocab.agg(F.count(F.lit(1)).alias("v_size"))
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "__nll",
+            -F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                / (F.col("n_tokens") + F.col("v_size") + 1).cast("double")
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("__nll"), 6).alias("mean_nll"),
+        F.count(F.lit(1)).alias("n_tokens_doc"),
+    )

@@ -789,3 +789,49 @@ def test_zorder_key_locality(spark):
     mean_du = sum(r["du"] for r in spans) / len(spans)
     mean_dh = sum(r["dh"] for r in spans) / len(spans)
     assert mean_du < 36 and mean_dh < 36, (mean_du, mean_dh)
+
+
+def test_temporal_split_embargo(spark):
+    from datetime import datetime
+
+    from aircan_spark.ext import sampling
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 10)),   # train
+         (2, datetime(2024, 1, 20)),   # embargo (== cutoff)
+         (3, datetime(2024, 1, 21)),   # embargo
+         (4, datetime(2024, 1, 22)),   # test (== cutoff+embargo)
+         (5, datetime(2024, 2, 1))],   # test
+        "id long, ts timestamp",
+    )
+    got = {r["id"]: r["split"] for r in sampling.temporal_split(
+        df, "ts", "2024-01-20", embargo="2 days").collect()}
+    assert got == {1: "train", 2: "embargo", 3: "embargo", 4: "test", 5: "test"}
+    # no embargo: boundary row goes straight to test
+    got2 = {r["id"]: r["split"] for r in sampling.temporal_split(
+        df, "ts", "2024-01-20").collect()}
+    assert got2[2] == "test" and "embargo" not in got2.values()
+
+
+def test_unigram_nll_model_math(spark):
+    """Hand-checked add-one unigram NLL: corpus 'a a b' + 'a c', vocab
+    covers all words (V=3, N=5). p(a)=(3+1)/9, p(b)=p(c)=(1+1)/9."""
+    import math
+
+    from aircan_spark.ext import text as t
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in t.unigram_nll(df, vocab_size=10).collect()}
+    p_a, p_bc = 4 / 9, 2 / 9
+    want1 = -(2 * math.log(p_a) + math.log(p_bc)) / 3
+    want2 = -(math.log(p_a) + math.log(p_bc)) / 2
+    assert rows[1]["mean_nll"] == pytest.approx(want1, abs=1e-6)
+    assert rows[2]["mean_nll"] == pytest.approx(want2, abs=1e-6)
+    assert rows[1]["n_tokens_doc"] == 3 and rows[2]["n_tokens_doc"] == 2
+    # OOV scores as count-0 when the vocab is capped
+    capped = {r["doc_id"]: r for r in t.unigram_nll(df, vocab_size=1).collect()}
+    # vocab = {a}; V=1; p(a)=(3+1)/7, p(oov)=1/7
+    w1 = -(2 * math.log(4 / 7) + math.log(1 / 7)) / 3
+    assert capped[1]["mean_nll"] == pytest.approx(w1, abs=1e-6)

@@ -296,6 +296,38 @@ def test_pipeline_drift_recreate_policy(spark, tmp_path):
     assert res["rows"] == 1  # recreated: only the new load remains
 
 
+def test_pipeline_recreate_persists_dictionary_types(spark, tmp_path):
+    """r2 advice fix: on the recreate path, the data-dictionary type
+    overrides must be PERSISTED (the reference reloads with the curator's
+    declared schema), not merely consulted for the decision."""
+    from pyspark.sql import types as T
+
+    from aircan_spark.pipeline import run
+    from aircan_spark.table import ParquetTable
+
+    src = str(tmp_path / "v1.csv")
+    open(src, "w").write("sku,price\n1,10.5\n2,20.5\n")
+    wh = str(tmp_path / "wh")
+    desc = {"fields": [{"name": "sku", "type": "integer"},
+                       {"name": "price", "type": "number"}]}
+    run(spark, {"resource_path": src, "table_name": "t2", "warehouse": wh,
+                "schema_descriptor": desc, "method": "overwrite"})
+
+    # v2 adds a column (=> column-set drift => recreate) and the curator
+    # declares price integer via the data dictionary
+    src2 = str(tmp_path / "v2.csv")
+    open(src2, "w").write("sku,price,extra\n3,30.9,x\n")
+    d2 = {"fields": desc["fields"] + [{"name": "extra", "type": "string"}]}
+    run(spark, {"resource_path": src2, "table_name": "t2", "warehouse": wh,
+                "schema_descriptor": d2, "method": "append",
+                "on_schema_drift": "recreate",
+                "data_dictionary": {"price": "integer"}})
+    t = ParquetTable(spark, wh, "t2")
+    schema = {f.name: f.dataType for f in t.read().schema.fields}
+    assert isinstance(schema["price"], T.LongType)  # declared type persisted
+    assert [r["price"] for r in t.read().collect()] == [30]  # value casted
+
+
 # --- C7: per-site credential resolution ---------------------------------------------
 
 
