@@ -703,3 +703,73 @@ def line_dedup(
             .alias("n_lines_dropped"),
         )
     )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the DEEP-GRAPH escalation path ``connected_components`` (hash-min,
+    O(diameter) rounds) points at: converges in O(log² n) rounds
+    regardless of diameter, so kilometre-long chains label in a handful
+    of passes instead of thousands.
+
+    Per round (each a groupBy + join, both partial-aggregated):
+    - large-star: every node u links its LARGER neighbors to
+      m = min(N(u) ∪ {u});
+    - small-star: on edges directed big→small, every node links its
+      smaller neighbors (and itself) to the minimum.
+    Fixed point = star forests: every edge is (node, component-min).
+    Equivalence with hash-min is property-tested on random graphs,
+    chains, and stars."""
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    e = (
+        e.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_count = -1
+    for _ in range(max_iter):
+        # large-star over symmetric neighborhoods
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+        )
+        # small-star on big->small directed edges
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("node"), F.col("m"))
+            .union(mins2.select(F.col("u").alias("node"), F.col("m")))
+            .filter(F.col("node") != F.col("m"))
+            .select(F.greatest("node", "m").alias("u"), F.least("node", "m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixed point: star edges already point at component minima — the
+        # edge set stops changing; count-equality then set-equality check
+        n = ss.count()
+        if n == prev_count and ss.exceptAll(e).isEmpty():
+            e = ss
+            break
+        prev_count = n
+        e = ss
+    # final stars: u -> component min v; minima label themselves
+    return (
+        e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("id"), F.col("v").alias("component")))
+        .distinct()
+    )

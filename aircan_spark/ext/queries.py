@@ -5538,3 +5538,70 @@ EXT_ORACLES.update(
         "ext_unigram_nll": EXT_UNIGRAM_NLL_SQL,
     }
 )
+
+
+def ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by PMI (min count 5): phrase mining over
+    the corpus — two count exchanges, broadcast joins, k-bounded head.
+    PMI rounded before ranking (rank order immune to float ulp)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.pmi_collocations(docs, min_count=5, k=50)
+
+
+EXT_PMI_SQL = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS ws FROM documents
+),
+toks AS (
+  SELECT unnest(ws) AS w FROM words
+),
+toks2 AS (SELECT * FROM toks WHERE w <> ''),
+uni AS (SELECT w, COUNT(*) AS cw FROM toks2 GROUP BY w),
+n_tok AS (SELECT COUNT(*) AS n FROM toks2),
+pairs AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS gram
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+  WHERE len(ws) >= 2
+),
+big AS (SELECT gram, COUNT(*) AS cab FROM pairs GROUP BY gram HAVING COUNT(*) >= 5),
+n_big AS (SELECT COUNT(*) AS b FROM pairs),
+scored AS (
+  SELECT g.gram, g.cab,
+         ROUND(LN((CAST(g.cab AS DOUBLE) / b.b)
+                  / ((CAST(u1.cw AS DOUBLE) / t.n) * (CAST(u2.cw AS DOUBLE) / t.n))), 6) AS pmi
+  FROM big g
+  JOIN uni u1 ON u1.w = string_split(g.gram, ' ')[1]
+  JOIN uni u2 ON u2.w = string_split(g.gram, ' ')[2]
+  CROSS JOIN n_tok t CROSS JOIN n_big b
+)
+SELECT gram, cab, pmi FROM scored ORDER BY pmi DESC, gram LIMIT 50
+"""
+
+
+EXT_QUERIES.update({"ext_pmi_collocations": ext_pmi_collocations})
+EXT_ORACLES.update({"ext_pmi_collocations": EXT_PMI_SQL})
+
+
+def ext_dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dedup-group semantics as ext_dedup_groups, computed with the
+    large-star/small-star algorithm (O(log² n) rounds — the deep-graph
+    escalation hash-min cannot handle past its round budget). Shares the
+    recursive-CTE oracle with the hash-min query: two different iterative
+    algorithms, one declarative ground truth."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    comp = dedup.connected_components_star(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+        .withColumn("is_representative", F.col("doc_id") == F.col("component"))
+        .orderBy("doc_id")
+    )
+
+
+EXT_QUERIES.update({"ext_dedup_groups_star": ext_dedup_groups_star})
+EXT_ORACLES.update({"ext_dedup_groups_star": EXT_DEDUP_GROUPS_SQL})

@@ -552,3 +552,69 @@ def unigram_nll(
         F.round(F.avg("__nll"), 6).alias("mean_nll"),
         F.count(F.lit(1)).alias("n_tokens_doc"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information:
+    PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p from corpus unigram and
+    bigram counts — the phrase-mining signal (high PMI = words that
+    co-occur far more than chance, e.g. named entities, idioms).
+
+    Shape: one token exchange for unigram counts, one bigram exchange
+    (row-local HOF shingling — no token-level explode for bigram
+    construction), two broadcast joins of the modest count tables, and a
+    k-bounded TakeOrderedAndProject head. ``min_count`` suppresses the
+    noisy low-frequency tail (PMI's classic bias). PMI is rounded to 6
+    BEFORE ranking so rank order cannot depend on float ulp."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = df.select(F.explode(words).alias("w")).filter(F.col("w") != "")
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    n_tokens = toks.count()
+
+    idx = F.sequence(F.lit(0), F.size(words) - 2)
+    grams = (
+        df.select(
+            F.explode(
+                F.when(
+                    F.size(words) >= 2,
+                    F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, 2), " ")),
+                ).otherwise(F.array())
+            ).alias("gram")
+        )
+    )
+    big = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cab")).filter(
+        F.col("cab") >= min_count
+    )
+    n_bigrams = grams.count()
+
+    w1 = F.split(F.col("gram"), " ")[0]
+    w2 = F.split(F.col("gram"), " ")[1]
+    scored = (
+        big.withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))), "w2")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("cab").cast("double") / F.lit(float(n_bigrams)))
+                    / (
+                        (F.col("c1").cast("double") / F.lit(float(n_tokens)))
+                        * (F.col("c2").cast("double") / F.lit(float(n_tokens)))
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.select("gram", "cab", "pmi")
+        .orderBy(F.col("pmi").desc(), "gram")
+        .limit(k)
+    )

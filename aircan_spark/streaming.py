@@ -376,15 +376,81 @@ def stream_sketch_maintenance(
       silently discard the accumulated sketch).
 
     Returns the StreamingQuery; caller awaits/stops it."""
+    from aircan_spark.ext import sketch as cms
+
+    return stream_state_maintenance(
+        spark,
+        source_dir,
+        schema,
+        build_fn=lambda b: cms.count_min_build(
+            b.select(item_col), item_col, depth=depth, width=width, seed=seed
+        ),
+        merge_fn=cms.count_min_merge,
+        state_dir=sketch_dir,
+        checkpoint_dir=checkpoint_dir,
+        available_now=available_now,
+    )
+
+
+def stream_hll_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    item_col: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    b: int = 10,
+    seed: int = 42,
+    available_now: bool = False,
+):
+    """Incrementally maintain HyperLogLog registers over a file stream —
+    the distinct-count twin of ``stream_sketch_maintenance``: per batch
+    ``hll_build``, merged into the stored registers by per-register
+    GREATEST (``hll_merge``). Same atomic-pointer exactly-once machinery
+    (``stream_state_maintenance``); ``read_sketch_state`` +
+    ``sketch.hll_estimate`` give the running distinct estimate without
+    ever rescanning history."""
+    from aircan_spark.ext import sketch as sk
+
+    return stream_state_maintenance(
+        spark,
+        source_dir,
+        schema,
+        build_fn=lambda df: sk.hll_build(
+            df.select(item_col), item_col, b=b, seed=seed
+        ),
+        merge_fn=sk.hll_merge,
+        state_dir=sketch_dir,
+        checkpoint_dir=checkpoint_dir,
+        available_now=available_now,
+    )
+
+
+def stream_state_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    build_fn,
+    merge_fn,
+    state_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Generic exactly-once maintenance of a SMALL mergeable state over a
+    file stream (the machinery behind the CMS and HLL maintainers):
+    ``build_fn(batch_df) -> state delta``, ``merge_fn(current, delta) ->
+    merged``. Commit protocol (see ``stream_sketch_maintenance``'s
+    docstring for the full rationale): versioned state directories + an
+    atomically-replaced JSON pointer carrying {run_id, batch_id, version},
+    run identity minted per checkpoint lineage, missing-state-only
+    first-batch fallback, corrupt reads propagate."""
     import json as _json
     import os as _os
     import shutil as _shutil
     import uuid as _uuid
 
-    from aircan_spark.ext import sketch as cms
-
     stream = spark.readStream.schema(schema).json(source_dir)
-    pointer_path = _os.path.join(sketch_dir, "_current.json")
+    pointer_path = _os.path.join(state_dir, "_current.json")
 
     # run identity: one uuid per checkpoint lineage — cleared checkpoint
     # dir => new uuid => stored batch-id guards no longer apply
@@ -411,34 +477,32 @@ def stream_sketch_maintenance(
         same_run = pointer is not None and pointer.get("run_id") == run_id
         if same_run and pointer["batch_id"] >= batch_id:
             return  # replayed batch: committed state already includes it
-        delta = cms.count_min_build(
-            batch_df.select(item_col), item_col, depth=depth, width=width, seed=seed
-        )
+        delta = build_fn(batch_df)
         sess = batch_df.sparkSession
         if same_run:
-            state_path = _os.path.join(sketch_dir, pointer["version"])
+            state_path = _os.path.join(state_dir, pointer["version"])
             # state named by a committed pointer must be readable —
             # anything else is a real error, never "start over"
             current = sess.read.parquet(state_path)
-            merged = cms.count_min_merge(current, delta)
+            merged = merge_fn(current, delta)
         else:
             # no pointer (true first batch) or foreign run id (fresh
             # checkpoint re-streams the source from scratch): (re)build
             merged = delta
-        # tiny frame (<= depth*width rows): collect-and-rewrite is exact;
-        # at scale this stays tiny because the SKETCH doesn't grow with data
+        # tiny frame (bounded by the sketch size): collect-and-rewrite is
+        # exact; stays tiny because the STATE doesn't grow with data
         version = f"v{run_id}-{batch_id}"
         rows = merged.collect()
         sess.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(_os.path.join(sketch_dir, version))
+        ).parquet(_os.path.join(state_dir, version))
         tmp = pointer_path + ".tmp"
         with open(tmp, "w") as fh:
             _json.dump({"run_id": run_id, "batch_id": batch_id, "version": version}, fh)
         _os.replace(tmp, pointer_path)  # the atomic commit point
         if pointer is not None:  # GC the superseded version, best-effort
             _shutil.rmtree(
-                _os.path.join(sketch_dir, pointer["version"]), ignore_errors=True
+                _os.path.join(state_dir, pointer["version"]), ignore_errors=True
             )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(

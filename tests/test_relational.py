@@ -835,3 +835,40 @@ def test_unigram_nll_model_math(spark):
     # vocab = {a}; V=1; p(a)=(3+1)/7, p(oov)=1/7
     w1 = -(2 * math.log(4 / 7) + math.log(1 / 7)) / 3
     assert capped[1]["mean_nll"] == pytest.approx(w1, abs=1e-6)
+
+
+def test_star_cc_equivalence_and_depth(spark):
+    """large-star/small-star CC: (1) labels a 64-deep chain correctly in
+    far fewer than diameter rounds (where hash-min raises), (2) agrees
+    with hash-min on random graphs and star graphs."""
+    import random
+
+    from aircan_spark.ext import dedup
+
+    # deep chain — hash-min cannot do this inside 10 rounds (see
+    # test_connected_components_deep_chain_raises_not_mislabels)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"]
+            for r in dedup.connected_components_star(chain).collect()}
+    assert comp == {i: 0 for i in range(64)}
+
+    # random graphs: equivalence with hash-min
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        want = {r["id"]: r["component"]
+                for r in dedup.connected_components(df, max_iter=60).collect()}
+        got = {r["id"]: r["component"]
+               for r in dedup.connected_components_star(df).collect()}
+        assert got == want, f"trial {trial}"
+
+    # star graph (already a fixed point)
+    star = spark.createDataFrame([(0, i) for i in range(1, 20)], "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components_star(star).collect()}
+    assert got == {i: 0 for i in range(20)}

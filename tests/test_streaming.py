@@ -448,3 +448,43 @@ def test_stream_sketch_restart_semantics(spark, tmp_path):
 
     with _pytest.raises(Exception):
         run("ckpt2")
+
+
+def test_stream_hll_maintenance_matches_batch(spark, tmp_path):
+    """Streaming HLL maintenance: after N files the stored registers
+    equal a batch build over the union (merge law through foreachBatch),
+    and the running estimate tracks the true distinct count."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from aircan_spark.ext import sketch as sk
+    from aircan_spark.streaming import read_sketch_state, stream_hll_maintenance
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = T.StructType([T.StructField("item", T.StringType(), True)])
+    all_items = []
+    for f in range(3):
+        items = [f"u{(i * 13 + f * 700) % 2000}" for i in range(900)]
+        all_items += items
+        with open(src / f"b{f}.json", "w") as fh:
+            for it in items:
+                fh.write(_json.dumps({"item": it}) + "\n")
+
+    q = stream_hll_maintenance(
+        spark, str(src), schema, "item",
+        sketch_dir=str(tmp_path / "state"), checkpoint_dir=str(tmp_path / "ckpt"),
+        b=10, seed=3, available_now=True,
+    )
+    q.awaitTermination(120)
+
+    stored = read_sketch_state(spark, str(tmp_path / "state"))
+    direct = sk.hll_build(
+        spark.createDataFrame([(i,) for i in all_items], "item string"),
+        "item", b=10, seed=3,
+    )
+    assert sorted(map(tuple, stored.collect())) == sorted(map(tuple, direct.collect()))
+    true_distinct = len(set(all_items))
+    est = sk.hll_estimate(stored, b=10)
+    assert abs(est - true_distinct) / true_distinct < 0.15, (est, true_distinct)
