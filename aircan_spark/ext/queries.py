@@ -5605,3 +5605,92 @@ def ext_dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXT_QUERIES.update({"ext_dedup_groups_star": ext_dedup_groups_star})
 EXT_ORACLES.update({"ext_dedup_groups_star": EXT_DEDUP_GROUPS_SQL})
+
+
+def ext_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a bottom-k (KMV) uniform sample: 2000
+    hash-least lineitem rows stand in for the full table; percentiles of
+    l_extendedprice computed over the sample only. The selection is
+    deterministic md5 order (TakeOrderedAndProject — no global sort), so
+    the oracle replays the exact same sample; estimate-vs-exact error is
+    property-tested separately."""
+    from aircan_spark.ext import sketch as sk
+
+    li = _t(spark, sf_dir, "lineitem")
+    sample = sk.bottomk_sample(li, ["l_orderkey", "l_linenumber"], k=2000)
+    return sample.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+    )
+
+
+EXT_SKETCH_QUANTILES_SQL = r"""
+WITH sample AS (
+  SELECT l_extendedprice
+  FROM lineitem
+  ORDER BY md5('42-' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR))
+  LIMIT 2000
+)
+SELECT COUNT(*) AS k,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+FROM sample
+"""
+
+
+def ext_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item co-occurrence graph from user behavior (the collaborative-
+    filtering support build): per user the distinct set of engaged items
+    (events.props.k), all within-user item pairs, edges weighted by user
+    count. Per-user fan-out is bounded by items-per-user (the classic
+    guard: the self-join is keyed on user, never item)."""
+    ev = _t(spark, sf_dir, "events")
+    items = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    a = items.select("user_id", F.col("item").alias("item_a"))
+    b = items.select("user_id", F.col("item").alias("item_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .filter(F.col("n_users") >= 20)
+        .orderBy(F.col("n_users").desc(), "item_a", "item_b")
+    )
+
+
+EXT_COOCCURRENCE_SQL = r"""
+WITH items AS (
+  SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+)
+SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_users
+FROM items a JOIN items b ON a.user_id = b.user_id AND a.item < b.item
+GROUP BY 1, 2 HAVING COUNT(*) >= 20
+ORDER BY n_users DESC, item_a, item_b
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_sketch_quantiles": ext_sketch_quantiles,
+        "ext_cooccurrence": ext_cooccurrence,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_sketch_quantiles": EXT_SKETCH_QUANTILES_SQL,
+        "ext_cooccurrence": EXT_COOCCURRENCE_SQL,
+    }
+)

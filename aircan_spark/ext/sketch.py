@@ -174,3 +174,37 @@ def hll_estimate(registers: DataFrame, b: int = 10) -> float:
     if est <= 2.5 * m and zeros:
         est = m * math.log(m / zeros)  # linear counting
     return est
+
+
+# --- bottom-k (KMV) uniform sample sketch ----------------------------------------
+
+
+def bottomk_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    k: int = 2000,
+    seed: int = 42,
+) -> DataFrame:
+    """Mergeable deterministic uniform sample: the k rows whose
+    md5(seed, key) hashes are smallest — the KMV/bottom-k sketch. The
+    min-k of a union equals the min-k of per-part min-k's, so sketches
+    built per partition / per day / per engine MERGE by union + re-take,
+    and the same selection replays in any SQL engine (the oracle).
+
+    Physical shape: ``orderBy(hash).limit(k)`` compiles to
+    TakeOrderedAndProject — each task forwards only its local k smallest,
+    the driver merges k-sized heaps; no global sort, no full shuffle.
+    Downstream: quantile estimation over the sample (uniform by hash
+    uniformity), distinct estimation (k-th minimum), set resemblance."""
+    key = F.md5(
+        F.concat_ws(
+            "-", F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols]
+        )
+    )
+    return df.withColumn("__bk", key).orderBy("__bk").limit(k)
+
+
+def bottomk_merge(a: DataFrame, b: DataFrame, k: int = 2000) -> DataFrame:
+    """Merge two bottom-k samples built with the same seed/keys: union,
+    re-take the k smallest. Idempotent and associative."""
+    return a.unionByName(b).orderBy("__bk").limit(k)

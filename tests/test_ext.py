@@ -786,3 +786,26 @@ def test_embedding_gram_pandas_matches_exact(spark):
     # dims slice restricts the pair space
     sliced = vectors.embedding_gram(df, dims=3, exact=True).collect()
     assert {(r["i"], r["j"]) for r in sliced} == {(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)}
+
+
+def test_bottomk_sketch_merge_law_and_error(spark):
+    """Bottom-k (KMV) sample: merge of per-half sketches equals the
+    whole-corpus sketch (min-k of union == min-k of min-k's); quantile
+    estimates from k=500 land within a few percent of exact."""
+    from aircan_spark.ext import sketch as sk
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    keys = ["l_orderkey", "l_linenumber"]
+    whole = sk.bottomk_sample(li, keys, k=500)
+    left = sk.bottomk_sample(li.filter(F.col("l_orderkey") % 2 == 0), keys, k=500)
+    right = sk.bottomk_sample(li.filter(F.col("l_orderkey") % 2 == 1), keys, k=500)
+    merged = sk.bottomk_merge(left, right, k=500)
+    assert sorted(r["__bk"] for r in merged.collect()) == sorted(
+        r["__bk"] for r in whole.collect()
+    )
+    est = whole.agg(F.expr("percentile(l_extendedprice, 0.5)").alias("p")).collect()[0]["p"]
+    exact = li.agg(F.expr("percentile(l_extendedprice, 0.5)").alias("p")).collect()[0]["p"]
+    assert abs(est - exact) / exact < 0.1, (est, exact)
+    # TakeOrderedAndProject, not a global sort
+    plan = whole._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
