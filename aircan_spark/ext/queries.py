@@ -5694,3 +5694,142 @@ EXT_ORACLES.update(
         "ext_cooccurrence": EXT_COOCCURRENCE_SQL,
     }
 )
+
+
+# --- round-3 wave: graph analytics over the co-occurrence graph --------------------
+
+
+def _cooc_edges(spark: SparkSession, sf_dir: str, min_users: int = 40) -> DataFrame:
+    """Item co-occurrence edges (threshold ``min_users``) — the shared base
+    graph for the graph-analytics queries."""
+    ev = _t(spark, sf_dir, "events")
+    items = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    a = items.select("user_id", F.col("item").alias("src"))
+    b = items.select("user_id", F.col("item").alias("dst"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .filter(F.col("n_users") >= min_users)
+        .select("src", "dst")
+    )
+
+
+_COOC_EDGES_SQL = r"""
+items AS (
+  SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+),
+edges AS (
+  SELECT a.item AS u, b.item AS v
+  FROM items a JOIN items b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 40
+),
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges)
+"""
+
+
+def ext_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the co-occurrence graph: wedge enumeration from
+    each triangle's minimum vertex + one closing equi-join — every
+    triangle counted exactly once, no neighborhood cross products."""
+    from aircan_spark.ext import graph
+
+    return graph.triangle_count(_cooc_edges(spark, sf_dir))
+
+
+EXT_TRIANGLES_SQL = (
+    "WITH " + _COOC_EDGES_SQL + r"""
+SELECT COUNT(*) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+"""
+)
+
+
+def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (10 power iterations, d=0.85) on the undirected
+    co-occurrence graph. Fixed iteration count makes the recurrence
+    deterministic; the oracle unrolls the exact same 10 steps as chained
+    CTEs — an iterative Spark loop checked value-for-value against
+    declarative SQL."""
+    from aircan_spark.ext import graph
+
+    ranks = graph.pagerank(_cooc_edges(spark, sf_dir), iters=10)
+    return ranks.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
+
+
+def _pagerank_unrolled_sql(iters: int = 10, damping: float = 0.85) -> str:
+    prev = "r0"
+    ctes = [
+        "deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u)",
+        "nn AS (SELECT COUNT(*) AS c FROM deg)",
+        "r0 AS (SELECT u AS id, 1.0 / (SELECT c FROM nn) AS rank FROM deg)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"r{i} AS (SELECT d.u AS id, (1 - {damping}) / (SELECT c FROM nn) "
+            f"+ {damping} * COALESCE(s.inflow, 0) AS rank "
+            f"FROM deg d LEFT JOIN (SELECT sym.v AS id, SUM(r.rank / dg.deg) AS inflow "
+            f"FROM sym JOIN {prev} r ON sym.u = r.id JOIN deg dg ON sym.u = dg.u "
+            f"GROUP BY sym.v) s ON d.u = s.id)"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + _COOC_EDGES_SQL.strip().rstrip()
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(rank, 6) AS rank FROM {prev} ORDER BY id"
+    )
+
+
+EXT_PAGERANK_SQL = _pagerank_unrolled_sql()
+
+
+def ext_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from item 0 over the co-occurrence graph —
+    frontier expansion with anti-join dedup, one round per level, checked
+    against the recursive-CTE shortest-hop oracle."""
+    from aircan_spark.ext import graph
+
+    depths = graph.bfs_depths(_cooc_edges(spark, sf_dir), source=0)
+    return depths.orderBy("id")
+
+
+EXT_BFS_SQL = (
+    "WITH RECURSIVE " + _COOC_EDGES_SQL.strip() + r""",
+reach(id, depth) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT sym.v, r.depth + 1 FROM sym JOIN reach r ON sym.u = r.id
+  WHERE r.depth < 30
+)
+SELECT id, CAST(MIN(depth) AS INTEGER) AS depth FROM reach GROUP BY id ORDER BY id
+"""
+)
+
+
+EXT_QUERIES.update(
+    {
+        "ext_triangles": ext_triangles,
+        "ext_pagerank": ext_pagerank,
+        "ext_bfs": ext_bfs,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_triangles": EXT_TRIANGLES_SQL,
+        "ext_pagerank": EXT_PAGERANK_SQL,
+        "ext_bfs": EXT_BFS_SQL,
+    }
+)

@@ -872,3 +872,48 @@ def test_star_cc_equivalence_and_depth(spark):
     got = {r["id"]: r["component"]
            for r in dedup.connected_components_star(star).collect()}
     assert got == {i: 0 for i in range(20)}
+
+
+def test_triangle_count_known_graphs(spark):
+    from aircan_spark.ext import graph
+
+    # K4 has C(4,3) = 4 triangles; duplicate/reversed edges must not double-count
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    assert graph.triangle_count(df).collect()[0]["n_triangles"] == 4
+    # a path graph has none
+    path = spark.createDataFrame([(i, i + 1) for i in range(5)], "src long, dst long")
+    assert graph.triangle_count(path).collect()[0]["n_triangles"] == 0
+
+
+def test_pagerank_star_and_invariants(spark):
+    from aircan_spark.ext import graph
+
+    # star: hub must outrank every leaf; ranks sum to ~1
+    star = spark.createDataFrame([(0, i) for i in range(1, 9)], "src long, dst long")
+    ranks = {r["id"]: r["rank"] for r in graph.pagerank(star, iters=15).collect()}
+    assert ranks[0] > max(v for k, v in ranks.items() if k != 0) * 2
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    # symmetric ring: uniform
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    rr = [r["rank"] for r in graph.pagerank(ring, iters=10).collect()]
+    assert max(rr) - min(rr) < 1e-9
+
+
+def test_bfs_depths_chain_and_budget(spark):
+    import pytest as _pytest
+
+    from aircan_spark.ext import graph
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(8)], "src long, dst long")
+    depths = {r["id"]: r["depth"] for r in graph.bfs_depths(chain, source=0).collect()}
+    assert depths == {i: i for i in range(9)}
+    # disconnected node absent
+    two = spark.createDataFrame([(0, 1), (5, 6)], "src long, dst long")
+    got = {r["id"]: r["depth"] for r in graph.bfs_depths(two, source=0).collect()}
+    assert got == {0: 0, 1: 1}
+    # depth budget raises explicitly rather than returning partial depths
+    with _pytest.raises(RuntimeError, match="max_depth"):
+        graph.bfs_depths(chain, source=0, max_depth=3)
