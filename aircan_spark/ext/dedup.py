@@ -773,3 +773,54 @@ def connected_components_star(
         .union(e.select(F.col("v").alias("id"), F.col("v").alias("component")))
         .distinct()
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup detection: shingle CONTAINMENT
+    |A ∩ B| / |A| — catches documents largely CONTAINED in another
+    (quotes, scrapes with added chrome, partial copies) that symmetric
+    Jaccard misses when sizes differ wildly. Emits both directions of
+    each overlapping pair that clear the threshold.
+
+    Same inverted-index candidate join as ``ngram_jaccard_pairs`` (and the
+    same ``max_doc_freq`` hot-shingle guard); only the scoring divisor
+    changes — cost is identical."""
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+
+    joinable = sh
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        joinable = sh.join(rare, "shingle")
+
+    a = joinable.withColumnRenamed(id_col, "id_a")
+    b = joinable.withColumnRenamed(id_col, "id_b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("set_size", "size_a")
+    containment = F.round(
+        F.col("intersection").cast("double") / F.col("size_a").cast("double"), 6
+    )
+    return (
+        inter.join(sa, "id_a")
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+        .orderBy("id_a", "id_b")
+    )

@@ -5833,3 +5833,155 @@ EXT_ORACLES.update(
         "ext_bfs": EXT_BFS_SQL,
     }
 )
+
+
+def ext_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (|A∩B|/|A| >= 0.5) with a planted
+    contained document: doc -1 is the first half of doc 0's shingles, so
+    (-1 -> 0) must clear the threshold even though symmetric Jaccard
+    would not. Same inverted-index join shape as the Jaccard operator."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    half = docs.filter(F.col("doc_id") == 0).select(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.array_join(F.slice(words, 1, F.floor(F.size(words) / 2).cast("int")), " ").alias("text"),
+    )
+    return dedup.containment_pairs(docs.unionByName(half), threshold=0.5)
+
+
+EXT_CONTAINMENT_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT),
+         array_to_string(
+           (string_split_regex(TRIM(text), '\s+'))[1 :
+             CAST(len(string_split_regex(TRIM(text), '\s+')) // 2 AS BIGINT)], ' ')
+  FROM documents WHERE doc_id = 0
+),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(TRIM(text), '\s+')) AS w,
+         generate_subscripts(string_split_regex(TRIM(text), '\s+'), 1) AS i
+  FROM base
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+),
+short_docs AS (
+  SELECT doc_id, array_to_string(string_split_regex(TRIM(text), '\s+'), ' ') AS whole
+  FROM base
+  WHERE len(string_split_regex(TRIM(text), '\s+')) < 3
+),
+sh_all AS (
+  SELECT doc_id, shingle FROM sh
+  UNION
+  SELECT doc_id, whole FROM short_docs
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh_all GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+  FROM sh_all x JOIN sh_all y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE), 6) AS containment
+FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+WHERE ROUND(CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def ext_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation telemetry: per source, exact-duplicate rate (1 - distinct
+    normalized contents / docs) — the per-feed health metric a corpus
+    pipeline tracks per crawl. One groupBy on (source, content hash),
+    one tiny rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).cast("binary"))
+    per = (
+        docs.withColumn("__h", h)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("__h").alias("n_unique"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        F.round(
+            F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+    ).orderBy("source")
+
+
+EXT_DUP_RATE_SQL = r"""
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')))) AS n_unique,
+       ROUND(1.0 - CAST(COUNT(DISTINCT md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')))) AS DOUBLE)
+             / COUNT(*), 6) AS dup_rate
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def ext_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle skew advisor for a prospective join/agg key: top-10
+    heaviest keys with their share of all rows plus p50/p99 key sizes —
+    the numbers that decide salting/AQE-skew-join before a 100 TB
+    shuffle. Two partial-agged exchanges (key counts, then O(keys)
+    stats), k-bounded head."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(
+        F.sum("n").alias("total"),
+        F.expr("percentile(n, 0.5)").alias("p50"),
+        F.expr("percentile(n, 0.99)").alias("p99"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("l_suppkey").alias("key"),
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(F.col("n") / F.col("p50"), 2).alias("x_median"),
+        )
+        .orderBy(F.col("n").desc(), "key")
+        .limit(10)
+    )
+
+
+EXT_SKEW_AUDIT_SQL = r"""
+WITH counts AS (
+  SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT SUM(n) AS total, quantile_cont(n, 0.5) AS p50 FROM counts
+)
+SELECT key, n,
+       ROUND(CAST(n AS DOUBLE) / total, 6) AS share,
+       ROUND(CAST(n AS DOUBLE) / p50, 2) AS x_median
+FROM counts CROSS JOIN tot
+ORDER BY n DESC, key LIMIT 10
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_containment_pairs": ext_containment_pairs,
+        "ext_dup_rate_by_source": ext_dup_rate_by_source,
+        "ext_skew_audit": ext_skew_audit,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_containment_pairs": EXT_CONTAINMENT_SQL,
+        "ext_dup_rate_by_source": EXT_DUP_RATE_SQL,
+        "ext_skew_audit": EXT_SKEW_AUDIT_SQL,
+    }
+)

@@ -809,3 +809,19 @@ def test_bottomk_sketch_merge_law_and_error(spark):
     # TakeOrderedAndProject, not a global sort
     plan = whole._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_containment_asymmetric_semantics(spark):
+    """A document contained in a larger one scores high in the contained->
+    container direction and low the other way — the case symmetric
+    Jaccard misses."""
+    big = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    small = "w1 w2 w3 w4 w5 w6"  # first half: all its shingles are in big
+    df = spark.createDataFrame([(1, big), (2, small)], "doc_id long, text string")
+    rows = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in dedup.containment_pairs(df, threshold=0.0).collect()}
+    assert rows[(2, 1)] == 1.0          # small fully contained in big
+    assert rows[(1, 2)] == pytest.approx(0.4)  # 4 of 10 shingles shared
+    # symmetric jaccard on the same pair is weak
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    assert all(r["jaccard"] < 0.5 for r in jac)
