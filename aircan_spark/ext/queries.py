@@ -5985,3 +5985,201 @@ EXT_ORACLES.update(
         "ext_skew_audit": EXT_SKEW_AUDIT_SQL,
     }
 )
+
+
+# --- round-3 wave: completing the 22 TPC-H query shapes -----------------------
+
+
+def ext_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 flavor): for finished
+    ('F') orders involving more than one supplier, find the supplier who
+    was the ONLY one to ship late (> 90 days after the order date) and
+    count such orders per supplier; top-25.
+
+    Scale shape: Q21's EXISTS / NOT-EXISTS pair is collapsed into ONE
+    per-order aggregation (distinct suppliers vs distinct late
+    suppliers) — the scalable rewrite. lineitem exchanges once on
+    l_orderkey; the per-order summary joins back on the same key (AQE
+    reuses the partitioning); supplier detail attaches to the tiny
+    culprit set by broadcast; the head is a k-bounded
+    TakeOrderedAndProject, never a global sort.
+    """
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    tagged = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .alias("late"),
+    )
+    per_order = tagged.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("ns"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nl"),
+    )
+    culprit = (
+        tagged.filter(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter((F.col("ns") > 1) & (F.col("nl") == 1)),
+            "l_orderkey",
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        culprit.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_waiting_orders"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_waiting_orders")
+        .orderBy(F.col("n_waiting_orders").desc(), "s_suppkey")
+        .limit(25)
+    )
+
+
+EXT_WAITING_SUPPLIERS_SQL = r"""
+WITH tagged AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS ns,
+         COUNT(DISTINCT l_suppkey) FILTER (late) AS nl
+  FROM tagged GROUP BY 1
+),
+culprit AS (
+  SELECT DISTINCT t.l_orderkey, t.l_suppkey
+  FROM tagged t JOIN per_order p ON t.l_orderkey = p.l_orderkey
+  WHERE t.late AND p.ns > 1 AND p.nl = 1
+)
+SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS n_waiting_orders
+FROM culprit c JOIN supplier s ON c.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+ORDER BY n_waiting_orders DESC, s_suppkey LIMIT 25
+"""
+
+
+def ext_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-share suppliers of promoted parts (TPC-H Q20 flavor):
+    among 'small%'-named parts, suppliers whose 1996 shipped volume of a
+    part exceeds 1.5x the fair per-supplier share of that part's total —
+    Q20's correlated availqty > 0.5*SUM(l_quantity) threshold re-expressed
+    against the tables this corpus carries (no partsupp table).
+
+    Scale shape: the name-prefix part filter is scan-pushed and the
+    filtered key set broadcasts into lineitem (part side shrinks ~20x
+    before the join, the fact table never shuffles for it); volumes
+    aggregate per (part, supplier) in one exchange; per-part totals are a
+    second agg over the ALREADY-collapsed O(parts x suppliers-in-window)
+    frame, joined back on the same part key. The correlated threshold is
+    a column compare, never a per-row subquery.
+    """
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    agg = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+    )
+    totals = agg.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("q").alias("tq"), F.count(F.lit(1)).alias("ns")
+    )
+    excess = agg.join(
+        totals, agg["l_partkey"] == totals["t_partkey"]
+    ).filter(
+        (F.col("ns") > 1)
+        & (
+            F.col("q").cast("double")
+            > 1.5 * F.col("tq").cast("double") / F.col("ns")
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        excess.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_excess_parts"),
+            F.sum("q").alias("excess_qty_dec"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "n_excess_parts",
+            F.col("excess_qty_dec").cast("double").alias("excess_qty"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+EXT_EXCESS_SHARE_SQL = r"""
+WITH flt AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+),
+agg AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS q
+  FROM lineitem JOIN flt ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT l_partkey, CAST(SUM(q) AS DECIMAL(38,2)) AS tq,
+         CAST(COUNT(*) AS BIGINT) AS ns
+  FROM agg GROUP BY 1
+),
+excess AS (
+  SELECT a.l_suppkey, a.q
+  FROM agg a JOIN tot t ON a.l_partkey = t.l_partkey
+  WHERE t.ns > 1 AND CAST(a.q AS DOUBLE) > 1.5 * CAST(t.tq AS DOUBLE) / t.ns
+)
+SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_excess_parts,
+       CAST(SUM(e.q) AS DOUBLE) AS excess_qty
+FROM excess e
+JOIN supplier s ON e.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2, 3
+ORDER BY s_suppkey
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_waiting_suppliers": ext_waiting_suppliers,
+        "ext_excess_share_suppliers": ext_excess_share_suppliers,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_waiting_suppliers": EXT_WAITING_SUPPLIERS_SQL,
+        "ext_excess_share_suppliers": EXT_EXCESS_SHARE_SQL,
+    }
+)
