@@ -215,3 +215,38 @@ def ohlc_resample(
             "n",
         )
     )
+
+
+def robust_scale(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "robust_z",
+) -> DataFrame:
+    """Per-group robust scaling: (value - group median) / group IQR,
+    appended as ``out_col`` (rounded to 6; NULL when the value is NULL or
+    the group IQR is 0). The outlier-immune sibling of z-score
+    standardization — median/IQR ignore the heavy tails that drag mean
+    and stddev, which is exactly when a feature pipeline wants scaling.
+
+    Scale shape: one exchange computes the per-group exact quantile
+    bounds (linear-interpolated percentile — same definition as DuckDB's
+    quantile_cont, so results cross-check exactly); the O(groups) bounds
+    frame broadcasts back onto the rows, which never shuffle. At 100 TB
+    swap percentile for approx_percentile and keep the identical plan.
+    """
+    q = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med"),
+        F.expr(f"percentile({value_col}, 0.25)").alias("__q1"),
+        F.expr(f"percentile({value_col}, 0.75)").alias("__q3"),
+    )
+    iqr = F.col("__q3") - F.col("__q1")
+    scaled = F.when(
+        iqr > 0.0,
+        F.round((F.col(value_col) - F.col("__med")) / iqr, 6),
+    )
+    return (
+        df.join(F.broadcast(q), group_cols)
+        .withColumn(out_col, scaled)
+        .drop("__med", "__q1", "__q3")
+    )

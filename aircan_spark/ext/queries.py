@@ -6183,3 +6183,343 @@ EXT_ORACLES.update(
         "ext_excess_share_suppliers": EXT_EXCESS_SHARE_SQL,
     }
 )
+
+
+# --- round-3 wave: distribution drift, robust stats, shard planning -----------
+
+
+def ext_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust scaling of event values: (value - median) / IQR —
+    the outlier-immune sibling of z-score standardization (X51).
+
+    Scale shape: one exchange for the O(groups) exact quantile bounds,
+    broadcast back; the event rows never shuffle (see
+    features.robust_scale docstring for the 100 TB approx_percentile
+    swap)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        features.robust_scale(ev, ["event_type"], "value")
+        .select("event_id", "event_type", "value", "robust_z")
+        .orderBy("event_id")
+    )
+
+
+EXT_ROBUST_SCALE_SQL = r"""
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.5)  AS med,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN q.q3 - q.q1 > 0
+            THEN ROUND((e.value - q.med) / (q.q3 - q.q1), 6) END AS robust_z
+FROM events e JOIN q USING (event_type)
+ORDER BY event_id
+"""
+
+
+_PSI_EDGES = [5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0]  # 8 bins
+
+
+def _psi_bin(col):
+    expr = None
+    for i, e in enumerate(_PSI_EDGES):
+        cond = col < e
+        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+    return expr.otherwise(len(_PSI_EDGES))
+
+
+def ext_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the first half
+    of the month (reference) and the second (current) — THE
+    feature-drift gate a training pipeline runs before every refresh
+    (PSI < 0.1 stable, > 0.25 action).
+
+    Scale shape: row-local fixed-edge binning (scan-fused, no
+    data-dependent bucketing), one (type x 8-bin) partial-agged
+    exchange, the full grid materialized by an O(types x bins) explode
+    so empty bins still contribute their smoothed term, broadcast
+    per-type totals. Laplace 0.5 smoothing keeps ln() finite and is
+    mirrored exactly in the oracle."""
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        _psi_bin(F.col("value")).alias("bin"),
+        (F.col("ts") < cutoff).alias("is_ref"),
+    )
+    cells = ev.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_n"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cur_n"),
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("ref_n").alias("ref_t"), F.sum("cur_n").alias("cur_t")
+    )
+    n_bins = len(_PSI_EDGES) + 1
+    grid = totals.select(
+        "event_type", "ref_t", "cur_t",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+    )
+    full = grid.join(cells, ["event_type", "bin"], "left").select(
+        "event_type", "ref_t", "cur_t", "bin",
+        F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+        F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+    )
+    p_ref = (F.col("ref_n") + 0.5) / (F.col("ref_t") + 0.5 * n_bins)
+    p_cur = (F.col("cur_n") + 0.5) / (F.col("cur_t") + 0.5 * n_bins)
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        full.withColumn("__term", term)
+        .groupBy("event_type")
+        .agg(
+            F.max("ref_t").alias("n_ref"),
+            F.max("cur_t").alias("n_cur"),
+            F.round(F.sum("__term"), 6).alias("psi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EXT_PSI_DRIFT_SQL = r"""
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN value < 5 THEN 0 WHEN value < 10 THEN 1
+              WHEN value < 20 THEN 2 WHEN value < 40 THEN 3
+              WHEN value < 80 THEN 4 WHEN value < 160 THEN 5
+              WHEN value < 320 THEN 6 ELSE 7 END AS bin,
+         ts < TIMESTAMP '2024-01-16' AS is_ref
+  FROM events
+),
+cells AS (
+  SELECT event_type, bin,
+         CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+         CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cur_n
+  FROM ev GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, CAST(SUM(ref_n) AS BIGINT) AS ref_t,
+         CAST(SUM(cur_n) AS BIGINT) AS cur_t
+  FROM cells GROUP BY 1
+),
+grid AS (
+  SELECT t.event_type, t.ref_t, t.cur_t, g.bin
+  FROM totals t CROSS JOIN (SELECT UNNEST(range(8)) AS bin) g
+),
+full_grid AS (
+  SELECT g.event_type, g.ref_t, g.cur_t, g.bin,
+         COALESCE(c.ref_n, 0) AS ref_n, COALESCE(c.cur_n, 0) AS cur_n
+  FROM grid g LEFT JOIN cells c
+    ON g.event_type = c.event_type AND g.bin = c.bin
+)
+SELECT event_type, MAX(ref_t) AS n_ref, MAX(cur_t) AS n_cur,
+       ROUND(SUM(
+         ((cur_n + 0.5) / (cur_t + 4.0) - (ref_n + 0.5) / (ref_t + 4.0))
+         * LN(((cur_n + 0.5) / (cur_t + 4.0)) / ((ref_n + 0.5) / (ref_t + 4.0)))
+       ), 6) AS psi
+FROM full_grid GROUP BY event_type ORDER BY event_type
+"""
+
+
+def ext_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the 'click' and
+    'purchase' value distributions, computed on a fixed unit grid
+    (bucket = ceil(value)) — the distribution-shift test a pipeline runs
+    between data sources or time windows.
+
+    Scale shape: exact KS needs a global sort of both samples; on the
+    fixed grid it collapses to one O(grid) partial-agged exchange + a
+    running sum over the ~500-bucket axis (a window over the GRID, never
+    over data rows — same O(days)-axis pattern as the moving average).
+    Grid resolution bounds the KS error at max|F'-F| <= max bucket mass.
+    """
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.ceil("value").cast("long").alias("bucket"),
+            (F.col("event_type") == "click").alias("is_a"),
+        )
+    )
+    cells = ev.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("nb"),
+    )
+    totals = cells.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = cells.crossJoin(F.broadcast(totals)).select(
+        "ta",
+        "tb",
+        (F.sum("na").over(w).cast("double") / F.col("ta")).alias("fa"),
+        (F.sum("nb").over(w).cast("double") / F.col("tb")).alias("fb"),
+    )
+    return cdf.agg(
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_stat"),
+        F.max("ta").alias("n_a"),
+        F.max("tb").alias("n_b"),
+    )
+
+
+EXT_KS_DRIFT_SQL = r"""
+WITH ev AS (
+  SELECT CAST(CEIL(value) AS BIGINT) AS bucket,
+         event_type = 'click' AS is_a
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+cells AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+  FROM ev GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM cells),
+cdf AS (
+  SELECT ta, tb,
+         CAST(SUM(na) OVER (ORDER BY bucket) AS DOUBLE) / ta AS fa,
+         CAST(SUM(nb) OVER (ORDER BY bucket) AS DOUBLE) / tb AS fb
+  FROM cells CROSS JOIN tot
+)
+SELECT ROUND(MAX(ABS(fa - fb)), 6) AS ks_stat,
+       MAX(ta) AS n_a, MAX(tb) AS n_b
+FROM cdf
+"""
+
+
+def ext_dist_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable moment sketch per event type: count and exact integer
+    power sums (Sx..Sx4 over value scaled to cents) folded into mean /
+    stddev / skewness / excess kurtosis — the algebraic
+    partial-aggregable form (every sum map-side combines; two sketches
+    merge by adding sums, which is how a 1000-executor rollup or a
+    streaming maintenance job would keep it).
+
+    Exactness: values carry 2 decimals, so cents are EXACT integers;
+    sums stay in decimal(38,0) (iv^4 <= 5.8e18 fits a long per-term) —
+    both engines produce bit-identical sums, and the double conversion
+    happens once at the end. A naive SUM(pow(value, k)) of doubles
+    would diverge in the last ulp with partial-agg order."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("iv"),
+    )
+    iv = F.col("iv")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(iv.cast("decimal(38,0)")).alias("s1"),
+        F.sum((iv * iv).cast("decimal(38,0)")).alias("s2"),
+        F.sum((iv * iv * iv).cast("decimal(38,0)")).alias("s3"),
+        F.sum((iv * iv * iv * iv).cast("decimal(38,0)")).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    # raw moments of the cent-scaled variable, then de-scale by 100^k
+    m1 = F.col("s1").cast("double") / n / 1e2
+    m2 = F.col("s2").cast("double") / n / 1e4
+    m3 = F.col("s3").cast("double") / n / 1e6
+    m4 = F.col("s4").cast("double") / n / 1e8
+    c2 = m2 - m1 * m1
+    c3 = m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1
+    c4 = m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(m1, 6).alias("mean"),
+        F.round(F.sqrt(c2), 6).alias("stddev_pop"),
+        F.round(c3 / F.pow(c2, 1.5), 6).alias("skewness"),
+        F.round(c4 / (c2 * c2) - 3.0, 6).alias("kurtosis_excess"),
+    ).orderBy("event_type")
+
+
+EXT_DIST_MOMENTS_SQL = r"""
+WITH ev AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS iv FROM events
+),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(iv AS HUGEINT)) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CAST(iv AS HUGEINT) * iv) AS DECIMAL(38,0)) AS s2,
+         CAST(SUM(CAST(iv AS HUGEINT) * iv * iv) AS DECIMAL(38,0)) AS s3,
+         CAST(SUM(CAST(iv AS HUGEINT) * iv * iv * iv) AS DECIMAL(38,0)) AS s4
+  FROM ev GROUP BY 1
+),
+m AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / n / 1e2 AS m1,
+         CAST(s2 AS DOUBLE) / n / 1e4 AS m2,
+         CAST(s3 AS DOUBLE) / n / 1e6 AS m3,
+         CAST(s4 AS DOUBLE) / n / 1e8 AS m4
+  FROM agg
+)
+SELECT event_type, n,
+       ROUND(m1, 6) AS mean,
+       ROUND(SQRT(m2 - m1*m1), 6) AS stddev_pop,
+       ROUND((m3 - 3*m1*m2 + 2*m1*m1*m1) / POW(m2 - m1*m1, 1.5), 6) AS skewness,
+       ROUND((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1)
+             / ((m2 - m1*m1) * (m2 - m1*m1)) - 3.0, 6) AS kurtosis_excess
+FROM m ORDER BY event_type
+"""
+
+
+def ext_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard planner: deterministic hash assignment of documents
+    to 16 shards plus the per-shard manifest (docs, whitespace tokens,
+    utf-8 bytes) a distributed training job reads to schedule epochs.
+
+    Scale shape: the shard id is a row-local portable md5 bucket (zero
+    shuffle to assign, stable under appends/subsetting like the
+    train/val split); the manifest is one 16-group partial-agged
+    exchange. Byte/token accounting is scan-fused."""
+    from aircan_spark.ext.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.select(
+            F.pmod(hash_bucket(F.col("doc_id"), seed=7), F.lit(16)).alias("shard"),
+            toks.alias("__t"),
+            F.octet_length("text").alias("__b"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").alias("n_tokens"),
+            F.sum("__b").alias("n_bytes"),
+        )
+        .orderBy("shard")
+    )
+
+
+EXT_SHARD_MANIFEST_SQL = r"""
+WITH b AS (
+  SELECT (('0x' || SUBSTR(md5('7-' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+          % 10000) % 16 AS shard,
+         LEN(string_split_regex(TRIM(text), '\s+')) AS t,
+         strlen(text) AS bts
+  FROM documents
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t) AS BIGINT) AS n_tokens,
+       CAST(SUM(bts) AS BIGINT) AS n_bytes
+FROM b GROUP BY shard ORDER BY shard
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_robust_scale": ext_robust_scale,
+        "ext_psi_drift": ext_psi_drift,
+        "ext_ks_drift": ext_ks_drift,
+        "ext_dist_moments": ext_dist_moments,
+        "ext_shard_manifest": ext_shard_manifest,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_robust_scale": EXT_ROBUST_SCALE_SQL,
+        "ext_psi_drift": EXT_PSI_DRIFT_SQL,
+        "ext_ks_drift": EXT_KS_DRIFT_SQL,
+        "ext_dist_moments": EXT_DIST_MOMENTS_SQL,
+        "ext_shard_manifest": EXT_SHARD_MANIFEST_SQL,
+    }
+)
