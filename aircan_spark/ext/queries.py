@@ -6523,3 +6523,140 @@ EXT_ORACLES.update(
         "ext_shard_manifest": EXT_SHARD_MANIFEST_SQL,
     }
 )
+
+
+def ext_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM perplexity proxy (see text.bigram_nll):
+    context-aware quality scoring — word-salad detection the unigram
+    model cannot do."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text.bigram_nll(docs)
+        .select("doc_id", "mean_bigram_nll", "n_bigrams")
+        .orderBy("doc_id")
+    )
+
+
+EXT_BIGRAM_NLL_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS ws
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, ws, UNNEST(range(1, len(ws))) AS i
+  FROM toks WHERE len(ws) >= 2
+),
+pairs AS (
+  SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i + 1] AS gram FROM idx
+),
+big AS (SELECT gram, COUNT(*) AS cab FROM pairs GROUP BY 1),
+ctx AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY 1),
+v AS (
+  SELECT COUNT(DISTINCT w) AS vs FROM (
+    SELECT UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+sc AS (
+  SELECT p.doc_id, -LN((b.cab + 0.5) / (c.c1 + 0.5 * v.vs)) AS nll
+  FROM pairs p JOIN big b USING (gram) JOIN ctx c USING (w1) CROSS JOIN v
+)
+SELECT doc_id, ROUND(AVG(nll), 6) AS mean_bigram_nll,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def ext_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib redundancy signal per document (text.compression_stats) —
+    non-SQL-expressible (no deflate in DuckDB), rows-only gate;
+    determinism + directional properties pinned in tests/test_ext.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text.compression_stats(docs)
+        .select("doc_id", "n_raw_bytes", "n_deflate_bytes", "compression_ratio")
+        .orderBy("doc_id")
+    )
+
+
+def ext_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked fuzzy name match (X72
+    pairs) -> connected components (X41 hash-min propagation) ->
+    cluster id + cluster size per customer; singleton customers keep
+    their own id as the cluster. The full dedup-merge pipeline a
+    master-data / golden-record job runs.
+
+    Scale shape: pairs come from the blocked equi-join (levenshtein
+    only inside blocks); CC is O(diameter) rounds over the TINY pair
+    set; the final label attach is a left join on the customer key and
+    sizes aggregate over O(customers) labels."""
+    from aircan_spark.ext import entity
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pairs = entity.fuzzy_self_join(
+        cust, "c_custkey", "c_name", max_dist=1, tail=2
+    ).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs)
+    labeled = (
+        cust.join(comp.withColumnRenamed("id", "c_custkey"), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce("component", F.col("c_custkey")).alias("cluster"),
+        )
+    )
+    sizes = labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labeled.join(sizes, "cluster")
+        .select("c_custkey", "cluster", "cluster_size")
+        .orderBy("c_custkey")
+    )
+
+
+EXT_ENTITY_CLUSTERS_SQL = r"""
+WITH RECURSIVE k AS (
+  SELECT c_custkey AS id, c_name AS name,
+         SUBSTR(c_name, 1, GREATEST(LENGTH(c_name) - 2, 0)) AS block
+  FROM customer
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM k a JOIN k b ON a.block = b.block AND a.id < b.id
+  WHERE levenshtein(a.name, b.name) <= 1
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, comp) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+),
+lab AS (
+  SELECT id AS c_custkey, MIN(comp) AS cluster FROM reach GROUP BY id
+),
+sizes AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM lab GROUP BY 1
+)
+SELECT l.c_custkey, l.cluster, s.cluster_size
+FROM lab l JOIN sizes s USING (cluster)
+ORDER BY c_custkey
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_bigram_nll": ext_bigram_nll,
+        "ext_compression_ratio": ext_compression_ratio,
+        "ext_entity_clusters": ext_entity_clusters,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_bigram_nll": EXT_BIGRAM_NLL_SQL,
+        "ext_entity_clusters": EXT_ENTITY_CLUSTERS_SQL,
+    }
+)

@@ -618,3 +618,104 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), "gram")
         .limit(k)
     )
+
+
+def bigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a corpus bigram
+    model with add-k smoothing — the context-aware upgrade of the
+    unigram perplexity proxy (X155): word-salad documents whose
+    individual words are common but whose SEQUENCES are not score high
+    here and normal there.
+
+    Model: P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V), counts from the
+    corpus itself, V = distinct token count. Shape: bigrams are built
+    row-locally (array HOFs — no token-level explode to construct
+    them), counted in one exchange; the scoring join on the bigram key
+    reuses that exchange's partitioning under AQE, context counts join
+    on w1, and V broadcasts as a scalar. Documents with fewer than two
+    tokens have no bigrams and drop out (mirrored in the oracle)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(words) - 2)
+    pairs = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.size(words) >= 2,
+                    F.transform(
+                        idx, lambda i: F.array_join(F.slice(words, i + 1, 2), " ")
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        .withColumn("w1", F.split(F.col("gram"), " ")[0])
+    )
+    big = pairs.groupBy("gram").agg(F.count(F.lit(1)).alias("cab"))
+    ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    toks = df.select(F.explode(words).alias("w")).filter(F.col("w") != "")
+    vsize = toks.agg(F.count_distinct("w").alias("v"))
+    scored = (
+        pairs.join(big, "gram")
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .withColumn(
+            "__nll",
+            -F.log(
+                (F.col("cab") + F.lit(k_smooth))
+                / (F.col("c1") + F.lit(k_smooth) * F.col("v"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("__nll"), 6).alias("mean_bigram_nll"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
+def compression_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """zlib-deflate redundancy signal per document: raw vs compressed
+    byte counts and their ratio — the Gopher/RefinedWeb-family quality
+    filter (ratio near 0 = templated/repetitive boilerplate, ratio
+    near or above 1 = high-entropy noise; natural prose sits between).
+
+    Engine shape: Arrow-batched ``mapInPandas`` over stdlib zlib —
+    deterministic for a fixed level, embarrassingly parallel, zero
+    shuffle, no JVM round-trip per row. Not SQL-expressible, so the
+    declared query takes the rows-only gate; determinism and
+    directional properties are pinned in tests/test_ext.py."""
+    import zlib
+
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, n_raw_bytes long, n_deflate_bytes long, "
+        "compression_ratio double"
+    )
+
+    def _batches(it):
+        for pdf in it:
+            raw = pdf[text_col].fillna("").map(lambda s: s.encode("utf-8"))
+            n_raw = raw.map(len)
+            n_def = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_raw_bytes": n_raw,
+                    "n_deflate_bytes": n_def,
+                    "compression_ratio": (
+                        n_def / n_raw.clip(lower=1)
+                    ).round(6),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_batches, out_schema)

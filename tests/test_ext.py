@@ -825,3 +825,39 @@ def test_containment_asymmetric_semantics(spark):
     # symmetric jaccard on the same pair is weak
     jac = dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
     assert all(r["jaccard"] < 0.5 for r in jac)
+
+
+def test_compression_stats_deterministic_and_directional(spark):
+    import zlib
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 3),
+        (2, "spam " * 200),                      # highly repetitive
+        (3, "k9#xQ!vP2@zR8$wL5%nT7&mJ4*bG1^dH6"),  # high-entropy-ish
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.compression_stats(df).collect()}
+    # exact agreement with a local zlib call (same level) — determinism
+    for doc_id, t in rows:
+        r = out[doc_id]
+        assert r["n_raw_bytes"] == len(t.encode("utf-8"))
+        assert r["n_deflate_bytes"] == len(zlib.compress(t.encode("utf-8"), 6))
+    # repetitive text compresses much better than short random text
+    assert out[2]["compression_ratio"] < 0.1
+    assert out[3]["compression_ratio"] > 0.5
+    # a second run is bit-identical (no hidden randomness)
+    again = {r["doc_id"]: r for r in text.compression_stats(df).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+
+
+def test_bigram_nll_prefers_coherent_sequences(spark):
+    # corpus where "a b" dominates; the scrambled doc repeats rare bigrams
+    rows = [(i, "a b a b a b a b") for i in range(10)] + [(99, "b a b a b a b a")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["mean_bigram_nll"] for r in text.bigram_nll(df).collect()}
+    assert out[99] > out[0]  # rare-context doc scores higher NLL
+    n = {r["doc_id"]: r["n_bigrams"] for r in text.bigram_nll(df).collect()}
+    assert n[0] == 7
