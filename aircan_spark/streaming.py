@@ -511,3 +511,35 @@ def stream_state_maintenance(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_bottomk_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    key_col: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    k: int = 2000,
+    seed: int = 42,
+    available_now: bool = False,
+):
+    """Incrementally maintain a bottom-k (KMV) uniform sample over a file
+    stream — the SAMPLE twin of the CMS/HLL maintainers: per batch
+    ``bottomk_sample``, merged by union + re-take-k (``bottomk_merge``,
+    idempotent and associative, so replay cannot skew the sample). Same
+    atomic-pointer exactly-once machinery (``stream_state_maintenance``).
+    The stored state stays O(k) rows forever; downstream quantile /
+    distribution estimates read the sample without rescanning history."""
+    from aircan_spark.ext import sketch as sk
+
+    return stream_state_maintenance(
+        spark,
+        source_dir,
+        schema,
+        build_fn=lambda df: sk.bottomk_sample(df, [key_col], k=k, seed=seed),
+        merge_fn=lambda cur, delta: sk.bottomk_merge(cur, delta, k=k),
+        state_dir=sketch_dir,
+        checkpoint_dir=checkpoint_dir,
+        available_now=available_now,
+    )

@@ -488,3 +488,41 @@ def test_stream_hll_maintenance_matches_batch(spark, tmp_path):
     true_distinct = len(set(all_items))
     est = sk.hll_estimate(stored, b=10)
     assert abs(est - true_distinct) / true_distinct < 0.15, (est, true_distinct)
+
+
+def test_stream_bottomk_maintenance_matches_batch(spark, tmp_path):
+    """Streaming bottom-k maintenance: after N files the stored sample
+    equals a batch bottom-k over the union (merge law through
+    foreachBatch) — the deterministic-selection property that makes the
+    KMV sketch replay-safe."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from aircan_spark.ext import sketch as sk
+    from aircan_spark.streaming import read_sketch_state, stream_bottomk_maintenance
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = T.StructType([T.StructField("item", T.StringType(), True)])
+    all_items = []
+    for f in range(3):
+        items = [f"u{(i * 7 + f * 450) % 1300}" for i in range(600)]
+        all_items += items
+        with open(src / f"b{f}.json", "w") as fh:
+            for it in items:
+                fh.write(_json.dumps({"item": it}) + "\n")
+
+    q = stream_bottomk_maintenance(
+        spark, str(src), schema, "item",
+        sketch_dir=str(tmp_path / "state"), checkpoint_dir=str(tmp_path / "ckpt"),
+        k=100, seed=5, available_now=True,
+    )
+    q.awaitTermination(120)
+
+    stored = read_sketch_state(spark, str(tmp_path / "state"))
+    direct = sk.bottomk_sample(
+        spark.createDataFrame([(i,) for i in all_items], "item string"),
+        ["item"], k=100, seed=5,
+    )
+    assert sorted(map(tuple, stored.collect())) == sorted(map(tuple, direct.collect()))
