@@ -6660,3 +6660,508 @@ EXT_ORACLES.update(
         "ext_entity_clusters": EXT_ENTITY_CLUSTERS_SQL,
     }
 )
+
+
+# --- round-3 wave: corpus health + warehouse-classic classification -----------
+
+
+def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary overlap between corpus sources: Jaccard similarity of
+    the distinct-token sets for every source pair — the corpus-level
+    contamination/redundancy map (two feeds with near-identical
+    vocabulary are candidates for near-dup sweeps before training).
+
+    Scale shape: one exchange builds distinct (source, token) pairs;
+    the pair intersection is an inverted-index self-join ON TOKEN
+    (never source x source x docs), and per-source vocabulary sizes —
+    an O(sources) frame — broadcast onto the O(sources^2) result."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a = toks.select(F.col("source").alias("source_a"), "w")
+    b = toks.select(F.col("source").alias("source_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("v").alias("v_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("v").alias("v_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "v_a",
+            "v_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("v_a") + F.col("v_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+EXT_SOURCE_OVERLAP_SQL = r"""
+WITH toks AS (
+  SELECT DISTINCT source, w FROM (
+    SELECT source,
+           UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM toks a JOIN toks b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, sa.v AS v_a, sb.v AS v_b, i.n_common,
+       ROUND(CAST(i.n_common AS DOUBLE) / (sa.v + sb.v - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.source_a = sa.source
+JOIN sizes sb ON i.source_b = sb.source
+ORDER BY source_a, source_b
+"""
+
+
+def ext_encoding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding-health audit: replacement-character (U+FFFD)
+    document rate, mean non-ASCII ratio, mean C0-control ratio — the
+    mojibake/double-decode detector a crawl pipeline runs per feed
+    before text ever reaches tokenization. Row-local regexp counting,
+    one O(sources) exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    L = F.greatest(F.length("text"), F.lit(1)).cast("double")
+    return (
+        docs.select(
+            "source",
+            F.col("text").contains("�").cast("int").alias("has_repl"),
+            (F.regexp_count(F.col("text"), F.lit(r"[^\x00-\x7F]")) / L).alias("nonascii"),
+            (
+                F.regexp_count(
+                    F.col("text"), F.lit(r"[\x00-\x08\x0B\x0C\x0E-\x1F]")
+                )
+                / L
+            ).alias("control"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("has_repl").alias("n_replacement_docs"),
+            F.round(F.avg("nonascii"), 6).alias("mean_nonascii_ratio"),
+            F.round(F.avg("control"), 6).alias("mean_control_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+EXT_ENCODING_HEALTH_SQL = r"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_replacement_docs,
+       ROUND(AVG(CAST(LEN(regexp_extract_all(text, '[^\x00-\x7F]')) AS DOUBLE)
+                 / GREATEST(LENGTH(text), 1)), 6) AS mean_nonascii_ratio,
+       ROUND(AVG(CAST(LEN(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS DOUBLE)
+                 / GREATEST(LENGTH(text), 1)), 6) AS mean_control_ratio
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def ext_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory classification per part: revenue class (A =
+    above the 95th percentile of per-part revenue, B = above the 80th,
+    C = rest — the scale-safe quantile variant of cumulative-share ABC;
+    the exact cumulative form is the ext_gini numbering pattern) and
+    demand-variability class from the coefficient of variation of
+    monthly shipped quantity (X <= 0.35 steady, Y <= 0.6, Z erratic).
+
+    Scale shape: one (part) revenue exchange + one (part, month)
+    exchange collapsed to per-part integer-exact moment sums; the two
+    scalar thresholds broadcast. No global sort, no per-part windows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        "l_shipdate",
+        (
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+        ).alias("rev"),
+    )
+    rev = li.groupBy("l_partkey").agg(
+        F.sum("rev").cast("decimal(38,12)").alias("revenue")
+    )
+    thr = rev.agg(
+        F.expr("percentile(CAST(revenue AS DOUBLE), 0.95)").alias("t95"),
+        F.expr("percentile(CAST(revenue AS DOUBLE), 0.80)").alias("t80"),
+    )
+    monthly = (
+        li.select(
+            "l_partkey",
+            F.date_trunc("month", F.col("l_shipdate")).alias("m"),
+            F.round(F.col("l_quantity") * 100).cast("long").alias("iq"),
+        )
+        .groupBy("l_partkey", "m")
+        .agg(F.sum("iq").alias("mq"))
+    )
+    mq = F.col("mq")
+    cvf = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_m"),
+        F.sum(mq.cast("decimal(38,0)")).alias("s1"),
+        F.sum((mq * mq).cast("decimal(38,0)")).alias("s2"),
+    )
+    n = F.col("n_m").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    cv = F.sqrt(s2 / n - (s1 / n) * (s1 / n)) / (s1 / n)
+    classified = (
+        rev.join(cvf, "l_partkey")
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "l_partkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.when(F.col("revenue").cast("double") > F.col("t95"), "A")
+            .when(F.col("revenue").cast("double") > F.col("t80"), "B")
+            .otherwise("C")
+            .alias("abc_class"),
+            F.round(cv, 6).alias("demand_cv"),
+            F.when(cv <= 0.35, "X").when(cv <= 0.6, "Y").otherwise("Z").alias("xyz_class"),
+        )
+    )
+    return classified.orderBy("l_partkey")
+
+
+EXT_ABC_XYZ_SQL = r"""
+WITH li AS (
+  SELECT l_partkey, l_shipdate,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS iq,
+         CAST(l_extendedprice AS DECIMAL(18,6))
+           * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS rev
+  FROM lineitem
+),
+rev AS (
+  SELECT l_partkey, CAST(SUM(rev) AS DECIMAL(38,12)) AS revenue
+  FROM li GROUP BY 1
+),
+thr AS (
+  SELECT quantile_cont(CAST(revenue AS DOUBLE), 0.95) AS t95,
+         quantile_cont(CAST(revenue AS DOUBLE), 0.80) AS t80
+  FROM rev
+),
+monthly AS (
+  SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+         CAST(SUM(iq) AS BIGINT) AS mq
+  FROM li GROUP BY 1, 2
+),
+cvf AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_m,
+         CAST(SUM(CAST(mq AS HUGEINT)) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CAST(mq AS HUGEINT) * mq) AS DECIMAL(38,0)) AS s2
+  FROM monthly GROUP BY 1
+)
+SELECT r.l_partkey AS l_partkey,
+       CAST(r.revenue AS DOUBLE) AS revenue,
+       CASE WHEN CAST(r.revenue AS DOUBLE) > t.t95 THEN 'A'
+            WHEN CAST(r.revenue AS DOUBLE) > t.t80 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       ROUND(SQRT(CAST(c.s2 AS DOUBLE) / c.n_m
+                  - (CAST(c.s1 AS DOUBLE) / c.n_m) * (CAST(c.s1 AS DOUBLE) / c.n_m))
+             / (CAST(c.s1 AS DOUBLE) / c.n_m), 6) AS demand_cv,
+       CASE WHEN SQRT(CAST(c.s2 AS DOUBLE) / c.n_m
+                      - (CAST(c.s1 AS DOUBLE) / c.n_m) * (CAST(c.s1 AS DOUBLE) / c.n_m))
+                 / (CAST(c.s1 AS DOUBLE) / c.n_m) <= 0.35 THEN 'X'
+            WHEN SQRT(CAST(c.s2 AS DOUBLE) / c.n_m
+                      - (CAST(c.s1 AS DOUBLE) / c.n_m) * (CAST(c.s1 AS DOUBLE) / c.n_m))
+                 / (CAST(c.s1 AS DOUBLE) / c.n_m) <= 0.6 THEN 'Y'
+            ELSE 'Z' END AS xyz_class
+FROM rev r JOIN cvf c ON r.l_partkey = c.l_partkey
+CROSS JOIN thr t
+ORDER BY l_partkey
+"""
+
+
+def ext_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over parts co-purchased in the
+    same order: support, directional confidences, and lift for the
+    top-100 most frequent part pairs (min pair count 2) — the
+    recommendation-mining classic, built on the X160 co-occurrence
+    shape.
+
+    Scale shape: baskets collapse to distinct (order, part) first; the
+    pair join is ORDER-keyed (fan-out bounded by parts-per-order, never
+    part-keyed); item counts and the basket-count scalar broadcast onto
+    the O(pairs) result; k-bounded head."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    items = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    n_orders = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    return (
+        pairs.join(
+            F.broadcast(items.select(F.col("l_partkey").alias("pa"), F.col("n_item").alias("n_a"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(items.select(F.col("l_partkey").alias("pb"), F.col("n_item").alias("n_b"))),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            "n_pair",
+            F.round(F.col("n_pair").cast("double") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_pair").cast("double") / F.col("n_a"), 6).alias("conf_a_to_b"),
+            F.round(F.col("n_pair").cast("double") / F.col("n_b"), 6).alias("conf_b_to_a"),
+            F.round(
+                F.col("n_pair").cast("double") * F.col("n_orders")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_pair").desc(), "pa", "pb")
+        .limit(100)
+    )
+
+
+EXT_ASSOCIATION_RULES_SQL = r"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+items AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item FROM op GROUP BY 1),
+tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op)
+SELECT p.pa, p.pb, p.n_pair,
+       ROUND(CAST(p.n_pair AS DOUBLE) / t.n_orders, 6) AS support,
+       ROUND(CAST(p.n_pair AS DOUBLE) / ia.n_item, 6) AS conf_a_to_b,
+       ROUND(CAST(p.n_pair AS DOUBLE) / ib.n_item, 6) AS conf_b_to_a,
+       ROUND(CAST(p.n_pair AS DOUBLE) * t.n_orders / (CAST(ia.n_item AS DOUBLE) * ib.n_item), 6) AS lift
+FROM pairs p
+JOIN items ia ON p.pa = ia.l_partkey
+JOIN items ib ON p.pb = ib.l_partkey
+CROSS JOIN tot t
+ORDER BY n_pair DESC, pa, pb LIMIT 100
+"""
+
+
+def ext_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order vs the
+    corpus max date), frequency (order count), monetary (lifetime
+    spend), each scored 1-5 by strict-greater comparison against the
+    20/40/60/80th percentile thresholds — the classic CRM segmentation.
+
+    Scale shape: one per-customer exchange; the 12 threshold scalars
+    broadcast; scores are row-local CASE arithmetic (no NTILE — a
+    global ntile would single-task the customer axis)."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary_dec"),
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("maxd"))
+    per = per.crossJoin(F.broadcast(maxd)).select(
+        "o_custkey",
+        F.datediff(F.col("maxd"), F.col("last_order")).alias("recency_days"),
+        "frequency",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+    )
+    thr = per.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"{c[0]}{int(q * 100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for q in (0.2, 0.4, 0.6, 0.8)
+        ]
+    )
+
+    def score(col, pfx, invert=False):
+        s = sum(
+            (F.col(col) > F.col(f"{pfx}{q}")).cast("int") for q in (20, 40, 60, 80)
+        )
+        return (F.lit(5) - s) if invert else (F.lit(1) + s)
+
+    return (
+        per.crossJoin(F.broadcast(thr))
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            F.round("monetary", 2).alias("monetary"),
+            score("recency_days", "r", invert=True).alias("r_score"),
+            score("frequency", "f").alias("f_score"),
+            score("monetary", "m").alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+EXT_RFM_SQL = r"""
+WITH per AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY 1
+),
+maxd AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+base AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_order, maxd) AS INT) AS recency_days,
+         frequency, monetary
+  FROM per CROSS JOIN maxd
+),
+thr AS (
+  SELECT quantile_cont(recency_days, 0.2) AS r20, quantile_cont(recency_days, 0.4) AS r40,
+         quantile_cont(recency_days, 0.6) AS r60, quantile_cont(recency_days, 0.8) AS r80,
+         quantile_cont(frequency, 0.2) AS f20, quantile_cont(frequency, 0.4) AS f40,
+         quantile_cont(frequency, 0.6) AS f60, quantile_cont(frequency, 0.8) AS f80,
+         quantile_cont(monetary, 0.2) AS m20, quantile_cont(monetary, 0.4) AS m40,
+         quantile_cont(monetary, 0.6) AS m60, quantile_cont(monetary, 0.8) AS m80
+  FROM base
+)
+SELECT b.o_custkey, b.recency_days, b.frequency, ROUND(b.monetary, 2) AS monetary,
+       5 - ((b.recency_days > t.r20)::INT + (b.recency_days > t.r40)::INT
+            + (b.recency_days > t.r60)::INT + (b.recency_days > t.r80)::INT) AS r_score,
+       1 + ((b.frequency > t.f20)::INT + (b.frequency > t.f40)::INT
+            + (b.frequency > t.f60)::INT + (b.frequency > t.f80)::INT) AS f_score,
+       1 + ((b.monetary > t.m20)::INT + (b.monetary > t.m40)::INT
+            + (b.monetary > t.m60)::INT + (b.monetary > t.m80)::INT) AS m_score,
+       CAST(5 - ((b.recency_days > t.r20)::INT + (b.recency_days > t.r40)::INT
+            + (b.recency_days > t.r60)::INT + (b.recency_days > t.r80)::INT) AS VARCHAR)
+       || CAST(1 + ((b.frequency > t.f20)::INT + (b.frequency > t.f40)::INT
+            + (b.frequency > t.f60)::INT + (b.frequency > t.f80)::INT) AS VARCHAR)
+       || CAST(1 + ((b.monetary > t.m20)::INT + (b.monetary > t.m40)::INT
+            + (b.monetary > t.m60)::INT + (b.monetary > t.m80)::INT) AS VARCHAR) AS segment
+FROM base b CROSS JOIN thr t
+ORDER BY o_custkey
+"""
+
+
+def ext_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over daily event value totals:
+    positive CUSUM via the cumulative-sum-minus-running-minimum
+    identity (s_t = S_t - min_{j<=t} S_j with S = cumsum(x - mean)),
+    flagged where the statistic exceeds one population stddev — the
+    monitoring primitive for level shifts in a metric stream.
+
+    Scale shape: the data collapses to the O(days) axis in one exact
+    integer-cent exchange; mean/std broadcast as scalars; the recursive
+    CUSUM definition becomes two windows over the tiny DAY axis (the
+    O(days)-axis window pattern, never over raw rows)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("iv"),
+    )
+    daily = ev.groupBy("day").agg(F.sum(F.col("iv").cast("decimal(38,0)")).alias("x"))
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).select(
+        (F.col("sx").cast("double") / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.col("sxx").cast("double") / F.col("n")
+            - (F.col("sx").cast("double") / F.col("n"))
+            * (F.col("sx").cast("double") / F.col("n"))
+        ).alias("std"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        daily.crossJoin(F.broadcast(stats))
+        .withColumn("S", F.sum(F.col("x").cast("double") - F.col("mean")).over(w))
+        .withColumn("S_min", F.min(F.least(F.col("S"), F.lit(0.0))).over(w))
+    )
+    return cum.select(
+        F.col("day").cast("string").alias("day"),
+        F.round(F.col("x").cast("double") / 100.0, 2).alias("daily_total"),
+        F.round((F.col("S") - F.col("S_min")) / 100.0, 6).alias("cusum_pos"),
+        ((F.col("S") - F.col("S_min")) > F.col("std")).alias("changepoint"),
+    ).orderBy("day")
+
+
+EXT_CUSUM_SQL = r"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(ROUND(value * 100) AS BIGINT) AS iv
+  FROM events
+),
+daily AS (
+  SELECT day, CAST(SUM(CAST(iv AS HUGEINT)) AS DECIMAL(38,0)) AS x
+  FROM ev GROUP BY 1
+),
+stats AS (
+  SELECT CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mean,
+         SQRT(CAST(SUM(x*x) AS DOUBLE) / COUNT(*)
+              - (CAST(SUM(x) AS DOUBLE) / COUNT(*)) * (CAST(SUM(x) AS DOUBLE) / COUNT(*))) AS std
+  FROM daily
+),
+cum AS (
+  SELECT d.day, d.x, s.mean, s.std,
+         SUM(CAST(d.x AS DOUBLE) - s.mean) OVER (ORDER BY d.day) AS S
+  FROM daily d CROSS JOIN stats s
+),
+cm AS (
+  SELECT day, x, std, S,
+         MIN(LEAST(S, 0.0)) OVER (ORDER BY day) AS S_min
+  FROM cum
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       ROUND(CAST(x AS DOUBLE) / 100.0, 2) AS daily_total,
+       ROUND((S - S_min) / 100.0, 6) AS cusum_pos,
+       (S - S_min) > std AS changepoint
+FROM cm ORDER BY day
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_source_overlap": ext_source_overlap,
+        "ext_encoding_health": ext_encoding_health,
+        "ext_abc_xyz": ext_abc_xyz,
+        "ext_association_rules": ext_association_rules,
+        "ext_rfm_segments": ext_rfm_segments,
+        "ext_cusum_changepoint": ext_cusum_changepoint,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_source_overlap": EXT_SOURCE_OVERLAP_SQL,
+        "ext_encoding_health": EXT_ENCODING_HEALTH_SQL,
+        "ext_abc_xyz": EXT_ABC_XYZ_SQL,
+        "ext_association_rules": EXT_ASSOCIATION_RULES_SQL,
+        "ext_rfm_segments": EXT_RFM_SQL,
+        "ext_cusum_changepoint": EXT_CUSUM_SQL,
+    }
+)
