@@ -6405,12 +6405,15 @@ def ext_dist_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("iv"),
     )
     iv = F.col("iv")
+    # powers multiply in DECIMAL: iv^4 exceeds long range once values pass
+    # ~548.00 (56021^4 > 2^63) — ANSI mode would throw at the larger SFs
+    ivd = iv.cast("decimal(19,0)")
     agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(iv.cast("decimal(38,0)")).alias("s1"),
-        F.sum((iv * iv).cast("decimal(38,0)")).alias("s2"),
-        F.sum((iv * iv * iv).cast("decimal(38,0)")).alias("s3"),
-        F.sum((iv * iv * iv * iv).cast("decimal(38,0)")).alias("s4"),
+        F.sum((ivd * ivd).cast("decimal(38,0)")).alias("s2"),
+        F.sum((ivd * ivd * ivd).cast("decimal(38,0)")).alias("s3"),
+        F.sum((ivd * ivd * ivd * ivd).cast("decimal(38,0)")).alias("s4"),
     )
     n = F.col("n").cast("double")
     # raw moments of the cent-scaled variable, then de-scale by 100^k
@@ -6827,7 +6830,7 @@ def ext_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     cvf = monthly.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_m"),
         F.sum(mq.cast("decimal(38,0)")).alias("s1"),
-        F.sum((mq * mq).cast("decimal(38,0)")).alias("s2"),
+        F.sum(mq.cast("decimal(19,0)") * mq.cast("decimal(19,0)")).alias("s2"),
     )
     n = F.col("n_m").cast("double")
     s1 = F.col("s1").cast("double")
@@ -7163,5 +7166,250 @@ EXT_ORACLES.update(
         "ext_association_rules": EXT_ASSOCIATION_RULES_SQL,
         "ext_rfm_segments": EXT_RFM_SQL,
         "ext_cusum_changepoint": EXT_CUSUM_SQL,
+    }
+)
+
+
+# --- round-3 wave: incremental ingest dedup, correlation matrix, HDR sketch ---
+
+
+def ext_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup gate: for a NEW batch of documents
+    (doc_id % 5 == 0 — a scale-invariant synthetic split), flag each
+    doc as a duplicate of the EXISTING corpus (normalized-content hash
+    already present) and/or a duplicate within its own batch (not the
+    batch's first occurrence of the hash); `keep` is the admission
+    decision. This is the nightly-crawl admission filter — dedup
+    against 100 TB of history WITHOUT rescanning it (the corpus side
+    collapses to its distinct hash set).
+
+    Scale shape: corpus hashes collapse via one distinct on the hash
+    key; the batch left-joins that set (equi-join on an 8-byte-able
+    key), and within-batch firsts come from a min-id per hash on the
+    SMALL batch only."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).cast("binary")
+    )
+    hashed = docs.select("doc_id", h.alias("h"))
+    corpus = hashed.filter(F.col("doc_id") % 5 != 0).select("h").distinct()
+    batch = hashed.filter(F.col("doc_id") % 5 == 0)
+    firsts = batch.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    return (
+        batch.join(
+            corpus.withColumn("__in_corpus", F.lit(True)), "h", "left"
+        )
+        .join(firsts, "h")
+        .select(
+            "doc_id",
+            F.coalesce("__in_corpus", F.lit(False)).alias("is_corpus_dup"),
+            (F.col("doc_id") != F.col("first_id")).alias("is_batch_dup"),
+        )
+        .withColumn(
+            "keep", ~F.col("is_corpus_dup") & ~F.col("is_batch_dup")
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXT_INCREMENTAL_DEDUP_SQL = r"""
+WITH hashed AS (
+  SELECT doc_id,
+         md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS h
+  FROM documents
+),
+corpus AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 5 <> 0),
+batch AS (SELECT doc_id, h FROM hashed WHERE doc_id % 5 = 0),
+firsts AS (SELECT h, MIN(doc_id) AS first_id FROM batch GROUP BY 1)
+SELECT b.doc_id,
+       (c.h IS NOT NULL) AS is_corpus_dup,
+       (b.doc_id <> f.first_id) AS is_batch_dup,
+       (c.h IS NULL AND b.doc_id = f.first_id) AS keep
+FROM batch b
+LEFT JOIN corpus c ON b.h = c.h
+JOIN firsts f ON b.h = f.h
+ORDER BY doc_id
+"""
+
+
+def ext_type_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series correlation matrix: Pearson correlation between the
+    DAILY value totals of every event-type pair — the metric-coupling
+    map (which KPIs move together) behind anomaly root-causing.
+
+    Scale shape: raw events collapse to the O(days x types) grid in one
+    integer-cent-exact exchange; the pair join is DAY-keyed over that
+    tiny grid; correlations derive from exact decimal power sums in one
+    double expression at the end (the X97 exactness discipline, lifted
+    to the full matrix)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("iv"),
+    )
+    daily = ev.groupBy("day", "event_type").agg(F.sum("iv").alias("x"))
+    a = daily.select("day", F.col("event_type").alias("type_a"), F.col("x").alias("xa"))
+    b = daily.select("day", F.col("event_type").alias("type_b"), F.col("x").alias("xb"))
+    pairs = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
+    agg = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("xa").cast("decimal(38,0)")).alias("sa"),
+        F.sum(F.col("xb").cast("decimal(38,0)")).alias("sb"),
+        F.sum(F.col("xa").cast("decimal(19,0)") * F.col("xb").cast("decimal(19,0)")).alias("sab"),
+        F.sum(F.col("xa").cast("decimal(19,0)") * F.col("xa").cast("decimal(19,0)")).alias("saa"),
+        F.sum(F.col("xb").cast("decimal(19,0)") * F.col("xb").cast("decimal(19,0)")).alias("sbb"),
+    )
+    n = F.col("n_days").cast("double")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    sab = F.col("sab").cast("double")
+    saa = F.col("saa").cast("double")
+    sbb = F.col("sbb").cast("double")
+    corr = (n * sab - sa * sb) / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    return agg.select(
+        "type_a", "type_b", "n_days", F.round(corr, 6).alias("corr")
+    ).orderBy("type_a", "type_b")
+
+
+EXT_TYPE_CORRELATIONS_SQL = r"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS iv
+  FROM events
+),
+daily AS (
+  SELECT day, event_type, CAST(SUM(iv) AS BIGINT) AS x
+  FROM ev GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.type_a, b.event_type AS type_b, a.xa, b.x AS xb
+  FROM (SELECT day, event_type AS type_a, x AS xa FROM daily) a
+  JOIN daily b ON a.day = b.day AND a.type_a < b.event_type
+),
+agg AS (
+  SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(CAST(xa AS HUGEINT)) AS DECIMAL(38,0)) AS sa,
+         CAST(SUM(CAST(xb AS HUGEINT)) AS DECIMAL(38,0)) AS sb,
+         CAST(SUM(CAST(xa AS HUGEINT) * xb) AS DECIMAL(38,0)) AS sab,
+         CAST(SUM(CAST(xa AS HUGEINT) * xa) AS DECIMAL(38,0)) AS saa,
+         CAST(SUM(CAST(xb AS HUGEINT) * xb) AS DECIMAL(38,0)) AS sbb
+  FROM pairs GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_days,
+       ROUND((n_days * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             / SQRT((n_days * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    * (n_days * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+         AS corr
+FROM agg ORDER BY type_a, type_b
+"""
+
+
+def ext_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram-style quantile sketch per event type: values (as
+    integer cents) bucket by (bit-width, top-4-bits) — pure INTEGER
+    log2 bucketing, so the sketch is bit-identical in any engine (no
+    libm ln() whose last ulp could flip a boundary bucket, the classic
+    DDSketch portability trap). Counts are mergeable by addition;
+    p50/p90/p99 read off the cumulated bucket walk at bucket midpoints
+    (bounded relative error ~= 1/2^4 per bucket).
+
+    Scale shape: one O(types x buckets) partial-agged exchange; the
+    quantile walk is a window over the BUCKET axis (~40 rows per
+    type)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("iv"),
+    )
+    scale_expr = (
+        "CAST(POW(2.0, CAST(GREATEST(LENGTH(CONV(iv, 10, 2)) - 4, 0) AS DOUBLE))"
+        " AS LONG)"
+    )
+    bucketed = ev.select(
+        "event_type",
+        F.expr(f"iv div {scale_expr}").alias("sub"),
+        F.expr(scale_expr).alias("scale"),
+    )
+    cells = bucketed.groupBy("event_type", "sub", "scale").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # midpoint of [sub*scale, (sub+1)*scale) in original units
+    mid = (
+        (F.col("sub") * F.col("scale") + (F.col("sub") + 1) * F.col("scale"))
+        .cast("double")
+        / 2.0
+        / 100.0
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("sub") * F.col("scale"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("event_type")
+    walked = cells.select(
+        "event_type",
+        mid.alias("mid"),
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(tot).alias("n"),
+    )
+    out = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+    aggs = [
+        F.round(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("mid")
+                )
+            ),
+            6,
+        ).alias(nm)
+        for nm, q in out
+    ]
+    return (
+        walked.groupBy("event_type")
+        .agg(F.max("n").alias("n"), *aggs)
+        .orderBy("event_type")
+    )
+
+
+EXT_HDR_QUANTILES_SQL = r"""
+WITH ev AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS iv FROM events
+),
+bucketed AS (
+  SELECT event_type,
+         iv // CAST(POW(2.0, GREATEST(LENGTH(bin(iv)) - 4, 0)) AS BIGINT) AS sub,
+         CAST(POW(2.0, GREATEST(LENGTH(bin(iv)) - 4, 0)) AS BIGINT) AS scale
+  FROM ev
+),
+cells AS (
+  SELECT event_type, sub, scale, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bucketed GROUP BY 1, 2, 3
+),
+walked AS (
+  SELECT event_type,
+         CAST(sub * scale + (sub + 1) * scale AS DOUBLE) / 2.0 / 100.0 AS mid,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY sub * scale) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM cells
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(MIN(CASE WHEN cum >= CEIL(0.50 * n) THEN mid END), 6) AS p50,
+       ROUND(MIN(CASE WHEN cum >= CEIL(0.90 * n) THEN mid END), 6) AS p90,
+       ROUND(MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN mid END), 6) AS p99
+FROM walked GROUP BY event_type ORDER BY event_type
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_incremental_dedup": ext_incremental_dedup,
+        "ext_type_correlations": ext_type_correlations,
+        "ext_hdr_quantiles": ext_hdr_quantiles,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_incremental_dedup": EXT_INCREMENTAL_DEDUP_SQL,
+        "ext_type_correlations": EXT_TYPE_CORRELATIONS_SQL,
+        "ext_hdr_quantiles": EXT_HDR_QUANTILES_SQL,
     }
 )
