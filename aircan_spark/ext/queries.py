@@ -5998,10 +5998,13 @@ def ext_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: Q21's EXISTS / NOT-EXISTS pair is collapsed into ONE
     per-order aggregation (distinct suppliers vs distinct late
-    suppliers) — the scalable rewrite. lineitem exchanges once on
-    l_orderkey; the per-order summary joins back on the same key (AQE
-    reuses the partitioning); supplier detail attaches to the tiny
-    culprit set by broadcast; the head is a k-bounded
+    suppliers) — the scalable rewrite. lineitem is scanned and joined
+    ONCE: the tagged frame collapses to (order, supplier, any_late)
+    first, the per-order summary aggregates that already-collapsed
+    frame, and the culprit filter joins the two on the SAME orderkey
+    partitioning (no second fact-table scan — a naive two-branch reuse
+    of the tagged frame would rescan lineitem). Supplier detail
+    attaches by broadcast; the head is a k-bounded
     TakeOrderedAndProject, never a global sort.
     """
     orders = (
@@ -6018,18 +6021,16 @@ def ext_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
         .alias("late"),
     )
-    per_order = tagged.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("ns"),
-        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nl"),
+    per_os = tagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
     )
-    culprit = (
-        tagged.filter(F.col("late"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .join(
-            per_order.filter((F.col("ns") > 1) & (F.col("nl") == 1)),
-            "l_orderkey",
-        )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("nl"),
+    )
+    culprit = per_os.filter(F.col("late")).join(
+        per_order.filter((F.col("ns") > 1) & (F.col("nl") == 1)),
+        "l_orderkey",
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -6556,9 +6557,8 @@ big AS (SELECT gram, COUNT(*) AS cab FROM pairs GROUP BY 1),
 ctx AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY 1),
 v AS (
   SELECT COUNT(DISTINCT w) AS vs FROM (
-    SELECT UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
-    FROM documents
-  ) WHERE w <> ''
+    SELECT UNNEST(string_split(gram, ' ')) AS w FROM big
+  )
 ),
 sc AS (
   SELECT p.doc_id, -LN((b.cab + 0.5) / (c.c1 + 0.5 * v.vs)) AS nll
@@ -6674,12 +6674,16 @@ def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination/redundancy map (two feeds with near-identical
     vocabulary are candidates for near-dup sweeps before training).
 
-    Scale shape: one exchange builds distinct (source, token) pairs;
-    the pair intersection is an inverted-index self-join ON TOKEN
-    (never source x source x docs), and per-source vocabulary sizes —
-    an O(sources) frame — broadcast onto the O(sources^2) result."""
+    Scale shape: one exchange builds distinct (source, token) pairs,
+    collapsed to a token -> sorted-source-array inverted index (arrays
+    bounded by the FEED count, not the corpus); pair intersections are
+    a row-local HOF expansion over that index (never a token self-join
+    whose hot tokens fan out quadratically in DATA size), and
+    per-source vocabulary sizes derive from the SAME index subtree
+    (AQE reuses the exchange) before broadcasting onto the
+    O(sources^2) result."""
     docs = _t(spark, sf_dir, "documents")
-    toks = (
+    idx = (
         docs.select(
             "source",
             F.explode(
@@ -6688,15 +6692,29 @@ def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("w") != "")
         .distinct()
+        .groupBy("w")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
     )
-    sizes = toks.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
-    a = toks.select(F.col("source").alias("source_a"), "w")
-    b = toks.select(F.col("source").alias("source_b"), "w")
+    srcs = F.col("srcs")
+    combos = F.flatten(
+        F.transform(
+            srcs,
+            lambda x, i: F.transform(
+                F.slice(srcs, i + 2, F.size(srcs)),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "w")
-        .filter(F.col("source_a") < F.col("source_b"))
+        idx.select(F.explode(combos).alias("p"))
+        .select("p.source_a", "p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = (
+        idx.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("v"))
     )
     return (
         inter.join(
@@ -6798,33 +6816,32 @@ def ext_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     demand-variability class from the coefficient of variation of
     monthly shipped quantity (X <= 0.35 steady, Y <= 0.6, Z erratic).
 
-    Scale shape: one (part) revenue exchange + one (part, month)
-    exchange collapsed to per-part integer-exact moment sums; the two
-    scalar thresholds broadcast. No global sort, no per-part windows."""
+    Scale shape: lineitem is scanned and exchanged ONCE into the
+    (part, month) grid carrying BOTH quantity and revenue partials;
+    per-part revenue and the CV moment sums are second-level aggs over
+    that already-collapsed grid sharing an identical subtree (AQE
+    reuses the shuffle stage, so the fact table is not rescanned for
+    the second branch); the two scalar thresholds broadcast. No global
+    sort, no per-part windows."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey",
-        "l_quantity",
-        "l_shipdate",
+        F.date_trunc("month", F.col("l_shipdate")).alias("m"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("iq"),
         (
             F.col("l_extendedprice").cast("decimal(18,6)")
             * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
         ).alias("rev"),
     )
-    rev = li.groupBy("l_partkey").agg(
-        F.sum("rev").cast("decimal(38,12)").alias("revenue")
+    monthly = li.groupBy("l_partkey", "m").agg(
+        F.sum("iq").alias("mq"),
+        F.sum("rev").cast("decimal(38,12)").alias("mrev"),
+    )
+    rev = monthly.groupBy("l_partkey").agg(
+        F.sum("mrev").cast("decimal(38,12)").alias("revenue")
     )
     thr = rev.agg(
         F.expr("percentile(CAST(revenue AS DOUBLE), 0.95)").alias("t95"),
         F.expr("percentile(CAST(revenue AS DOUBLE), 0.80)").alias("t80"),
-    )
-    monthly = (
-        li.select(
-            "l_partkey",
-            F.date_trunc("month", F.col("l_shipdate")).alias("m"),
-            F.round(F.col("l_quantity") * 100).cast("long").alias("iq"),
-        )
-        .groupBy("l_partkey", "m")
-        .agg(F.sum("iq").alias("mq"))
     )
     mq = F.col("mq")
     cvf = monthly.groupBy("l_partkey").agg(
@@ -6909,23 +6926,43 @@ def ext_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommendation-mining classic, built on the X160 co-occurrence
     shape.
 
-    Scale shape: baskets collapse to distinct (order, part) first; the
-    pair join is ORDER-keyed (fan-out bounded by parts-per-order, never
-    part-keyed); item counts and the basket-count scalar broadcast onto
-    the O(pairs) result; k-bounded head."""
+    Scale shape: the fact table is scanned ONCE and collapsed to
+    per-order sorted item ARRAYS (one exchange); pair expansion is a
+    row-local HOF over each basket (fan-out bounded by basket size
+    squared, never item-keyed, no self-join), and the basket frame's
+    identical subtree feeds pair counts, item counts, and the
+    basket-count scalar (AQE reuses the shuffle stage across the three
+    branches); k-bounded head."""
     li = _t(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+    )
+    items_col = F.col("items")
+    combos = F.flatten(
+        F.transform(
+            items_col,
+            lambda x, i: F.transform(
+                F.slice(items_col, i + 2, F.size(items_col)),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
+        baskets.select(F.explode(combos).alias("p"))
+        .select("p.pa", "p.pb")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= 2)
     )
-    items = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
-    n_orders = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    items = (
+        baskets.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     return (
         pairs.join(
             F.broadcast(items.select(F.col("l_partkey").alias("pa"), F.col("n_item").alias("n_a"))),

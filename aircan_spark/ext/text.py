@@ -633,12 +633,16 @@ def bigram_nll(
     here and normal there.
 
     Model: P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V), counts from the
-    corpus itself, V = distinct token count. Shape: bigrams are built
-    row-locally (array HOFs — no token-level explode to construct
-    them), counted in one exchange; the scoring join on the bigram key
-    reuses that exchange's partitioning under AQE, context counts join
-    on w1, and V broadcasts as a scalar. Documents with fewer than two
-    tokens have no bigrams and drop out (mirrored in the oracle)."""
+    corpus itself, V = distinct tokens observed in bigram positions.
+    Shape: bigrams are built row-locally (array HOFs — no token-level
+    explode to construct them) and counted in one exchange; context
+    counts c(w1) and the vocabulary scalar V both DERIVE from that
+    O(bigram-types) count table (c(w1) = Σ over grams starting with w1)
+    instead of re-tokenizing the corpus, so the documents are scanned
+    exactly twice (model build + scoring) rather than four times; at
+    100 TB the tokenized pair frame would be checkpointed once and
+    both sides read it. Documents with fewer than two tokens have no
+    bigrams and drop out (mirrored in the oracle)."""
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     idx = F.sequence(F.lit(0), F.size(words) - 2)
     pairs = (
@@ -656,9 +660,15 @@ def bigram_nll(
         .withColumn("w1", F.split(F.col("gram"), " ")[0])
     )
     big = pairs.groupBy("gram").agg(F.count(F.lit(1)).alias("cab"))
-    ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    toks = df.select(F.explode(words).alias("w")).filter(F.col("w") != "")
-    vsize = toks.agg(F.count_distinct("w").alias("v"))
+    ctx = (
+        big.withColumn("w1", F.split(F.col("gram"), " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("cab").alias("c1"))
+    )
+    vsize = (
+        big.select(F.explode(F.split(F.col("gram"), " ")).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
     scored = (
         pairs.join(big, "gram")
         .join(ctx, "w1")
