@@ -7450,3 +7450,222 @@ EXT_ORACLES.update(
         "ext_hdr_quantiles": EXT_HDR_QUANTILES_SQL,
     }
 )
+
+
+# --- round-3 wave: winnow overlap, embedding outliers, readability ------------
+
+
+def ext_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap (plagiarism-style) detection via MOD-p selected
+    rolling fingerprints: hash every word 3-gram, keep hashes ≡ 0
+    (mod 8) as each document's fingerprint set, and report pairs
+    sharing >= 2 selected prints. Content-addressed like X164's
+    containment but over a 1/8 SAMPLE of the shingle space — the
+    winnowing trade: the inverted index (and its join) shrinks 8x while
+    any shared run of >= 3 words still has a constant chance per
+    selected window of surfacing the pair.
+
+    The fingerprint here is an md5-derived 60-bit integer (NOT
+    xxhash64 like text.rolling_fingerprints) so the whole selection
+    replays exactly in any SQL engine. Scale shape: prints build
+    row-locally, the hot-print guard (doc_freq <= 64) caps inverted-
+    index fan-out, the pair join is print-keyed on bare ids."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup._shingle_array("text", 3)
+    h = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")  # noqa: E731
+    selected = F.array_distinct(
+        F.filter(F.transform(sh, h), lambda x: F.pmod(x, F.lit(8)) == 0)
+    )
+    pr = docs.select(
+        "doc_id", F.explode(selected).alias("p")
+    )
+    freq = pr.groupBy("p").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 64
+    )
+    kept = pr.join(freq.select("p"), "p")
+    a = kept.select(F.col("doc_id").alias("id_a"), "p")
+    b = kept.select(F.col("doc_id").alias("id_b"), "p")
+    return (
+        a.join(b, "p")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_prints"))
+        .filter(F.col("n_shared_prints") >= 2)
+        .orderBy("id_a", "id_b")
+    )
+
+
+EXT_WINNOW_OVERLAP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(TRIM(text), '\s+')) AS w,
+         generate_subscripts(string_split_regex(TRIM(text), '\s+'), 1) AS i
+  FROM documents
+),
+sh AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+),
+pr AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || SUBSTR(md5(s), 1, 15))::UBIGINT AS BIGINT) AS p
+  FROM sh
+  WHERE ('0x' || SUBSTR(md5(s), 1, 15))::UBIGINT % 8 = 0
+),
+freq AS (SELECT p FROM pr GROUP BY p HAVING COUNT(*) <= 64)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_prints
+FROM pr a JOIN freq fa ON a.p = fa.p
+JOIN pr b ON a.p = b.p AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+ORDER BY id_a, id_b
+"""
+
+
+def ext_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding label-outlier audit — the mislabeled-sample detector:
+    cosine of every vector to ITS OWN label's centroid, flagged when it
+    falls below the label's 5th percentile. Low cosine to your own
+    class centroid = probable labeling error or boundary sample; this
+    is the curation sweep run before training a classifier head.
+
+    Scale shape: centroids are the X38 decimal-exact means (rounded to
+    6 BEFORE use, so both engines score against bit-identical
+    centroids); the O(labels x dims) centroid table and O(labels)
+    norms/thresholds broadcast; vectors meet them in one row-local-ish
+    (vec_id-grouped) join — the corpus never shuffles on anything
+    data-sized except the posexplode regroup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = vectors.label_centroids(emb).select(
+        "label", "pos", "centroid_val"
+    )
+    cnorm = cent.groupBy("label").agg(
+        F.sum(F.col("centroid_val") * F.col("centroid_val")).alias("cn")
+    )
+    exploded = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
+    ).withColumn("pos", (F.col("pos0") + 1).cast("long"))
+    per_vec = (
+        exploded.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("v") * F.col("centroid_val")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("vn"),
+        )
+    )
+    scored = per_vec.join(F.broadcast(cnorm), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            F.col("dot") / F.sqrt(F.col("vn") * F.col("cn")), 6
+        ).alias("cos_to_centroid"),
+    )
+    thr = scored.groupBy("label").agg(
+        F.expr("percentile(cos_to_centroid, 0.05)").alias("t05")
+    )
+    return (
+        scored.join(F.broadcast(thr), "label")
+        .select(
+            "vec_id",
+            "label",
+            "cos_to_centroid",
+            (F.col("cos_to_centroid") < F.col("t05")).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+EXT_LABEL_OUTLIERS_SQL = r"""
+WITH u AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos,
+         ROUND(CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS c
+  FROM u GROUP BY label, pos
+),
+cnorm AS (SELECT label, SUM(c * c) AS cn FROM cent GROUP BY label),
+per_vec AS (
+  SELECT u.vec_id, u.label,
+         SUM(u.v * cent.c) AS dot, SUM(u.v * u.v) AS vn
+  FROM u JOIN cent ON u.label = cent.label AND u.pos = cent.pos
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.vec_id, p.label,
+         ROUND(p.dot / SQRT(p.vn * n.cn), 6) AS cos_to_centroid
+  FROM per_vec p JOIN cnorm n ON p.label = n.label
+),
+thr AS (
+  SELECT label, quantile_cont(cos_to_centroid, 0.05) AS t05
+  FROM scored GROUP BY label
+)
+SELECT s.vec_id, s.label, s.cos_to_centroid,
+       s.cos_to_centroid < t.t05 AS is_outlier
+FROM scored s JOIN thr t ON s.label = t.label
+ORDER BY vec_id
+"""
+
+
+def ext_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-reading-ease-style readability per document (vowel-group
+    syllable proxy): 206.835 - 1.015*(words/sentences) -
+    84.6*(syllable_groups/words) — the classic text-difficulty signal a
+    curation pipeline buckets corpora by. All counts are row-local
+    regexp scans fused into the parquet read; one O(docs) projection,
+    zero shuffle before the output sort."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    sents = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syll = F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+"))
+    return docs.select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syll.alias("n_syllable_groups"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * words.cast("double") / sents
+            - F.lit(84.6) * syll.cast("double") / words,
+            4,
+        ).alias("flesch_score"),
+    ).orderBy("doc_id")
+
+
+EXT_READABILITY_SQL = r"""
+SELECT doc_id,
+       LEN(string_split_regex(TRIM(text), '\s+')) AS n_words,
+       GREATEST(LEN(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+       LEN(regexp_extract_all(LOWER(text), '[aeiouy]+')) AS n_syllable_groups,
+       ROUND(206.835
+             - 1.015 * CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS DOUBLE)
+               / GREATEST(LEN(regexp_extract_all(text, '[.!?]+')), 1)
+             - 84.6 * CAST(LEN(regexp_extract_all(LOWER(text), '[aeiouy]+')) AS DOUBLE)
+               / LEN(string_split_regex(TRIM(text), '\s+')), 4) AS flesch_score
+FROM documents ORDER BY doc_id
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_winnow_overlap": ext_winnow_overlap,
+        "ext_label_outliers": ext_label_outliers,
+        "ext_readability": ext_readability,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_winnow_overlap": EXT_WINNOW_OVERLAP_SQL,
+        "ext_label_outliers": EXT_LABEL_OUTLIERS_SQL,
+        "ext_readability": EXT_READABILITY_SQL,
+    }
+)
