@@ -7669,3 +7669,185 @@ EXT_ORACLES.update(
         "ext_readability": EXT_READABILITY_SQL,
     }
 )
+
+
+# --- round-3 wave: novelty, balancing, integrity ------------------------------
+
+
+def ext_kl_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty score: KL divergence of the document's
+    unigram distribution from the corpus unigram distribution —
+    high-KL docs use language the corpus doesn't (novel or noisy),
+    low-KL docs are statistically generic; the diversity-vs-typicality
+    axis a data-mixing pipeline samples along.
+
+    Scale shape: ONE (doc, word) count exchange; the corpus word
+    distribution DERIVES from that same table (Σ over docs — AQE
+    reuses the stage rather than re-tokenizing), joins back on the
+    word key, and the corpus-size scalar broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    dw = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    doc_len = dw.groupBy("doc_id").agg(F.sum("c").alias("dl"))
+    corpus = dw.groupBy("w").agg(F.sum("c").alias("cw"))
+    total = corpus.agg(F.sum("cw").alias("n"))
+    scored = (
+        dw.join(F.broadcast(corpus), "w")
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__term",
+            (F.col("c") / F.col("dl"))
+            * F.log(
+                (F.col("c").cast("double") / F.col("dl"))
+                / (F.col("cw").cast("double") / F.col("n"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("__term"), 6).alias("kl_novelty"),
+            F.max("dl").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXT_KL_NOVELTY_SQL = r"""
+WITH dw AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT doc_id,
+           UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY 1, 2
+),
+doc_len AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dl FROM dw GROUP BY 1),
+corpus AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM dw GROUP BY 1),
+total AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM corpus)
+SELECT d.doc_id AS doc_id,
+       ROUND(SUM((CAST(d.c AS DOUBLE) / l.dl)
+                 * LN((CAST(d.c AS DOUBLE) / l.dl) / (CAST(c.cw AS DOUBLE) / t.n))), 6)
+         AS kl_novelty,
+       MAX(l.dl) AS n_tokens
+FROM dw d
+JOIN corpus c ON d.w = c.w
+JOIN doc_len l ON d.doc_id = l.doc_id
+CROSS JOIN total t
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
+def ext_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: cap every language's documents at
+    2x the MINORITY language's count, chosen in deterministic md5
+    order — the imbalance fix applied before training a classifier on
+    skewed labels (majority classes shrink, minority survives whole).
+
+    Scale shape: class counts are one tiny agg whose min broadcasts
+    back as the cap scalar; selection is row_number over (class, hash)
+    — WindowGroupLimit prunes map-side once the cap is known, so no
+    task ever holds more than cap rows per class."""
+    from aircan_spark.ext.sampling import shuffle_key
+
+    docs = _t(spark, sf_dir, "documents")
+    cap = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).agg(
+        (F.min("n") * 2).alias("cap")
+    )
+    w = Window.partitionBy("lang").orderBy(shuffle_key(F.col("doc_id"), 13))
+    return (
+        docs.withColumn("__r", F.row_number().over(w))
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("__r") <= F.col("cap"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+EXT_BALANCED_SAMPLE_SQL = r"""
+WITH cap AS (
+  SELECT MIN(n) * 2 AS cap FROM (
+    SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+  )
+),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('13-' || CAST(doc_id AS VARCHAR))
+         ) AS r
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked CROSS JOIN cap
+WHERE r <= cap ORDER BY doc_id
+"""
+
+
+def ext_integrity_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard data-integrity checksums for transfer/export
+    validation: order-independent BIT_XOR of each document's
+    md5-derived 60-bit content hash plus row counts, per the same 16
+    portable hash shards as the X173 manifest. Receiving side recomputes
+    the same two numbers and compares — any lost, duplicated, or
+    corrupted row flips the checksum.
+
+    Scale shape: row-local hashing, one 16-group partial-agged
+    exchange; XOR is commutative/associative so partials combine in
+    any order (the property that makes it a SHUFFLE-SAFE checksum,
+    unlike a concatenation digest)."""
+    from aircan_spark.ext.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    content_hash = F.conv(
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        docs.select(
+            F.pmod(hash_bucket(F.col("doc_id"), seed=7), F.lit(16)).alias("shard"),
+            content_hash.alias("h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("xor_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+EXT_INTEGRITY_CHECKSUMS_SQL = r"""
+WITH b AS (
+  SELECT (('0x' || SUBSTR(md5('7-' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+          % 10000) % 16 AS shard,
+         CAST(('0x' || SUBSTR(md5(text), 1, 15))::UBIGINT AS BIGINT) AS h
+  FROM documents
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(BIT_XOR(h) AS BIGINT) AS xor_checksum
+FROM b GROUP BY shard ORDER BY shard
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_kl_novelty": ext_kl_novelty,
+        "ext_balanced_sample": ext_balanced_sample,
+        "ext_integrity_checksums": ext_integrity_checksums,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_kl_novelty": EXT_KL_NOVELTY_SQL,
+        "ext_balanced_sample": EXT_BALANCED_SAMPLE_SQL,
+        "ext_integrity_checksums": EXT_INTEGRITY_CHECKSUMS_SQL,
+    }
+)
