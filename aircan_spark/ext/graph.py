@@ -147,3 +147,50 @@ def bfs_depths(
             f"graph is deeper than the round budget from node {source!r}"
         )
     return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation: every node
+    starts labelled with its own id; each round, a node adopts the label
+    most frequent among its NEIGHBORS' current labels (ties broken by
+    the smallest label — fully deterministic, so a SQL oracle can unroll
+    the exact same rounds). Fixed iteration count, no convergence test.
+    Returns (id, community).
+
+    The LPA vote differs from connected components (hash-min, which
+    floods one label per connected region): dense clusters keep their
+    own majority labels, so communities FINER than components emerge.
+
+    Scale shape per round: one join of the O(nodes) label vector to the
+    symmetrized edge list (shuffle on the neighbor key), one
+    (node, label) count exchange, one argmax-by-struct per node (MAX of
+    (count, -label) — no per-node window sort). Lineage truncated per
+    round with localCheckpoint. Nodes are the edge endpoints; isolated
+    nodes are the caller's concern."""
+    e = _canonical_edges(edges, src, dst)
+    sym = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = sym.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    ).localCheckpoint()
+    for _ in range(iters):
+        votes = (
+            sym.join(
+                labels.select(F.col("id").alias("v"), "lbl"), "v"
+            )
+            .groupBy(F.col("u").alias("id"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("id")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("nl"))).alias("m"))
+            .select("id", (-F.col("m.nl")).alias("lbl"))
+            .localCheckpoint()
+        )
+    return labels.select("id", F.col("lbl").alias("community"))

@@ -7851,3 +7851,103 @@ EXT_ORACLES.update(
         "ext_integrity_checksums": EXT_INTEGRITY_CHECKSUMS_SQL,
     }
 )
+
+
+def ext_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product communities by label propagation over the co-purchase
+    graph (parts bought together in >= 2 orders): three synchronous
+    LPA rounds with deterministic min-label tie-breaks — the
+    category-discovery step recommendation pipelines run on the X181
+    association graph. Communities are FINER than connected components
+    (the LPA vote keeps dense clusters distinct where hash-min floods).
+
+    Scale shape: edges come from the row-local basket-combo expansion
+    (one fact scan); each LPA round is one O(nodes) label join + one
+    (node,label) exchange + an argmax-by-struct (no per-node window
+    sort); lineage checkpointed per round."""
+    from aircan_spark.ext import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+    )
+    items_col = F.col("items")
+    combos = F.flatten(
+        F.transform(
+            items_col,
+            lambda x, i: F.transform(
+                F.slice(items_col, i + 2, F.size(items_col)),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    edges = (
+        baskets.select(F.explode(combos).alias("p"))
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+        .select("pa", "pb")
+    )
+    comm = graph.label_propagation(edges, "pa", "pb", iters=3)
+    sizes = comm.groupBy("community").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return (
+        comm.join(sizes, "community")
+        .select("id", "community", "community_size")
+        .orderBy("id")
+    )
+
+
+EXT_COMMUNITIES_SQL = r"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+sym AS (SELECT pa AS u, pb AS v FROM pairs UNION ALL SELECT pb, pa FROM pairs),
+l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM sym),
+v1 AS (
+  SELECT s.u AS id, l.lbl, COUNT(*) AS cnt
+  FROM sym s JOIN l0 l ON s.v = l.id GROUP BY 1, 2
+),
+l1 AS (
+  SELECT id, lbl FROM (
+    SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, lbl ASC) AS r
+    FROM v1
+  ) WHERE r = 1
+),
+v2 AS (
+  SELECT s.u AS id, l.lbl, COUNT(*) AS cnt
+  FROM sym s JOIN l1 l ON s.v = l.id GROUP BY 1, 2
+),
+l2 AS (
+  SELECT id, lbl FROM (
+    SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, lbl ASC) AS r
+    FROM v2
+  ) WHERE r = 1
+),
+v3 AS (
+  SELECT s.u AS id, l.lbl, COUNT(*) AS cnt
+  FROM sym s JOIN l2 l ON s.v = l.id GROUP BY 1, 2
+),
+l3 AS (
+  SELECT id, lbl FROM (
+    SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, lbl ASC) AS r
+    FROM v3
+  ) WHERE r = 1
+),
+sizes AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n FROM l3 GROUP BY 1)
+SELECT l3.id AS id, l3.lbl AS community, sizes.n AS community_size
+FROM l3 JOIN sizes ON l3.lbl = sizes.lbl
+ORDER BY id
+"""
+
+
+EXT_QUERIES.update({"ext_communities": ext_communities})
+EXT_ORACLES.update({"ext_communities": EXT_COMMUNITIES_SQL})

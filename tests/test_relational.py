@@ -917,3 +917,26 @@ def test_bfs_depths_chain_and_budget(spark):
     # depth budget raises explicitly rather than returning partial depths
     with _pytest.raises(RuntimeError, match="max_depth"):
         graph.bfs_depths(chain, source=0, max_depth=3)
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    """Two 4-cliques joined by ONE bridge edge: CC floods them into one
+    component, but the LPA neighbor vote keeps two communities — the
+    semantic difference that makes LPA community detection, not
+    connectivity."""
+    from aircan_spark.ext import dedup, graph
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    comm = {r["id"]: r["community"] for r in graph.label_propagation(df).collect()}
+    left = {comm[i] for i in (1, 2, 3)}
+    right = {comm[i] for i in (11, 12, 13)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right  # two communities survive the bridge
+    cc = dedup.connected_components(
+        df.selectExpr("src as id_a", "dst as id_b")
+    )
+    assert len({r["component"] for r in cc.collect()}) == 1  # CC merges all
