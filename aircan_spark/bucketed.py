@@ -360,6 +360,61 @@ class BucketedParquetTable:
             }
         )
 
+    def delete(self, keys_df: DataFrame) -> int:
+        """Targeted key delete (GDPR / right-to-be-forgotten): remove
+        every row whose key tuple appears in ``keys_df``, touching ONLY
+        the buckets those keys hash to — work ∝ (keys + affected
+        buckets), so purging a handful of users from a 100 TB table
+        rewrites a few buckets, never the table. Commits a new snapshot
+        atomically (the pre-delete version stays time-travel-readable
+        until GC retires it — an auditable tombstone window); ``max_id``
+        is preserved so future inserts never reuse a deleted row's id.
+        Returns the number of rows deleted."""
+        m = self.manifest()
+        if m is None:
+            raise FileNotFoundError(
+                f"table {self.name} does not exist at {self.path}"
+            )
+        keys_proj = keys_df.select(*self.keys).distinct()
+        affected = sorted(
+            r[_BUCKET]
+            for r in self._with_bucket(keys_proj)
+            .select(_BUCKET)
+            .distinct()
+            .collect()
+        )
+        if not affected:
+            return 0
+        target_sub = self.read(buckets=affected)
+        n_before = target_sub.count()
+        remaining = target_sub.join(keys_proj, on=self.keys, how="left_anti")
+        v = m["version"] + 1
+        data_dir = self._write_buckets(self._with_bucket(remaining), v)
+        buckets = dict(m["buckets"])
+        # affected buckets are wholly replaced by the rewrite — possibly
+        # by nothing, when every row of a bucket matched the delete set
+        for b in affected:
+            buckets[str(b)] = []
+        for b in self._present_buckets(data_dir):
+            buckets[str(b)] = [f"{data_dir}/{_BUCKET}={b}"]
+        present = self._present_buckets(data_dir)
+        n_after = (
+            self.spark.read.parquet(os.path.join(self.path, data_dir)).count()
+            if present
+            else 0
+        )
+        self._commit(
+            {
+                "version": v,
+                "num_buckets": self.num_buckets,
+                "keys": self.keys,
+                "max_id": int(m["max_id"]),
+                "buckets": buckets,
+                "schema": m["schema"],
+            }
+        )
+        return n_before - n_after
+
     def compact(self, min_dirs: int = 2) -> list[int]:
         """Rewrite buckets fragmented across >= ``min_dirs`` data dirs into
         one dir each (the small-file maintenance op — appends accumulate a

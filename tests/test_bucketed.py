@@ -281,3 +281,51 @@ def test_diff_versions_insert_update_delete(spark, tmp_path):
     t.overwrite(base_df(spark, n=3))
     diff2 = {r["k"]: r["change"] for r in t.diff_versions(v2).collect()}
     assert any(v == "deleted" for v in diff2.values())
+
+
+def test_delete_partial_rewrite_and_time_travel(spark, tmp_path):
+    """Targeted delete: removes exactly the keyed rows, rewrites ONLY
+    the affected buckets (untouched pointers survive verbatim), keeps
+    max_id (no id reuse), and the pre-delete snapshot stays readable."""
+    t = BucketedParquetTable(spark, str(tmp_path), "t", keys=["k"], num_buckets=8)
+    t.overwrite(base_df(spark))
+    before = {b: dirs[:] for b, dirs in t.manifest()["buckets"].items()}
+
+    keys = spark.createDataFrame([(5,), (7,), (64,)], "k long")
+    from aircan_spark.bucketed import bucket_expr
+    affected = {
+        r["__b"]
+        for r in keys.select(bucket_expr(["k"], 8).alias("__b")).distinct().collect()
+    }
+
+    n = t.delete(keys)
+    assert n == 3
+    got = t.read()
+    assert got.count() == 97
+    assert got.filter(F.col("k").isin(5, 7, 64)).count() == 0
+    # untouched buckets keep their original manifest pointers verbatim
+    after = t.manifest()["buckets"]
+    for b, dirs in before.items():
+        if int(b) not in affected:
+            assert after[b] == dirs
+    # max_id preserved -> future inserts continue numbering, never reuse
+    assert t.max_id() == 100
+    # time travel: the pre-delete version still shows the deleted rows
+    old = t.read_version(1)
+    assert old.filter(F.col("k").isin(5, 7, 64)).count() == 3
+
+
+def test_delete_empty_keys_and_whole_bucket(spark, tmp_path):
+    t = BucketedParquetTable(spark, str(tmp_path), "t", keys=["k"], num_buckets=4)
+    t.overwrite(base_df(spark, n=20))
+    assert t.delete(spark.createDataFrame([], "k long")) == 0
+    assert t.manifest()["version"] == 1  # no-op did not commit
+    # delete every key of one bucket: bucket entry empties, reads stay fine
+    from aircan_spark.bucketed import bucket_expr
+    all_rows = t.read().select("k", bucket_expr(["k"], 4).alias("__b"))
+    target_b = all_rows.first()["__b"]
+    bucket_keys = all_rows.filter(F.col("__b") == target_b).select("k")
+    n_bucket = bucket_keys.count()
+    assert t.delete(bucket_keys) == n_bucket
+    assert t.read().count() == 20 - n_bucket
+    assert t.manifest()["buckets"][str(target_b)] == []
