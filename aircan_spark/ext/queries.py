@@ -7951,3 +7951,225 @@ ORDER BY id
 
 EXT_QUERIES.update({"ext_communities": ext_communities})
 EXT_ORACLES.update({"ext_communities": EXT_COMMUNITIES_SQL})
+
+
+# --- round-3 wave: information-theoretic + survival analytics -----------------
+
+
+def ext_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and ISO weekday (plus the
+    marginal entropies and the normalized coefficient) — the
+    information-theoretic dependence audit: chi-square (X118) answers
+    "are they dependent?", MI answers "by how many nats?", comparable
+    across feature pairs for feature selection.
+
+    Scale shape: one (type x 7-weekday) contingency exchange; margins
+    and totals DERIVE from the cell table (no rescan); the final
+    reduction is over O(cells) rows. Counts are exact integers; the one
+    double expression rounds at the end."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (((F.dayofweek("ts") + F.lit(5)) % 7) + 1).alias("wd"),
+    )
+    cells = ev.groupBy("event_type", "wd").agg(F.count(F.lit(1)).alias("c"))
+    mx = cells.groupBy("event_type").agg(F.sum("c").alias("cx"))
+    my = cells.groupBy("wd").agg(F.sum("c").alias("cy"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    joined = (
+        cells.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "wd")
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("n").cast("double")
+    pxy = F.col("c") / n
+    mi_term = pxy * F.log(pxy / ((F.col("cx") / n) * (F.col("cy") / n)))
+    agg = joined.agg(
+        F.max("n").alias("n_events"),
+        F.sum(mi_term).alias("mi"),
+    )
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        F.sum(-(F.col("cx") / F.col("n")) * F.log(F.col("cx") / F.col("n"))).alias("h_type")
+    )
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        F.sum(-(F.col("cy") / F.col("n")) * F.log(F.col("cy") / F.col("n"))).alias("h_weekday")
+    )
+    return (
+        agg.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("mi", 6).alias("mi_nats"),
+            F.round("h_type", 6).alias("h_type"),
+            F.round("h_weekday", 6).alias("h_weekday"),
+            F.round(
+                F.col("mi") / F.sqrt(F.col("h_type") * F.col("h_weekday")), 6
+            ).alias("nmi"),
+        )
+    )
+
+
+EXT_MUTUAL_INFORMATION_SQL = r"""
+WITH ev AS (
+  SELECT event_type, isodow(ts) AS wd FROM events
+),
+cells AS (
+  SELECT event_type, wd, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+),
+mx AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
+my AS (SELECT wd, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+mi AS (
+  SELECT SUM((CAST(c.c AS DOUBLE) / t.n)
+             * LN((CAST(c.c AS DOUBLE) / t.n)
+                  / ((CAST(x.cx AS DOUBLE) / t.n) * (CAST(y.cy AS DOUBLE) / t.n)))) AS mi,
+         MAX(t.n) AS n_events
+  FROM cells c JOIN mx x ON c.event_type = x.event_type
+  JOIN my y ON c.wd = y.wd CROSS JOIN tot t
+),
+hx AS (
+  SELECT SUM(-(CAST(cx AS DOUBLE) / t.n) * LN(CAST(cx AS DOUBLE) / t.n)) AS h_type
+  FROM mx CROSS JOIN tot t
+),
+hy AS (
+  SELECT SUM(-(CAST(cy AS DOUBLE) / t.n) * LN(CAST(cy AS DOUBLE) / t.n)) AS h_weekday
+  FROM my CROSS JOIN tot t
+)
+SELECT CAST(mi.n_events AS BIGINT) AS n_events,
+       ROUND(mi.mi, 6) AS mi_nats,
+       ROUND(hx.h_type, 6) AS h_type,
+       ROUND(hy.h_weekday, 6) AS h_weekday,
+       ROUND(mi.mi / SQRT(hx.h_type * hy.h_weekday), 6) AS nmi
+FROM mi CROSS JOIN hx CROSS JOIN hy
+"""
+
+
+def ext_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase: per user,
+    duration = days from their first event to their first purchase
+    (event) or to the corpus horizon (censored); S(t) steps down at
+    each event day by (1 - d_t / n_at_risk_t) — THE churn/conversion
+    time-to-event estimator, with censoring handled correctly (naive
+    conversion-rate-by-day ignores users still at risk).
+
+    Scale shape: users collapse in one exchange (min ts, min purchase
+    ts); durations aggregate to the O(days) axis; risk sets and the
+    product come from two windows over that tiny axis (product as
+    exp(sum(ln)) — associative, engine-identical after rounding)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("hz"))
+    dur = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("tp").isNotNull(),
+            F.datediff(F.to_date("tp"), F.to_date("t0")),
+        )
+        .otherwise(F.datediff(F.col("hz"), F.to_date("t0")))
+        .alias("t"),
+        F.col("tp").isNotNull().alias("event"),
+    )
+    days = dur.groupBy("t").agg(
+        F.sum(F.when(F.col("event"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(~F.col("event"), 1).otherwise(0)).alias("cens"),
+    )
+    total = days.agg(F.sum(F.col("d") + F.col("cens")).alias("n_users"))
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = (
+        days.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_users")
+            - F.coalesce(F.sum(F.col("d") + F.col("cens")).over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "__f", F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")
+        )
+        # a zero factor (everyone remaining converts) can only be the
+        # terminal row; guard ln() and pin S(t) to exactly 0 there —
+        # Spark's ln(0)=NULL would silently DROP the term from the sum
+        .withColumn(
+            "__zero",
+            F.max(F.when(F.col("__f") <= 0.0, 1).otherwise(0)).over(w_cum),
+        )
+        .withColumn(
+            "survival",
+            F.when(F.col("__zero") == 1, F.lit(0.0)).otherwise(
+                F.exp(
+                    F.sum(
+                        F.when(F.col("__f") > 0.0, F.log("__f")).otherwise(0.0)
+                    ).over(w_cum)
+                )
+            ),
+        )
+    )
+    return risk.filter(F.col("d") > 0).select(
+        "t",
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.col("cens").alias("n_censored"),
+        F.round("survival", 6).alias("survival"),
+    ).orderBy("t")
+
+
+EXT_SURVIVAL_SQL = r"""
+WITH per_user AS (
+  SELECT user_id, MIN(ts) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+  FROM events GROUP BY 1
+),
+hz AS (SELECT MAX(CAST(ts AS DATE)) AS hz FROM events),
+dur AS (
+  SELECT CASE WHEN tp IS NOT NULL
+              THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+              ELSE date_diff('day', CAST(t0 AS DATE), hz) END AS t,
+         tp IS NOT NULL AS event
+  FROM per_user CROSS JOIN hz
+),
+days AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS cens
+  FROM dur GROUP BY 1
+),
+total AS (SELECT CAST(SUM(d + cens) AS BIGINT) AS n_users FROM days),
+risk AS (
+  SELECT t, d, cens,
+         n_users - COALESCE(SUM(d + cens) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM days CROSS JOIN total
+),
+surv AS (
+  SELECT t, d, cens, n_risk,
+         CASE WHEN MAX(CASE WHEN 1.0 - CAST(d AS DOUBLE) / n_risk <= 0 THEN 1 ELSE 0 END)
+                   OVER cum = 1
+              THEN 0.0
+              ELSE EXP(SUM(CASE WHEN 1.0 - CAST(d AS DOUBLE) / n_risk > 0
+                                THEN LN(1.0 - CAST(d AS DOUBLE) / n_risk)
+                                ELSE 0.0 END) OVER cum) END AS survival
+  FROM risk
+  WINDOW cum AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events, cens AS n_censored,
+       ROUND(survival, 6) AS survival
+FROM surv WHERE d > 0 ORDER BY t
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_mutual_information": ext_mutual_information,
+        "ext_survival_curve": ext_survival_curve,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_mutual_information": EXT_MUTUAL_INFORMATION_SQL,
+        "ext_survival_curve": EXT_SURVIVAL_SQL,
+    }
+)
