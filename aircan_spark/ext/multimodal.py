@@ -433,3 +433,63 @@ def audio_features(df: DataFrame, fake: bool = False, assumed_rate: int = 16_000
             )
 
     return df.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
+AUDIO_WINDOWS_SCHEMA = (
+    "media_id long, window_idx long, t_start_s double, rms double, is_silence boolean"
+)
+
+
+def audio_rms_windows(
+    df: DataFrame,
+    window_s: float = 0.05,
+    silence_rms: float = 0.01,
+) -> DataFrame:
+    """Windowed audio energy profile: split each decodable PCM WAV into
+    fixed ``window_s`` windows and emit per-window RMS plus a silence
+    flag — the voice-activity/segmentation primitive an audio curation
+    pipeline runs before transcription (drop silent spans, locate
+    speech). The trailing partial window is kept (RMS over its actual
+    samples).
+
+    Engine shape: Arrow-batched ``mapInPandas`` over the REAL stdlib
+    WAV decode (:func:`wav_features`'s parser); per-file work,
+    embarrassingly parallel, zero shuffle — the output fans out one row
+    per window, so the operator is its own Generate. Non-WAV codecs
+    produce no rows (the soundfile/librosa seam)."""
+    import io
+    import wave
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "window_idx": [], "t_start_s": [],
+                "rms": [], "is_silence": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None or bytes(blob[:4]) != b"RIFF":
+                    continue
+                try:
+                    with wave.open(io.BytesIO(bytes(blob))) as w:
+                        rate, width = w.getframerate(), w.getsampwidth()
+                        raw = w.readframes(w.getnframes())
+                except (wave.Error, EOFError):
+                    continue
+                if width not in _PCM_NORM or rate <= 0:
+                    continue
+                dtype, offset, scale = _PCM_NORM[width]
+                x = (np.frombuffer(raw, dtype=dtype).astype("float64") - offset) / scale
+                step = max(int(round(window_s * rate)), 1)
+                for wi in range(0, max((len(x) + step - 1) // step, 0)):
+                    seg = x[wi * step : (wi + 1) * step]
+                    rms = float(np.sqrt((seg * seg).mean())) if len(seg) else 0.0
+                    out["media_id"].append(mid)
+                    out["window_idx"].append(wi)
+                    out["t_start_s"].append(round(wi * step / rate, 6))
+                    out["rms"].append(round(rms, 6))
+                    out["is_silence"].append(rms < silence_rms)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, AUDIO_WINDOWS_SCHEMA)

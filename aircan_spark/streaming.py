@@ -543,3 +543,59 @@ def stream_bottomk_maintenance(
         checkpoint_dir=checkpoint_dir,
         available_now=available_now,
     )
+
+
+def stream_quality_gate(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    table,
+    checkpoint_dir: str,
+    checks: list[dict],
+    quarantine_dir: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = False,
+):
+    """Streaming ingest with a per-batch quality gate and dead-letter
+    quarantine: every micro-batch runs the one-scan expectation suite
+    (profile.expectations — the X150 gate); batches with any failing
+    check are written WHOLE to ``quarantine_dir`` (append, with a
+    ``_batch_id`` audit column) instead of the table, so one poisoned
+    upstream file never contaminates the warehouse and nothing is ever
+    dropped silently. Clean batches append through the batch engine's
+    own numbered write path (A1 semantics), giving the same
+    idempotent-replay story as ``stream_ingest``.
+
+    This is the DLQ pattern every production ingest runs; at scale the
+    gate costs ONE aggregate pass per batch (all checks
+    partial-aggregable)."""
+    from aircan_spark import profile as _profile
+    from aircan_spark.rownum import with_row_number as _wrn
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(source_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        report = _profile.expectations(batch_df, checks)
+        failed = report.filter(~F.col("passed")).count() > 0
+        if failed:
+            (
+                batch_df.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(quarantine_dir)
+            )
+            return
+        start = table.max_id() + 1
+        table.append(_wrn(batch_df, start=start))
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -861,3 +861,42 @@ def test_bigram_nll_prefers_coherent_sequences(spark):
     assert out[99] > out[0]  # rare-context doc scores higher NLL
     n = {r["doc_id"]: r["n_bigrams"] for r in text.bigram_nll(df).collect()}
     assert n[0] == 7
+
+
+def test_audio_rms_windows_real_decode(spark):
+    """Windowed RMS over a synthesized WAV: half tone / half silence —
+    windows in the tone half carry the sine RMS (~0.707*amp), windows in
+    the silent half flag as silence; window math matches the sample
+    count exactly."""
+    import numpy as np
+
+    from aircan_spark.ext import multimodal as mm
+
+    rate, secs = 8000, 0.2
+    t = np.arange(int(rate * secs)) / rate
+    tone = (0.5 * np.sin(2 * np.pi * 440.0 * t) * 32767).astype("<i2")
+    silence = np.zeros(int(rate * secs), dtype="<i2")
+    samples = np.concatenate([tone, silence])
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(samples.tobytes())
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"notawav"))],
+        "media_id long, content binary",
+    )
+    out = mm.audio_rms_windows(df, window_s=0.05, silence_rms=0.01).collect()
+    rows = [r for r in out if r["media_id"] == 1]
+    assert all(r["media_id"] == 1 for r in out)  # non-WAV yields no rows
+    # 0.4 s / 0.05 s = 8 windows exactly
+    assert len(rows) == 8
+    tone_rms = [r for r in rows if r["window_idx"] < 4]
+    silent = [r for r in rows if r["window_idx"] >= 4]
+    assert all(abs(r["rms"] - 0.3536) < 0.01 for r in tone_rms)  # 0.5/sqrt(2)
+    assert all(r["is_silence"] for r in silent)
+    assert all(not r["is_silence"] for r in tone_rms)
+    assert rows[5]["t_start_s"] == 0.25

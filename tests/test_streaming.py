@@ -526,3 +526,49 @@ def test_stream_bottomk_maintenance_matches_batch(spark, tmp_path):
         ["item"], k=100, seed=5,
     )
     assert sorted(map(tuple, stored.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_stream_quality_gate_quarantines_bad_batches(spark, tmp_path):
+    """DLQ pattern: a poisoned file fails the expectation gate and lands
+    whole in quarantine; clean batches append with continuing ids; the
+    table never sees the bad rows."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from aircan_spark.streaming import stream_quality_gate
+    from aircan_spark.table import ParquetTable
+
+    src = tmp_path / "src"
+    src.mkdir()
+    good1 = [{"k": i, "val": float(i % 50)} for i in range(100)]
+    bad = [{"k": i, "val": 999.0 if i == 7 else 1.0} for i in range(40)]
+    good2 = [{"k": i, "val": 2.0} for i in range(60)]
+    for name, rows in (("a_good1", good1), ("b_bad", bad), ("c_good2", good2)):
+        with open(src / f"{name}.json", "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("val", T.DoubleType())]
+    )
+    table = ParquetTable(spark, str(tmp_path / "tbl"), "t")
+    q = stream_quality_gate(
+        spark, str(src), schema, table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        checks=[{"column": "val", "kind": "max", "max": 100}],
+        quarantine_dir=str(tmp_path / "dlq"),
+        max_files_per_trigger=1,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = table.read()
+    assert got.count() == 160  # both clean files, no bad rows
+    assert got.filter(F.col("val") > 100).count() == 0
+    ids = [r["_id"] for r in got.select("_id").collect()]
+    assert sorted(ids) == list(range(1, 161))  # numbering continues across batches
+    dlq = spark.read.parquet(str(tmp_path / "dlq"))
+    assert dlq.count() == 40
+    assert "_batch_id" in dlq.columns
+    assert dlq.filter(F.col("val") == 999.0).count() == 1
