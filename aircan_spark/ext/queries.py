@@ -8173,3 +8173,235 @@ EXT_ORACLES.update(
         "ext_survival_curve": EXT_SURVIVAL_SQL,
     }
 )
+
+
+# --- round-3 wave: dataset card, quantile norm, negatives, SQL surface --------
+
+
+def ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card / datasheet for the document corpus: sizes,
+    language/source cardinalities, token totals and median, exact-dup
+    rate — the summary block a dataset release publishes, produced in
+    one scan plus O(1) aggregates.
+
+    Scale shape: a single partial-aggregable pass (counts, sums,
+    distincts over scan-fused row-local projections); the token median
+    is the only percentile and runs over the collapsed per-doc token
+    counts."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    h = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).cast("binary")
+    )
+    base = docs.select(
+        toks.alias("t"),
+        F.octet_length("text").alias("b"),
+        h.alias("h"),
+        "lang",
+        "source",
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum("t").alias("total_tokens"),
+        F.sum("b").alias("total_bytes"),
+        F.round(F.avg("t"), 4).alias("mean_doc_tokens"),
+        F.expr("percentile(t, 0.5)").alias("median_doc_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.count_distinct("h").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("exact_dup_rate"),
+    )
+
+
+EXT_DATASET_CARD_SQL = r"""
+WITH base AS (
+  SELECT LEN(string_split_regex(TRIM(text), '\s+')) AS t,
+         strlen(text) AS b,
+         md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS h,
+         lang, source
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(t) AS BIGINT) AS total_tokens,
+       CAST(SUM(b) AS BIGINT) AS total_bytes,
+       ROUND(AVG(t), 4) AS mean_doc_tokens,
+       quantile_cont(t, 0.5) AS median_doc_tokens,
+       ROUND(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6) AS exact_dup_rate
+FROM base
+"""
+
+
+def ext_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization of a per-document signal
+    (length) WITHIN each language, via the X186 HDR integer-bucket CDF:
+    each doc maps to (docs in smaller buckets + half its own bucket) /
+    group size — a [0,1] percentile comparable across languages, the
+    rank-normalization a mixing pipeline uses where z-scores break on
+    heavy tails.
+
+    Scale shape: this is how per-group percent_rank survives LOW-
+    cardinality groups at 100 TB — no Window.partitionBy(lang) single-
+    task sort; one (lang x bucket) exchange builds the CDF, which
+    BROADCASTS back onto the rows (bucket granularity bounds the rank
+    error at the bucket mass, same trade as X186)."""
+    docs = _t(spark, sf_dir, "documents")
+    scale_expr = (
+        "CAST(POW(2.0, CAST(GREATEST(LENGTH(CONV(n_chars, 10, 2)) - 4, 0) AS DOUBLE))"
+        " AS LONG)"
+    )
+    bucketed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.expr(f"n_chars div {scale_expr}") * F.expr(scale_expr)).alias("blo"),
+    )
+    cells = bucketed.groupBy("lang", "blo").agg(F.count(F.lit(1)).alias("c"))
+    w_prev = (
+        Window.partitionBy("lang")
+        .orderBy("blo")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot = Window.partitionBy("lang")
+    cdf = cells.select(
+        "lang",
+        "blo",
+        F.coalesce(F.sum("c").over(w_prev), F.lit(0)).alias("below"),
+        F.col("c").alias("inb"),
+        F.sum("c").over(tot).alias("n"),
+    )
+    return (
+        bucketed.join(F.broadcast(cdf), ["lang", "blo"])
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(
+                (F.col("below") + 0.5 * F.col("inb")) / F.col("n"), 6
+            ).alias("pct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXT_QUANTILE_NORM_SQL = r"""
+WITH bucketed AS (
+  SELECT doc_id, lang, n_chars,
+         (n_chars // CAST(POW(2.0, GREATEST(LENGTH(bin(n_chars)) - 4, 0)) AS BIGINT))
+           * CAST(POW(2.0, GREATEST(LENGTH(bin(n_chars)) - 4, 0)) AS BIGINT) AS blo
+  FROM documents
+),
+cells AS (
+  SELECT lang, blo, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bucketed GROUP BY 1, 2
+),
+cdf AS (
+  SELECT lang, blo,
+         COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY blo
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+         c AS inb,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM cells
+)
+SELECT b.doc_id, b.lang, b.n_chars,
+       ROUND((f.below + 0.5 * f.inb) / f.n, 6) AS pct
+FROM bucketed b JOIN cdf f ON b.lang = f.lang AND b.blo = f.blo
+ORDER BY b.doc_id
+"""
+
+
+def ext_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    document pairs with the next 2 documents on its md5 hash ring —
+    pseudo-random, reproducible, and collision-free negatives without
+    any RNG state or driver-side shuffle (the pairing a contrastive
+    embedding run needs to be identical across retries and engines).
+
+    Scale shape: the ring is partitioned into 64 hash buckets, so the
+    lead() windows sort ~n/64 rows per task (no global window); the
+    last rows of each bucket get NULL negatives (~128 of them corpus-
+    wide), mirrored exactly in the oracle."""
+    from aircan_spark.ext.sampling import hash_bucket, shuffle_key
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ringed = docs.select(
+        "doc_id",
+        F.pmod(hash_bucket(F.col("doc_id"), seed=29), F.lit(64)).alias("bk"),
+        shuffle_key(F.col("doc_id"), 29).alias("hk"),
+    )
+    w = Window.partitionBy("bk").orderBy("hk")
+    return ringed.select(
+        "doc_id",
+        F.lead("doc_id", 1).over(w).alias("neg_id_1"),
+        F.lead("doc_id", 2).over(w).alias("neg_id_2"),
+    ).orderBy("doc_id")
+
+
+EXT_NEGATIVE_PAIRS_SQL = r"""
+WITH ringed AS (
+  SELECT doc_id,
+         (('0x' || SUBSTR(md5('29-' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+          % 10000) % 64 AS bk,
+         md5('29-' || CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents
+)
+SELECT doc_id,
+       LEAD(doc_id, 1) OVER (PARTITION BY bk ORDER BY hk) AS neg_id_1,
+       LEAD(doc_id, 2) OVER (PARTITION BY bk ORDER BY hk) AS neg_id_2
+FROM ringed ORDER BY doc_id
+"""
+
+
+_SQL_INTERFACE_QUERY = r"""
+SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, n_name,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+                 AS DECIMAL(38,12)) AS STRING) AS revenue,
+       CAST(RANK() OVER (
+         PARTITION BY EXTRACT(YEAR FROM o_orderdate)
+         ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) DESC,
+                  n_name
+       ) AS BIGINT) AS rnk
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY EXTRACT(YEAR FROM o_orderdate), n_name
+ORDER BY yr, rnk
+"""
+
+
+def ext_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface (aircan_spark.sqlapi): yearly revenue per nation
+    with an in-year rank, submitted as ANSI SQL TEXT through spark.sql
+    over the registered views — and the SAME string is the DuckDB
+    oracle, so the dialect-portable SQL path is zero-drift by
+    construction. Catalyst gives the identical pushdown/broadcast plan
+    the DataFrame registry gets (the revenue decimal discipline matches
+    X68)."""
+    from aircan_spark import sqlapi
+
+    return sqlapi.sql(spark, sf_dir, _SQL_INTERFACE_QUERY)
+
+
+EXT_QUERIES.update(
+    {
+        "ext_dataset_card": ext_dataset_card,
+        "ext_quantile_norm": ext_quantile_norm,
+        "ext_negative_pairs": ext_negative_pairs,
+        "ext_sql_interface": ext_sql_interface,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_dataset_card": EXT_DATASET_CARD_SQL,
+        "ext_quantile_norm": EXT_QUANTILE_NORM_SQL,
+        "ext_negative_pairs": EXT_NEGATIVE_PAIRS_SQL,
+        "ext_sql_interface": _SQL_INTERFACE_QUERY,
+    }
+)
