@@ -8405,3 +8405,205 @@ EXT_ORACLES.update(
         "ext_sql_interface": _SQL_INTERFACE_QUERY,
     }
 )
+
+
+# --- round-3 wave: session mining + feature encodings -------------------------
+
+
+def ext_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence within behavioral sessions (30-min gap
+    sessionization): which activities happen TOGETHER in one sitting —
+    the intra-session affinity matrix behind next-action models, on the
+    same session definition as X78.
+
+    Scale shape: session ids come from one per-user window (high-
+    cardinality key); per-session distinct types collapse row-locally
+    to sorted arrays whose pair expansion is an O(types^2)-bounded HOF
+    (never a session-keyed self-join); one (type,type) exchange."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(
+            F.when(
+                F.col("ts").cast("long")
+                - F.lag(F.col("ts").cast("long")).over(w)
+                > 1800,
+                1,
+            ).otherwise(0)
+        ).over(w).alias("sess"),
+    )
+    baskets = (
+        sess.select("user_id", "sess", "event_type")
+        .distinct()
+        .groupBy("user_id", "sess")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+    )
+    tcol = F.col("types")
+    combos = F.flatten(
+        F.transform(
+            tcol,
+            lambda x, i: F.transform(
+                F.slice(tcol, i + 2, F.size(tcol)),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(combos).alias("p"))
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+EXT_SESSION_COOCCURRENCE_SQL = r"""
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM marked
+),
+st AS (SELECT DISTINCT user_id, sess, event_type FROM sess)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM st a JOIN st b
+  ON a.user_id = b.user_id AND a.sess = b.sess AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY type_a, type_b
+"""
+
+
+def ext_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed customer value: Σ order_total ·
+    exp(-λ·days_before_horizon) with a 30-day half-life — the recency
+    weighting behind churn/LTV features (yesterday's order counts ~30x
+    a month-old one at this λ).
+
+    Scale shape: row-local decay weights (scan-fused; the horizon is a
+    broadcast scalar), one per-customer exchange."""
+    orders = _t(spark, sf_dir, "orders")
+    horizon = orders.agg(F.max(F.to_date("o_orderdate")).alias("hz"))
+    lam = 0.0231049060186648  # ln(2)/30
+    decayed = orders.crossJoin(F.broadcast(horizon)).select(
+        "o_custkey",
+        (
+            F.col("o_totalprice")
+            * F.exp(
+                -F.lit(lam)
+                * F.datediff(F.col("hz"), F.to_date("o_orderdate")).cast("double")
+            )
+        ).alias("dv"),
+    )
+    return (
+        decayed.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("dv"), 4).alias("decayed_value"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+EXT_DECAY_FEATURES_SQL = r"""
+WITH hz AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS hz FROM orders)
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice
+                 * EXP(-0.0231049060186648
+                       * date_diff('day', CAST(o_orderdate AS DATE), hz))), 4)
+         AS decayed_value
+FROM orders CROSS JOIN hz
+GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def ext_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of market segment against order
+    value: each order's segment encodes as the smoothed mean of OTHER
+    orders' totals in the segment ((sum − own + k·global)/(n − 1 + k),
+    k = 10) — the leakage-safe categorical encoding a tabular-ML
+    pipeline ships (naive per-category means leak the row's own
+    target).
+
+    Scale shape: per-segment exact decimal sums and the global scalar
+    broadcast; the encode itself is a row-local expression — rows never
+    shuffle. Exact decimal sums keep the subtraction (sum − own) free
+    of float cancellation across engines."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("tp"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select("o_orderkey", "c_mktsegment", "tp")
+    seg = base.groupBy("c_mktsegment").agg(
+        F.sum("tp").alias("seg_sum"), F.count(F.lit(1)).alias("seg_n")
+    )
+    glob = base.agg(
+        (F.sum("tp").cast("double") / F.count(F.lit(1))).alias("g_mean")
+    )
+    return (
+        base.join(F.broadcast(seg), "c_mktsegment")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "o_orderkey",
+            "c_mktsegment",
+            F.round(
+                (
+                    (F.col("seg_sum") - F.col("tp")).cast("double")
+                    + 10.0 * F.col("g_mean")
+                )
+                / (F.col("seg_n") - 1 + 10).cast("double"),
+                6,
+            ).alias("loo_encoded"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+EXT_TARGET_ENCODING_SQL = r"""
+WITH base AS (
+  SELECT o_orderkey, c_mktsegment,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS tp
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+seg AS (
+  SELECT c_mktsegment, CAST(SUM(tp) AS DECIMAL(38,2)) AS seg_sum,
+         CAST(COUNT(*) AS BIGINT) AS seg_n
+  FROM base GROUP BY 1
+),
+gstats AS (
+  SELECT CAST(SUM(tp) AS DOUBLE) / COUNT(*) AS g_mean FROM base
+)
+SELECT b.o_orderkey, b.c_mktsegment,
+       ROUND((CAST(s.seg_sum - b.tp AS DOUBLE) + 10.0 * g.g_mean)
+             / (s.seg_n - 1 + 10), 6) AS loo_encoded
+FROM base b JOIN seg s ON b.c_mktsegment = s.c_mktsegment
+CROSS JOIN gstats g
+ORDER BY o_orderkey
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_session_cooccurrence": ext_session_cooccurrence,
+        "ext_decay_features": ext_decay_features,
+        "ext_target_encoding": ext_target_encoding,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_session_cooccurrence": EXT_SESSION_COOCCURRENCE_SQL,
+        "ext_decay_features": EXT_DECAY_FEATURES_SQL,
+        "ext_target_encoding": EXT_TARGET_ENCODING_SQL,
+    }
+)
