@@ -8607,3 +8607,315 @@ EXT_ORACLES.update(
         "ext_target_encoding": EXT_TARGET_ENCODING_SQL,
     }
 )
+
+
+# --- round-3 wave: label audits, weighted stats, collaborative filtering ------
+
+
+def ext_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-content language audit: per source, how often the
+    declared `lang` field disagrees with the X11 content-based language
+    id — the labeling-error detector run before trusting corpus
+    metadata for mixture weighting ('und' predictions are counted
+    separately, not as mismatches).
+
+    Scale shape: row-local marker scoring fused into the scan; one
+    O(sources) exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text.lang_id(docs).select(
+        "source",
+        "lang",
+        "pred_lang",
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("pred_lang") != "und")
+                    & (F.col("pred_lang") != F.col("lang")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_mismatch"),
+            F.sum(F.when(F.col("pred_lang") == "und", 1).otherwise(0)).alias(
+                "n_undetermined"
+            ),
+        )
+        .withColumn(
+            "mismatch_rate",
+            F.round(F.col("n_mismatch") / F.col("n_docs"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+EXT_LANG_MISMATCH_SQL = r"""
+WITH scored AS (
+  SELECT source, lang,
+         LEN(regexp_extract_all(LOWER(text), '\b(der|und|das|nicht)\b')) AS score_de,
+         LEN(regexp_extract_all(LOWER(text), '\b(the|and|of|is)\b')) AS score_en,
+         LEN(regexp_extract_all(LOWER(text), '\b(el|los|una|que)\b')) AS score_es,
+         LEN(regexp_extract_all(LOWER(text), '\b(le|et|les|dans)\b')) AS score_fr
+  FROM documents
+),
+pred AS (
+  SELECT source, lang,
+         CASE
+           WHEN GREATEST(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+           WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr) THEN 'de'
+           WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr) THEN 'en'
+           WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr) THEN 'es'
+           ELSE 'fr'
+         END AS pred_lang
+  FROM scored
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN pred_lang <> 'und' AND pred_lang <> lang
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       CAST(SUM(CASE WHEN pred_lang = 'und' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_undetermined,
+       ROUND(CAST(SUM(CASE WHEN pred_lang <> 'und' AND pred_lang <> lang
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS mismatch_rate
+FROM pred GROUP BY source ORDER BY source
+"""
+
+
+def ext_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per brand: the price point at
+    which half the shipped VOLUME sits below — the weighted-percentile
+    statistic plain median gets wrong whenever weights are skewed
+    (pricing/abundance analyses).
+
+    Scale shape: (brand, price) cells collapse first (one exchange),
+    then the cumulative-weight walk runs per brand over the collapsed
+    O(distinct prices) axis — a per-brand window on a HIGH-cardinality
+    partition key with bounded rows per group, not a data-row sort.
+    Weighted median = smallest price whose cumulative weight reaches
+    half the brand total (integer compare: 2·cum >= total)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("iq"),
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2).alias("unit"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "unit")
+        .agg(F.sum("iq").alias("wq"))
+    )
+    w_cum = (
+        Window.partitionBy("p_brand")
+        .orderBy("unit")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("p_brand")
+    walked = cells.select(
+        "p_brand",
+        "unit",
+        F.sum("wq").over(w_cum).alias("cum"),
+        F.sum("wq").over(tot).alias("total"),
+    )
+    return (
+        walked.filter(F.lit(2) * F.col("cum") >= F.col("total"))
+        .groupBy("p_brand")
+        .agg(
+            F.min("unit").alias("weighted_median_unit_price"),
+            F.max("total").alias("total_qty_cents"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+EXT_WEIGHTED_MEDIAN_SQL = r"""
+WITH li AS (
+  SELECT l_partkey, CAST(ROUND(l_quantity * 100) AS BIGINT) AS iq,
+         ROUND(l_extendedprice / l_quantity, 2) AS unit
+  FROM lineitem
+),
+cells AS (
+  SELECT p.p_brand, li.unit, CAST(SUM(li.iq) AS BIGINT) AS wq
+  FROM li JOIN part p ON li.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+walked AS (
+  SELECT p_brand, unit,
+         SUM(wq) OVER (PARTITION BY p_brand ORDER BY unit
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(wq) OVER (PARTITION BY p_brand) AS total
+  FROM cells
+)
+SELECT p_brand, MIN(unit) AS weighted_median_unit_price,
+       CAST(MAX(total) AS BIGINT) AS total_qty_cents
+FROM walked WHERE 2 * cum >= total
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def ext_user_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-user collaborative-filtering neighbors: cosine similarity
+    over shared event-type interaction sets, top-3 neighbors per user —
+    the bipartite-projection step of a memory-based recommender
+    (users who do the same things).
+
+    Scale shape: per-user distinct interaction sets collapse first; the
+    pair join is TYPE-keyed (the item side, bounded here; with a large
+    item catalog add the X2-style hot-item guard); cosine normalizes by
+    broadcast per-user set sizes; the head is a per-user
+    WindowGroupLimit, never a global sort."""
+    ev = _t(spark, sf_dir, "events")
+    ui = ev.select("user_id", "event_type").distinct()
+    deg = ui.groupBy("user_id").agg(F.count(F.lit(1)).alias("deg"))
+    a = ui.select(F.col("user_id").alias("ua"), "event_type")
+    b = ui.select(F.col("user_id").alias("ub"), "event_type")
+    common = (
+        a.join(b, "event_type")
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = (
+        common.join(
+            F.broadcast(deg.select(F.col("user_id").alias("ua"), F.col("deg").alias("da"))),
+            "ua",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("user_id").alias("ub"), F.col("deg").alias("db"))),
+            "ub",
+        )
+        .select(
+            "ua",
+            "ub",
+            "n_common",
+            F.round(
+                F.col("n_common") / F.sqrt(F.col("da").cast("double") * F.col("db")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    sym = scored.unionByName(
+        scored.select(
+            F.col("ub").alias("ua"),
+            F.col("ua").alias("ub"),
+            "n_common",
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("ua").orderBy(
+        F.col("cosine").desc(), F.col("ub")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("ua").alias("user_id"),
+            F.col("ub").alias("neighbor_id"),
+            "n_common",
+            "cosine",
+            "rank",
+        )
+        .orderBy("user_id", "rank")
+    )
+
+
+EXT_USER_NEIGHBORS_SQL = r"""
+WITH ui AS (SELECT DISTINCT user_id, event_type FROM events),
+deg AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS deg FROM ui GROUP BY 1),
+common AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM ui a JOIN ui b ON a.event_type = b.event_type AND a.user_id < b.user_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.ua, c.ub, c.n_common,
+         ROUND(c.n_common / SQRT(CAST(da.deg AS DOUBLE) * db.deg), 6) AS cosine
+  FROM common c
+  JOIN deg da ON c.ua = da.user_id
+  JOIN deg db ON c.ub = db.user_id
+),
+sym AS (
+  SELECT ua, ub, n_common, cosine FROM scored
+  UNION ALL
+  SELECT ub, ua, n_common, cosine FROM scored
+),
+ranked AS (
+  SELECT ua, ub, n_common, cosine,
+         ROW_NUMBER() OVER (PARTITION BY ua ORDER BY cosine DESC, ub) AS rank
+  FROM sym
+)
+SELECT ua AS user_id, ub AS neighbor_id, n_common, cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+ORDER BY user_id, rank
+"""
+
+
+def ext_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn label construction: users active in the observation window
+    (first 20 days) labelled churned when absent from the outcome
+    window (last 10 days), with observation-window activity features
+    attached — the label+feature frame a churn model trains on,
+    leakage-free by construction (features never read the outcome
+    window).
+
+    Scale shape: one conditional aggregation per user over a single
+    scan; window boundaries are literals pushed to the scan."""
+    cutoff = F.lit("2024-01-21").cast("timestamp")
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, 1).otherwise(0)).alias("n_obs"),
+        F.sum(F.when(F.col("ts") >= cutoff, 1).otherwise(0)).alias("n_out"),
+        F.sum(
+            F.when(
+                (F.col("ts") < cutoff) & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        ).alias("n_obs_purchases"),
+        F.round(
+            F.sum(F.when(F.col("ts") < cutoff, F.col("value")).otherwise(0.0)), 2
+        ).alias("obs_value"),
+    )
+    return (
+        per.filter(F.col("n_obs") > 0)
+        .select(
+            "user_id",
+            "n_obs",
+            "n_obs_purchases",
+            "obs_value",
+            (F.col("n_out") == 0).alias("churned"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EXT_CHURN_LABELS_SQL = r"""
+WITH per AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-21' THEN 1 ELSE 0 END) AS BIGINT) AS n_obs,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-21' THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-21' AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_obs_purchases,
+         ROUND(SUM(CASE WHEN ts < TIMESTAMP '2024-01-21' THEN value ELSE 0 END), 2) AS obs_value
+  FROM events GROUP BY 1
+)
+SELECT user_id, n_obs, n_obs_purchases, obs_value, n_out = 0 AS churned
+FROM per WHERE n_obs > 0 ORDER BY user_id
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_lang_mismatch": ext_lang_mismatch,
+        "ext_weighted_median": ext_weighted_median,
+        "ext_user_neighbors": ext_user_neighbors,
+        "ext_churn_labels": ext_churn_labels,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_lang_mismatch": EXT_LANG_MISMATCH_SQL,
+        "ext_weighted_median": EXT_WEIGHTED_MEDIAN_SQL,
+        "ext_user_neighbors": EXT_USER_NEIGHBORS_SQL,
+        "ext_churn_labels": EXT_CHURN_LABELS_SQL,
+    }
+)
