@@ -8919,3 +8919,233 @@ EXT_ORACLES.update(
         "ext_churn_labels": EXT_CHURN_LABELS_SQL,
     }
 )
+
+
+# --- round-3 wave: sequence mining, regression, experimentation ---------------
+
+
+def ext_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 frequent 3-step behavioral paths (ordered event-type
+    trigrams per user) — the sequence-mining upgrade of the X108
+    transition matrix: bigrams say what follows what, trigrams surface
+    whole flows (view>click>purchase vs view>click>error).
+
+    Scale shape: each user's ordered type array builds from ONE
+    (user)-keyed sort (struct array_sort — no per-row windows), trigram
+    shingles expand row-locally, one (path) exchange, k-bounded head."""
+    ev = _t(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"), F.col("event_type")
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("s")), lambda s: s["event_type"]
+            ).alias("types")
+        )
+    )
+    t = F.col("types")
+    idx = F.sequence(F.lit(0), F.size(t) - 3)
+    tri = F.when(
+        F.size(t) >= 3,
+        F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, 3), ">")),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        seqs.select(F.explode(tri).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
+
+
+EXT_TRIGRAM_PATHS_SQL = r"""
+WITH r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+  FROM events
+),
+tri AS (
+  SELECT a.event_type || '>' || b.event_type || '>' || c.event_type AS path
+  FROM r a
+  JOIN r b ON a.user_id = b.user_id AND b.i = a.i + 1
+  JOIN r c ON a.user_id = c.user_id AND c.i = a.i + 2
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+FROM tri GROUP BY path ORDER BY n DESC, path LIMIT 20
+"""
+
+
+def ext_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log demand curve per brand: closed-form OLS slope of
+    ln(quantity) on ln(unit price) — the price-elasticity estimate, as
+    a pure aggregation (slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²); no
+    iterative solver, merges like any moment sketch).
+
+    Scale shape: row-local log projections fused into the scan, one
+    per-brand exchange carrying five partial-aggregable sums."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.log(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2)).alias("x"),
+        F.log(F.col("l_quantity")).alias("y"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    agg = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return agg.select(
+        "p_brand",
+        "n",
+        F.round(slope, 6).alias("elasticity"),
+        # round 4: the slope's ulp-level cancellation noise is amplified
+        # by sx (~1e-6 at round-6 — measured cross-engine straddle)
+        F.round(intercept, 4).alias("intercept"),
+    ).orderBy("p_brand")
+
+
+EXT_PRICE_ELASTICITY_SQL = r"""
+WITH li AS (
+  SELECT l_partkey,
+         LN(ROUND(l_extendedprice / l_quantity, 2)) AS x,
+         LN(l_quantity) AS y
+  FROM lineitem
+),
+agg AS (
+  SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(li.x) AS sx, SUM(li.y) AS sy,
+         SUM(li.x * li.y) AS sxy, SUM(li.x * li.x) AS sxx
+  FROM li JOIN part p ON li.l_partkey = p.p_partkey
+  GROUP BY 1
+)
+SELECT p_brand, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+         AS intercept
+FROM agg ORDER BY p_brand
+"""
+
+
+def ext_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users assigned to arms by portable md5
+    parity (the same subset-stable assignment as the X34 split),
+    compared on purchase conversion with the two-proportion pooled
+    z-statistic and a |z| > 1.96 significance flag — the
+    experimentation primitive, RNG-free and replayable.
+
+    Scale shape: per-user conversion collapses in one exchange; arm
+    aggregates are two rows; the z arithmetic is exact-integer-count
+    driven (deterministic across engines)."""
+    from aircan_spark.ext.sampling import hash_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 300.0), 1
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    armed = per_user.select(
+        F.pmod(hash_bucket(F.col("user_id"), seed=17), F.lit(2)).alias("arm"),
+        "converted",
+    )
+    arms = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("c_a")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("c_b")
+    )
+    j = a.crossJoin(b)
+    pa = F.col("c_a").cast("double") / F.col("n_a")
+    pb = F.col("c_b").cast("double") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    denom = F.sqrt(
+        pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    # degenerate arms (0% or 100% pooled conversion): z undefined -> NULL
+    z = F.when(denom > 0.0, (pa - pb) / denom)
+    return j.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 4).alias("z_stat"),
+        F.coalesce(F.abs(z) > 1.959964, F.lit(False)).alias("significant"),
+    )
+
+
+EXT_AB_TEST_SQL = r"""
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 300.0
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1
+),
+armed AS (
+  SELECT (('0x' || SUBSTR(md5('17-' || CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT
+          % 10000) % 2 AS arm,
+         converted
+  FROM per_user
+),
+arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(converted) AS BIGINT) AS conv
+  FROM armed GROUP BY 1
+),
+j AS (
+  SELECT a.n AS n_a, a.conv AS c_a, b.n AS n_b, b.conv AS c_b
+  FROM (SELECT * FROM arms WHERE arm = 0) a
+  CROSS JOIN (SELECT * FROM arms WHERE arm = 1) b
+)
+SELECT n_a, c_a, n_b, c_b,
+       ROUND(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+       ROUND(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+       ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+             / NULLIF(SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 0.0), 4) AS z_stat,
+       COALESCE(ABS((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+           / NULLIF(SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b)), 0.0)) > 1.959964, FALSE) AS significant
+FROM j
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_trigram_paths": ext_trigram_paths,
+        "ext_price_elasticity": ext_price_elasticity,
+        "ext_ab_test": ext_ab_test,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_trigram_paths": EXT_TRIGRAM_PATHS_SQL,
+        "ext_price_elasticity": EXT_PRICE_ELASTICITY_SQL,
+        "ext_ab_test": EXT_AB_TEST_SQL,
+    }
+)
