@@ -9149,3 +9149,159 @@ EXT_ORACLES.update(
         "ext_ab_test": EXT_AB_TEST_SQL,
     }
 )
+
+
+def ext_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most similar document pairs by sparse TF-IDF cosine — the
+    classic IR similarity join, term-at-a-time: pairs accumulate dot
+    products only through SHARED terms (an inverted-index join), so
+    the n² dense-pair space is never materialized.
+
+    Scale shape: the hot-term guard (doc_freq <= 64) caps the posting
+    fan-out exactly like X2's shingle guard (stopword postings are the
+    quadratic hazard); norms broadcast; the head is k-bounded. Weights
+    round to 6 BEFORE pairing so ranking can't straddle engine ulp."""
+    docs = _t(spark, sf_dir, "documents")
+    wts = text.tf_idf(docs).filter(F.col("doc_freq") <= 64).select(
+        "doc_id", "word", "tf_idf"
+    )
+    norms = wts.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf_idf") * F.col("tf_idf"))).alias("nrm")
+    )
+    a = wts.select(F.col("doc_id").alias("id_a"), "word", F.col("tf_idf").alias("wa"))
+    b = wts.select(F.col("doc_id").alias("id_b"), "word", F.col("tf_idf").alias("wb"))
+    dots = (
+        a.join(b, "word")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"), F.count(F.lit(1)).alias("n_shared_terms"))
+    )
+    return (
+        dots.join(F.broadcast(norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))), "id_a")
+        .join(F.broadcast(norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_terms",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "id_a", "id_b")
+        .limit(50)
+    )
+
+
+EXT_TFIDF_COSINE_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split_regex(TRIM(LOWER(text)), '\s+')) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+dfreq AS (SELECT word, COUNT(*) AS doc_freq FROM tf GROUP BY word),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+wts AS (
+  SELECT tf.doc_id, tf.word,
+         ROUND(tf.tf * (LN((n.n_docs + 1.0) / (dfreq.doc_freq + 1.0)) + 1.0), 6)
+           AS tf_idf
+  FROM tf JOIN dfreq USING (word) CROSS JOIN n
+  WHERE dfreq.doc_freq <= 64
+),
+norms AS (
+  SELECT doc_id, SQRT(SUM(tf_idf * tf_idf)) AS nrm FROM wts GROUP BY 1
+),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         SUM(a.tf_idf * b.tf_idf) AS dot,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_terms
+  FROM wts a JOIN wts b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.id_a, d.id_b, d.n_shared_terms,
+       ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d
+JOIN norms na ON d.id_a = na.doc_id
+JOIN norms nb ON d.id_b = nb.doc_id
+ORDER BY cosine DESC, id_a, id_b LIMIT 50
+"""
+
+
+def ext_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution: histogram of connected-
+    component sizes from the X41 dedup grouping — the dedup-health
+    report (a heavy tail of giant clusters means the similarity
+    threshold is too loose or a template is flooding the corpus).
+
+    Scale shape: CC runs over the tiny pair set; sizes and the
+    histogram are two O(components) aggregations."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    groups = dedup.dedup_groups(docs, pairs.select("id_a", "id_b"))
+    sizes = groups.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+EXT_CLUSTER_SIZE_HISTOGRAM_SQL = r"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(TRIM(text), '\s+')) AS w,
+         generate_subscripts(string_split_regex(TRIM(text), '\s+'), 1) AS i
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON inter.id_a = sa.doc_id
+  JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE ROUND(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+),
+lab AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+csize AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM lab GROUP BY 1
+)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM csize GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_tfidf_cosine_pairs": ext_tfidf_cosine_pairs,
+        "ext_cluster_size_histogram": ext_cluster_size_histogram,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_tfidf_cosine_pairs": EXT_TFIDF_COSINE_SQL,
+        "ext_cluster_size_histogram": EXT_CLUSTER_SIZE_HISTOGRAM_SQL,
+    }
+)

@@ -599,3 +599,50 @@ def stream_quality_gate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_moments_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    key_col: str,
+    value_col: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Incrementally maintain per-key moment partials (n, Σx, Σx²) over
+    a file stream — the KEYED-aggregate face of the atomic-pointer
+    machinery (CMS/HLL/KMV maintain one global sketch; this maintains a
+    row per key): per batch one groupBy builds the delta, merge is a
+    full-outer ADD by key (the algebraic-moment merge law, X172).
+    Downstream mean/stddev/z-score reads derive from the stored
+    partials without rescanning history — the state a streaming anomaly
+    detector scores against."""
+
+    def build(df: DataFrame) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        return df.groupBy(F.col(key_col).alias("key")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("s1"),
+            F.sum(v * v).alias("s2"),
+        )
+
+    def merge(cur: DataFrame, delta: DataFrame) -> DataFrame:
+        both = cur.unionByName(delta)
+        return both.groupBy("key").agg(
+            F.sum("n").alias("n"),
+            F.sum("s1").alias("s1"),
+            F.sum("s2").alias("s2"),
+        )
+
+    return stream_state_maintenance(
+        spark,
+        source_dir,
+        schema,
+        build_fn=build,
+        merge_fn=merge,
+        state_dir=sketch_dir,
+        checkpoint_dir=checkpoint_dir,
+        available_now=available_now,
+    )

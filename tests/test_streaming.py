@@ -572,3 +572,54 @@ def test_stream_quality_gate_quarantines_bad_batches(spark, tmp_path):
     assert dlq.count() == 40
     assert "_batch_id" in dlq.columns
     assert dlq.filter(F.col("val") == 999.0).count() == 1
+
+
+def test_stream_moments_maintenance_matches_batch(spark, tmp_path):
+    """Keyed moment partials through the atomic-pointer machinery: after
+    N files the stored (n, Σx, Σx²) per key equal a batch aggregation
+    over the union — the add-to-merge law for keyed state."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from aircan_spark.streaming import read_sketch_state, stream_moments_maintenance
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows_all = []
+    for f in range(3):
+        rows = [
+            {"k": f"g{i % 4}", "v": float((i * 7 + f * 13) % 100)}
+            for i in range(300)
+        ]
+        rows_all += rows
+        with open(src / f"b{f}.json", "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.DoubleType())]
+    )
+    q = stream_moments_maintenance(
+        spark, str(src), schema, "k", "v",
+        sketch_dir=str(tmp_path / "state"), checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    stored = {
+        r["key"]: (r["n"], r["s1"], r["s2"])
+        for r in read_sketch_state(spark, str(tmp_path / "state")).collect()
+    }
+    direct = (
+        spark.createDataFrame([(r["k"], r["v"]) for r in rows_all], "key string, v double")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s1"),
+             F.sum(F.col("v") * F.col("v")).alias("s2"))
+    )
+    want = {r["key"]: (r["n"], r["s1"], r["s2"]) for r in direct.collect()}
+    assert set(stored) == set(want)
+    for k in want:
+        assert stored[k][0] == want[k][0]
+        assert abs(stored[k][1] - want[k][1]) < 1e-6
+        assert abs(stored[k][2] - want[k][2]) < 1e-6
