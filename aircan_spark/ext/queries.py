@@ -9305,3 +9305,204 @@ EXT_ORACLES.update(
         "ext_cluster_size_histogram": EXT_CLUSTER_SIZE_HISTOGRAM_SQL,
     }
 )
+
+
+# --- round-3 wave: statistical audits + forecast baselines --------------------
+
+
+def ext_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed vs
+    expected leading-digit shares plus the chi-square statistic — the
+    fabricated-data / data-entry-anomaly screen auditors run on
+    monetary columns (natural multi-scale amounts follow
+    log10(1 + 1/d)).
+
+    Scale shape: the leading digit is a row-local string projection
+    (no log needed — first char of the integer part), one 9-cell
+    exchange, expectation attached as a literal map."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.substring(F.floor("o_totalprice").cast("string"), 1, 1).cast("int")
+    cells = (
+        orders.filter(F.col("o_totalprice") >= 1.0)
+        .select(d.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = cells.agg(F.sum("n").alias("tot"))
+    import math
+
+    exp_arr = F.array(
+        *[F.lit(math.log10(1.0 + 1.0 / dd)) for dd in range(1, 10)]
+    )
+    joined = cells.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 6).alias("observed_share"),
+        F.round(F.element_at(exp_arr, F.col("digit")), 6).alias("benford_share"),
+        (
+            F.pow(
+                F.col("n") - F.col("tot") * F.element_at(exp_arr, F.col("digit")),
+                2.0,
+            )
+            / (F.col("tot") * F.element_at(exp_arr, F.col("digit")))
+        ).alias("__chi"),
+    )
+    return joined.select(
+        "digit",
+        "n",
+        "observed_share",
+        "benford_share",
+        F.round(F.sum("__chi").over(Window.partitionBy()), 4).alias("chi_square_total"),
+    ).orderBy("digit")
+
+
+EXT_BENFORD_SQL = r"""
+WITH cells AS (
+  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+           AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM cells),
+j AS (
+  SELECT digit, n,
+         ROUND(CAST(n AS DOUBLE) / tot, 6) AS observed_share,
+         ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_share,
+         POW(n - tot * LOG10(1.0 + 1.0 / digit), 2)
+           / (tot * LOG10(1.0 + 1.0 / digit)) AS chi
+  FROM cells CROSS JOIN tot
+)
+SELECT digit, n, observed_share, benford_share,
+       ROUND(SUM(chi) OVER (), 4) AS chi_square_total
+FROM j ORDER BY digit
+"""
+
+
+def ext_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast baseline evaluation per event type: MAE
+    of the week-ago forecast (x̂_t = x_{t-7}) and MASE (scaled by the
+    one-step naive error) over the daily totals — the accuracy floor
+    any real forecast model must beat, and the standard way to compare
+    error across series of different magnitude.
+
+    Scale shape: raw events collapse to the O(days x types) grid
+    (integer cents, exact); the lag features are windows over that tiny
+    axis per type."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("iv"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.sum("iv").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.lag("x", 7).over(w).alias("x7"),
+        F.lag("x", 1).over(w).alias("x1"),
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("x7").isNotNull(), 1)).alias("n_scored_days"),
+            F.round(
+                F.avg(F.abs(F.col("x") - F.col("x7")).cast("double")) / 100.0, 4
+            ).alias("mae_seasonal_naive"),
+            F.round(
+                F.avg(F.abs(F.col("x") - F.col("x7")).cast("double"))
+                / F.avg(F.abs(F.col("x") - F.col("x1")).cast("double")),
+                6,
+            ).alias("mase"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EXT_FORECAST_ERROR_SQL = r"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, day, x,
+         LAG(x, 7) OVER w AS x7, LAG(x, 1) OVER w AS x1
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type,
+       CAST(COUNT(CASE WHEN x7 IS NOT NULL THEN 1 END) AS BIGINT) AS n_scored_days,
+       ROUND(AVG(CAST(ABS(x - x7) AS DOUBLE)) / 100.0, 4) AS mae_seasonal_naive,
+       ROUND(AVG(CAST(ABS(x - x7) AS DOUBLE)) / AVG(CAST(ABS(x - x1) AS DOUBLE)), 6)
+         AS mase
+FROM lagged GROUP BY event_type ORDER BY event_type
+"""
+
+
+def ext_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-regularity signal per user: Shannon entropy of the
+    hour-of-day activity distribution plus the modal hour — low entropy
+    = habitual users (bot-like when extreme), high = diffuse activity;
+    a standard fraud/segmentation feature.
+
+    Scale shape: one (user x 24-hour) exchange; entropy folds the
+    O(users x 24) cells per user; argmax modal hour via MAX-of-struct
+    (no per-user window sort)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.hour("ts").alias("h")
+    )
+    cells = ev.groupBy("user_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    per = cells.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            (F.col("c").cast("double"))
+            * F.log(F.col("c").cast("double"))
+        ).alias("clogc"),
+        F.max(F.struct(F.col("c"), (-F.col("h")).alias("nh"))).alias("m"),
+    )
+    # H = ln(n) - (1/n)·Σ c·ln(c) — exact regrouping of -Σ p·ln p
+    return per.select(
+        "user_id",
+        "n",
+        F.round(
+            F.log(F.col("n").cast("double"))
+            - F.col("clogc") / F.col("n"),
+            6,
+        ).alias("hour_entropy"),
+        (-F.col("m.nh")).alias("modal_hour"),
+    ).orderBy("user_id")
+
+
+EXT_ACTIVITY_ENTROPY_SQL = r"""
+WITH cells AS (
+  SELECT user_id, EXTRACT(HOUR FROM ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+per AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+         SUM(CAST(c AS DOUBLE) * LN(c)) AS clogc,
+         MAX({'c': c, 'nh': -h}) AS m
+  FROM cells GROUP BY 1
+)
+SELECT user_id, n,
+       ROUND(LN(n) - clogc / n, 6) AS hour_entropy,
+       CAST(-(m).nh AS BIGINT) AS modal_hour
+FROM per ORDER BY user_id
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_benford_audit": ext_benford_audit,
+        "ext_forecast_error": ext_forecast_error,
+        "ext_activity_entropy": ext_activity_entropy,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_benford_audit": EXT_BENFORD_SQL,
+        "ext_forecast_error": EXT_FORECAST_ERROR_SQL,
+        "ext_activity_entropy": EXT_ACTIVITY_ENTROPY_SQL,
+    }
+)
