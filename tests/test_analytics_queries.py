@@ -118,3 +118,62 @@ def test_gap_fill_daily_is_broadcast(spark):
 
     plan = _plan(ext_gap_fill(spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+# --- round-3-continuation plan shapes -----------------------------------------
+
+
+def test_waiting_suppliers_pushdown_and_reuse(spark):
+    """Q21 flavor: the status filter reaches the orders scan, and after
+    execution the shared (order,supplier) subtree is deduplicated by
+    AQE stage reuse (one fact exchange feeds both branches)."""
+    from aircan_spark.ext.queries import ext_waiting_suppliers
+
+    df = ext_waiting_suppliers(spark, SF)
+    plan = _plan(df)
+    sections = [p.split("]")[0] for p in plan.split("PushedFilters:")[1:]]
+    assert any("o_orderstatus" in p for p in sections), sections
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final
+
+
+def test_excess_share_pushdown_and_broadcast(spark):
+    """Q20 flavor: the shipdate range reaches the lineitem scan and the
+    prefix-filtered part keys broadcast (the fact table never shuffles
+    for the filter)."""
+    from aircan_spark.ext.queries import ext_excess_share_suppliers
+
+    plan = _plan(ext_excess_share_suppliers(spark, SF))
+    pushed = plan.split("PushedFilters:")
+    li_pushed = [p.split("]")[0] for p in pushed[1:]]
+    assert any("l_shipdate" in p for p in li_pushed), li_pushed
+    assert "BroadcastHashJoin" in plan
+
+
+def test_balanced_sample_group_limit(spark):
+    """Class-balancing promises WindowGroupLimit once the cap literal is
+    resolved — it is data-dependent (broadcast), so the row_number
+    window itself must appear with a rank filter, not a global sort."""
+    from aircan_spark.ext.queries import ext_balanced_sample
+
+    plan = _plan(ext_balanced_sample(spark, SF))
+    assert "row_number" in plan.lower()
+    # the selection window partitions on the class key (parallel per
+    # class), not a single global sort
+    assert "hashpartitioning(lang" in plan
+
+
+def test_churn_labels_filters_pushed(spark):
+    from aircan_spark.ext.queries import ext_churn_labels
+
+    plan = _plan(ext_churn_labels(spark, SF))
+    # one conditional-agg scan: events parquet appears exactly once
+    assert plan.count("Location: InMemoryFileIndex") <= 2  # fan_out may reuse
+    assert "HashAggregate" in plan
+
+
+def test_user_neighbors_group_limit_head(spark):
+    from aircan_spark.ext.queries import ext_user_neighbors
+
+    assert "WindowGroupLimit" in _plan(ext_user_neighbors(spark, SF))
