@@ -9506,3 +9506,238 @@ EXT_ORACLES.update(
         "ext_activity_entropy": EXT_ACTIVITY_ENTROPY_SQL,
     }
 )
+
+
+# --- round-3 wave: corpus budget/diagnostic quick wins ------------------------
+
+
+def ext_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup token-budget report per source: total tokens vs tokens
+    after exact dedup (each distinct content counted once) and the
+    fraction saved — the number that justifies running dedup before a
+    training run (tokens are the currency).
+
+    Scale shape: one (source, hash) collapse carrying token counts
+    (identical content has identical counts, so MAX per group is
+    exact), then an O(sources) rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    h = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).cast("binary")
+    )
+    per_hash = (
+        docs.select("source", h.alias("h"), t.alias("t"))
+        .groupBy("source", "h")
+        .agg(F.sum("t").alias("t_all"), F.max("t").alias("t_once"))
+    )
+    return (
+        per_hash.groupBy("source")
+        .agg(
+            F.sum("t_all").alias("total_tokens"),
+            F.sum("t_once").alias("unique_tokens"),
+        )
+        .withColumn(
+            "pct_saved",
+            F.round(
+                F.lit(1.0)
+                - F.col("unique_tokens").cast("double") / F.col("total_tokens"),
+                6,
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+EXT_TOKEN_BUDGET_SQL = r"""
+WITH per_hash AS (
+  SELECT source,
+         md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS h,
+         CAST(SUM(LEN(string_split_regex(TRIM(text), '\s+'))) AS BIGINT) AS t_all,
+         CAST(MAX(LEN(string_split_regex(TRIM(text), '\s+'))) AS BIGINT) AS t_once
+  FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(t_all) AS BIGINT) AS total_tokens,
+       CAST(SUM(t_once) AS BIGINT) AS unique_tokens,
+       ROUND(1.0 - CAST(SUM(t_once) AS DOUBLE) / SUM(t_all), 6) AS pct_saved
+FROM per_hash GROUP BY source ORDER BY source
+"""
+
+
+def ext_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full declared-vs-predicted language confusion matrix (the X206
+    mismatch audit's detail view): counts per (metadata lang, content
+    prediction) cell, diagonal = agreement. One row-local scoring pass,
+    one O(langs^2) exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text.lang_id(docs)
+        .groupBy(F.col("lang").alias("declared"), F.col("pred_lang").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("declared", "predicted")
+    )
+
+
+EXT_LANG_CONFUSION_SQL = r"""
+WITH scored AS (
+  SELECT lang,
+         LEN(regexp_extract_all(LOWER(text), '\b(der|und|das|nicht)\b')) AS score_de,
+         LEN(regexp_extract_all(LOWER(text), '\b(the|and|of|is)\b')) AS score_en,
+         LEN(regexp_extract_all(LOWER(text), '\b(el|los|una|que)\b')) AS score_es,
+         LEN(regexp_extract_all(LOWER(text), '\b(le|et|les|dans)\b')) AS score_fr
+  FROM documents
+)
+SELECT lang AS declared,
+       CASE
+         WHEN GREATEST(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+         WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr) THEN 'de'
+         WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr) THEN 'en'
+         WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr) THEN 'es'
+         ELSE 'fr'
+       END AS predicted,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM scored GROUP BY 1, 2 ORDER BY declared, predicted
+"""
+
+
+def ext_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness: events in the busiest minute vs the mean
+    over active minutes — the rate-anomaly/bot signal (humans are
+    bursty up to a point; scripted traffic pins the ratio).
+
+    Scale shape: raw events collapse to (user, minute) in one exchange;
+    the per-user ratio folds the collapsed frame."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("m")
+    )
+    per_min = ev.groupBy("user_id", "m").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_min.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_minutes"),
+            F.max("c").alias("peak_per_minute"),
+            F.round(
+                F.max("c").cast("double")
+                * F.count(F.lit(1))
+                / F.sum("c"),
+                4,
+            ).alias("burst_ratio"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EXT_BURST_DETECTION_SQL = r"""
+WITH per_min AS (
+  SELECT user_id, date_trunc('minute', ts) AS m, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_active_minutes,
+       CAST(MAX(c) AS BIGINT) AS peak_per_minute,
+       ROUND(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c), 4) AS burst_ratio
+FROM per_min GROUP BY user_id ORDER BY user_id
+"""
+
+
+def ext_case_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capitalization-format quality signals per document: ALL-CAPS
+    word count, TitleCase word count, and the uppercase share of
+    letters — shouting/headline/boilerplate indicators in the
+    Gopher-rule family. Row-local regexp counting, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    letters = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]")), F.lit(1)
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"\b[A-Z]{2,}\b")).alias("n_allcaps_words"),
+        F.regexp_count(F.col("text"), F.lit(r"\b[A-Z][a-z]+\b")).alias("n_titlecase_words"),
+        F.round(
+            F.regexp_count(F.col("text"), F.lit(r"[A-Z]")).cast("double") / letters,
+            6,
+        ).alias("upper_ratio"),
+    ).orderBy("doc_id")
+
+
+EXT_CASE_SIGNALS_SQL = r"""
+SELECT doc_id,
+       LEN(regexp_extract_all(text, '\b[A-Z]{2,}\b')) AS n_allcaps_words,
+       LEN(regexp_extract_all(text, '\b[A-Z][a-z]+\b')) AS n_titlecase_words,
+       ROUND(CAST(LEN(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+             / GREATEST(LEN(regexp_extract_all(text, '[A-Za-z]')), 1), 6)
+         AS upper_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def ext_cross_source_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-feed duplication matrix: for every source pair, how many
+    distinct normalized contents they SHARE — the crawl-overlap
+    diagnosis (two feeds mirroring each other waste budget and skew
+    mixtures; the X129 cross-language audit's source-axis sibling).
+
+    Scale shape: contents collapse to a hash -> sorted-source-set
+    inverted index; pair expansion is row-local (bounded by the feed
+    count), one O(sources^2) exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).cast("binary")
+    )
+    idx = (
+        docs.select(h.alias("h"), "source")
+        .distinct()
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") > 1)
+    )
+    srcs = F.col("srcs")
+    combos = F.flatten(
+        F.transform(
+            srcs,
+            lambda x, i: F.transform(
+                F.slice(srcs, i + 2, F.size(srcs)),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
+    return (
+        idx.select(F.explode(combos).alias("p"))
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_contents"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+EXT_CROSS_SOURCE_DUPES_SQL = r"""
+WITH sh AS (
+  SELECT DISTINCT md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS h,
+         source
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_contents
+FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2 ORDER BY source_a, source_b
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_token_budget": ext_token_budget,
+        "ext_lang_confusion": ext_lang_confusion,
+        "ext_burst_detection": ext_burst_detection,
+        "ext_case_signals": ext_case_signals,
+        "ext_cross_source_dupes": ext_cross_source_dupes,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_token_budget": EXT_TOKEN_BUDGET_SQL,
+        "ext_lang_confusion": EXT_LANG_CONFUSION_SQL,
+        "ext_burst_detection": EXT_BURST_DETECTION_SQL,
+        "ext_case_signals": EXT_CASE_SIGNALS_SQL,
+        "ext_cross_source_dupes": EXT_CROSS_SOURCE_DUPES_SQL,
+    }
+)
