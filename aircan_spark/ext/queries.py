@@ -9157,13 +9157,24 @@ def ext_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     products only through SHARED terms (an inverted-index join), so
     the n² dense-pair space is never materialized.
 
-    Scale shape: the hot-term guard (doc_freq <= 64) caps the posting
-    fan-out exactly like X2's shingle guard (stopword postings are the
-    quadratic hazard); norms broadcast; the head is k-bounded. Weights
-    round to 6 BEFORE pairing so ranking can't straddle engine ulp."""
+    Scale shape: the hot-term guard caps the posting fan-out exactly
+    like X2's shingle guard (stopword postings are the quadratic
+    hazard); its bound scales with the corpus — max(64, 5% of docs) —
+    so it prunes true stopwords at any size instead of emptying the
+    index once every mid-frequency term passes a fixed cutoff (the
+    failure the fixed-64 form hit at sf0.1). Norms broadcast; the head
+    is k-bounded. Weights round to 6 BEFORE pairing so ranking can't
+    straddle engine ulp."""
     docs = _t(spark, sf_dir, "documents")
-    wts = text.tf_idf(docs).filter(F.col("doc_freq") <= 64).select(
-        "doc_id", "word", "tf_idf"
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    wts = (
+        text.tf_idf(docs)
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("doc_freq")
+            <= F.greatest(F.lit(64), F.floor(F.col("nd") / 20))
+        )
+        .select("doc_id", "word", "tf_idf")
     )
     norms = wts.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("tf_idf") * F.col("tf_idf"))).alias("nrm")
@@ -9204,7 +9215,7 @@ wts AS (
          ROUND(tf.tf * (LN((n.n_docs + 1.0) / (dfreq.doc_freq + 1.0)) + 1.0), 6)
            AS tf_idf
   FROM tf JOIN dfreq USING (word) CROSS JOIN n
-  WHERE dfreq.doc_freq <= 64
+  WHERE dfreq.doc_freq <= GREATEST(64, n.n_docs // 20)
 ),
 norms AS (
   SELECT doc_id, SQRT(SUM(tf_idf * tf_idf)) AS nrm FROM wts GROUP BY 1

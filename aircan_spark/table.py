@@ -138,6 +138,23 @@ class ParquetTable:
         df.write.mode("overwrite").parquet(self.snapshot_dir(v))
         self._commit(v, expected_base=base)
 
+    def delete(self, keys_df: DataFrame, keys: list[str]) -> int:
+        """Targeted key delete (GDPR): rewrite the snapshot without rows
+        whose key tuple appears in ``keys_df`` (LEFT ANTI), committed as
+        a new version — the previous snapshot stays readable until the
+        retention window retires it, and ``_id`` numbering is unaffected
+        (MAX over survivors can only shrink; inserts still number above
+        any historical max via the snapshot's own MAX+1). This is the
+        full-rewrite form; ``BucketedParquetTable.delete`` is the
+        bucket-pruned 100 TB path. Returns rows deleted."""
+        current = self.read()
+        n_before = current.count()
+        remaining = current.join(
+            keys_df.select(*keys).distinct(), on=keys, how="left_anti"
+        )
+        self.overwrite(remaining)
+        return n_before - self.read().count()
+
     def _align_types(self, df: DataFrame) -> DataFrame:
         """Cast columns shared with the table to the table's types — the
         coercion a warehouse load job performs implicitly (reference:

@@ -232,3 +232,29 @@ def test_bucketed_concurrent_commit_detected(spark, tmp_path):
     with pytest.raises(ConcurrentWriteError):
         b._commit(stale)
     assert b.manifest()["version"] == 1
+
+
+def test_parquet_table_delete_keys(spark, tmp_path):
+    """GDPR delete on the plain table: keyed rows vanish, a new snapshot
+    version commits (prior version still on disk), survivors keep their
+    ids."""
+    from aircan_spark.table import ParquetTable
+    from aircan_spark.rownum import with_row_number
+
+    t = ParquetTable(spark, str(tmp_path), "t")
+    df = with_row_number(
+        spark.createDataFrame([(k, k * 10) for k in range(1, 21)], "k long, v long"),
+        order_by=["k"],
+    )
+    t.overwrite(df)
+    v_before = t.current_version()
+
+    n = t.delete(spark.createDataFrame([(3,), (7,), (99,)], "k long"), ["k"])
+    assert n == 2  # 99 not present
+    got = t.read()
+    assert got.count() == 18
+    assert got.filter(F.col("k").isin(3, 7)).count() == 0
+    assert t.current_version() == v_before + 1
+    # survivors keep their original _id values
+    ids = {r["k"]: r["_id"] for r in got.collect()}
+    assert ids[4] == 4 and ids[20] == 20
