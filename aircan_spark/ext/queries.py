@@ -9752,3 +9752,274 @@ EXT_ORACLES.update(
         "ext_cross_source_dupes": EXT_CROSS_SOURCE_DUPES_SQL,
     }
 )
+
+
+# --- round-3 wave: model-eval + sampling-theory classics ----------------------
+
+
+def ext_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality strength per event type: the share of daily-
+    total variance explained by day-of-week (ANOVA R² = SS_between /
+    SS_total over the day axis) — decides whether a forecast needs the
+    weekly component the X217 seasonal-naive baseline assumes.
+
+    Scale shape: data collapses to O(days x types) exact-cent totals;
+    both sums of squares derive from that grid and its 7-row dow means.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("iv"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.sum("iv").alias("x"))
+    daily = daily.withColumn(
+        "dow", ((F.dayofweek("day") + F.lit(5)) % 7) + 1
+    )
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")).alias("sxx"),
+    )
+    d = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("x").alias("sd")
+    )
+    between = d.groupBy("event_type").agg(
+        F.sum(
+            (F.col("sd").cast("double") / F.col("nd"))
+            * (F.col("sd").cast("double") / F.col("nd"))
+            * F.col("nd")
+        ).alias("ss_b_raw")
+    )
+    j = g.join(between, "event_type")
+    n = F.col("n").cast("double")
+    mean = F.col("sx").cast("double") / n
+    ss_total = F.col("sxx").cast("double") - n * mean * mean
+    ss_between = F.col("ss_b_raw") - n * mean * mean
+    return j.select(
+        "event_type",
+        "n",
+        F.round(ss_between / ss_total, 6).alias("r2_weekly"),
+    ).orderBy("event_type")
+
+
+EXT_SEASONALITY_SQL = r"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+dowd AS (SELECT event_type, day, x, isodow(day) AS dow FROM daily),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx
+  FROM dowd GROUP BY 1
+),
+d AS (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS nd,
+         CAST(SUM(x) AS BIGINT) AS sd
+  FROM dowd GROUP BY 1, 2
+),
+btw AS (
+  SELECT event_type,
+         SUM((CAST(sd AS DOUBLE) / nd) * (CAST(sd AS DOUBLE) / nd) * nd) AS ss_b_raw
+  FROM d GROUP BY 1
+)
+SELECT g.event_type AS event_type, g.n AS n,
+       ROUND((b.ss_b_raw - g.n * (CAST(g.sx AS DOUBLE) / g.n) * (CAST(g.sx AS DOUBLE) / g.n))
+             / (CAST(g.sxx AS DOUBLE) - g.n * (CAST(g.sx AS DOUBLE) / g.n) * (CAST(g.sx AS DOUBLE) / g.n)), 6)
+         AS r2_weekly
+FROM g JOIN btw b ON g.event_type = b.event_type
+ORDER BY g.event_type
+"""
+
+
+def ext_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table: users ranked by observation-window spend
+    (the X209 churn frame's feature), retention rate per spend decile
+    plus cumulative lift over the base rate — the standard targeting-
+    model evaluation readout (does the top decile actually retain
+    more?).
+
+    Scale shape: deciles come from nine broadcast percentile thresholds
+    (strict-compare bucketing, no NTILE global sort — the X182
+    discipline); the lift walk is a window over the 10-row decile axis.
+    """
+    cutoff = F.lit("2024-01-21").cast("timestamp")
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, 1).otherwise(0)).alias("n_obs"),
+        F.round(
+            F.sum(F.when(F.col("ts") < cutoff, F.col("value")).otherwise(0.0)), 2
+        ).alias("score"),
+        (F.sum(F.when(F.col("ts") >= cutoff, 1).otherwise(0)) > 0).alias("retained"),
+    ).filter(F.col("n_obs") > 0)
+    thr = per.agg(
+        *[
+            F.expr(f"percentile(score, {q / 10.0})").alias(f"t{q}")
+            for q in range(1, 10)
+        ]
+    )
+    decile = F.lit(10) - sum(
+        (F.col("score") > F.col(f"t{q}")).cast("int") for q in range(1, 10)
+    )
+    bucketed = per.crossJoin(F.broadcast(thr)).select(
+        decile.alias("decile"), "retained"
+    )
+    cells = bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("retained").cast("int")).alias("n_retained"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = cells.agg(
+        F.sum("n_users").alias("tn"), F.sum("n_retained").alias("tr")
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            "n_retained",
+            F.round(F.col("n_retained") / F.col("n_users"), 6).alias("retention_rate"),
+            F.round(
+                (F.sum("n_retained").over(w) / F.sum("n_users").over(w))
+                / (F.col("tr") / F.col("tn")),
+                6,
+            ).alias("cum_lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+EXT_LIFT_TABLE_SQL = r"""
+WITH per AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-21' THEN 1 ELSE 0 END) AS BIGINT) AS n_obs,
+         ROUND(SUM(CASE WHEN ts < TIMESTAMP '2024-01-21' THEN value ELSE 0 END), 2) AS score,
+         SUM(CASE WHEN ts >= TIMESTAMP '2024-01-21' THEN 1 ELSE 0 END) > 0 AS retained
+  FROM events GROUP BY 1
+),
+flt AS (SELECT * FROM per WHERE n_obs > 0),
+thr AS (
+  SELECT quantile_cont(score, 0.1) AS t1, quantile_cont(score, 0.2) AS t2,
+         quantile_cont(score, 0.3) AS t3, quantile_cont(score, 0.4) AS t4,
+         quantile_cont(score, 0.5) AS t5, quantile_cont(score, 0.6) AS t6,
+         quantile_cont(score, 0.7) AS t7, quantile_cont(score, 0.8) AS t8,
+         quantile_cont(score, 0.9) AS t9
+  FROM flt
+),
+bucketed AS (
+  SELECT 10 - ((score > t1)::INT + (score > t2)::INT + (score > t3)::INT
+             + (score > t4)::INT + (score > t5)::INT + (score > t6)::INT
+             + (score > t7)::INT + (score > t8)::INT + (score > t9)::INT) AS decile,
+         retained
+  FROM flt CROSS JOIN thr
+),
+cells AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(retained::INT) AS BIGINT) AS n_retained
+  FROM bucketed GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS tn, CAST(SUM(n_retained) AS BIGINT) AS tr FROM cells)
+SELECT decile, n_users, n_retained,
+       ROUND(CAST(n_retained AS DOUBLE) / n_users, 6) AS retention_rate,
+       ROUND((CAST(SUM(n_retained) OVER w AS DOUBLE) / SUM(n_users) OVER w)
+             / (CAST(tr AS DOUBLE) / tn), 6) AS cum_lift
+FROM cells CROSS JOIN tot
+WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+ORDER BY decile
+"""
+
+
+def ext_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal sample allocation across customer segments for a
+    1000-unit audit budget: n_h ∝ N_h·σ_h (stratum size × stddev of
+    customer lifetime value) — minimum-variance stratified sampling,
+    the survey-statistics classic a QA/audit pipeline uses instead of
+    proportional allocation when strata differ in volatility.
+
+    Scale shape: customers collapse once; per-stratum exact decimal
+    moments give σ; the allocation normalizer is a broadcast scalar.
+    Allocations round half-up and are reported with their exact weight
+    shares (budget rounding residue is the caller's concern)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("ltv"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    v = F.col("ltv")
+    strata = per.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(v).alias("s1"),
+        F.sum(v.cast("decimal(19,2)") * v.cast("decimal(19,2)")).alias("s2"),
+    )
+    n = F.col("n_h").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    sigma = F.sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+    weighted = strata.select(
+        "c_mktsegment", "n_h", sigma.alias("sigma"), (n * sigma).alias("w")
+    )
+    tot = weighted.agg(F.sum("w").alias("tw"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            "n_h",
+            F.round("sigma", 4).alias("ltv_stddev"),
+            F.round(F.col("w") / F.col("tw"), 6).alias("weight_share"),
+            F.round(F.lit(1000.0) * F.col("w") / F.col("tw"), 0)
+            .cast("long")
+            .alias("allocated_samples"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+EXT_NEYMAN_SQL = r"""
+WITH per AS (
+  SELECT o.o_custkey, c.c_mktsegment,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS ltv
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+strata AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(ltv) AS DECIMAL(38,2)) AS s1,
+         CAST(SUM(CAST(ltv AS DECIMAL(19,2)) * CAST(ltv AS DECIMAL(19,2))) AS DECIMAL(38,4)) AS s2
+  FROM per GROUP BY 1
+),
+wgt AS (
+  SELECT c_mktsegment, n_h,
+         SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_h)
+              / (n_h - 1.0)) AS sigma,
+         n_h * SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_h)
+              / (n_h - 1.0)) AS w
+  FROM strata
+),
+tot AS (SELECT SUM(w) AS tw FROM wgt)
+SELECT c_mktsegment, n_h,
+       ROUND(sigma, 4) AS ltv_stddev,
+       ROUND(w / tw, 6) AS weight_share,
+       CAST(ROUND(1000.0 * w / tw, 0) AS BIGINT) AS allocated_samples
+FROM wgt CROSS JOIN tot
+ORDER BY c_mktsegment
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_seasonality_strength": ext_seasonality_strength,
+        "ext_lift_table": ext_lift_table,
+        "ext_neyman_allocation": ext_neyman_allocation,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_seasonality_strength": EXT_SEASONALITY_SQL,
+        "ext_lift_table": EXT_LIFT_TABLE_SQL,
+        "ext_neyman_allocation": EXT_NEYMAN_SQL,
+    }
+)
