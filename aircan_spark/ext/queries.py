@@ -10023,3 +10023,134 @@ EXT_ORACLES.update(
         "ext_neyman_allocation": EXT_NEYMAN_SQL,
     }
 )
+
+
+def ext_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-extraction detector: unbalanced parentheses/brackets/
+    double-quotes per document — truncated or mis-parsed extractions
+    leave dangling delimiters that poison downstream parsing; flagged
+    docs are curation candidates. Row-local regexp counting, zero
+    shuffle; the flag is parity/count arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    opens = F.regexp_count(F.col("text"), F.lit(r"\("))
+    closes = F.regexp_count(F.col("text"), F.lit(r"\)"))
+    brack_o = F.regexp_count(F.col("text"), F.lit(r"\["))
+    brack_c = F.regexp_count(F.col("text"), F.lit(r"\]"))
+    quotes = F.regexp_count(F.col("text"), F.lit(r'"'))
+    return docs.select(
+        "doc_id",
+        (opens - closes).alias("paren_delta"),
+        (brack_o - brack_c).alias("bracket_delta"),
+        F.pmod(quotes, F.lit(2)).alias("quote_parity"),
+        (
+            (opens != closes)
+            | (brack_o != brack_c)
+            | (F.pmod(quotes, F.lit(2)) != 0)
+        ).alias("is_unbalanced"),
+    ).orderBy("doc_id")
+
+
+EXT_BALANCE_AUDIT_SQL = r"""
+SELECT doc_id,
+       LEN(regexp_extract_all(text, '\(')) - LEN(regexp_extract_all(text, '\)'))
+         AS paren_delta,
+       LEN(regexp_extract_all(text, '\[')) - LEN(regexp_extract_all(text, '\]'))
+         AS bracket_delta,
+       LEN(regexp_extract_all(text, '"')) % 2 AS quote_parity,
+       (LEN(regexp_extract_all(text, '\(')) <> LEN(regexp_extract_all(text, '\)'))
+        OR LEN(regexp_extract_all(text, '\[')) <> LEN(regexp_extract_all(text, '\]'))
+        OR LEN(regexp_extract_all(text, '"')) % 2 <> 0) AS is_unbalanced
+FROM documents ORDER BY doc_id
+"""
+
+
+def ext_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source (keyness): top-3 terms by
+    smoothed log-odds of in-source vs rest-of-corpus frequency
+    (Monroe-style +0.5 Dirichlet prior) — the corpus-exploration
+    readout that names what makes each feed different.
+
+    Scale shape: ONE (source, word) count exchange; corpus totals
+    derive from it (no re-tokenization); log-odds are row-local over
+    the O(sources x vocab) grid; the head is a per-source
+    WindowGroupLimit. Log-odds round to 6 BEFORE ranking."""
+    docs = _t(spark, sf_dir, "documents")
+    sw = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = sw.groupBy("w").agg(F.sum("c").alias("cw"))
+    src_tot = sw.groupBy("source").agg(F.sum("c").alias("cs"))
+    grand = totals.agg(F.sum("cw").alias("n"))
+    j = (
+        sw.join(F.broadcast(totals), "w")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(grand))
+    )
+    inc = F.col("c") + 0.5
+    out_c = (F.col("cw") - F.col("c")) + 0.5
+    in_rest = (F.col("cs") - F.col("c")) + 0.5
+    out_rest = (F.col("n") - F.col("cw") - F.col("cs") + F.col("c")) + 0.5
+    lo = F.round(F.log(inc / in_rest) - F.log(out_c / out_rest), 6)
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("log_odds").desc(), "w"
+    )
+    return (
+        j.select("source", "w", "c", lo.alias("log_odds"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select("source", F.col("w").alias("term"), "c", "log_odds", "rank")
+        .orderBy("source", "rank")
+    )
+
+
+EXT_DISTINCTIVE_TERMS_SQL = r"""
+WITH sw AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT source,
+           UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY 1, 2
+),
+totals AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM sw GROUP BY 1),
+src_tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cs FROM sw GROUP BY 1),
+grand AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM totals),
+j AS (
+  SELECT sw.source, sw.w, sw.c,
+         ROUND(LN((sw.c + 0.5) / ((st.cs - sw.c) + 0.5))
+               - LN(((t.cw - sw.c) + 0.5) / ((g.n - t.cw - st.cs + sw.c) + 0.5)), 6)
+           AS log_odds
+  FROM sw JOIN totals t ON sw.w = t.w
+  JOIN src_tot st ON sw.source = st.source
+  CROSS JOIN grand g
+),
+ranked AS (
+  SELECT source, w, c, log_odds,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY log_odds DESC, w) AS rank
+  FROM j
+)
+SELECT source, w AS term, c, log_odds, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+ORDER BY source, rank
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_balance_audit": ext_balance_audit,
+        "ext_distinctive_terms": ext_distinctive_terms,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_balance_audit": EXT_BALANCE_AUDIT_SQL,
+        "ext_distinctive_terms": EXT_DISTINCTIVE_TERMS_SQL,
+    }
+)
