@@ -10154,3 +10154,233 @@ EXT_ORACLES.update(
         "ext_distinctive_terms": EXT_DISTINCTIVE_TERMS_SQL,
     }
 )
+
+
+# --- round-3 wave: statistical calculators ------------------------------------
+
+
+def ext_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size calculator from observed data: per-arm n needed
+    to detect a 10% relative drop in the X212 conversion rate at
+    alpha=0.05 / power=0.80 (two-sided two-proportion formula,
+    n = (z_a·√(2p̄q̄) + z_b·√(p1q1+p2q2))² / δ²) — the experiment-design
+    companion every A/B readout needs.
+
+    Scale shape: the observed rate is one per-user collapse + one
+    scalar; the formula is O(1) driver-free arithmetic in the plan."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 300.0), 1
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    base = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("p1"),
+    )
+    za, zb = 1.959964, 0.841621  # alpha=0.05 two-sided, power=0.80
+    p1 = F.col("p1")
+    p2 = p1 * 0.9
+    pbar = (p1 + p2) / 2.0
+    delta = p1 - p2
+    n = F.when(
+        delta > 0.0,
+        F.pow(
+            F.lit(za) * F.sqrt(2.0 * pbar * (1.0 - pbar))
+            + F.lit(zb) * F.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)),
+            2.0,
+        )
+        / (delta * delta),
+    )  # zero observed rate -> no detectable effect -> NULL (mirrored)
+    return base.select(
+        "n_users",
+        F.round(p1, 6).alias("baseline_rate"),
+        F.round(p2, 6).alias("target_rate"),
+        F.ceil(n).cast("long").alias("required_per_arm"),
+    )
+
+
+EXT_POWER_ANALYSIS_SQL = r"""
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 300.0
+             THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1
+),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS p1
+  FROM per_user
+)
+SELECT n_users,
+       ROUND(p1, 6) AS baseline_rate,
+       ROUND(p1 * 0.9, 6) AS target_rate,
+       CAST(CEIL(POW(1.959964 * SQRT(2.0 * ((p1 + p1 * 0.9) / 2.0) * (1.0 - (p1 + p1 * 0.9) / 2.0))
+                     + 0.841621 * SQRT(p1 * (1.0 - p1) + p1 * 0.9 * (1.0 - p1 * 0.9)), 2)
+                 / NULLIF((p1 - p1 * 0.9) * (p1 - p1 * 0.9), 0.0)) AS BIGINT) AS required_per_arm
+FROM base
+"""
+
+
+def ext_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion audit of basket sizes: variance-to-mean ratio of
+    lineitems per order (index-of-dispersion; ~1 = Poisson, >1.5 =
+    clumped demand that breaks Poisson capacity models). Exact integer
+    moments over the per-order collapse; one scalar row."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("k").alias("s1"),
+        F.sum(F.col("k") * F.col("k")).alias("s2"),
+    )
+    n = F.col("n_orders").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = F.col("s2").cast("double") / n - mean * mean
+    return agg.select(
+        "n_orders",
+        F.round(mean, 6).alias("mean_lines"),
+        F.round(var, 6).alias("var_lines"),
+        F.round(var / mean, 6).alias("dispersion_index"),
+        (var / mean > 1.5).alias("overdispersed"),
+    )
+
+
+EXT_DISPERSION_SQL = r"""
+WITH per AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS k FROM lineitem GROUP BY 1
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(k) AS BIGINT) AS s1,
+         CAST(SUM(k * k) AS BIGINT) AS s2
+  FROM per
+)
+SELECT n_orders,
+       ROUND(CAST(s1 AS DOUBLE) / n_orders, 6) AS mean_lines,
+       ROUND(CAST(s2 AS DOUBLE) / n_orders
+             - (CAST(s1 AS DOUBLE) / n_orders) * (CAST(s1 AS DOUBLE) / n_orders), 6)
+         AS var_lines,
+       ROUND((CAST(s2 AS DOUBLE) / n_orders
+              - (CAST(s1 AS DOUBLE) / n_orders) * (CAST(s1 AS DOUBLE) / n_orders))
+             / (CAST(s1 AS DOUBLE) / n_orders), 6) AS dispersion_index,
+       (CAST(s2 AS DOUBLE) / n_orders
+        - (CAST(s1 AS DOUBLE) / n_orders) * (CAST(s1 AS DOUBLE) / n_orders))
+       / (CAST(s1 AS DOUBLE) / n_orders) > 1.5 AS overdispersed
+FROM agg
+"""
+
+
+def ext_pareto_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-tail exponent of customer lifetime value: Pareto alpha by
+    MLE over the tail above the 90th percentile (α = n_tail /
+    Σ ln(x/x_min)) — quantifies revenue-concentration risk beyond what
+    the Gini/top-decile summaries (X110/X117) show (α < 2 = infinite-
+    variance territory).
+
+    Scale shape: one per-customer collapse; the x_min threshold is a
+    broadcast percentile scalar; the MLE is one filtered aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("ltv")
+    )
+    xmin = per.agg(F.expr("percentile(ltv, 0.9)").alias("xm"))
+    tail = per.crossJoin(F.broadcast(xmin)).filter(F.col("ltv") > F.col("xm"))
+    return tail.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.round(F.max("xm"), 2).alias("x_min"),
+        F.round(
+            F.count(F.lit(1)) / F.sum(F.log(F.col("ltv") / F.col("xm"))), 6
+        ).alias("pareto_alpha"),
+    )
+
+
+EXT_PARETO_TAIL_SQL = r"""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS ltv
+  FROM orders GROUP BY 1
+),
+xm AS (SELECT quantile_cont(ltv, 0.9) AS xm FROM per),
+tail AS (SELECT ltv, xm FROM per CROSS JOIN xm WHERE ltv > xm)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+       ROUND(MAX(xm), 2) AS x_min,
+       ROUND(COUNT(*) / SUM(LN(ltv / xm)), 6) AS pareto_alpha
+FROM tail
+"""
+
+
+def ext_corpus_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level unigram entropy and perplexity (effective vocabulary
+    size): H = ln N − Σc·ln(c)/N over token counts, perplexity = e^H —
+    the one-number diversity summary that makes corpora comparable
+    (dedup/filtering should RAISE it; template floods lower it).
+
+    Scale shape: one token-count exchange; the entropy folds the
+    O(vocab) counts with the exact ln-regrouping (no per-token p·ln p
+    materialization)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = counts.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias("clogc"),
+    )
+    h = F.log(F.col("n_tokens").cast("double")) - F.col("clogc") / F.col("n_tokens")
+    return agg.select(
+        "vocab_size",
+        "n_tokens",
+        F.round(h, 6).alias("unigram_entropy_nats"),
+        F.round(F.exp(h), 2).alias("perplexity"),
+    )
+
+
+EXT_CORPUS_PERPLEXITY_SQL = r"""
+WITH counts AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY 1
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         SUM(CAST(c AS DOUBLE) * LN(c)) AS clogc
+  FROM counts
+)
+SELECT vocab_size, n_tokens,
+       ROUND(LN(n_tokens) - clogc / n_tokens, 6) AS unigram_entropy_nats,
+       ROUND(EXP(LN(n_tokens) - clogc / n_tokens), 2) AS perplexity
+FROM agg
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_power_analysis": ext_power_analysis,
+        "ext_dispersion_index": ext_dispersion_index,
+        "ext_pareto_tail": ext_pareto_tail,
+        "ext_corpus_perplexity": ext_corpus_perplexity,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_power_analysis": EXT_POWER_ANALYSIS_SQL,
+        "ext_dispersion_index": EXT_DISPERSION_SQL,
+        "ext_pareto_tail": EXT_PARETO_TAIL_SQL,
+        "ext_corpus_perplexity": EXT_CORPUS_PERPLEXITY_SQL,
+    }
+)
