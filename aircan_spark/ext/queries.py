@@ -10384,3 +10384,193 @@ EXT_ORACLES.update(
         "ext_corpus_perplexity": EXT_CORPUS_PERPLEXITY_SQL,
     }
 )
+
+
+# --- round-3 wave: shrinkage, calendar anomalies, vocabulary growth -----------
+
+
+def ext_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes return-rate ranking of parts: per-part 'R'
+    lineitem share shrunk toward the global rate with a k=20
+    pseudo-count prior ((r + k·p0)/(n + k)) — the small-n correction
+    that stops a 1-for-1 part from topping the list (the cold-start
+    ranking problem). Top-25 by shrunk rate.
+
+    Scale shape: one per-part collapse; the global prior is a broadcast
+    scalar; the head is k-bounded."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("r"),
+    )
+    prior = per.agg(
+        (F.sum("r").cast("double") / F.sum("n")).alias("p0")
+    )
+    k = 20.0
+    shrunk = F.round(
+        (F.col("r") + F.lit(k) * F.col("p0")) / (F.col("n") + F.lit(k)), 6
+    )
+    return (
+        per.crossJoin(F.broadcast(prior))
+        .select(
+            "l_partkey",
+            "n",
+            "r",
+            F.round(F.col("r") / F.col("n"), 6).alias("raw_rate"),
+            shrunk.alias("shrunk_rate"),
+        )
+        .orderBy(F.col("shrunk_rate").desc(), "l_partkey")
+        .limit(25)
+    )
+
+
+EXT_SHRUNK_RATES_SQL = r"""
+WITH per AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
+  FROM lineitem GROUP BY 1
+),
+prior AS (SELECT CAST(SUM(r) AS DOUBLE) / SUM(n) AS p0 FROM per)
+SELECT l_partkey, n, r,
+       ROUND(CAST(r AS DOUBLE) / n, 6) AS raw_rate,
+       ROUND((r + 20.0 * p0) / (n + 20.0), 6) AS shrunk_rate
+FROM per CROSS JOIN prior
+ORDER BY shrunk_rate DESC, l_partkey LIMIT 25
+"""
+
+
+def ext_calendar_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar anomaly days: daily event-value totals more than 2
+    population stddevs from their DAY-OF-WEEK mean (the X102 weekday
+    profile as an expectation, X172's exact moments as the yardstick) —
+    the holiday/outage detector that plain global z-scores miss when
+    weekends differ structurally from weekdays.
+
+    Scale shape: one exact-cent collapse to the day axis; dow moments
+    are a 7-row frame broadcast back."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("iv"),
+    )
+    daily = ev.groupBy("day").agg(F.sum("iv").alias("x"))
+    daily = daily.withColumn("dow", ((F.dayofweek("day") + F.lit(5)) % 7) + 1)
+    m = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    std = F.sqrt(F.col("s2").cast("double") / n - mean * mean)
+    stats = m.select("dow", mean.alias("mu"), std.alias("sd"))
+    return (
+        daily.join(F.broadcast(stats), "dow")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dow",
+            F.round(F.col("x").cast("double") / 100.0, 2).alias("daily_total"),
+            F.round((F.col("x").cast("double") - F.col("mu")) / F.col("sd"), 4).alias("dow_z"),
+            (F.abs((F.col("x").cast("double") - F.col("mu")) / F.col("sd")) > 2.0).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+EXT_CALENDAR_ANOMALIES_SQL = r"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+dowd AS (SELECT day, x, isodow(day) AS dow FROM daily),
+m AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS s2
+  FROM dowd GROUP BY 1
+),
+stats AS (
+  SELECT dow, CAST(s1 AS DOUBLE) / n AS mu,
+         SQRT(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sd
+  FROM m
+)
+SELECT CAST(d.day AS VARCHAR) AS day, CAST(d.dow AS BIGINT) AS dow,
+       ROUND(CAST(d.x AS DOUBLE) / 100.0, 2) AS daily_total,
+       ROUND((CAST(d.x AS DOUBLE) - s.mu) / s.sd, 4) AS dow_z,
+       ABS((CAST(d.x AS DOUBLE) - s.mu) / s.sd) > 2.0 AS is_anomaly
+FROM dowd d JOIN stats s ON d.dow = s.dow
+ORDER BY day
+"""
+
+
+def ext_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth estimate: distinct-type counts at the
+    half corpus (doc_id below the median) vs the full corpus give the
+    growth exponent beta = ln(V2/V1)/ln(N2/N1) — predicts how much NEW
+    vocabulary more crawling buys (beta near 0 = saturated corpus,
+    near 1 = every batch still novel).
+
+    Scale shape: two conditional distinct aggregations over one token
+    exchange; the median doc id is a broadcast scalar."""
+    docs = _t(spark, sf_dir, "documents")
+    med = docs.agg(F.expr("percentile(doc_id, 0.5)").alias("md"))
+    toks = (
+        docs.crossJoin(F.broadcast(med))
+        .select(
+            (F.col("doc_id") <= F.col("md")).alias("in_half"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    agg = toks.agg(
+        F.count_distinct(F.when(F.col("in_half"), F.col("w"))).alias("v1"),
+        F.count_distinct("w").alias("v2"),
+        F.sum(F.when(F.col("in_half"), 1).otherwise(0)).alias("n1"),
+        F.count(F.lit(1)).alias("n2"),
+    )
+    beta = (
+        F.log(F.col("v2").cast("double") / F.col("v1"))
+        / F.log(F.col("n2").cast("double") / F.col("n1"))
+    )
+    return agg.select(
+        "v1", "v2", "n1", "n2", F.round(beta, 6).alias("heaps_beta")
+    )
+
+
+EXT_HEAPS_SQL = r"""
+WITH med AS (SELECT quantile_cont(doc_id, 0.5) AS md FROM documents),
+toks AS (
+  SELECT doc_id <= md AS in_half, w FROM (
+    SELECT doc_id, md,
+           UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+    FROM documents CROSS JOIN med
+  ) WHERE w <> ''
+)
+SELECT CAST(COUNT(DISTINCT CASE WHEN in_half THEN w END) AS BIGINT) AS v1,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS v2,
+       CAST(SUM(CASE WHEN in_half THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       CAST(COUNT(*) AS BIGINT) AS n2,
+       ROUND(LN(CAST(COUNT(DISTINCT w) AS DOUBLE)
+                / COUNT(DISTINCT CASE WHEN in_half THEN w END))
+             / LN(CAST(COUNT(*) AS DOUBLE)
+                  / SUM(CASE WHEN in_half THEN 1 ELSE 0 END)), 6) AS heaps_beta
+FROM toks
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_shrunk_return_rates": ext_shrunk_return_rates,
+        "ext_calendar_anomalies": ext_calendar_anomalies,
+        "ext_heaps_growth": ext_heaps_growth,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_shrunk_return_rates": EXT_SHRUNK_RATES_SQL,
+        "ext_calendar_anomalies": EXT_CALENDAR_ANOMALIES_SQL,
+        "ext_heaps_growth": EXT_HEAPS_SQL,
+    }
+)
