@@ -10574,3 +10574,350 @@ EXT_ORACLES.update(
         "ext_heaps_growth": EXT_HEAPS_SQL,
     }
 )
+
+
+# --- round-3 wave: KMV sketches, bitmap-index distinct ------------------------
+
+
+def ext_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-vocabulary estimate from a k-minimum-values
+    sketch (k=256) next to the exact count: the mergeable fixed-size
+    summary that lets a 100 TB corpus report per-shard vocabularies and
+    combine them WITHOUT re-scanning (min-k of a union == min-k of the
+    per-shard min-k's) — the set-sketch complement of the HLL registers
+    (X156) that additionally supports resemblance (see ext_kmv_jaccard).
+
+    Scale shape: distinct (source, hash) collapses map-side; the rank
+    filter is WindowGroupLimit (each task forwards its local k smallest),
+    so the exchange carries O(sources*k) rows. The exact column is one
+    count_distinct for the audit — drop it in production."""
+    from aircan_spark.ext import sketch as sk
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    minima = sk.kmv_minima(toks, "w", ["source"], k=256)
+    est = sk.kmv_estimates(minima, ["source"], k=256)
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("w").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            F.round("kmv_distinct", 2).alias("kmv_distinct"),
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("kmv_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
+
+
+EXT_KMV_DISTINCT_SQL = r"""
+WITH tok AS (
+  SELECT source, w FROM (
+    SELECT source, UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+hs AS (
+  SELECT DISTINCT source, CAST(('0x' || SUBSTR(md5(w), 1, 12))::UBIGINT AS BIGINT) AS h
+  FROM tok
+),
+mins AS (
+  SELECT source, h FROM (
+    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hs
+  ) WHERE rn <= 256
+),
+est AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS nm, MAX(h) AS hk
+  FROM mins GROUP BY 1
+),
+ex AS (
+  SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS exact_distinct
+  FROM tok GROUP BY 1
+)
+SELECT e.source,
+       ROUND(CASE WHEN nm < 256 THEN CAST(nm AS DOUBLE)
+                  ELSE 255.0 / (CAST(hk AS DOUBLE) / 281474976710656.0) END, 2)
+         AS kmv_distinct,
+       x.exact_distinct,
+       ROUND(ABS(CASE WHEN nm < 256 THEN CAST(nm AS DOUBLE)
+                      ELSE 255.0 / (CAST(hk AS DOUBLE) / 281474976710656.0) END
+                 - x.exact_distinct) / x.exact_distinct, 4) AS rel_err
+FROM est e JOIN ex x ON e.source = x.source
+ORDER BY e.source
+"""
+
+
+def ext_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary resemblance from KMV sketches: union
+    cardinality from the merged min-k, intersection by inclusion-
+    exclusion, Jaccard = inter/union — next to the exact Jaccard for the
+    audit. This is what sketches buy at 100 TB: comparing every pair of
+    shards/feeds costs O(pairs * k), not O(pairs * vocab).
+
+    Scale shape: sketches are built ONCE (O(sources*k) rows); the pair
+    expansion, merge, and re-take all run on that tiny frame. The exact
+    Jaccard audit is one equi-join of per-source distinct-token sets on
+    the token (vocab-sized, ≪ corpus) — drop it in production."""
+    from aircan_spark.ext import sketch as sk
+
+    k = 256
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    minima = sk.kmv_minima(toks, "w", ["source"], k=k).select("source", "h")
+    est = sk.kmv_estimates(minima, ["source"], k=k)
+    sources = minima.select("source").distinct()
+    pairs = (
+        sources.select(F.col("source").alias("sa"))
+        .crossJoin(sources.select(F.col("source").alias("sb")))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    # union sketch: hashes of either side, distinct, re-take k smallest per pair
+    side_a = F.broadcast(pairs).join(minima, pairs.sa == minima.source).select(
+        "sa", "sb", "h"
+    )
+    side_b = F.broadcast(pairs).join(minima, pairs.sb == minima.source).select(
+        "sa", "sb", "h"
+    )
+    u = side_a.unionByName(side_b).distinct()
+    wkm = Window.partitionBy("sa", "sb").orderBy("h")
+    umins = u.withColumn("rn", F.row_number().over(wkm)).filter(F.col("rn") <= k)
+    uest = umins.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).alias("n_mins"), F.max("h").alias("hk")
+    )
+    est_u = F.when(F.col("n_mins") < k, F.col("n_mins").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("hk").cast("double") / F.lit(sk.KMV_HASH_SPACE))
+    )
+    uest = uest.select("sa", "sb", est_u.alias("est_union"))
+    ea = est.select(F.col("source").alias("sa"), F.col("kmv_distinct").alias("est_a"))
+    eb = est.select(F.col("source").alias("sb"), F.col("kmv_distinct").alias("est_b"))
+    kmv = (
+        uest.join(F.broadcast(ea), "sa")
+        .join(F.broadcast(eb), "sb")
+        .select(
+            "sa",
+            "sb",
+            F.round(
+                F.greatest(
+                    F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+                )
+                / F.col("est_union"),
+                4,
+            ).alias("kmv_jaccard"),
+        )
+    )
+    # exact audit: per-source distinct token sets, equi-join on the token
+    vocab = toks.distinct()
+    inter = (
+        vocab.alias("a")
+        .join(vocab.alias("b"), F.col("a.w") == F.col("b.w"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    exact = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("sa"), F.col("nv").alias("na"))),
+            "sa",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("sb"), F.col("nv").alias("nb"))),
+            "sb",
+        )
+        .select(
+            "sa",
+            "sb",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+                4,
+            ).alias("exact_jaccard"),
+        )
+    )
+    return (
+        kmv.join(exact, ["sa", "sb"])
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "kmv_jaccard",
+            "exact_jaccard",
+            F.round(F.abs(F.col("kmv_jaccard") - F.col("exact_jaccard")), 4).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+EXT_KMV_JACCARD_SQL = r"""
+WITH tok AS (
+  SELECT source, w FROM (
+    SELECT source, UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+hs AS (
+  SELECT DISTINCT source, CAST(('0x' || SUBSTR(md5(w), 1, 12))::UBIGINT AS BIGINT) AS h
+  FROM tok
+),
+mins AS (
+  SELECT source, h FROM (
+    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hs
+  ) WHERE rn <= 256
+),
+est AS (
+  SELECT source,
+         CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE 255.0 / (CAST(MAX(h) AS DOUBLE) / 281474976710656.0) END AS kd
+  FROM mins GROUP BY 1
+),
+srcs AS (SELECT DISTINCT source FROM mins),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb FROM srcs a, srcs b WHERE a.source < b.source
+),
+u AS (
+  SELECT DISTINCT sa, sb, h FROM (
+    SELECT p.sa, p.sb, m.h FROM pairs p JOIN mins m ON m.source = p.sa
+    UNION ALL
+    SELECT p.sa, p.sb, m.h FROM pairs p JOIN mins m ON m.source = p.sb
+  )
+),
+umins AS (
+  SELECT sa, sb, h FROM (
+    SELECT sa, sb, h, ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+    FROM u
+  ) WHERE rn <= 256
+),
+uest AS (
+  SELECT sa, sb,
+         CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE 255.0 / (CAST(MAX(h) AS DOUBLE) / 281474976710656.0) END AS eu
+  FROM umins GROUP BY 1, 2
+),
+kmv AS (
+  SELECT u.sa, u.sb,
+         ROUND(GREATEST(0.0, ea.kd + eb.kd - u.eu) / u.eu, 4) AS kmv_jaccard
+  FROM uest u
+  JOIN est ea ON ea.source = u.sa
+  JOIN est eb ON eb.source = u.sb
+),
+vocab AS (SELECT DISTINCT source, w FROM tok),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nv FROM vocab GROUP BY 1),
+exact AS (
+  SELECT i.sa, i.sb,
+         ROUND(CAST(i.n_inter AS DOUBLE) / (na.nv + nb.nv - i.n_inter), 4)
+           AS exact_jaccard
+  FROM inter i
+  JOIN sizes na ON na.source = i.sa
+  JOIN sizes nb ON nb.source = i.sb
+)
+SELECT k.sa AS source_a, k.sb AS source_b, k.kmv_jaccard, e.exact_jaccard,
+       ROUND(ABS(k.kmv_jaccard - e.exact_jaccard), 4) AS abs_err
+FROM kmv k JOIN exact e ON k.sa = e.sa AND k.sb = e.sb
+ORDER BY source_a, source_b
+"""
+
+
+def ext_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per day AND per month from ONE bitmap-index
+    pass: per (day, bucket) RoaringBitmap-style bitmaps built with the
+    engine-native bitmap aggregates (JVM-side, whole-stage codegen), then
+    daily counts by summing per-bucket popcounts and monthly counts by
+    OR-merging the SAME bitmaps — the mergeable exact-distinct pattern
+    that replaces two full re-scans (per-grain count_distinct) with one
+    scan + tiny bitmap rollups at 100 TB.
+
+    Output (grain, key, n_users) — 'day' rows from the bitmaps, 'month'
+    rows from their OR-merge; both exactly equal the naive
+    COUNT(DISTINCT) the oracle runs."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), F.col("user_id")
+    )
+    pos = ev.select(
+        "day",
+        F.bitmap_bucket_number(F.col("user_id")).alias("bkt"),
+        F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+    )
+    day_bm = pos.groupBy("day", "bkt").agg(
+        F.bitmap_construct_agg(F.col("pos")).alias("bm")
+    )
+    daily = day_bm.groupBy("day").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("n_users")
+    )
+    monthly = (
+        day_bm.select(F.trunc("day", "month").alias("mo"), "bkt", "bm")
+        .groupBy("mo", "bkt")
+        .agg(F.bitmap_or_agg(F.col("bm")).alias("bm"))
+        .groupBy("mo")
+        .agg(F.sum(F.bitmap_count(F.col("bm"))).alias("n_users"))
+    )
+    out = daily.select(
+        F.lit("day").alias("grain"),
+        F.col("day").cast("string").alias("key"),
+        "n_users",
+    ).unionByName(
+        monthly.select(
+            F.lit("month").alias("grain"),
+            F.col("mo").cast("string").alias("key"),
+            "n_users",
+        )
+    )
+    return out.orderBy("grain", "key")
+
+
+EXT_BITMAP_DISTINCT_SQL = r"""
+WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events)
+SELECT grain, key, n_users FROM (
+  SELECT 'day' AS grain, CAST(day AS VARCHAR) AS key,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM ev GROUP BY day
+  UNION ALL
+  SELECT 'month' AS grain, CAST(date_trunc('month', day) AS VARCHAR) AS key,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM ev GROUP BY date_trunc('month', day)
+)
+ORDER BY grain, key
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_kmv_distinct": ext_kmv_distinct,
+        "ext_kmv_jaccard": ext_kmv_jaccard,
+        "ext_bitmap_distinct": ext_bitmap_distinct,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_kmv_distinct": EXT_KMV_DISTINCT_SQL,
+        "ext_kmv_jaccard": EXT_KMV_JACCARD_SQL,
+        "ext_bitmap_distinct": EXT_BITMAP_DISTINCT_SQL,
+    }
+)

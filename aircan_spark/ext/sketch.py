@@ -208,3 +208,56 @@ def bottomk_merge(a: DataFrame, b: DataFrame, k: int = 2000) -> DataFrame:
     """Merge two bottom-k samples built with the same seed/keys: union,
     re-take the k smallest. Idempotent and associative."""
     return a.unionByName(b).orderBy("__bk").limit(k)
+
+
+# --- grouped KMV distinct / resemblance sketch -----------------------------------
+
+
+def kmv_minima(
+    items: DataFrame,
+    item_col: str,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Per-group k-minimum-values sketch: the k smallest 48-bit md5
+    hashes of the DISTINCT items in each group. Output (group..., h, rn)
+    — at most k rows per group regardless of group size.
+
+    The k-th minimum estimates distinct cardinality ((k-1)/h_k with h_k
+    as a fraction of hash space); the min-k of a union is the min-k of
+    the unioned min-k's, so sketches merge by union + re-take and support
+    set-resemblance estimates (union/intersection/Jaccard) that HLL
+    registers cannot give directly.
+
+    Physical shape: distinct on (group, h) collapses duplicates map-side;
+    the rank filter compiles to WindowGroupLimit (Partial+Final) — each
+    task forwards only its local k smallest per group, so the exchange
+    carries O(groups*k) rows, not the corpus. 48-bit hashes are exact in
+    both BIGINT and DOUBLE, so any SQL engine replays the same sketch
+    bit-for-bit (the oracle contract)."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(item_col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    hashes = items.select(*group_cols, h.alias("h")).distinct()
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("h")
+    return hashes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= F.lit(k)
+    )
+
+
+KMV_HASH_SPACE = float(1 << 48)
+
+
+def kmv_estimates(minima: DataFrame, group_cols: list[str], k: int = 256) -> DataFrame:
+    """Collapse per-group k-minima to distinct-count estimates:
+    (k-1)/h_k when the sketch is full, the exact count of collected
+    hashes otherwise (small groups are exact by construction)."""
+    agg = minima.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_mins"), F.max("h").alias("hk")
+    )
+    est = F.when(F.col("n_mins") < k, F.col("n_mins").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("hk").cast("double") / F.lit(KMV_HASH_SPACE))
+    )
+    return agg.select(*group_cols, est.alias("kmv_distinct"))

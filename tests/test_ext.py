@@ -900,3 +900,35 @@ def test_audio_rms_windows_real_decode(spark):
     assert all(r["is_silence"] for r in silent)
     assert all(not r["is_silence"] for r in tone_rms)
     assert rows[5]["t_start_s"] == 0.25
+
+
+def test_kmv_merge_law_and_estimate(spark):
+    """Grouped KMV minima: min-k of a union == min-k of unioned per-part
+    min-k's (the merge law that makes per-shard sketches combinable), and
+    the (k-1)/h_k estimate lands within the 1/sqrt(k) error envelope on a
+    known cardinality. Small groups (< k distinct) are exact."""
+    from pyspark.sql import Window
+
+    from aircan_spark.ext import sketch as sk
+
+    df = spark.createDataFrame(
+        [("big", i % 5000) for i in range(15000)] + [("small", i) for i in range(40)],
+        "g string, k long",
+    )
+    whole = sk.kmv_minima(df, "k", ["g"], k=128)
+    left = sk.kmv_minima(df.filter(F.col("k") % 2 == 0), "k", ["g"], k=128)
+    right = sk.kmv_minima(df.filter(F.col("k") % 2 == 1), "k", ["g"], k=128)
+    w = Window.partitionBy("g").orderBy("h")
+    remerged = (
+        left.select("g", "h")
+        .unionByName(right.select("g", "h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 128)
+    )
+    assert sorted(map(tuple, remerged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    est = {r["g"]: r["kmv_distinct"] for r in sk.kmv_estimates(whole, ["g"], k=128).collect()}
+    assert abs(est["big"] - 5000) / 5000 < 3 / (128 ** 0.5), est  # ~3 std errs
+    assert est["small"] == 40.0  # below k: exact by construction
