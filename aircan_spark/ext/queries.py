@@ -10921,3 +10921,280 @@ EXT_ORACLES.update(
         "ext_bitmap_distinct": EXT_BITMAP_DISTINCT_SQL,
     }
 )
+
+
+# --- round-3 wave: Theil decomposition, autocorrelation, bootstrap CI ---------
+
+
+def ext_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of customer lifetime value with the exact
+    between/within market-segment decomposition (T = T_between +
+    Σ share_g·T_g) — the property the Gini (X117) does NOT have: it says
+    how much revenue concentration lives INSIDE segments vs BETWEEN
+    them, which is what a mix-shift investigation actually needs.
+
+    Scale shape: one per-customer collapse (shuffle on custkey), one
+    segment join, then O(segments) arithmetic; the global scalars ride a
+    broadcast. T_total is computed from the global sums directly, so the
+    decomposition identity is checkable from the output."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("x")
+        )
+        .join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+    )
+    seg = per.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("x").alias("sg"),
+        F.sum(F.col("x") * F.log("x")).alias("xlgx"),
+    )
+    glob = seg.agg(
+        F.sum("ng").alias("n"), F.sum("sg").alias("s"), F.sum("xlgx").alias("xl")
+    )
+    g = seg.crossJoin(F.broadcast(glob))
+    mu = F.col("s") / F.col("n")
+    mug = F.col("sg") / F.col("ng")
+    t_g = F.col("xlgx") / (F.col("sg")) - F.log(mug)
+    # note: (1/(ng*mug))*Σ x ln x == Σ x ln x / sg
+    share = F.col("sg") / F.col("s")
+    terms = g.agg(
+        F.max("n").alias("n"),
+        F.max(F.col("xl") / F.col("s") - F.log(F.col("s") / F.col("n"))).alias(
+            "t_total"
+        ),
+        F.sum(share * F.log(mug / mu)).alias("t_between"),
+        F.sum(share * t_g).alias("t_within"),
+    )
+    return terms.select(
+        F.col("n").alias("n_customers"),
+        F.round("t_total", 6).alias("theil_total"),
+        F.round("t_between", 6).alias("theil_between"),
+        F.round("t_within", 6).alias("theil_within"),
+    )
+
+
+EXT_THEIL_SQL = r"""
+WITH per AS (
+  SELECT o.o_custkey, c.c_mktsegment,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+seg AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS ng, SUM(x) AS sg,
+         SUM(x * LN(x)) AS xlgx
+  FROM per GROUP BY 1
+),
+gl AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, SUM(sg) AS s, SUM(xlgx) AS xl FROM seg)
+SELECT MAX(n) AS n_customers,
+       ROUND(MAX(xl / s - LN(s / n)), 6) AS theil_total,
+       ROUND(SUM((sg / s) * LN((sg / ng) / (s / n))), 6) AS theil_between,
+       ROUND(SUM((sg / s) * (xlgx / sg - LN(sg / ng))), 6) AS theil_within
+FROM seg CROSS JOIN gl
+"""
+
+
+def ext_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily order revenue at lags 1,2,3,7,14,28 —
+    the memory/seasonality diagnostic behind every forecasting choice
+    (X217's seasonal-naive baseline assumes exactly the lag-7 structure
+    this measures). Missing calendar days simply contribute no pair
+    (stated estimator: pairwise-complete ACF on the calendar grid).
+
+    Scale shape: the big table collapses to the O(days) axis first
+    (exact cents); mean/denominator are broadcast scalars; each lag is
+    one equi-join on the shifted day over the tiny axis."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("xc")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("nd"),
+        (F.sum("xc").cast("double") / F.count(F.lit(1))).alias("mu"),
+    )
+    dev = daily.crossJoin(F.broadcast(stats)).select(
+        "day", (F.col("xc").cast("double") - F.col("mu")).alias("d")
+    )
+    denom = dev.agg(F.sum(F.col("d") * F.col("d")).alias("ss"))
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in [1, 2, 3, 7, 14, 28]])).alias("lag")
+    )
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(dev.select(F.col("day").alias("d0"), F.col("d").alias("da")))
+        .join(
+            dev.select(F.col("day").alias("d1"), F.col("d").alias("db")),
+            F.expr("d1 = date_add(d0, lag)"),
+        )
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum(F.col("da") * F.col("db")).alias("num"))
+        .crossJoin(F.broadcast(denom))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(F.col("num") / F.col("ss"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+EXT_ACF_SQL = r"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS xc
+  FROM orders GROUP BY 1
+),
+stats AS (SELECT CAST(SUM(xc) AS DOUBLE) / COUNT(*) AS mu FROM daily),
+dev AS (SELECT day, CAST(xc AS DOUBLE) - mu AS d FROM daily CROSS JOIN stats),
+denom AS (SELECT SUM(d * d) AS ss FROM dev),
+lags AS (SELECT UNNEST([1, 2, 3, 7, 14, 28]) AS lag)
+SELECT CAST(l.lag AS INTEGER) AS lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM(a.d * b.d) / MAX(ss), 6) AS acf
+FROM lags l
+JOIN dev a ON TRUE
+JOIN dev b ON b.day = a.day + CAST(l.lag AS INTEGER)
+CROSS JOIN denom
+GROUP BY l.lag
+ORDER BY lag
+"""
+
+
+def ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order value from
+    B=100 deterministic Poisson(1)-weighted resamples (the scalable
+    bootstrap: multinomial resampling ≈ independent Poisson weights, so
+    NO per-replicate shuffle of the data — one pass computes every
+    replicate). Hash-seeded weights make the 'randomness' replayable in
+    any engine (the oracle recomputes it bit-for-bit).
+
+    Scale shape: rows × B expansion is row-local (explode of a literal
+    range); the per-replicate sums partial-aggregate map-side into B=100
+    groups; quantiles run on the 100-row replicate frame."""
+    orders = _t(spark, sf_dir, "orders")
+    b = 100
+    rep = orders.select(
+        F.col("o_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("xc"),
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", F.col("o_orderkey"), F.col("rep"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(281474976710656.0)
+    )
+    # Poisson(1) inverse CDF ladder (cumulative probabilities, exact literals)
+    cum = [
+        0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+        0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+        0.9999167588507119, 0.9999897508076832, 0.9999988597484035,
+    ]
+    w = F.lit(9)
+    for i in range(len(cum) - 1, -1, -1):
+        w = F.when(F.lit(cum[i]) > u, F.lit(i)).otherwise(w)
+    means = (
+        rep.select("rep", w.alias("w"), "xc")
+        .groupBy("rep")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("xc")).cast("double")
+                / (F.sum("w") * 100.0)
+            ).alias("m")
+        )
+    )
+    point = orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double")
+            / (F.count(F.lit(1)) * 100.0)
+        ).alias("pm"),
+    )
+    ci = means.agg(
+        F.expr("percentile(m, 0.025)").alias("lo"),
+        F.expr("percentile(m, 0.975)").alias("hi"),
+    )
+    return (
+        point.crossJoin(F.broadcast(ci))
+        .select(
+            "n_orders",
+            F.round("pm", 4).alias("point_mean"),
+            F.round("lo", 4).alias("ci_lo"),
+            F.round("hi", 4).alias("ci_hi"),
+        )
+    )
+
+
+EXT_BOOTSTRAP_SQL = r"""
+WITH rep AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS xc, r.rep
+  FROM orders CROSS JOIN (SELECT UNNEST(range(0, 100)) AS rep) r
+),
+wts AS (
+  SELECT rep, xc,
+         CASE
+           WHEN 0.36787944117144233 > u THEN 0
+           WHEN 0.7357588823428847 > u THEN 1
+           WHEN 0.9196986029286058 > u THEN 2
+           WHEN 0.9810118431238462 > u THEN 3
+           WHEN 0.9963401531726563 > u THEN 4
+           WHEN 0.9994058151824183 > u THEN 5
+           WHEN 0.9999167588507119 > u THEN 6
+           WHEN 0.9999897508076832 > u THEN 7
+           WHEN 0.9999988597484035 > u THEN 8
+           ELSE 9
+         END AS w
+  FROM (
+    SELECT rep, xc,
+           CAST(('0x' || SUBSTR(md5(o_orderkey || '-' || rep), 1, 12))::UBIGINT
+                AS DOUBLE) / 281474976710656.0 AS u
+    FROM rep
+  )
+),
+means AS (
+  SELECT rep, CAST(SUM(w * xc) AS DOUBLE) / (SUM(w) * 100.0) AS m
+  FROM wts GROUP BY 1
+),
+point AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / (COUNT(*) * 100.0) AS pm
+  FROM orders
+),
+ci AS (SELECT quantile_cont(m, 0.025) AS lo, quantile_cont(m, 0.975) AS hi FROM means)
+SELECT n_orders, ROUND(pm, 4) AS point_mean, ROUND(lo, 4) AS ci_lo,
+       ROUND(hi, 4) AS ci_hi
+FROM point CROSS JOIN ci
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_theil_index": ext_theil_index,
+        "ext_acf": ext_acf,
+        "ext_bootstrap_ci": ext_bootstrap_ci,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_theil_index": EXT_THEIL_SQL,
+        "ext_acf": EXT_ACF_SQL,
+        "ext_bootstrap_ci": EXT_BOOTSTRAP_SQL,
+    }
+)
