@@ -11198,3 +11198,340 @@ EXT_ORACLES.update(
         "ext_bootstrap_ci": EXT_BOOTSTRAP_SQL,
     }
 )
+
+
+# --- round-3 wave: model-eval operators (AUC, NDCG, kNN, k-means step) --------
+
+
+def ext_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the stopword-ratio signal as a detector of lang='en'
+    (Mann-Whitney rank formulation with exact tie handling) — the
+    threshold-free quality-classifier evaluation every filtering
+    pipeline needs before it picks a cutoff (X226's lift table assumes a
+    ranking is worth using; this is the number that says whether it is).
+
+    Scale shape: per-doc scores are row-local array HOFs; the rank sum
+    runs on the COLLAPSED per-score axis (score rounded to 6 → bounded
+    distinct values), so the only unpartitioned window is over O(distinct
+    scores), not rows."""
+    docs = _t(spark, sf_dir, "documents")
+    stops = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda w: w != ""
+    )
+    scored = docs.select(
+        (F.col("lang") == "en").cast("int").alias("pos_label"),
+        F.size(toks).alias("n_toks"),
+        F.size(
+            F.filter(toks, lambda w: w.isin(stops))
+        ).alias("n_stop"),
+    ).filter(F.col("n_toks") > 0)
+    scored = scored.select(
+        "pos_label",
+        F.round(F.col("n_stop") / F.col("n_toks"), 6).alias("score"),
+    )
+    g = scored.groupBy("score").agg(
+        F.sum("pos_label").alias("np"),
+        F.sum(F.lit(1) - F.col("pos_label")).alias("nn"),
+    )
+    wb = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    g = g.withColumn("nt", F.col("np") + F.col("nn")).withColumn(
+        "cb", F.coalesce(F.sum("nt").over(wb), F.lit(0))
+    )
+    agg = g.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.sum(
+            F.col("np") * (F.col("cb") + (F.col("nt") + 1) / 2.0)
+        ).alias("rpos"),
+    )
+    auc = (
+        F.col("rpos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+    ) / (F.col("n_pos") * F.col("n_neg"))
+    return agg.select("n_pos", "n_neg", F.round(auc, 6).alias("auc"))
+
+
+EXT_AUC_SQL = r"""
+WITH scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos_label,
+         ROUND(CAST(len(list_filter(toks, w -> list_contains(
+                 ['the','a','an','and','or','of','to','in','is','it'], w)))
+               AS DOUBLE) / len(toks), 6) AS score
+  FROM (
+    SELECT lang,
+           list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'),
+                       w -> w <> '') AS toks
+    FROM documents
+  ) WHERE len(toks) > 0
+),
+g AS (
+  SELECT score, CAST(SUM(pos_label) AS BIGINT) AS np,
+         CAST(SUM(1 - pos_label) AS BIGINT) AS nn
+  FROM scored GROUP BY 1
+),
+c AS (
+  SELECT score, np, nn, np + nn AS nt,
+         COALESCE(SUM(np + nn) OVER (
+           ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cb
+  FROM g
+),
+agg AS (
+  SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+         SUM(np * (cb + (nt + 1) / 2.0)) AS rpos
+  FROM c
+)
+SELECT n_pos, n_neg,
+       ROUND((rpos - n_pos * (n_pos + 1) / 2.0) / (n_pos * CAST(n_neg AS DOUBLE)), 6) AS auc
+FROM agg
+"""
+
+
+def ext_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality NDCG@10 of exact cosine search with same-label
+    relevance, averaged per query label — the ranking-eval companion to
+    the recall tests: it scores POSITION (a relevant hit at rank 1 is
+    worth more than at rank 10), which recall@k cannot see. IDCG is the
+    all-relevant ideal (every label has >10 corpus members).
+
+    Scale shape: reuses the broadcast brute-force scorer (queries tiny,
+    corpus streams); the gain math runs on the O(queries*k) hit list."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    hits = similarity.brute_topk(emb, queries, k=10)
+    lab = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel"))
+    qlab = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
+    gains = (
+        hits.join(lab, "neighbor_id")
+        .join(F.broadcast(qlab), "query_id")
+        .select(
+            "query_id",
+            "qlabel",
+            (
+                (F.col("nlabel") == F.col("qlabel")).cast("double")
+                / F.log2(F.col("rank") + 1)
+            ).alias("g"),
+        )
+    )
+    per_q = gains.groupBy("query_id", "qlabel").agg(
+        (F.sum("g") / F.lit(4.543559338088346)).alias("ndcg")
+    )
+    return (
+        per_q.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.avg("ndcg"), 6).alias("mean_ndcg"),
+        )
+        .orderBy("label")
+    )
+
+
+EXT_NDCG_SQL = r"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS qlabel, c.vec_id AS neighbor_id,
+         c.label AS nlabel,
+         ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine
+  FROM q CROSS JOIN e c
+  WHERE q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+  ) AS rank
+  FROM scored
+),
+per_q AS (
+  SELECT query_id, qlabel,
+         SUM(CASE WHEN nlabel = qlabel THEN 1.0 ELSE 0.0 END / log2(rank + 1))
+           / 4.543559338088346 AS ndcg
+  FROM ranked WHERE rank <= 10 GROUP BY 1, 2
+)
+SELECT CAST(qlabel AS INTEGER) AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(AVG(ndcg), 6) AS mean_ndcg
+FROM per_q GROUP BY 1 ORDER BY label
+"""
+
+
+def ext_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration (the k-means E-step + quality audit)
+    seeded from the label centroids: every vector is assigned to its
+    nearest centroid (squared euclidean, rounded-9 distance, label tie-
+    break), reporting per-centroid membership, agreement with the
+    seeding label, and inertia — the distributed k-means building block
+    (iterate = loop this; converged = n_moved stops falling).
+
+    Scale shape: centroids are an O(labels*dim) broadcast; the distance
+    computation is a posexplode + broadcast join + partial-agged
+    regrouping — no N×k materialization survives the exchange."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = vectors.label_centroids(emb).select(
+        F.col("label").alias("clabel"), "pos", "centroid_val"
+    )
+    ex = emb.select(
+        "vec_id",
+        F.col("label").alias("ilabel"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
+    ).withColumn("pos", (F.col("pos0") + 1).cast("long"))
+    d2 = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "ilabel", "clabel")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("v") - F.col("centroid_val"))
+                    * (F.col("v") - F.col("centroid_val"))
+                ),
+                9,
+            ).alias("d2")
+        )
+    )
+    pick = d2.groupBy("vec_id", "ilabel").agg(
+        F.min(F.struct(F.col("d2"), F.col("clabel"))).alias("best")
+    )
+    assigned = pick.select(
+        "vec_id",
+        "ilabel",
+        F.col("best.clabel").alias("assigned"),
+        F.col("best.d2").alias("d2"),
+    )
+    return (
+        assigned.groupBy(F.col("assigned").alias("assigned_label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.sum((F.col("ilabel") == F.col("assigned")).cast("long")).alias(
+                "n_kept"
+            ),
+            F.round(F.sum("d2"), 4).alias("inertia"),
+        )
+        .orderBy("assigned_label")
+    )
+
+
+EXT_KMEANS_STEP_SQL = r"""
+WITH u AS (
+  SELECT label, vec_id,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS clabel, pos,
+         ROUND(CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6)
+           AS centroid_val
+  FROM u GROUP BY 1, 2
+),
+d2 AS (
+  SELECT u.vec_id, u.label AS ilabel, c.clabel,
+         ROUND(SUM((u.v - c.centroid_val) * (u.v - c.centroid_val)), 9) AS d2
+  FROM u JOIN cent c ON c.pos = u.pos
+  GROUP BY 1, 2, 3
+),
+pick AS (
+  SELECT vec_id, ilabel, clabel AS assigned, d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY d2 ASC, clabel ASC
+    ) AS rn FROM d2
+  ) WHERE rn = 1
+)
+SELECT CAST(assigned AS INTEGER) AS assigned_label,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       CAST(SUM(CASE WHEN ilabel = assigned THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(SUM(d2), 4) AS inertia
+FROM pick GROUP BY 1 ORDER BY assigned_label
+"""
+
+
+def ext_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction (k=5 cosine neighbors, majority vote, count-
+    then-smallest-label tie-break) with per-label accuracy — the
+    classifier-eval loop run directly on the embedding store, no model:
+    the standard probe for 'are these embeddings good enough to separate
+    the classes'.
+
+    Scale shape: reuses the broadcast brute scorer on a hash-thinned
+    query panel; voting and accuracy run on O(queries*k) rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 1)
+    hits = similarity.brute_topk(emb, queries, k=5)
+    lab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+    votes = (
+        hits.join(lab, "neighbor_id")
+        .groupBy("query_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pred = votes.groupBy("query_id").agg(
+        F.max(F.struct(F.col("cnt"), (-F.col("nlabel")).alias("neg"))).alias("b")
+    ).select("query_id", (-F.col("b.neg")).cast("int").alias("pred"))
+    truth = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("tlabel"))
+    return (
+        pred.join(F.broadcast(truth), "query_id")
+        .groupBy(F.col("tlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum((F.col("pred") == F.col("tlabel")).cast("long")).alias("n_correct"),
+            F.round(
+                F.sum((F.col("pred") == F.col("tlabel")).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+EXT_KNN_CLASSIFY_SQL = r"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 100 = 1),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS tlabel, c.vec_id AS neighbor_id,
+         c.label AS nlabel,
+         ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine
+  FROM q CROSS JOIN e c
+  WHERE q.vec_id <> c.vec_id
+),
+hits AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rank FROM scored
+  ) WHERE rank <= 5
+),
+votes AS (
+  SELECT query_id, tlabel, nlabel, COUNT(*) AS cnt
+  FROM hits GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT query_id, tlabel, nlabel AS pred FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cnt DESC, nlabel ASC
+    ) AS rn FROM votes
+  ) WHERE rn = 1
+)
+SELECT CAST(tlabel AS INTEGER) AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN pred = tlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN pred = tlabel THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS accuracy
+FROM pred GROUP BY 1 ORDER BY label
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_auc": ext_auc,
+        "ext_ndcg": ext_ndcg,
+        "ext_kmeans_step": ext_kmeans_step,
+        "ext_knn_classify": ext_knn_classify,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_auc": EXT_AUC_SQL,
+        "ext_ndcg": EXT_NDCG_SQL,
+        "ext_kmeans_step": EXT_KMEANS_STEP_SQL,
+        "ext_knn_classify": EXT_KNN_CLASSIFY_SQL,
+    }
+)
