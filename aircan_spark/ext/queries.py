@@ -11535,3 +11535,234 @@ EXT_ORACLES.update(
         "ext_knn_classify": EXT_KNN_CLASSIFY_SQL,
     }
 )
+
+
+# --- round-3 wave: governance + pipeline ops ----------------------------------
+
+
+def ext_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit completing the k-anonymity check (X100): for
+    every (segment, nation) equivalence class, the number of DISTINCT
+    sensitive values (order priority of the members' orders) — a class
+    can be k-anonymous yet leak the sensitive attribute outright if all
+    members share one value (l=1). Flags classes below l=3.
+
+    Scale shape: membership join keyed on custkey, then one hash agg per
+    QI class with a distinct-count; output is O(classes)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    joined = cust.join(
+        orders, cust.c_custkey == orders.o_custkey
+    )
+    return (
+        joined.groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("o_orderpriority").alias("l_distinct"),
+        )
+        .withColumn("below_l", (F.col("l_distinct") < 3).cast("int"))
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+EXT_L_DIVERSITY_SQL = r"""
+SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS l_distinct,
+       CASE WHEN COUNT(DISTINCT o_orderpriority) < 3 THEN 1 ELSE 0 END AS below_l
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment, c_nationkey
+ORDER BY c_mktsegment, c_nationkey
+"""
+
+
+def ext_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private-style count release: per-segment customer
+    counts with Laplace(1/eps) noise (eps=1.0, sensitivity 1), the noise
+    drawn by the same replayable hash-uniform scheme every sampler here
+    uses — so the 'randomness' is auditable and engine-portable while
+    the released number still carries the calibrated perturbation. The
+    governed-export complement to k-anonymity/pseudonymization: release
+    aggregates, not classes.
+
+    Scale shape: one hash agg to O(segments) rows; noise is row-local
+    arithmetic on the tiny aggregate."""
+    cust = _t(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("true_n"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp-"), F.col("c_mktsegment"))), 1, 12),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(281474976710656.0)
+    )
+    # inverse-CDF Laplace(b): b * sign(u-0.5) * ln(1 - 2|u-0.5|), b = 1/eps
+    noise = (
+        F.lit(-1.0)
+        * F.signum(u - 0.5)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(u - 0.5))
+    )
+    return (
+        counts.select(
+            "c_mktsegment",
+            F.round(F.col("true_n") + noise, 4).alias("released_n"),
+            F.round(noise, 4).alias("noise"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+EXT_DP_RELEASE_SQL = r"""
+WITH counts AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM customer GROUP BY 1
+),
+noised AS (
+  SELECT c_mktsegment, true_n,
+         -1.0 * SIGN(u - 0.5) * LN(1 - 2 * ABS(u - 0.5)) AS noise
+  FROM (
+    SELECT c_mktsegment, true_n,
+           CAST(('0x' || SUBSTR(md5('dp-' || c_mktsegment), 1, 12))::UBIGINT
+                AS DOUBLE) / 281474976710656.0 AS u
+    FROM counts
+  )
+)
+SELECT c_mktsegment, ROUND(true_n + noise, 4) AS released_n,
+       ROUND(noise, 4) AS noise
+FROM noised ORDER BY c_mktsegment
+"""
+
+
+def ext_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split is decided by the
+    DUPLICATE-CLUSTER key (normalized-content fingerprint), not the doc
+    id, so exact/near copies of one document can never straddle train
+    and eval — the contamination failure mode a plain hash split (X34)
+    cannot prevent. 80/10/10 by hash of the cluster key; summary rows
+    prove the invariant (each cluster lands in exactly one split).
+
+    Scale shape: fingerprint is row-local; the split decision is a hash
+    of it (zero shuffle, subset-stable); the audit agg is O(clusters)."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    bucket = F.conv(F.substring(F.md5(F.concat(F.lit("split-"), fp)), 1, 12), 16, 10).cast(
+        "long"
+    ) % 10
+    split = (
+        F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    )
+    tagged = docs.select(fp.alias("cluster_fp"), split.alias("split"))
+    per_cluster = tagged.groupBy("cluster_fp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("split").alias("n_splits"),
+        F.min("split").alias("split"),
+    )
+    return (
+        per_cluster.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("n_docs").alias("n_docs"),
+            F.max("n_splits").alias("max_splits_per_cluster"),
+        )
+        .orderBy("split")
+    )
+
+
+EXT_CLUSTER_SPLIT_SQL = r"""
+WITH tagged AS (
+  SELECT md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS cluster_fp,
+         CASE
+           WHEN ('0x' || SUBSTR(md5('split-' || md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')))), 1, 12))::UBIGINT % 10 < 8 THEN 'train'
+           WHEN ('0x' || SUBSTR(md5('split-' || md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')))), 1, 12))::UBIGINT % 10 < 9 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+),
+per_cluster AS (
+  SELECT cluster_fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+         MIN(split) AS split
+  FROM tagged GROUP BY 1
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(MAX(n_splits) AS BIGINT) AS max_splits_per_cluster
+FROM per_cluster GROUP BY 1 ORDER BY split
+"""
+
+
+def ext_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase latency distribution: per user, first click and
+    the first purchase at-or-after it; exact p50/p90/p99 of the lag in
+    seconds plus the converting-user count — the time-dimension
+    companion to the funnel counts (X76 says HOW MANY convert; this says
+    HOW LONG conversion takes, which sets attribution windows).
+
+    Scale shape: two conditional MINs in ONE per-user hash agg (no self-
+    join); percentiles run on the O(users) collapsed frame."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c0")
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(per_user.filter(F.col("c0").isNotNull()), "user_id")
+        .filter(F.col("ts") >= F.col("c0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p0"), F.min("c0").alias("c0"))
+    )
+    lags = purch.select(
+        "user_id",
+        ((F.unix_micros("p0") - F.unix_micros("c0")) / 1000000.0).alias("lag_s"),
+    )
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(lag_s, 0.5)"), 3).alias("p50_s"),
+        F.round(F.expr("percentile(lag_s, 0.9)"), 3).alias("p90_s"),
+        F.round(F.expr("percentile(lag_s, 0.99)"), 3).alias("p99_s"),
+    )
+
+
+EXT_CONVERSION_LAG_SQL = r"""
+WITH per_user AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'click' THEN ts END) AS c0
+  FROM events GROUP BY 1
+),
+purch AS (
+  SELECT e.user_id, MIN(e.ts) AS p0, MIN(u.c0) AS c0
+  FROM events e JOIN per_user u ON u.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND u.c0 IS NOT NULL AND e.ts >= u.c0
+  GROUP BY 1
+),
+lags AS (
+  SELECT (epoch_us(p0) - epoch_us(c0)) / 1000000.0 AS lag_s FROM purch
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(quantile_cont(lag_s, 0.5), 3) AS p50_s,
+       ROUND(quantile_cont(lag_s, 0.9), 3) AS p90_s,
+       ROUND(quantile_cont(lag_s, 0.99), 3) AS p99_s
+FROM lags
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_l_diversity": ext_l_diversity,
+        "ext_dp_release": ext_dp_release,
+        "ext_cluster_split": ext_cluster_split,
+        "ext_conversion_lag": ext_conversion_lag,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_l_diversity": EXT_L_DIVERSITY_SQL,
+        "ext_dp_release": EXT_DP_RELEASE_SQL,
+        "ext_cluster_split": EXT_CLUSTER_SPLIT_SQL,
+        "ext_conversion_lag": EXT_CONVERSION_LAG_SQL,
+    }
+)
