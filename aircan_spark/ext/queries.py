@@ -11766,3 +11766,316 @@ EXT_ORACLES.update(
         "ext_conversion_lag": EXT_CONVERSION_LAG_SQL,
     }
 )
+
+
+# --- round-3 wave: hybrid ranking, EWMA monitoring, FS record linkage ---------
+
+
+def ext_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank-fusion hybrid ranking (k=60): BM25 relevance and
+    the heuristic quality prior are each ranked WITHIN the retrieval
+    candidate set (docs matching >= 1 query term), then fused as
+    1/(60+r_bm25) + 1/(60+r_quality) — the standard zero-training way to
+    combine heterogeneous retrieval signals; top-20 head.
+
+    Scale shape: candidates come from the scan-filtered BM25 operator
+    (non-matching docs never shuffle); both rank windows run over the
+    candidate set only — retrieval-bounded, not corpus-bounded — and the
+    head is a TakeOrdered k-limit."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = text.bm25_scores(docs, BM25_QUERY_TERMS).select("doc_id", "score")
+    q = text.quality_score(docs).select("doc_id", "quality")
+    j = cand.join(q, "doc_id")
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    wq = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
+    ranked = j.withColumn("r_bm25", F.row_number().over(wb)).withColumn(
+        "r_quality", F.row_number().over(wq)
+    )
+    rrf = 1.0 / (60.0 + F.col("r_bm25")) + 1.0 / (60.0 + F.col("r_quality"))
+    return (
+        ranked.select(
+            "doc_id",
+            F.col("r_bm25").cast("long").alias("r_bm25"),
+            F.col("r_quality").cast("long").alias("r_quality"),
+            F.round(rrf, 6).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+EXT_RRF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS w
+  FROM documents
+),
+lens AS (SELECT doc_id, len(w) AS dl, w FROM toks),
+scalars AS (SELECT COUNT(*) AS n, SUM(dl) AS total_dl FROM lens),
+words AS (SELECT doc_id, dl, UNNEST(w) AS word FROM lens),
+tf AS (
+  SELECT doc_id, dl, word, COUNT(*) AS tf
+  FROM words WHERE word IN ('join', 'merge', 'window')
+  GROUP BY doc_id, dl, word
+),
+dfreq AS (SELECT word, COUNT(*) AS doc_freq FROM tf GROUP BY word),
+comp AS (
+  SELECT tf.doc_id,
+         CAST(
+           LN(1.0 + (CAST(s.n AS DOUBLE) - CAST(d.doc_freq AS DOUBLE) + 0.5)
+                    / (CAST(d.doc_freq AS DOUBLE) + 0.5))
+           * CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE)
+                                     / (CAST(s.total_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))
+           AS DECIMAL(27,12)) AS comp
+  FROM tf JOIN dfreq d ON tf.word = d.word CROSS JOIN scalars s
+),
+cand AS (
+  SELECT doc_id, ROUND(CAST(SUM(comp) AS DOUBLE), 6) AS score
+  FROM comp GROUP BY doc_id
+),
+qual AS (
+  SELECT doc_id,
+         ROUND(
+           LEAST(CAST(LENGTH(text) AS DOUBLE) / 200.0, 1.0)
+           * (1.0 - CAST(LEN(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE)
+                    / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE))
+           * (1.0 - CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                    / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE)),
+           4) AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT c.doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY c.score DESC, c.doc_id) AS BIGINT) AS r_bm25,
+         CAST(ROW_NUMBER() OVER (ORDER BY q.quality DESC, c.doc_id) AS BIGINT) AS r_quality
+  FROM cand c JOIN qual q ON q.doc_id = c.doc_id
+)
+SELECT doc_id, r_bm25, r_quality,
+       ROUND(1.0 / (60.0 + r_bm25) + 1.0 / (60.0 + r_quality), 6) AS rrf
+FROM ranked
+ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+
+def ext_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over daily event counts (lambda=0.2, trailing
+    20-day support, renormalized over OBSERVED days so calendar gaps
+    don't bias the smoother): each day's EWMA against the
+    mu +/- 3*sigma*sqrt(lambda/(2-lambda)) control band — the
+    small-shift drift detector that reacts faster than X214's CUSUM for
+    sustained level changes and is closed-form replayable (no recursion).
+
+    Scale shape: the big table collapses to the O(days) axis first; the
+    EWMA is a bounded-lag self-join on that tiny axis; control scalars
+    ride a broadcast."""
+    lam = 0.2
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    stats = daily.agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.sqrt(
+            F.sum(F.col("x").cast("double") * F.col("x")).cast("double")
+            / F.count(F.lit(1))
+            - F.pow(F.sum("x").cast("double") / F.count(F.lit(1)), 2)
+        ).alias("sd"),
+    )
+    a = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"))
+    b = daily.select(F.col("day").alias("d0"), F.col("x").alias("x0"))
+    pairs = a.join(
+        b,
+        (F.col("d0") <= F.col("d1"))
+        & (F.col("d0") > F.date_sub(F.col("d1"), 20)),
+    ).select(
+        "d1",
+        "x1",
+        "x0",
+        F.pow(F.lit(1.0 - lam), F.datediff("d1", "d0")).alias("w"),
+    )
+    ew = pairs.groupBy("d1", "x1").agg(
+        (F.sum(F.col("w") * F.col("x0")) / F.sum("w")).alias("ewma")
+    )
+    band = float((lam / (2.0 - lam)) ** 0.5)
+    return (
+        ew.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("d1").cast("string").alias("day"),
+            F.col("x1").alias("n_events"),
+            F.round("ewma", 4).alias("ewma"),
+            F.round(F.col("mu") + 3.0 * F.col("sd") * band, 4).alias("ucl"),
+            F.round(F.col("mu") - 3.0 * F.col("sd") * band, 4).alias("lcl"),
+            (
+                F.abs(F.col("ewma") - F.col("mu")) > 3.0 * F.col("sd") * band
+            ).alias("out_of_control"),
+        )
+        .orderBy("day")
+    )
+
+
+EXT_EWMA_SQL = r"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu,
+         SQRT(SUM(CAST(x AS DOUBLE) * x) / COUNT(*)
+              - POWER(CAST(SUM(x) AS DOUBLE) / COUNT(*), 2)) AS sd
+  FROM daily
+),
+pairs AS (
+  SELECT a.day AS d1, a.x AS x1, b.x AS x0,
+         POWER(0.8, date_diff('day', b.day, a.day)) AS w
+  FROM daily a JOIN daily b
+    ON b.day <= a.day AND b.day > a.day - 20
+),
+ew AS (
+  SELECT d1, x1, SUM(w * x0) / SUM(w) AS ewma
+  FROM pairs GROUP BY 1, 2
+)
+SELECT CAST(d1 AS VARCHAR) AS day, x1 AS n_events,
+       ROUND(ewma, 4) AS ewma,
+       ROUND(mu + 3.0 * sd * SQRT(0.2 / 1.8), 4) AS ucl,
+       ROUND(mu - 3.0 * sd * SQRT(0.2 / 1.8), 4) AS lcl,
+       ABS(ewma - mu) > 3.0 * sd * SQRT(0.2 / 1.8) AS out_of_control
+FROM ew CROSS JOIN stats
+ORDER BY day
+"""
+
+
+def ext_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage scoring: nation-blocked customer
+    candidate pairs classified by their agreement pattern over (segment,
+    acctbal-thousand-bucket, name-last-char), with the FS match weight
+    log2(m/u) per agreeing field and log2((1-m)/(1-u)) per disagreeing
+    field — u-probabilities ESTIMATED from the data (random-pair
+    agreement = sum of squared value shares), m set to the conventional
+    literals (0.95/0.9/0.85). The statistical layer the fuzzy join
+    (X72) lacks: it says how much EVIDENCE an agreement carries.
+
+    Scale shape: pairs are equi-join blocked on nation (bounded blocks);
+    u-scalars are one tiny agg each, broadcast; output is O(2^fields)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bkt"),
+        F.substring(F.col("c_name"), -1, 1).alias("last_ch"),
+    )
+
+    def u_prob(col):
+        # u = sum(nv^2) / n^2 with n recovered as sum(nv) — one aggregation,
+        # no driver-side count() job per field
+        shares = cust.groupBy(col).agg(F.count(F.lit(1)).alias("nv"))
+        return shares.agg(
+            (
+                F.sum(F.col("nv").cast("double") * F.col("nv"))
+                / (F.sum("nv").cast("double") * F.sum("nv").cast("double"))
+            ).alias(f"u_{col}")
+        )
+
+    u = (
+        u_prob("c_mktsegment")
+        .crossJoin(u_prob("bal_bkt"))
+        .crossJoin(u_prob("last_ch"))
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).cast("int").alias("g_seg"),
+        (F.col("a.bal_bkt") == F.col("b.bal_bkt")).cast("int").alias("g_bal"),
+        (F.col("a.last_ch") == F.col("b.last_ch")).cast("int").alias("g_ch"),
+    )
+    patt = pairs.groupBy("g_seg", "g_bal", "g_ch").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    m_seg, m_bal, m_ch = 0.95, 0.9, 0.85
+
+    def w(flag, m, ucol):
+        return F.when(
+            F.col(flag) == 1, F.log2(F.lit(m) / F.col(ucol))
+        ).otherwise(F.log2((1.0 - m) / (1.0 - F.col(ucol))))
+
+    return (
+        patt.crossJoin(F.broadcast(u))
+        .select(
+            "g_seg",
+            "g_bal",
+            "g_ch",
+            "n_pairs",
+            F.round(
+                w("g_seg", m_seg, "u_c_mktsegment")
+                + w("g_bal", m_bal, "u_bal_bkt")
+                + w("g_ch", m_ch, "u_last_ch"),
+                4,
+            ).alias("fs_weight"),
+        )
+        .orderBy("g_seg", "g_bal", "g_ch")
+    )
+
+
+EXT_FS_LINKAGE_SQL = r"""
+WITH cust AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bkt,
+         SUBSTR(c_name, LENGTH(c_name), 1) AS last_ch
+  FROM customer
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM cust),
+useg AS (
+  SELECT SUM(CAST(nv AS DOUBLE) * nv) / (MAX(n.n) * MAX(n.n)) AS u_seg
+  FROM (SELECT c_mktsegment, COUNT(*) AS nv FROM cust GROUP BY 1) CROSS JOIN n
+),
+ubal AS (
+  SELECT SUM(CAST(nv AS DOUBLE) * nv) / (MAX(n.n) * MAX(n.n)) AS u_bal
+  FROM (SELECT bal_bkt, COUNT(*) AS nv FROM cust GROUP BY 1) CROSS JOIN n
+),
+uch AS (
+  SELECT SUM(CAST(nv AS DOUBLE) * nv) / (MAX(n.n) * MAX(n.n)) AS u_ch
+  FROM (SELECT last_ch, COUNT(*) AS nv FROM cust GROUP BY 1) CROSS JOIN n
+),
+pairs AS (
+  SELECT CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS g_seg,
+         CASE WHEN a.bal_bkt = b.bal_bkt THEN 1 ELSE 0 END AS g_bal,
+         CASE WHEN a.last_ch = b.last_ch THEN 1 ELSE 0 END AS g_ch
+  FROM cust a JOIN cust b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+),
+patt AS (
+  SELECT g_seg, g_bal, g_ch, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY 1, 2, 3
+)
+SELECT g_seg, g_bal, g_ch, n_pairs,
+       ROUND(
+         (CASE WHEN g_seg = 1 THEN log2(0.95 / u_seg)
+               ELSE log2((1 - 0.95) / (1 - u_seg)) END)
+         + (CASE WHEN g_bal = 1 THEN log2(0.9 / u_bal)
+                 ELSE log2((1 - 0.9) / (1 - u_bal)) END)
+         + (CASE WHEN g_ch = 1 THEN log2(0.85 / u_ch)
+                 ELSE log2((1 - 0.85) / (1 - u_ch)) END),
+         4) AS fs_weight
+FROM patt CROSS JOIN useg CROSS JOIN ubal CROSS JOIN uch
+ORDER BY g_seg, g_bal, g_ch
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_rrf_fusion": ext_rrf_fusion,
+        "ext_ewma_control": ext_ewma_control,
+        "ext_fs_linkage": ext_fs_linkage,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_rrf_fusion": EXT_RRF_SQL,
+        "ext_ewma_control": EXT_EWMA_SQL,
+        "ext_fs_linkage": EXT_FS_LINKAGE_SQL,
+    }
+)
