@@ -12079,3 +12079,352 @@ EXT_ORACLES.update(
         "ext_fs_linkage": EXT_FS_LINKAGE_SQL,
     }
 )
+
+
+# --- round-3 wave: causal stratification, coverage estimators, clustering QA --
+
+
+def ext_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified treatment-effect estimate: does a deep discount
+    (l_discount >= 0.05) move line quantity? Naive difference-in-means
+    vs the brand-stratified estimator (per-stratum effect weighted by
+    stratum size, strata lacking either arm dropped) — the standard
+    observational-data correction when treatment assignment varies by
+    product mix. Exact integer-cent arithmetic end to end.
+
+    Scale shape: one fact-dim join (part broadcasts), one hash agg to
+    O(strata × 2) cells, then O(strata) arithmetic."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_discount") >= 0.05).cast("int").alias("treated"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    cells = (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("p_brand", "treated")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("qc").alias("s"))
+    )
+    strata = (
+        cells.groupBy("p_brand")
+        .agg(
+            F.sum("n").alias("n_str"),
+            F.count(F.lit(1)).alias("n_arms"),
+            F.sum(F.when(F.col("treated") == 1, F.col("s"))).alias("st"),
+            F.sum(F.when(F.col("treated") == 1, F.col("n"))).alias("nt"),
+            F.sum(F.when(F.col("treated") == 0, F.col("s"))).alias("sc"),
+            F.sum(F.when(F.col("treated") == 0, F.col("n"))).alias("nc"),
+        )
+        .filter(F.col("n_arms") == 2)
+    )
+    eff = F.col("st").cast("double") / F.col("nt") - F.col("sc").cast(
+        "double"
+    ) / F.col("nc")
+    strat = strata.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        (F.sum(eff * F.col("n_str")) / F.sum("n_str") / 100.0).alias("ate_strat"),
+    )
+    naive = (
+        li.groupBy("treated")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("qc").alias("s"))
+        .agg(
+            (
+                F.sum(F.when(F.col("treated") == 1, F.col("s"))).cast("double")
+                / F.sum(F.when(F.col("treated") == 1, F.col("n")))
+                - F.sum(F.when(F.col("treated") == 0, F.col("s"))).cast("double")
+                / F.sum(F.when(F.col("treated") == 0, F.col("n")))
+            ).alias("ate_naive")
+        )
+    )
+    return strat.crossJoin(F.broadcast(naive)).select(
+        "n_strata",
+        F.round(F.col("ate_naive") / 100.0, 4).alias("ate_naive"),
+        F.round("ate_strat", 4).alias("ate_stratified"),
+    )
+
+
+EXT_STRATIFIED_ATE_SQL = r"""
+WITH li AS (
+  SELECT l_partkey,
+         CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS treated,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc
+  FROM lineitem
+),
+cells AS (
+  SELECT p.p_brand, li.treated, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qc) AS BIGINT) AS s
+  FROM li JOIN part p ON p.p_partkey = li.l_partkey
+  GROUP BY 1, 2
+),
+strata AS (
+  SELECT p_brand, SUM(n) AS n_str, COUNT(*) AS n_arms,
+         SUM(CASE WHEN treated = 1 THEN s END) AS st,
+         SUM(CASE WHEN treated = 1 THEN n END) AS nt,
+         SUM(CASE WHEN treated = 0 THEN s END) AS sc,
+         SUM(CASE WHEN treated = 0 THEN n END) AS nc
+  FROM cells GROUP BY 1 HAVING COUNT(*) = 2
+),
+strat AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         SUM((CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc) * n_str)
+           / SUM(n_str) / 100.0 AS ate_strat
+  FROM strata
+),
+naive AS (
+  SELECT (CAST(SUM(CASE WHEN treated = 1 THEN qc END) AS DOUBLE)
+            / SUM(CASE WHEN treated = 1 THEN 1 END)
+          - CAST(SUM(CASE WHEN treated = 0 THEN qc END) AS DOUBLE)
+            / SUM(CASE WHEN treated = 0 THEN 1 END)) AS ate_naive
+  FROM li
+)
+SELECT n_strata, ROUND(ate_naive / 100.0, 4) AS ate_naive,
+       ROUND(ate_strat, 4) AS ate_stratified
+FROM strat CROSS JOIN naive
+"""
+
+
+def ext_chao1_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary coverage estimators: Chao1 richness
+    (bias-corrected V + F1(F1-1)/(2(F2+1))) and Good-Turing coverage
+    (1 - F1/N) from the singleton/doubleton counts — the 'how much
+    vocabulary is my crawl still missing' pair that turns X236's Heaps
+    exponent into an absolute estimate.
+
+    Scale shape: one token-count exchange per language, then O(vocab)
+    collapsed to frequency-of-frequency counts; output is O(langs)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = counts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("v_obs"),
+        F.sum("c").alias("n_tokens"),
+        F.sum((F.col("c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("f2"),
+    )
+    chao1 = F.col("v_obs") + (
+        F.col("f1").cast("double") * (F.col("f1") - 1)
+    ) / (2.0 * (F.col("f2") + 1))
+    gt = 1.0 - F.col("f1").cast("double") / F.col("n_tokens")
+    return per.select(
+        "lang",
+        "v_obs",
+        "n_tokens",
+        "f1",
+        "f2",
+        F.round(chao1, 2).alias("chao1_richness"),
+        F.round(gt, 6).alias("gt_coverage"),
+    ).orderBy("lang")
+
+
+EXT_CHAO1_SQL = r"""
+WITH counts AS (
+  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT lang, UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY 1, 2
+),
+per AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS v_obs,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM counts GROUP BY 1
+)
+SELECT lang, v_obs, n_tokens, f1, f2,
+       ROUND(v_obs + (CAST(f1 AS DOUBLE) * (f1 - 1)) / (2.0 * (f2 + 1)), 2)
+         AS chao1_richness,
+       ROUND(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS gt_coverage
+FROM per ORDER BY lang
+"""
+
+
+def ext_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette of the label clustering in
+    embedding space: per vector, a = distance to own-label centroid,
+    b = distance to the nearest OTHER centroid, s = (b-a)/max(a,b);
+    reported as the per-label mean — the O(n·k) clustering-quality score
+    (full silhouette is O(n²) and does not survive 100 TB; this is the
+    standard scalable surrogate).
+
+    Scale shape: same posexplode + broadcast-centroid join as the
+    k-means step (X245); the a/b pick is one regrouping; output O(labels)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = vectors.label_centroids(emb).select(
+        F.col("label").alias("clabel"), "pos", "centroid_val"
+    )
+    ex = emb.select(
+        "vec_id",
+        F.col("label").alias("ilabel"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
+    ).withColumn("pos", (F.col("pos0") + 1).cast("long"))
+    d2 = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "ilabel", "clabel")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("v") - F.col("centroid_val"))
+                        * (F.col("v") - F.col("centroid_val"))
+                    )
+                ),
+                9,
+            ).alias("d")
+        )
+    )
+    ab = d2.groupBy("vec_id", "ilabel").agg(
+        F.min(F.when(F.col("clabel") == F.col("ilabel"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("ilabel"), F.col("d"))).alias("b"),
+    )
+    s = (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+    return (
+        ab.groupBy(F.col("ilabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg(s), 4).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+EXT_SILHOUETTE_SQL = r"""
+WITH u AS (
+  SELECT label, vec_id,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS clabel, pos,
+         ROUND(CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6)
+           AS centroid_val
+  FROM u GROUP BY 1, 2
+),
+d2 AS (
+  SELECT u.vec_id, u.label AS ilabel, c.clabel,
+         ROUND(SQRT(SUM((u.v - c.centroid_val) * (u.v - c.centroid_val))), 9) AS d
+  FROM u JOIN cent c ON c.pos = u.pos
+  GROUP BY 1, 2, 3
+),
+ab AS (
+  SELECT vec_id, ilabel,
+         MIN(CASE WHEN clabel = ilabel THEN d END) AS a,
+         MIN(CASE WHEN clabel <> ilabel THEN d END) AS b
+  FROM d2 GROUP BY 1, 2
+)
+SELECT CAST(ilabel AS INTEGER) AS label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(AVG((b - a) / GREATEST(a, b)), 4) AS mean_silhouette
+FROM ab GROUP BY 1 ORDER BY label
+"""
+
+
+def ext_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between document length and the
+    heuristic quality score, computed WINDOW-FREE at row scale: average
+    ranks come from cumulative counts over the two COLLAPSED marginal
+    value axes (O(distinct values) each), mapped back by equi-join, then
+    Pearson over the mapped ranks — no per-row global sort anywhere, so
+    the plan survives corpus-scale inputs (the monotone-association
+    companion to X97's Pearson).
+
+    Scale shape: two tiny rank maps (broadcast back), one row-local
+    join pair, one moment aggregate."""
+    docs = text.quality_score(_t(spark, sf_dir, "documents")).select(
+        F.col("n_chars").alias("x"), F.col("quality").alias("y")
+    )
+
+    def rank_map(col):
+        g = docs.groupBy(F.col(col).alias(col)).agg(F.count(F.lit(1)).alias("n"))
+        wb = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return g.select(
+            col,
+            (
+                F.coalesce(F.sum("n").over(wb), F.lit(0))
+                + (F.col("n") + 1) / 2.0
+            ).alias(f"r_{col}"),
+        )
+    ranked = docs.join(F.broadcast(rank_map("x")), "x").join(
+        F.broadcast(rank_map("y")), "y"
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r_x").alias("sx"),
+        F.sum("r_y").alias("sy"),
+        F.sum(F.col("r_x") * F.col("r_x")).alias("sxx"),
+        F.sum(F.col("r_y") * F.col("r_y")).alias("syy"),
+        F.sum(F.col("r_x") * F.col("r_y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    rho = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        F.col("n").alias("n_docs"), F.round(rho, 6).alias("spearman_rho")
+    )
+
+
+EXT_SPEARMAN_SQL = r"""
+WITH docs AS (
+  SELECT n_chars AS x,
+         ROUND(
+           LEAST(CAST(LENGTH(text) AS DOUBLE) / 200.0, 1.0)
+           * (1.0 - CAST(LEN(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE)
+                    / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE))
+           * (1.0 - CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                    / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE)),
+           4) AS y
+  FROM documents
+),
+rx AS (
+  SELECT x, COALESCE(SUM(n) OVER (
+           ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + (n + 1) / 2.0 AS r_x
+  FROM (SELECT x, COUNT(*) AS n FROM docs GROUP BY 1)
+),
+ry AS (
+  SELECT y, COALESCE(SUM(n) OVER (
+           ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + (n + 1) / 2.0 AS r_y
+  FROM (SELECT y, COUNT(*) AS n FROM docs GROUP BY 1)
+),
+ranked AS (
+  SELECT r_x, r_y FROM docs d JOIN rx ON rx.x = d.x JOIN ry ON ry.y = d.y
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(r_x) AS sx, SUM(r_y) AS sy,
+         SUM(r_x * r_x) AS sxx, SUM(r_y * r_y) AS syy, SUM(r_x * r_y) AS sxy
+  FROM ranked
+)
+SELECT n AS n_docs,
+       ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS spearman_rho
+FROM agg
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_stratified_ate": ext_stratified_ate,
+        "ext_chao1_coverage": ext_chao1_coverage,
+        "ext_silhouette": ext_silhouette,
+        "ext_spearman": ext_spearman,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_stratified_ate": EXT_STRATIFIED_ATE_SQL,
+        "ext_chao1_coverage": EXT_CHAO1_SQL,
+        "ext_silhouette": EXT_SILHOUETTE_SQL,
+        "ext_spearman": EXT_SPEARMAN_SQL,
+    }
+)
