@@ -12428,3 +12428,431 @@ EXT_ORACLES.update(
         "ext_spearman": EXT_SPEARMAN_SQL,
     }
 )
+
+
+# --- round-3 wave: graph modularity, attribution, calibration, PCA step -------
+
+
+def ext_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LABEL partition over the symmetrized
+    5-NN cosine graph — community-structure quality of the embedding
+    space (positive = labels really are neighborhoods; ~0 = labels are
+    noise w.r.t. geometry). Q = sum_c (e_c/m - (d_c/(2m))^2) over
+    undirected distinct edges.
+
+    Scale shape: vertices are a deterministic hash-thinned panel (the
+    structure metric is stable under vertex sampling); the k-NN edge
+    list comes from the broadcast brute scorer here (oracle-exact) — at
+    corpus scale swap in the IVF/LSH candidate paths (X7/X8) — and the
+    modularity math downstream is one O(edges) tag + two O(labels)
+    aggregates either way."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
+    hits = similarity.brute_topk(emb, emb, k=5)
+    edges = (
+        hits.select(
+            F.least("query_id", "neighbor_id").alias("u"),
+            F.greatest("query_id", "neighbor_id").alias("v"),
+        )
+        .distinct()
+    )
+    lab = emb.select("vec_id", "label")
+    tagged = (
+        edges.join(
+            F.broadcast(lab.select(F.col("vec_id").alias("u"), F.col("label").alias("lu"))),
+            "u",
+        )
+        .join(
+            F.broadcast(lab.select(F.col("vec_id").alias("v"), F.col("label").alias("lv"))),
+            "v",
+        )
+    )
+    m = tagged.agg(F.count(F.lit(1)).alias("m"))
+    intra = tagged.filter(F.col("lu") == F.col("lv")).groupBy(
+        F.col("lu").alias("label")
+    ).agg(F.count(F.lit(1)).alias("ec"))
+    deg = (
+        tagged.select(F.col("lu").alias("label"))
+        .unionByName(tagged.select(F.col("lv").alias("label")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("dc"))
+    )
+    per = (
+        deg.join(intra, "label", "left")
+        .na.fill({"ec": 0})
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            (
+                F.col("ec").cast("double") / F.col("m")
+                - F.pow(F.col("dc").cast("double") / (2.0 * F.col("m")), 2)
+            ).alias("q_c"),
+            F.col("m"),
+        )
+    )
+    return per.agg(
+        F.max("m").alias("n_edges"),
+        F.round(F.sum("q_c"), 6).alias("modularity"),
+    )
+
+
+EXT_MODULARITY_SQL = r"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 2 = 0
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine
+  FROM e q CROSS JOIN e c
+  WHERE q.vec_id <> c.vec_id
+),
+hits AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rank FROM scored
+  ) WHERE rank <= 5
+),
+edges AS (
+  SELECT DISTINCT LEAST(query_id, neighbor_id) AS u,
+         GREATEST(query_id, neighbor_id) AS v
+  FROM hits
+),
+tagged AS (
+  SELECT ed.u, ed.v, a.label AS lu, b.label AS lv
+  FROM edges ed
+  JOIN embeddings a ON a.vec_id = ed.u
+  JOIN embeddings b ON b.vec_id = ed.v
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM tagged),
+intra AS (
+  SELECT lu AS label, CAST(COUNT(*) AS BIGINT) AS ec
+  FROM tagged WHERE lu = lv GROUP BY 1
+),
+deg AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS dc FROM (
+    SELECT lu AS label FROM tagged UNION ALL SELECT lv AS label FROM tagged
+  ) GROUP BY 1
+)
+SELECT MAX(m.m) AS n_edges,
+       ROUND(SUM(CAST(COALESCE(i.ec, 0) AS DOUBLE) / m.m
+                 - POWER(CAST(d.dc AS DOUBLE) / (2.0 * m.m), 2)), 6) AS modularity
+FROM deg d LEFT JOIN intra i ON i.label = d.label CROSS JOIN m
+"""
+
+
+def ext_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (40/20/40) multi-touch attribution: each purchase
+    credits the user's clicks in the preceding 24h — 40% to the first
+    touch, 40% to the last, the middle 20% split evenly over interior
+    touches (all credit to a lone touch) — aggregated to the day of the
+    purchase. The industry-standard middle ground between first-touch
+    and last-touch single-credit models (X76 counts conversions; this
+    allocates their value).
+
+    Scale shape: one time-bucketed user join bounds the touch scan; the
+    credit math is closed-form per (purchase, touch-count) from ranked
+    positions — no per-purchase iteration."""
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+    )
+    touches = purch.join(clicks, "user_id").filter(
+        (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+    )
+    w = Window.partitionBy("p_id").orderBy("c_ts", "c_id")
+    ranked = touches.withColumn("pos", F.row_number().over(w)).withColumn(
+        "n_t", F.count(F.lit(1)).over(Window.partitionBy("p_id"))
+    )
+    credit = (
+        F.when(F.col("n_t") == 1, 1.0)
+        .when(F.col("pos") == 1, 0.4)
+        .when(F.col("pos") == F.col("n_t"), 0.4)
+        .otherwise(0.2 / (F.col("n_t") - 2))
+    )
+    return (
+        ranked.select(
+            F.to_date("p_ts").alias("day"),
+            (credit * F.col("vc") / 100.0).alias("cr"),
+        )
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum("cr"), 4).alias("attributed_value"),
+        )
+        .orderBy("day")
+    )
+
+
+EXT_ATTRIBUTION_SQL = r"""
+WITH purch AS (
+  SELECT user_id, event_id AS p_id, ts AS p_ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, event_id AS c_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+),
+touches AS (
+  SELECT p.p_id, p.p_ts, p.vc, c.c_id, c.c_ts
+  FROM purch p JOIN clicks c ON c.user_id = p.user_id
+  WHERE c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - INTERVAL 24 HOURS
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY c_ts, c_id) AS pos,
+         COUNT(*) OVER (PARTITION BY p_id) AS n_t
+  FROM touches
+),
+credited AS (
+  SELECT CAST(CAST(p_ts AS DATE) AS VARCHAR) AS day,
+         (CASE WHEN n_t = 1 THEN 1.0
+               WHEN pos = 1 THEN 0.4
+               WHEN pos = n_t THEN 0.4
+               ELSE 0.2 / (n_t - 2) END) * vc / 100.0 AS cr
+  FROM ranked
+)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       ROUND(SUM(cr), 4) AS attributed_value
+FROM credited GROUP BY 1 ORDER BY day
+"""
+
+
+def ext_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the quality score as a pseudo-probability of
+    lang='en': ten fixed-width bins, mean predicted vs observed rate per
+    bin, plus each bin's Brier contribution — discrimination (X243's
+    AUC) and calibration are different failures; a ranker can order
+    perfectly and still be uncalibrated, which is what threshold choices
+    get wrong.
+
+    Scale shape: row-local binning, one O(bins) hash agg."""
+    docs = text.quality_score(_t(spark, sf_dir, "documents")).select(
+        F.col("quality").alias("p"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    # p has 4 decimal places -> x1e4 is an exact integer; all bin stats are
+    # then integer-exact ratios, immune to float-sum order AND to the
+    # round-at-6 halfway trap (a double avg() landed exactly on .8496875
+    # here and the two engines rounded it opposite ways)
+    binned = docs.select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
+        F.round(F.col("p") * 10000).cast("long").alias("pi"),
+        "y",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("pi") / (F.count(F.lit(1)) * 10000.0), 6).alias(
+                "mean_pred"
+            ),
+            F.round(
+                F.sum("y") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("obs_rate"),
+            F.round(
+                F.sum(
+                    (F.col("pi") - F.col("y") * 10000)
+                    * (F.col("pi") - F.col("y") * 10000)
+                )
+                / 100000000.0,
+                4,
+            ).alias("brier_sum"),
+        )
+        .orderBy("bin")
+    )
+
+
+EXT_CALIBRATION_SQL = r"""
+WITH docs AS (
+  SELECT ROUND(
+           LEAST(CAST(LENGTH(text) AS DOUBLE) / 200.0, 1.0)
+           * (1.0 - CAST(LEN(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE)
+                    / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE))
+           * (1.0 - CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                    / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE)),
+           4) AS p,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+)
+SELECT CAST(LEAST(FLOOR(p * 10), 9) AS INTEGER) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(ROUND(p * 10000) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 10000.0), 6) AS mean_pred,
+       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS obs_rate,
+       ROUND(CAST(SUM((CAST(ROUND(p * 10000) AS BIGINT) - y * 10000)
+                      * (CAST(ROUND(p * 10000) AS BIGINT) - y * 10000)) AS DOUBLE)
+             / 100000000.0, 4) AS brier_sum
+FROM docs GROUP BY 1 ORDER BY bin
+"""
+
+
+def ext_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal direction of the CENTERED embedding corpus by
+    three in-plan power iterations over the distributed gram matrix
+    (long-form 64x64 after one pass over the vectors): matvec = equi-
+    join + regroup, renormalized each round; reports the per-dimension
+    component (sign-fixed) and the Rayleigh-quotient eigenvalue — the
+    distributed-PCA building block (the corpus-sized pass is the gram
+    build; everything after is O(dim^2)).
+
+    Scale shape: ONE data-sized exchange (the gram build, exact decimal
+    sums); the iterations run on 64x64 rows. Deterministic start vector
+    => engine-replayable (the oracle runs the same unrolled recursion)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("p0", "val"),
+    ).select("vec_id", (F.col("p0") + 1).alias("pos"), "val")
+    mean = ex.groupBy("pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    cent = ex.join(F.broadcast(mean), "pos").select(
+        "vec_id", "pos", F.round(F.col("val") - F.col("mu"), 9).alias("val")
+    )
+    gram = (
+        cent.alias("a")
+        .join(cent.alias("b"), F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("a.val").cast("decimal(19,9)")
+                    * F.col("b.val").cast("decimal(19,9)")
+                ).cast("double"),
+                6,
+            ).alias("g")
+        )
+        # materialize the dim^2 gram ONCE: each power iteration references it
+        # again, and without truncation the corpus-sized build would re-run
+        # per reference (measured 6x re-execution -> 15 s; checkpointed ~3 s)
+        .localCheckpoint()
+    )
+    # power iteration on the tiny 64x64 frame: v0 = uniform unit vector
+    dim_f = gram.select(F.col("i").alias("pos")).distinct()
+    v = dim_f.crossJoin(
+        F.broadcast(dim_f.agg(F.count(F.lit(1)).alias("d")))
+    ).select("pos", (1.0 / F.sqrt(F.col("d"))).alias("x"))
+    for _ in range(3):
+        gv = (
+            gram.join(v.select(F.col("pos").alias("j"), "x"), "j")
+            .groupBy(F.col("i").alias("pos"))
+            .agg(F.sum(F.col("g") * F.col("x")).alias("gx"))
+        )
+        nrm = gv.agg(F.sqrt(F.sum(F.col("gx") * F.col("gx"))).alias("nn"))
+        v = gv.crossJoin(F.broadcast(nrm)).select(
+            "pos", (F.col("gx") / F.col("nn")).alias("x")
+        )
+    gv = (
+        gram.join(v.select(F.col("pos").alias("j"), "x"), "j")
+        .groupBy(F.col("i").alias("pos"))
+        .agg(F.sum(F.col("g") * F.col("x")).alias("gx"))
+    )
+    lam = (
+        v.join(gv, "pos")
+        .agg(F.sum(F.col("x") * F.col("gx")).alias("lam"))
+    )
+    sign = v.orderBy("pos").limit(1).select(
+        F.when(F.col("x") < 0, -1.0).otherwise(1.0).alias("sgn")
+    )
+    return (
+        v.crossJoin(F.broadcast(sign))
+        .crossJoin(F.broadcast(lam))
+        .select(
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("x") * F.col("sgn"), 6).alias("component"),
+            F.round("lam", 4).alias("eigenvalue"),
+        )
+        .orderBy("pos")
+    )
+
+
+EXT_PCA_POWER_SQL = r"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings
+),
+mean AS (
+  SELECT pos,
+         CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS mu
+  FROM ex GROUP BY 1
+),
+cent AS (
+  SELECT e.vec_id, e.pos, ROUND(e.val - m.mu, 9) AS val
+  FROM ex e JOIN mean m ON m.pos = e.pos
+),
+gram AS (
+  SELECT a.pos AS i, b.pos AS j,
+         ROUND(CAST(SUM(CAST(a.val AS DECIMAL(19,9)) * CAST(b.val AS DECIMAL(19,9)))
+                    AS DOUBLE), 6) AS g
+  FROM cent a JOIN cent b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+dims AS (SELECT DISTINCT i AS pos FROM gram),
+d AS (SELECT CAST(COUNT(*) AS DOUBLE) AS d FROM dims),
+v0 AS (SELECT pos, 1.0 / SQRT(d.d) AS x FROM dims CROSS JOIN d),
+gv1 AS (
+  SELECT g.i AS pos, SUM(g.g * v.x) AS gx
+  FROM gram g JOIN v0 v ON v.pos = g.j GROUP BY 1
+),
+n1 AS (SELECT SQRT(SUM(gx * gx)) AS nn FROM gv1),
+v1 AS (SELECT pos, gx / nn AS x FROM gv1 CROSS JOIN n1),
+gv2 AS (
+  SELECT g.i AS pos, SUM(g.g * v.x) AS gx
+  FROM gram g JOIN v1 v ON v.pos = g.j GROUP BY 1
+),
+n2 AS (SELECT SQRT(SUM(gx * gx)) AS nn FROM gv2),
+v2 AS (SELECT pos, gx / nn AS x FROM gv2 CROSS JOIN n2),
+gv3 AS (
+  SELECT g.i AS pos, SUM(g.g * v.x) AS gx
+  FROM gram g JOIN v2 v ON v.pos = g.j GROUP BY 1
+),
+n3 AS (SELECT SQRT(SUM(gx * gx)) AS nn FROM gv3),
+v3 AS (SELECT pos, gx / nn AS x FROM gv3 CROSS JOIN n3),
+gv4 AS (
+  SELECT g.i AS pos, SUM(g.g * v.x) AS gx
+  FROM gram g JOIN v3 v ON v.pos = g.j GROUP BY 1
+),
+lam AS (
+  SELECT SUM(v.x * gv.gx) AS lam
+  FROM v3 v JOIN gv4 gv ON gv.pos = v.pos
+),
+sgn AS (
+  SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS sgn
+  FROM v3 ORDER BY pos LIMIT 1
+)
+SELECT CAST(v.pos AS BIGINT) AS pos,
+       ROUND(v.x * s.sgn, 6) AS component,
+       ROUND(l.lam, 4) AS eigenvalue
+FROM v3 v CROSS JOIN sgn s CROSS JOIN lam l
+ORDER BY pos
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_modularity": ext_modularity,
+        "ext_attribution": ext_attribution,
+        "ext_calibration": ext_calibration,
+        "ext_pca_power": ext_pca_power,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_modularity": EXT_MODULARITY_SQL,
+        "ext_attribution": EXT_ATTRIBUTION_SQL,
+        "ext_calibration": EXT_CALIBRATION_SQL,
+        "ext_pca_power": EXT_PCA_POWER_SQL,
+    }
+)
