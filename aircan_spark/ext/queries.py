@@ -12856,3 +12856,356 @@ EXT_ORACLES.update(
         "ext_pca_power": EXT_PCA_POWER_SQL,
     }
 )
+
+
+# --- round-3 wave: price indices, threshold tuning, trend test, agreement -----
+
+
+def ext_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices for the part catalog,
+    current period (shipdate >= 1998) vs base (< 1998): unit prices are
+    period revenue / period quantity per part, quantities the period
+    totals; only parts traded in BOTH periods enter (matched-basket
+    rule, the standard index construction). The price-level companion to
+    the YoY growth query (X99) that separates price from volume.
+
+    Scale shape: one per-(part, period) collapse in exact cents, a self-
+    aligned regroup to one row per part, one O(parts) index aggregate."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.year("l_shipdate") >= 1998).cast("int").alias("cur"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("ec"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
+    )
+    per = li.groupBy("l_partkey", "cur").agg(
+        F.sum("ec").alias("e"), F.sum("qc").alias("q")
+    )
+    both = (
+        per.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_per"),
+            F.sum(F.when(F.col("cur") == 0, F.col("e"))).alias("e0"),
+            F.sum(F.when(F.col("cur") == 0, F.col("q"))).alias("q0"),
+            F.sum(F.when(F.col("cur") == 1, F.col("e"))).alias("e1"),
+            F.sum(F.when(F.col("cur") == 1, F.col("q"))).alias("q1"),
+        )
+        .filter(F.col("n_per") == 2)
+    )
+    p0 = F.col("e0").cast("double") / F.col("q0")
+    p1 = F.col("e1").cast("double") / F.col("q1")
+    agg = both.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(p1 * F.col("q0")).alias("l_num"),
+        F.sum(p0 * F.col("q0")).alias("l_den"),
+        F.sum(p1 * F.col("q1")).alias("p_num"),
+        F.sum(p0 * F.col("q1")).alias("p_den"),
+    )
+    lasp = F.col("l_num") / F.col("l_den")
+    paas = F.col("p_num") / F.col("p_den")
+    return agg.select(
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
+
+
+EXT_PRICE_INDEX_SQL = r"""
+WITH li AS (
+  SELECT l_partkey,
+         CASE WHEN year(l_shipdate) >= 1998 THEN 1 ELSE 0 END AS cur,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS ec,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc
+  FROM lineitem
+),
+per AS (
+  SELECT l_partkey, cur, CAST(SUM(ec) AS BIGINT) AS e, CAST(SUM(qc) AS BIGINT) AS q
+  FROM li GROUP BY 1, 2
+),
+matched AS (
+  SELECT l_partkey,
+         SUM(CASE WHEN cur = 0 THEN e END) AS e0,
+         SUM(CASE WHEN cur = 0 THEN q END) AS q0,
+         SUM(CASE WHEN cur = 1 THEN e END) AS e1,
+         SUM(CASE WHEN cur = 1 THEN q END) AS q1
+  FROM per GROUP BY 1 HAVING COUNT(*) = 2
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         SUM((CAST(e1 AS DOUBLE) / q1) * q0) AS l_num,
+         SUM((CAST(e0 AS DOUBLE) / q0) * q0) AS l_den,
+         SUM((CAST(e1 AS DOUBLE) / q1) * q1) AS p_num,
+         SUM((CAST(e0 AS DOUBLE) / q0) * q1) AS p_den
+  FROM matched
+)
+SELECT n_parts,
+       ROUND(l_num / l_den, 6) AS laspeyres,
+       ROUND(p_num / p_den, 6) AS paasche,
+       ROUND(SQRT((l_num / l_den) * (p_num / p_den)), 6) AS fisher
+FROM agg
+"""
+
+
+def ext_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-optimal decision threshold for the quality-score -> lang='en'
+    classifier: sweep every distinct score as 'predict positive if
+    score >= t', report the maximizing threshold with its confusion
+    counts and precision/recall/F1 — the step after X243's AUC and
+    X260's calibration that actually OPERATIONALIZES the score. All
+    candidate F1s come from exact integer cumulative counts, so the
+    argmax is engine-stable.
+
+    Scale shape: the sweep runs on the collapsed per-score axis
+    (cumulative window over O(distinct scores)); the pick is a 1-row
+    TakeOrdered."""
+    docs = text.quality_score(_t(spark, sf_dir, "documents")).select(
+        F.col("quality").alias("score"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    g = docs.groupBy("score").agg(
+        F.sum("y").alias("np"), F.sum(F.lit(1) - F.col("y")).alias("nn")
+    )
+    wd = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = docs.agg(F.sum("y").alias("n_pos"))
+    cum = (
+        g.withColumn("tp", F.sum("np").over(wd))
+        .withColumn("fp", F.sum("nn").over(wd))
+        .crossJoin(F.broadcast(tot))
+    )
+    prec = F.col("tp") / (F.col("tp") + F.col("fp")).cast("double")
+    rec = F.col("tp") / F.col("n_pos").cast("double")
+    f1 = 2.0 * prec * rec / (prec + rec)
+    scored = cum.select(
+        F.col("score").alias("threshold"),
+        "tp",
+        "fp",
+        (F.col("n_pos") - F.col("tp")).alias("fn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+    return scored.orderBy(F.col("f1").desc(), F.col("threshold").asc()).limit(1)
+
+
+EXT_OPTIMAL_THRESHOLD_SQL = r"""
+WITH docs AS (
+  SELECT ROUND(
+           LEAST(CAST(LENGTH(text) AS DOUBLE) / 200.0, 1.0)
+           * (1.0 - CAST(LEN(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE)
+                    / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE))
+           * (1.0 - CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                    / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE)),
+           4) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+g AS (
+  SELECT score, CAST(SUM(y) AS BIGINT) AS np, CAST(SUM(1 - y) AS BIGINT) AS nn
+  FROM docs GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(y) AS BIGINT) AS n_pos FROM docs),
+cum AS (
+  SELECT score,
+         CAST(SUM(np) OVER (ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         CAST(SUM(nn) OVER (ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+  FROM g
+),
+scored AS (
+  SELECT score AS threshold, tp, fp, t.n_pos - tp AS fn,
+         ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+         ROUND(CAST(tp AS DOUBLE) / t.n_pos, 6) AS recall,
+         ROUND(2.0 * (CAST(tp AS DOUBLE) / (tp + fp)) * (CAST(tp AS DOUBLE) / t.n_pos)
+               / (CAST(tp AS DOUBLE) / (tp + fp) + CAST(tp AS DOUBLE) / t.n_pos), 6) AS f1
+  FROM cum CROSS JOIN tot t
+)
+SELECT * FROM scored ORDER BY f1 DESC, threshold ASC LIMIT 1
+"""
+
+
+def ext_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test on daily order revenue:
+    S = sum of pairwise signs (exact integer), tie-corrected variance,
+    and the continuity-corrected z statistic — the distribution-free
+    'is there a monotone trend' answer that X97's Pearson (linearity)
+    and X228's seasonal checks do not give.
+
+    Scale shape: the fact table collapses to the O(days) axis first; the
+    pairwise sweep is a self-join on that tiny axis (days², independent
+    of corpus scale); tie groups collapse to O(distinct values)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    a = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("x").alias("x2"))
+    s = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .agg(F.sum(F.signum((F.col("x2") - F.col("x1")).cast("double")).cast("long")).alias("s"))
+    )
+    nd = daily.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    j = s.crossJoin(F.broadcast(nd)).crossJoin(F.broadcast(ties))
+    n = F.col("n").cast("double")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.col("tie_term").cast("double")
+    ) / 18.0
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        F.col("n").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        F.round(var_s, 4).alias("var_s"),
+        F.round(z, 4).alias("z"),
+        F.when(z > 1.96, "increasing")
+        .when(z < -1.96, "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    )
+
+
+EXT_MANN_KENDALL_SQL = r"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT CAST(SUM(SIGN(b.x - a.x)) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON a.day < b.day
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+  FROM (SELECT x, COUNT(*) AS t FROM daily GROUP BY 1 HAVING COUNT(*) > 1)
+),
+j AS (
+  SELECT s.s, nd.n, ties.tie_term,
+         (CAST(nd.n AS DOUBLE) * (nd.n - 1) * (2 * nd.n + 5) - ties.tie_term)
+           / 18.0 AS var_s
+  FROM s CROSS JOIN nd CROSS JOIN ties
+)
+SELECT n AS n_days, s AS s_stat, ROUND(var_s, 4) AS var_s,
+       ROUND(CASE WHEN s > 0 THEN (s - 1) / SQRT(var_s)
+                  WHEN s < 0 THEN (s + 1) / SQRT(var_s)
+                  ELSE 0.0 END, 4) AS z,
+       CASE WHEN (CASE WHEN s > 0 THEN (s - 1) / SQRT(var_s)
+                       WHEN s < 0 THEN (s + 1) / SQRT(var_s)
+                       ELSE 0.0 END) > 1.96 THEN 'increasing'
+            WHEN (CASE WHEN s > 0 THEN (s - 1) / SQRT(var_s)
+                       WHEN s < 0 THEN (s + 1) / SQRT(var_s)
+                       ELSE 0.0 END) < -1.96 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM j
+"""
+
+
+def ext_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between the declared language column and
+    the marker-based language detector (X11) — chance-corrected
+    agreement, the right score when class priors are skewed (raw
+    accuracy rewards always-guessing-the-majority; X222's confusion
+    matrix shows WHERE they disagree, kappa says HOW MUCH beyond
+    chance).
+
+    Scale shape: one O(langs²) contingency collapse; marginals and the
+    kappa arithmetic run on that tiny frame."""
+    docs = text.lang_id(_t(spark, sf_dir, "documents")).select(
+        F.col("lang").alias("a"), F.col("pred_lang").alias("b")
+    )
+    cells = docs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    agg = cells.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("n"))).alias("n_agree"),
+    )
+    ra = cells.groupBy("a").agg(F.sum("n").alias("na"))
+    cb = cells.groupBy("b").agg(F.sum("n").alias("nb"))
+    pe = (
+        ra.join(cb, ra.a == cb.b)
+        .agg(F.sum(F.col("na").cast("double") * F.col("nb")).alias("pe_num"))
+    )
+    j = agg.crossJoin(F.broadcast(pe))
+    po = F.col("n_agree").cast("double") / F.col("n_docs")
+    pe_c = F.col("pe_num") / (F.col("n_docs").cast("double") * F.col("n_docs"))
+    return j.select(
+        "n_docs",
+        "n_agree",
+        F.round(po, 6).alias("po"),
+        F.round(pe_c, 6).alias("pe"),
+        F.round((po - pe_c) / (1.0 - pe_c), 6).alias("kappa"),
+    )
+
+
+EXT_COHENS_KAPPA_SQL = r"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         LEN(regexp_extract_all(LOWER(text), '\b(der|und|das|nicht)\b')) AS score_de,
+         LEN(regexp_extract_all(LOWER(text), '\b(the|and|of|is)\b')) AS score_en,
+         LEN(regexp_extract_all(LOWER(text), '\b(el|los|una|que)\b')) AS score_es,
+         LEN(regexp_extract_all(LOWER(text), '\b(le|la|les|des)\b')) AS score_fr
+  FROM documents
+),
+pred AS (
+  SELECT lang AS a,
+         CASE
+           WHEN GREATEST(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+           WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr) THEN 'de'
+           WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr) THEN 'en'
+           WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr) THEN 'es'
+           ELSE 'fr'
+         END AS b
+  FROM scored
+),
+cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2),
+agg AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN a = b THEN n END) AS BIGINT) AS n_agree
+  FROM cells
+),
+pe AS (
+  SELECT SUM(CAST(ra.na AS DOUBLE) * cb.nb) AS pe_num
+  FROM (SELECT a, SUM(n) AS na FROM cells GROUP BY 1) ra
+  JOIN (SELECT b, SUM(n) AS nb FROM cells GROUP BY 1) cb ON cb.b = ra.a
+)
+SELECT n_docs, n_agree,
+       ROUND(CAST(n_agree AS DOUBLE) / n_docs, 6) AS po,
+       ROUND(pe_num / (CAST(n_docs AS DOUBLE) * n_docs), 6) AS pe,
+       ROUND((CAST(n_agree AS DOUBLE) / n_docs
+              - pe_num / (CAST(n_docs AS DOUBLE) * n_docs))
+             / (1.0 - pe_num / (CAST(n_docs AS DOUBLE) * n_docs)), 6) AS kappa
+FROM agg CROSS JOIN pe
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_price_index": ext_price_index,
+        "ext_optimal_threshold": ext_optimal_threshold,
+        "ext_mann_kendall": ext_mann_kendall,
+        "ext_cohens_kappa": ext_cohens_kappa,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_price_index": EXT_PRICE_INDEX_SQL,
+        "ext_optimal_threshold": EXT_OPTIMAL_THRESHOLD_SQL,
+        "ext_mann_kendall": EXT_MANN_KENDALL_SQL,
+        "ext_cohens_kappa": EXT_COHENS_KAPPA_SQL,
+    }
+)
