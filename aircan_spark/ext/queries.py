@@ -13209,3 +13209,323 @@ EXT_ORACLES.update(
         "ext_cohens_kappa": EXT_COHENS_KAPPA_SQL,
     }
 )
+
+
+# --- round-3 wave: cohort LTV, concurrency sweep, HHI, intrinsic dimension ----
+
+
+def ext_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative purchase value per first-seen weekly cohort by account
+    age (weeks since first event) — the REVENUE companion to the X77
+    activity-retention triangle: cohort quality comparisons need the
+    money curve, not just the active-user curve. Exact cents throughout;
+    the running total is a window over the O(weeks) age axis per cohort.
+
+    Scale shape: one per-user collapse for first-seen, one broadcast-
+    joined purchase pass, one (cohort x age) hash agg; the cumsum runs
+    on the tiny cohort-age grid."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    cohort = first.select(
+        "user_id", F.date_trunc("week", F.col("d0")).cast("date").alias("cw"), "d0"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+        )
+        .join(cohort, "user_id")
+        .select(
+            "cw",
+            F.floor(F.datediff("d", "d0") / 7).cast("long").alias("age_w"),
+            "vc",
+        )
+    )
+    grid = purch.groupBy("cw", "age_w").agg(
+        F.count(F.lit(1)).alias("n_purchases"), F.sum("vc").alias("v")
+    )
+    wc = (
+        Window.partitionBy("cw")
+        .orderBy("age_w")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.withColumn("cum", F.sum("v").over(wc))
+        .select(
+            F.col("cw").cast("string").alias("cohort_week"),
+            "age_w",
+            "n_purchases",
+            F.round(F.col("cum") / 100.0, 2).alias("cum_value"),
+        )
+        .orderBy("cohort_week", "age_w")
+    )
+
+
+EXT_COHORT_LTV_SQL = r"""
+WITH first AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+),
+cohort AS (
+  SELECT user_id, CAST(date_trunc('week', d0) AS DATE) AS cw, d0 FROM first
+),
+purch AS (
+  SELECT c.cw,
+         CAST(FLOOR(date_diff('day', c.d0, CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+           AS age_w,
+         CAST(ROUND(e.value * 100) AS BIGINT) AS vc
+  FROM events e JOIN cohort c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+),
+grid AS (
+  SELECT cw, age_w, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         CAST(SUM(vc) AS BIGINT) AS v
+  FROM purch GROUP BY 1, 2
+)
+SELECT CAST(cw AS VARCHAR) AS cohort_week, age_w, n_purchases,
+       ROUND(CAST(SUM(v) OVER (PARTITION BY cw ORDER BY age_w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 100.0, 2) AS cum_value
+FROM grid ORDER BY cohort_week, age_w
+"""
+
+
+def ext_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day by the sweep-line method:
+    sessionize (30-min gap, X78's rule), emit +1/-1 at session
+    boundaries, running-sum within the day ordered (ts, starts-first) —
+    max overlap is the capacity number a per-hour distinct count (X102)
+    structurally underestimates. Sessions are day-local here (the gap
+    rule plus the data's intraday sessions); cross-midnight carry is
+    documented out of scope.
+
+    Scale shape: per-user windows for session breaks (high-cardinality
+    key), then the sweep runs in per-DAY partitions — bounded windows
+    only, no global sort."""
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("prev", F.lag("ts").over(wu))
+        .withColumn(
+            "brk",
+            (
+                F.col("prev").isNull()
+                | (F.unix_micros("ts") - F.unix_micros("prev") > 1800 * 1000000)
+            ).cast("long"),
+        )
+        .withColumn("sid", F.sum("brk").over(wu))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    bounds = sess.select(
+        F.col("s").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(sess.select(F.col("e").alias("ts"), F.lit(-1).alias("delta")))
+    wd = (
+        Window.partitionBy(F.to_date("ts"))
+        .orderBy(F.col("ts"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = bounds.withColumn("running", F.sum("delta").over(wd))
+    return (
+        swept.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(
+            # count session STARTS in the day (a boundary-pair halving would
+            # go fractional when a session crosses midnight — and DuckDB
+            # rounds double->bigint casts while Spark truncates)
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
+                "n_sessions_started"
+            ),
+            F.max("running").alias("peak_concurrency"),
+        )
+        .orderBy("day")
+    )
+
+
+EXT_PEAK_CONCURRENCY_SQL = r"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e FROM (
+    SELECT user_id, ts,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM marked
+  ) GROUP BY 1, 2
+),
+bounds AS (
+  SELECT s AS ts, 1 AS delta FROM sess
+  UNION ALL
+  SELECT e AS ts, -1 AS delta FROM sess
+),
+swept AS (
+  SELECT ts, delta,
+         SUM(delta) OVER (PARTITION BY CAST(ts AS DATE)
+           ORDER BY ts, delta DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM bounds
+)
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions_started,
+       CAST(MAX(running) AS BIGINT) AS peak_concurrency
+FROM swept GROUP BY 1 ORDER BY day
+"""
+
+
+def ext_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per part type:
+    HHI = 10000 * sum of squared revenue shares across suppliers within
+    the type — the antitrust-style single-source-risk number (X110's
+    top-decile share and X117's Gini rank customers; HHI is the
+    squared-share market-structure view). Exact cents; >2500 flags
+    'highly concentrated'.
+
+    Scale shape: one (type, supplier) collapse, one O(cells) regroup."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("ec"),
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_type"
+    )
+    cells = (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum("ec").alias("rev"))
+    )
+    hhi = (
+        cells.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            (
+                10000.0
+                * F.sum(F.col("rev").cast("double") * F.col("rev"))
+                / (F.sum("rev").cast("double") * F.sum("rev").cast("double"))
+            ).alias("h"),
+        )
+    )
+    return hhi.select(
+        "p_type",
+        "n_suppliers",
+        F.round("h", 2).alias("hhi"),
+        (F.col("h") > 2500).alias("highly_concentrated"),
+    ).orderBy("p_type")
+
+
+EXT_HHI_SQL = r"""
+WITH cells AS (
+  SELECT p.p_type, li.l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem li JOIN part p ON p.p_partkey = li.l_partkey
+  GROUP BY 1, 2
+),
+hhi AS (
+  SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         10000.0 * SUM(CAST(rev AS DOUBLE) * rev)
+           / (CAST(SUM(rev) AS DOUBLE) * SUM(rev)) AS h
+  FROM cells GROUP BY 1
+)
+SELECT p_type, n_suppliers, ROUND(h, 2) AS hhi, h > 2500 AS highly_concentrated
+FROM hhi ORDER BY p_type
+"""
+
+
+def ext_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-NN intrinsic-dimension estimate (Facco et al.) of the
+    embedding manifold: ID = n / sum ln(r2/r1) over each point's two
+    nearest euclidean neighbors — says how many effective degrees of
+    freedom the 64-dim vectors actually use (guides PQ subspaces, ANN
+    recall expectations, and whether dimension reduction is safe).
+    Zero-distance duplicates are excluded (their ratio is undefined).
+
+    Scale shape: exact 2-NN on a hash-thinned panel via the broadcast
+    pair scan (swap in ANN candidates at corpus scale); the MLE is one
+    O(panel) aggregate."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    pairs = (
+        F.broadcast(e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+        .crossJoin(e.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
+        .filter(F.col("qid") != F.col("cid"))
+    )
+    d = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        9,
+    )
+    scored = pairs.select("qid", "cid", d.alias("d")).filter(F.col("d") > 0)
+    wq = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("cid").asc())
+    nn2 = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .groupBy("qid")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("r1"),
+            F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("r2"),
+        )
+        .filter(F.col("r1") > 0)
+    )
+    return nn2.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(
+            F.count(F.lit(1)) / F.sum(F.log(F.col("r2") / F.col("r1"))), 4
+        ).alias("intrinsic_dim"),
+    )
+
+
+EXT_INTRINSIC_DIM_SQL = r"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 4 = 0
+),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         ROUND(list_distance(q.v, c.v), 9) AS d
+  FROM e q CROSS JOIN e c
+  WHERE q.vec_id <> c.vec_id AND ROUND(list_distance(q.v, c.v), 9) > 0
+),
+nn2 AS (
+  SELECT qid,
+         MIN(CASE WHEN rn = 1 THEN d END) AS r1,
+         MIN(CASE WHEN rn = 2 THEN d END) AS r2
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d ASC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn <= 2 GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(COUNT(*) / SUM(LN(r2 / r1)), 4) AS intrinsic_dim
+FROM nn2 WHERE r1 > 0
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_cohort_ltv": ext_cohort_ltv,
+        "ext_peak_concurrency": ext_peak_concurrency,
+        "ext_hhi": ext_hhi,
+        "ext_intrinsic_dim": ext_intrinsic_dim,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_cohort_ltv": EXT_COHORT_LTV_SQL,
+        "ext_peak_concurrency": EXT_PEAK_CONCURRENCY_SQL,
+        "ext_hhi": EXT_HHI_SQL,
+        "ext_intrinsic_dim": EXT_INTRINSIC_DIM_SQL,
+    }
+)
