@@ -13529,3 +13529,285 @@ EXT_ORACLES.update(
         "ext_intrinsic_dim": EXT_INTRINSIC_DIM_SQL,
     }
 )
+
+
+# --- round-3 wave: SLA lag, dedup threshold curve, raking, salting plan -------
+
+
+def ext_sla_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship fulfillment lag distribution per order priority:
+    exact p50/p90/p99 (days), max, and the share beyond a 90-day SLA —
+    the operations-facing latency audit (X250 measures user conversion
+    lag; this measures the supply side, keyed to the priority the
+    customer paid for).
+
+    Scale shape: one keyed fact-fact join (both sides hashed on
+    orderkey), collapse to integer day lags, exact percentiles per
+    O(priorities) group."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate", "o_orderpriority"
+    )
+    lags = li.join(orders, "l_orderkey").select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "lag_d"
+        ),
+    )
+    return (
+        lags.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.expr("percentile(lag_d, 0.5)"), 2).alias("p50_d"),
+            F.round(F.expr("percentile(lag_d, 0.9)"), 2).alias("p90_d"),
+            F.round(F.expr("percentile(lag_d, 0.99)"), 2).alias("p99_d"),
+            F.max("lag_d").alias("max_d"),
+            F.round(
+                F.sum((F.col("lag_d") > 90).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("sla_breach_rate"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+EXT_SLA_SHIP_LAG_SQL = r"""
+WITH lags AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))
+           AS lag_d
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(quantile_cont(lag_d, 0.5), 2) AS p50_d,
+       ROUND(quantile_cont(lag_d, 0.9), 2) AS p90_d,
+       ROUND(quantile_cont(lag_d, 0.99), 2) AS p99_d,
+       CAST(MAX(lag_d) AS BIGINT) AS max_d,
+       ROUND(CAST(SUM(CASE WHEN lag_d > 90 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS sla_breach_rate
+FROM lags GROUP BY 1 ORDER BY o_orderpriority
+"""
+
+
+def ext_dup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold sensitivity curve: candidate-pair counts per
+    0.05-wide Jaccard band (trigram shingles, pairs with sim >= 0.05)
+    plus the cumulative pairs at-or-above each band — the evidence a
+    dedup owner needs to CHOOSE the X2 threshold instead of cargo-
+    culting 0.8 (a cliff in the curve = a natural cutoff; a fat tail =
+    template contamination). Bands are exact integer arithmetic
+    ((20*i) div u), immune to float binning at band edges.
+
+    Scale shape: one inverted-index shingle join (X2's shape; apply its
+    max_doc_freq hot-shingle guard at corpus scale), then an O(bands)
+    collapse; the cumulative runs on the 20-row band axis."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, n=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ju = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "i", (F.col("na") + F.col("nb") - F.col("i")).alias("u")
+        )
+        .filter(F.col("i") * 20 >= F.col("u"))
+    )
+    binned = ju.select(
+        F.expr("(20 * i) div u").cast("long").alias("band")
+    ).groupBy("band").agg(F.count(F.lit(1)).alias("n_pairs"))
+    wc = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        binned.withColumn("cum_pairs_at_or_above", F.sum("n_pairs").over(wc))
+        .select(
+            "band",
+            F.round(F.col("band") * 0.05, 2).alias("thr_lo"),
+            "n_pairs",
+            "cum_pairs_at_or_above",
+        )
+        .orderBy("band")
+    )
+
+
+EXT_DUP_THRESHOLD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(TRIM(text), '\s+')) AS w,
+         generate_subscripts(string_split_regex(TRIM(text), '\s+'), 1) AS i
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+ju AS (
+  SELECT i.i, sa.n + sb.n - i.i AS u
+  FROM inter i
+  JOIN sizes sa ON i.id_a = sa.doc_id
+  JOIN sizes sb ON i.id_b = sb.doc_id
+  WHERE i.i * 20 >= sa.n + sb.n - i.i
+),
+binned AS (
+  SELECT CAST((20 * i) // u AS BIGINT) AS band, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM ju GROUP BY 1
+)
+SELECT band, ROUND(band * 0.05, 2) AS thr_lo, n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY band DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_pairs_at_or_above
+FROM binned ORDER BY band
+"""
+
+
+def ext_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratification (raking) weights that rebalance the corpus to
+    a uniform language target: w_lang = target_share / actual_share,
+    with the effective sample size ESS = (Σw)²/Σw² and the efficiency
+    ratio ESS/n — the survey-statistics answer to 'what does reweighting
+    my skewed corpus actually cost in statistical power' (the weighting
+    alternative to X186's balanced downsampling, which pays in rows
+    instead).
+
+    Scale shape: one O(langs) marginal; every output number derives from
+    that tiny frame (per-doc weights never materialize)."""
+    docs = _t(spark, sf_dir, "documents")
+    marg = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = marg.agg(
+        F.sum("n_docs").alias("n"), F.count(F.lit(1)).alias("n_langs")
+    )
+    j = marg.crossJoin(F.broadcast(tot))
+    w = F.col("n").cast("double") / (F.col("n_langs") * F.col("n_docs"))
+    ess_den = j.select(
+        (F.col("n_docs") * w * w).alias("nw2"), "n"
+    ).agg(F.sum("nw2").alias("den"), F.max("n").alias("n"))
+    out = j.select(
+        "lang",
+        "n_docs",
+        F.round(w, 6).alias("weight"),
+    )
+    ess = ess_den.select(
+        (F.col("n").cast("double") * F.col("n") / F.col("den")).alias("ess"),
+        "n",
+    )
+    return (
+        out.crossJoin(F.broadcast(ess))
+        .select(
+            "lang",
+            "n_docs",
+            "weight",
+            F.round("ess", 2).alias("ess"),
+            F.round(F.col("ess") / F.col("n"), 6).alias("ess_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+EXT_RAKING_SQL = r"""
+WITH marg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_langs FROM marg),
+j AS (
+  SELECT m.lang, m.n_docs, t.n, t.n_langs,
+         CAST(t.n AS DOUBLE) / (t.n_langs * m.n_docs) AS w
+  FROM marg m CROSS JOIN tot t
+),
+ess AS (
+  SELECT CAST(MAX(n) AS DOUBLE) * MAX(n) / SUM(n_docs * w * w) AS ess,
+         MAX(n) AS n
+  FROM j
+)
+SELECT j.lang, j.n_docs, ROUND(j.w, 6) AS weight,
+       ROUND(e.ess, 2) AS ess, ROUND(e.ess / e.n, 6) AS ess_ratio
+FROM j CROSS JOIN ess e
+ORDER BY j.lang
+"""
+
+
+def ext_salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salting plan for the event-type key: rows per key, the key's
+    share of the table, and the salt fan-out ceil(n/target) (target
+    2000 rows/task, capped at 32) a salted aggregation (X18) or
+    replicate join (X19) should use — turns X124's degree audit into an
+    actionable plan artifact the pipeline can feed straight into
+    skew.salted_agg.
+
+    Scale shape: one hash agg to O(keys); the plan math is row-local on
+    that tiny frame."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = counts.agg(F.sum("n_rows").alias("n"))
+    n_salts = F.least(
+        F.ceil(F.col("n_rows") / F.lit(2000.0)).cast("long"), F.lit(32)
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("n").cast("double"), 6).alias(
+                "share"
+            ),
+            n_salts.alias("n_salts"),
+            (n_salts > 1).alias("needs_salting"),
+        )
+        .orderBy(F.col("n_rows").desc(), "event_type")
+    )
+
+
+EXT_SALTING_PLAN_SQL = r"""
+WITH counts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n FROM counts)
+SELECT event_type, n_rows,
+       ROUND(CAST(n_rows AS DOUBLE) / n, 6) AS share,
+       LEAST(CAST(CEIL(n_rows / 2000.0) AS BIGINT), 32) AS n_salts,
+       LEAST(CAST(CEIL(n_rows / 2000.0) AS BIGINT), 32) > 1 AS needs_salting
+FROM counts CROSS JOIN tot
+ORDER BY n_rows DESC, event_type
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_sla_ship_lag": ext_sla_ship_lag,
+        "ext_dup_threshold_curve": ext_dup_threshold_curve,
+        "ext_raking_weights": ext_raking_weights,
+        "ext_salting_plan": ext_salting_plan,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_sla_ship_lag": EXT_SLA_SHIP_LAG_SQL,
+        "ext_dup_threshold_curve": EXT_DUP_THRESHOLD_SQL,
+        "ext_raking_weights": EXT_RAKING_SQL,
+        "ext_salting_plan": EXT_SALTING_PLAN_SQL,
+    }
+)
