@@ -13811,3 +13811,366 @@ EXT_ORACLES.update(
         "ext_salting_plan": EXT_SALTING_PLAN_SQL,
     }
 )
+
+
+# --- round-3 wave: CUPED, lead-lag xcorr, FD audit, dedup storage gain --------
+
+
+def ext_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout: per-user post-period purchase
+    value (days 15+) adjusted by the pre-period covariate (days < 15),
+    theta = cov(pre, post)/var(pre) from exact-cent moments; reports the
+    raw and adjusted treatment effects (deterministic hash arms) and the
+    variance-reduction share rho² — the standard trick that makes
+    experiments readable weeks earlier. Users absent in a period count
+    zero (fixed-panel convention, stated).
+
+    Scale shape: one per-user collapse in exact cents; moments and
+    theta are O(1) broadcast scalars; arms aggregate the panel once."""
+    ev = _t(spark, sf_dir, "events")
+    start = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    per = (
+        ev.crossJoin(F.broadcast(start))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.when(
+                F.datediff(F.to_date("ts"), F.col("d0")) < 15,
+                F.round(F.col("value") * 100).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("pre_c"),
+            F.when(
+                F.datediff(F.to_date("ts"), F.col("d0")) >= 15,
+                F.round(F.col("value") * 100).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("post_c"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("pre_c").alias("x"), F.sum("post_c").alias("y"))
+        .withColumn("arm", (F.col("user_id") % 2 == 0).cast("int"))
+    )
+    mom = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / n
+    cov = F.col("sxy").cast("double") / n - mx * (F.col("sy").cast("double") / n)
+    var = F.col("sxx").cast("double") / n - mx * mx
+    theta_f = mom.select((cov / var).alias("theta"), mx.alias("mx"))
+    adj = per.crossJoin(F.broadcast(theta_f)).select(
+        "arm",
+        (F.col("y").cast("double") / 100.0).alias("yv"),
+        (
+            (F.col("y").cast("double") - F.col("theta") * (F.col("x") - F.col("mx")))
+            / 100.0
+        ).alias("ycuped"),
+    )
+    arms = adj.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("yv").alias("my"),
+        F.avg("ycuped").alias("mc"),
+        F.variance("yv").alias("vy"),
+        F.variance("ycuped").alias("vc"),
+    )
+    out = arms.agg(
+        F.sum("n").alias("n_users"),
+        F.round(
+            F.max(F.when(F.col("arm") == 1, F.col("my")))
+            - F.max(F.when(F.col("arm") == 0, F.col("my"))),
+            4,
+        ).alias("effect_raw"),
+        F.round(
+            F.max(F.when(F.col("arm") == 1, F.col("mc")))
+            - F.max(F.when(F.col("arm") == 0, F.col("mc"))),
+            4,
+        ).alias("effect_cuped"),
+        F.round(
+            1.0 - F.sum(F.col("vc") * (F.col("n") - 1)) / F.sum(F.col("vy") * (F.col("n") - 1)),
+            4,
+        ).alias("variance_reduction"),
+    )
+    return out
+
+
+EXT_CUPED_SQL = r"""
+WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+per AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN date_diff('day', d0.d0, CAST(ts AS DATE)) < 15
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN date_diff('day', d0.d0, CAST(ts AS DATE)) >= 15
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+  FROM events CROSS JOIN d0
+  WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+panel AS (SELECT user_id, x, y, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS arm FROM per),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy
+  FROM panel
+),
+theta AS (
+  SELECT (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+         / (CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+           AS theta,
+         CAST(sx AS DOUBLE) / n AS mx
+  FROM mom
+),
+adj AS (
+  SELECT arm, CAST(y AS DOUBLE) / 100.0 AS yv,
+         (CAST(y AS DOUBLE) - t.theta * (x - t.mx)) / 100.0 AS ycuped
+  FROM panel CROSS JOIN theta t
+),
+arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, AVG(yv) AS my, AVG(ycuped) AS mc,
+         VAR_SAMP(yv) AS vy, VAR_SAMP(ycuped) AS vc
+  FROM adj GROUP BY 1
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_users,
+       ROUND(MAX(CASE WHEN arm = 1 THEN my END)
+             - MAX(CASE WHEN arm = 0 THEN my END), 4) AS effect_raw,
+       ROUND(MAX(CASE WHEN arm = 1 THEN mc END)
+             - MAX(CASE WHEN arm = 0 THEN mc END), 4) AS effect_cuped,
+       ROUND(1.0 - SUM(vc * (n - 1)) / SUM(vy * (n - 1)), 4) AS variance_reduction
+FROM arms
+"""
+
+
+def ext_xcorr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between daily click and purchase
+    counts at offsets -7..+7 (positive lag = clicks LEAD purchases by
+    that many days): the argmax offset is the empirical marketing-
+    response delay — the cross-series companion to X241's ACF and the
+    evidence behind X251's attribution window choice.
+
+    Scale shape: both series collapse to the O(days) axis first; every
+    lag is an equi-join on the shifted tiny axis; moments are broadcast
+    scalars."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    clicks = daily.filter(F.col("event_type") == "click").select(
+        "day", F.col("n").alias("c")
+    )
+    purch = daily.filter(F.col("event_type") == "purchase").select(
+        "day", F.col("n").alias("p")
+    )
+    lags = spark.range(1).select(
+        F.explode(F.sequence(F.lit(-7), F.lit(7))).alias("lag")
+    )
+    # join purchases at day + lag; per-lag Pearson over the matched pairs
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(clicks.select(F.col("day").alias("cd"), "c"))
+        .join(
+            purch.select(F.col("day").alias("pd"), "p"),
+            F.expr("pd = date_add(cd, lag)"),
+        )
+    )
+    num = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("c").cast("double") * F.col("p")).alias("scp"),
+        F.sum(F.col("c").cast("double")).alias("sc1"),
+        F.sum(F.col("p").cast("double")).alias("sp1"),
+        F.sum(F.col("c").cast("double") * F.col("c")).alias("scc"),
+        F.sum(F.col("p").cast("double") * F.col("p")).alias("spp"),
+    )
+    n = F.col("n_pairs").cast("double")
+    r = (n * F.col("scp") - F.col("sc1") * F.col("sp1")) / F.sqrt(
+        (n * F.col("scc") - F.col("sc1") * F.col("sc1"))
+        * (n * F.col("spp") - F.col("sp1") * F.col("sp1"))
+    )
+    return num.select(
+        "lag", "n_pairs", F.round(r, 6).alias("xcorr")
+    ).orderBy("lag")
+
+
+EXT_XCORR_SQL = r"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+),
+clicks AS (SELECT day AS cd, n AS c FROM daily WHERE event_type = 'click'),
+purch AS (SELECT day AS pd, n AS p FROM daily WHERE event_type = 'purchase'),
+lags AS (SELECT UNNEST(range(-7, 8)) AS lag),
+pairs AS (
+  SELECT l.lag, c.c, p.p
+  FROM lags l
+  JOIN clicks c ON TRUE
+  JOIN purch p ON p.pd = c.cd + CAST(l.lag AS INTEGER)
+),
+num AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(CAST(c AS DOUBLE) * p) AS scp,
+         SUM(CAST(c AS DOUBLE)) AS sc1, SUM(CAST(p AS DOUBLE)) AS sp1,
+         SUM(CAST(c AS DOUBLE) * c) AS scc, SUM(CAST(p AS DOUBLE) * p) AS spp
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       ROUND((n_pairs * scp - sc1 * sp1)
+             / SQRT((n_pairs * scc - sc1 * sc1) * (n_pairs * spp - sp1 * sp1)),
+             6) AS xcorr
+FROM num ORDER BY lag
+"""
+
+
+def ext_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over declared candidate FDs
+    (nation->region, part->brand, part->type, customer->nation,
+    order->customer): for each, the number of determinant values mapping
+    to more than one dependent value (violations; 0 = FD holds) and the
+    implied compression ratio distinct(det)/rows — the data-quality
+    check that catches silently broken dimension hierarchies before a
+    join fans out (X104 audits join keys; this audits attribute
+    hierarchies).
+
+    Scale shape: one (det, dep) distinct collapse per FD, then an
+    O(determinants) regroup; long-form output, one union of tiny
+    frames."""
+    fds = [
+        ("nation.n_nationkey->n_regionkey", _t(spark, sf_dir, "nation"),
+         "n_nationkey", "n_regionkey"),
+        ("part.p_partkey->p_brand", _t(spark, sf_dir, "part"),
+         "p_partkey", "p_brand"),
+        ("part.p_partkey->p_type", _t(spark, sf_dir, "part"),
+         "p_partkey", "p_type"),
+        ("customer.c_custkey->c_nationkey", _t(spark, sf_dir, "customer"),
+         "c_custkey", "c_nationkey"),
+        ("orders.o_orderkey->o_custkey", _t(spark, sf_dir, "orders"),
+         "o_orderkey", "o_custkey"),
+    ]
+    outs = []
+    for fd_name, df, det, dep in fds:
+        per_det = (
+            df.select(F.col(det).alias("d"), F.col(dep).alias("v"))
+            .distinct()
+            .groupBy("d")
+            .agg(F.count(F.lit(1)).alias("n_vals"))
+        )
+        outs.append(
+            per_det.agg(
+                F.lit(fd_name).alias("fd"),
+                F.count(F.lit(1)).alias("n_determinants"),
+                F.sum((F.col("n_vals") > 1).cast("long")).alias("n_violations"),
+                (F.sum((F.col("n_vals") > 1).cast("long")) == 0).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("fd")
+
+
+EXT_FD_AUDIT_SQL = r"""
+WITH checks AS (
+  SELECT 'nation.n_nationkey->n_regionkey' AS fd, CAST(COUNT(*) AS BIGINT) AS n_determinants,
+         CAST(SUM(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+  FROM (SELECT n_nationkey AS d, COUNT(DISTINCT n_regionkey) AS n_vals FROM nation GROUP BY 1)
+  UNION ALL
+  SELECT 'part.p_partkey->p_brand', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT p_partkey AS d, COUNT(DISTINCT p_brand) AS n_vals FROM part GROUP BY 1)
+  UNION ALL
+  SELECT 'part.p_partkey->p_type', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT p_partkey AS d, COUNT(DISTINCT p_type) AS n_vals FROM part GROUP BY 1)
+  UNION ALL
+  SELECT 'customer.c_custkey->c_nationkey', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT c_custkey AS d, COUNT(DISTINCT c_nationkey) AS n_vals FROM customer GROUP BY 1)
+  UNION ALL
+  SELECT 'orders.o_orderkey->o_custkey', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT o_orderkey AS d, COUNT(DISTINCT o_custkey) AS n_vals FROM orders GROUP BY 1)
+)
+SELECT fd, n_determinants, n_violations, n_violations = 0 AS holds
+FROM checks ORDER BY fd
+"""
+
+
+def ext_dedup_storage_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected storage savings from exact dedup, per source: bytes
+    (n_chars) held by non-representative duplicate-cluster members vs
+    total bytes — the capacity-planning number that justifies running
+    X1 at all (and per source, WHERE the waste lives). Representative =
+    min doc_id per normalized-content fingerprint (X1's rule).
+
+    Scale shape: one fingerprint collapse carrying sum/min aggregates,
+    one source regroup; no row-level rejoin needed for the byte math."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    clusters = (
+        docs.select("source", fp.alias("fp"), "doc_id", "n_chars")
+        .groupBy("source", "fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("bytes_all"),
+            F.min(F.struct("doc_id", "n_chars")).alias("rep"),
+        )
+    )
+    return (
+        clusters.groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("bytes_all").alias("bytes_total"),
+            F.sum(F.col("bytes_all") - F.col("rep.n_chars")).alias(
+                "bytes_removable"
+            ),
+            F.round(
+                F.sum(F.col("bytes_all") - F.col("rep.n_chars"))
+                / F.sum("bytes_all").cast("double"),
+                6,
+            ).alias("savings_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+EXT_DEDUP_STORAGE_SQL = r"""
+WITH clusters AS (
+  SELECT source, md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS fp,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS bytes_all,
+         MIN({'doc_id': doc_id, 'n_chars': n_chars}) AS rep
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(bytes_all) AS BIGINT) AS bytes_total,
+       CAST(SUM(bytes_all - rep.n_chars) AS BIGINT) AS bytes_removable,
+       ROUND(CAST(SUM(bytes_all - rep.n_chars) AS DOUBLE) / SUM(bytes_all), 6)
+         AS savings_ratio
+FROM clusters GROUP BY 1 ORDER BY source
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_cuped": ext_cuped,
+        "ext_xcorr_lead_lag": ext_xcorr_lead_lag,
+        "ext_fd_audit": ext_fd_audit,
+        "ext_dedup_storage_gain": ext_dedup_storage_gain,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_cuped": EXT_CUPED_SQL,
+        "ext_xcorr_lead_lag": EXT_XCORR_SQL,
+        "ext_fd_audit": EXT_FD_AUDIT_SQL,
+        "ext_dedup_storage_gain": EXT_DEDUP_STORAGE_SQL,
+    }
+)
