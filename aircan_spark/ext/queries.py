@@ -14174,3 +14174,392 @@ EXT_ORACLES.update(
         "ext_dedup_storage_gain": EXT_DEDUP_STORAGE_SQL,
     }
 )
+
+
+# --- round-3 wave: Markov attribution, IPS, Wasserstein, SRM ------------------
+
+
+def ext_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution: first-order journey chain from
+    per-user event sequences (START -> ... -> purchase absorbing, last
+    event -> NULL), conversion probability solved by 12 fixed value-
+    iteration steps, re-solved with each channel knocked out
+    (transitions INTO it redirected to NULL); a channel's credit is its
+    normalized conversion drop. The data-driven complement to X251's
+    position-based rule — it credits channels by counterfactual, not
+    position. Transitions out of the absorbing purchase state are
+    dropped (stated model).
+
+    Scale shape: ONE pass over events builds the O(types²) transition
+    counts; the value iteration then runs driver-side on the collected
+    O(chains × types²) probability table (aggregate-sized, same class
+    as the HLL register collect — 12 DataFrame-join iterations cost
+    ~16 s of pure scheduling for microseconds of math), and the 4-row
+    result is re-emitted as a DataFrame with in-plan rounding."""
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "nxt", F.lead("event_type").over(wu)
+    ).withColumn("prv", F.lag("event_type").over(wu))
+    bigrams = seq.filter(F.col("event_type") != "purchase").select(
+        F.col("event_type").alias("i"),
+        F.coalesce(F.col("nxt"), F.lit("NULL")).alias("j"),
+    )
+    starts = seq.filter(F.col("prv").isNull()).select(
+        F.lit("START").alias("i"), F.col("event_type").alias("j")
+    )
+    trans = bigrams.unionByName(starts).groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    chans = (
+        ev.select(F.col("event_type").alias("removed"))
+        .filter(F.col("removed") != "purchase")
+        .distinct()
+        .unionByName(spark.range(1).select(F.lit("NONE").alias("removed")))
+    )
+    mod = (
+        F.broadcast(chans)
+        .crossJoin(trans)
+        .filter(F.col("i") != F.col("removed"))
+        .select(
+            "removed",
+            "i",
+            F.when(F.col("j") == F.col("removed"), F.lit("NULL"))
+            .otherwise(F.col("j"))
+            .alias("j"),
+            "n",
+        )
+        .groupBy("removed", "i", "j")
+        .agg(F.sum("n").alias("n"))
+    )
+    tot = mod.groupBy("removed", "i").agg(F.sum("n").alias("tot"))
+    probs = mod.join(tot, ["removed", "i"]).select(
+        "removed", "i", "j", (F.col("n") / F.col("tot").cast("double")).alias("p")
+    )
+    rows = probs.collect()  # O(chains * types²) aggregate rows, never data-sized
+    chains: dict[str, dict[str, list]] = {}
+    for r in rows:
+        chains.setdefault(r["removed"], {}).setdefault(r["i"], []).append(
+            (r["j"], r["p"])
+        )
+    p_conv: dict[str, float] = {}
+    for removed, outs in chains.items():
+        v = {"purchase": 1.0}
+        for _ in range(12):
+            nxt = {}
+            for i, edges in outs.items():
+                # sorted target order -> deterministic float summation
+                nxt[i] = sum(
+                    p * v.get(j, 0.0) for j, p in sorted(edges)
+                )
+            nxt["purchase"] = 1.0
+            v = nxt
+        p_conv[removed] = v.get("START", 0.0)
+    p_base = p_conv.get("NONE", 0.0)
+    effs = {
+        ch: max(0.0, 1.0 - p / p_base)
+        for ch, p in p_conv.items()
+        if ch != "NONE"
+    }
+    te = sum(effs[ch] for ch in sorted(effs))
+    out = spark.createDataFrame(
+        [
+            (ch, p_base, p_conv[ch], effs[ch], effs[ch] / te)
+            for ch in sorted(effs)
+        ],
+        "channel string, p_conv_base double, p_conv_without double, "
+        "removal_effect double, attribution_share double",
+    )
+    return out.select(
+        "channel",
+        F.round("p_conv_base", 6).alias("p_conv_base"),
+        F.round("p_conv_without", 6).alias("p_conv_without"),
+        F.round("removal_effect", 6).alias("removal_effect"),
+        F.round("attribution_share", 6).alias("attribution_share"),
+    ).orderBy("channel")
+
+
+def _markov_oracle_sql() -> str:
+    head = r"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER w AS nxt,
+         LAG(event_type) OVER w AS prv
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+trans AS (
+  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT event_type AS i, COALESCE(nxt, 'NULL') AS j
+    FROM seq WHERE event_type <> 'purchase'
+    UNION ALL
+    SELECT 'START' AS i, event_type AS j FROM seq WHERE prv IS NULL
+  ) GROUP BY 1, 2
+),
+chans AS (
+  SELECT DISTINCT event_type AS removed FROM events WHERE event_type <> 'purchase'
+  UNION ALL SELECT 'NONE'
+),
+mod AS (
+  SELECT removed, i, CASE WHEN j = removed THEN 'NULL' ELSE j END AS j,
+         CAST(SUM(n) AS BIGINT) AS n
+  FROM chans CROSS JOIN trans
+  WHERE i <> removed
+  GROUP BY 1, 2, 3
+),
+probs AS (
+  SELECT removed, i, j, CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY removed, i) AS p
+  FROM mod
+),
+v0 AS (SELECT removed, 'purchase' AS state, 1.0 AS v FROM chans)"""
+    steps = []
+    for k in range(1, 13):
+        steps.append(
+            f""",
+v{k} AS (
+  SELECT p.removed, p.i AS state, SUM(p.p * v.v) AS v
+  FROM probs p JOIN v{k - 1} v ON v.removed = p.removed AND v.state = p.j
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT removed, 'purchase' AS state, 1.0 AS v FROM chans
+)"""
+        )
+    tail = r""",
+pconv AS (SELECT removed, v AS p_conv FROM v12 WHERE state = 'START'),
+base AS (SELECT p_conv AS p_base FROM pconv WHERE removed = 'NONE'),
+effects AS (
+  SELECT removed AS channel, p_conv, b.p_base,
+         GREATEST(0.0, 1.0 - p_conv / b.p_base) AS eff
+  FROM pconv CROSS JOIN base b
+  WHERE removed <> 'NONE'
+),
+te AS (SELECT SUM(eff) AS te FROM effects)
+SELECT channel, ROUND(p_base, 6) AS p_conv_base,
+       ROUND(p_conv, 6) AS p_conv_without,
+       ROUND(eff, 6) AS removal_effect,
+       ROUND(eff / te.te, 6) AS attribution_share
+FROM effects CROSS JOIN te
+ORDER BY channel"""
+    return head + "".join(steps) + tail
+
+
+EXT_MARKOV_SQL = _markov_oracle_sql()
+
+
+def ext_ips_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-score treatment effect for the deep-discount
+    question (X254's setting): propensities estimated per brand stratum
+    from the data, clipped to [0.05, 0.95], IPS-weighted outcome means
+    for treated vs control — the weighting-based causal estimator that
+    generalizes to continuous covariates where stratification cannot
+    follow; comparing it against X254's answer is the standard
+    robustness check.
+
+    Scale shape: propensities are an O(strata) broadcast map; the
+    estimate is one weighted pass over the fact table."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_discount") >= 0.05).cast("int").alias("t"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    tagged = li.join(F.broadcast(part), "l_partkey")
+    prop = tagged.groupBy("p_brand").agg(
+        (F.sum("t").cast("double") / F.count(F.lit(1))).alias("e_raw")
+    ).select(
+        "p_brand",
+        F.least(F.greatest(F.col("e_raw"), F.lit(0.05)), F.lit(0.95)).alias("e"),
+    )
+    j = tagged.join(F.broadcast(prop), "p_brand")
+    est = j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum(F.col("t") * F.col("qc").cast("double") / F.col("e"))
+            / F.sum(F.col("t") / F.col("e"))
+            - F.sum((1 - F.col("t")) * F.col("qc").cast("double") / (1.0 - F.col("e")))
+            / F.sum((1 - F.col("t")) / (1.0 - F.col("e")))
+        ).alias("ate"),
+        F.avg("e").alias("mean_prop"),
+    )
+    return est.select(
+        "n_rows",
+        F.round(F.col("ate") / 100.0, 4).alias("ate_ips"),
+        F.round("mean_prop", 6).alias("mean_propensity"),
+    )
+
+
+EXT_IPS_SQL = r"""
+WITH tagged AS (
+  SELECT p.p_brand,
+         CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS t,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc
+  FROM lineitem li JOIN part p ON p.p_partkey = li.l_partkey
+),
+prop AS (
+  SELECT p_brand,
+         LEAST(GREATEST(CAST(SUM(t) AS DOUBLE) / COUNT(*), 0.05), 0.95) AS e
+  FROM tagged GROUP BY 1
+),
+j AS (SELECT t.t, t.qc, p.e FROM tagged t JOIN prop p ON p.p_brand = t.p_brand)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND((SUM(t * CAST(qc AS DOUBLE) / e) / SUM(t / e)
+              - SUM((1 - t) * CAST(qc AS DOUBLE) / (1.0 - e))
+                / SUM((1 - t) / (1.0 - e))) / 100.0, 4) AS ate_ips,
+       ROUND(AVG(e), 6) AS mean_propensity
+FROM j
+"""
+
+
+def ext_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between the order-value
+    distributions of BUILDING vs MACHINERY customers, on a $100 grid:
+    W1 = sum |F_a - F_b| * bin_width over the binned support — the
+    magnitude-aware distribution distance (X213's KS sees the worst gap;
+    W1 integrates ALL of it in dollars, which is what a revenue-mix
+    shift is actually worth).
+
+    Scale shape: both distributions collapse to the O(bins) axis; the
+    CDF sweep is a window over that tiny axis."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    seg = (
+        orders.join(cust, "o_custkey")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            (F.col("c_mktsegment") == "BUILDING").cast("int").alias("is_a"),
+            F.floor(F.round(F.col("o_totalprice") * 100).cast("long") / 10000).alias(
+                "bin"
+            ),
+        )
+    )
+    counts = seg.groupBy("bin").agg(
+        F.sum("is_a").alias("na"), F.sum(F.lit(1) - F.col("is_a")).alias("nb")
+    )
+    tots = counts.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = (
+        counts.withColumn("ca", F.sum("na").over(wc))
+        .withColumn("cb", F.sum("nb").over(wc))
+        .crossJoin(F.broadcast(tots))
+    )
+    return cdf.agg(
+        F.max("ta").alias("n_building"),
+        F.max("tb").alias("n_machinery"),
+        F.round(
+            F.sum(
+                F.abs(
+                    F.col("ca").cast("double") / F.col("ta")
+                    - F.col("cb").cast("double") / F.col("tb")
+                )
+            )
+            * 100.0,
+            4,
+        ).alias("w1_dollars"),
+    )
+
+
+EXT_WASSERSTEIN_SQL = r"""
+WITH seg AS (
+  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_a,
+         CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT) / 10000.0) AS BIGINT)
+           AS bin
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+counts AS (
+  SELECT bin, CAST(SUM(is_a) AS BIGINT) AS na,
+         CAST(SUM(1 - is_a) AS BIGINT) AS nb
+  FROM seg GROUP BY 1
+),
+tots AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM counts),
+cdf AS (
+  SELECT bin, SUM(na) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(nb) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM counts
+)
+SELECT MAX(ta) AS n_building, MAX(tb) AS n_machinery,
+       ROUND(SUM(ABS(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)) * 100.0, 4)
+         AS w1_dollars
+FROM cdf CROSS JOIN tots
+"""
+
+
+def ext_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch health check for the X274 experiment
+    assignment: distinct users per hash arm vs the designed 50/50,
+    1-df chi-square statistic and the 3.84 (p=0.05) alarm — the first
+    thing a broken randomizer shows, and the check every experiment
+    readout must pass BEFORE its effect numbers mean anything.
+
+    Scale shape: one distinct-user collapse, O(1) arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    arms = (
+        ev.select("user_id")
+        .distinct()
+        .groupBy((F.col("user_id") % 2 == 0).cast("int").alias("arm"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = arms.agg(
+        F.sum("n").alias("n_users"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_c"),
+    )
+    exp = F.col("n_users").cast("double") / 2.0
+    chi = (
+        (F.col("n_t") - exp) * (F.col("n_t") - exp) / exp
+        + (F.col("n_c") - exp) * (F.col("n_c") - exp) / exp
+    )
+    return agg.select(
+        "n_users",
+        "n_t",
+        "n_c",
+        F.round(chi, 4).alias("chi_square"),
+        (chi > 3.841).alias("srm_alarm"),
+    )
+
+
+EXT_SRM_SQL = r"""
+WITH arms AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT DISTINCT user_id FROM events) GROUP BY 1
+),
+agg AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_users,
+         MAX(CASE WHEN arm = 1 THEN n END) AS n_t,
+         MAX(CASE WHEN arm = 0 THEN n END) AS n_c
+  FROM arms
+)
+SELECT n_users, n_t, n_c,
+       ROUND((n_t - n_users / 2.0) * (n_t - n_users / 2.0) / (n_users / 2.0)
+             + (n_c - n_users / 2.0) * (n_c - n_users / 2.0) / (n_users / 2.0), 4)
+         AS chi_square,
+       ((n_t - n_users / 2.0) * (n_t - n_users / 2.0) / (n_users / 2.0)
+        + (n_c - n_users / 2.0) * (n_c - n_users / 2.0) / (n_users / 2.0)) > 3.841
+         AS srm_alarm
+FROM agg
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_markov_attribution": ext_markov_attribution,
+        "ext_ips_ate": ext_ips_ate,
+        "ext_wasserstein": ext_wasserstein,
+        "ext_srm_check": ext_srm_check,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_markov_attribution": EXT_MARKOV_SQL,
+        "ext_ips_ate": EXT_IPS_SQL,
+        "ext_wasserstein": EXT_WASSERSTEIN_SQL,
+        "ext_srm_check": EXT_SRM_SQL,
+    }
+)
