@@ -14563,3 +14563,343 @@ EXT_ORACLES.update(
         "ext_srm_check": EXT_SRM_SQL,
     }
 )
+
+
+# --- round-3 wave: Ljung-Box, capture-recapture, skyline, Mahalanobis ---------
+
+
+def ext_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on daily order revenue: Q = n(n+2)
+    sum_{k=1..10} r_k²/(n-k) over the first ten autocorrelations — the
+    'is there ANY serial structure' gate that turns X241's per-lag ACF
+    into one decision number (Q > 18.31 rejects whiteness at p=0.05,
+    10 df). Pairwise-complete r_k on the calendar grid, as in X241.
+
+    Scale shape: day-axis collapse, ten tiny shifted self-joins, O(1)
+    arithmetic."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("xc")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("nd"),
+        (F.sum("xc").cast("double") / F.count(F.lit(1))).alias("mu"),
+    )
+    dev = daily.crossJoin(F.broadcast(stats)).select(
+        "day", (F.col("xc").cast("double") - F.col("mu")).alias("d"), "nd"
+    )
+    denom = dev.agg(F.sum(F.col("d") * F.col("d")).alias("ss"), F.max("nd").alias("n"))
+    lags = spark.range(1).select(
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("lag")
+    )
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(dev.select(F.col("day").alias("d0"), F.col("d").alias("da")))
+        .join(
+            dev.select(F.col("day").alias("d1"), F.col("d").alias("db")),
+            F.expr("d1 = date_add(d0, lag)"),
+        )
+    )
+    rks = (
+        pairs.groupBy("lag")
+        .agg(F.sum(F.col("da") * F.col("db")).alias("num"))
+        .crossJoin(F.broadcast(denom))
+        .select(
+            "lag",
+            "n",
+            ((F.col("num") / F.col("ss")) * (F.col("num") / F.col("ss"))).alias("rk2"),
+        )
+    )
+    q = rks.agg(
+        F.max("n").alias("n_days"),
+        F.sum(F.col("rk2") / (F.col("n") - F.col("lag"))).alias("inner"),
+    )
+    stat = F.col("n_days") * (F.col("n_days") + 2) * F.col("inner")
+    return q.select(
+        "n_days",
+        F.round(stat, 4).alias("ljung_box_q"),
+        (stat > 18.307).alias("reject_whiteness"),
+    )
+
+
+EXT_LJUNG_BOX_SQL = r"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS xc
+  FROM orders GROUP BY 1
+),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                 CAST(SUM(xc) AS DOUBLE) / COUNT(*) AS mu FROM daily),
+dev AS (SELECT day, CAST(xc AS DOUBLE) - mu AS d, nd FROM daily CROSS JOIN stats),
+denom AS (SELECT SUM(d * d) AS ss, MAX(nd) AS n FROM dev),
+lags AS (SELECT UNNEST(range(1, 11)) AS lag),
+rks AS (
+  SELECT l.lag, dn.n,
+         (SUM(a.d * b.d) / MAX(dn.ss)) * (SUM(a.d * b.d) / MAX(dn.ss)) AS rk2
+  FROM lags l
+  JOIN dev a ON TRUE
+  JOIN dev b ON b.day = a.day + CAST(l.lag AS INTEGER)
+  CROSS JOIN denom dn
+  GROUP BY l.lag, dn.n
+),
+q AS (
+  SELECT MAX(n) AS n_days, SUM(rk2 / (n - lag)) AS inner_sum FROM rks
+)
+SELECT n_days,
+       ROUND(n_days * (n_days + 2) * inner_sum, 4) AS ljung_box_q,
+       n_days * (n_days + 2) * inner_sum > 18.307 AS reject_whiteness
+FROM q
+"""
+
+
+def ext_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the TOTAL user population
+    (including never-seen users) from two independent 'captures' —
+    users active in the first vs second half of the window:
+    N = (n1+1)(n2+1)/(m+1) - 1 with a binomial-variance CI — the
+    ecology estimator that answers 'how many users exist that my logs
+    have not seen yet', which no distinct-count can.
+
+    Scale shape: two conditional distinct collapses in ONE per-user
+    aggregation; the estimator is O(1) arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.to_date(
+            F.from_unixtime(
+                (F.min(F.unix_timestamp("ts")) + F.max(F.unix_timestamp("ts"))) / 2
+            )
+        ).alias("mid")
+    )
+    per = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.to_date("ts") < F.col("mid")).cast("int")).alias("in1"),
+            F.max((F.to_date("ts") >= F.col("mid")).cast("int")).alias("in2"),
+        )
+    )
+    agg = per.agg(
+        F.sum("in1").alias("n1"),
+        F.sum("in2").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).alias("m"),
+        F.count(F.lit(1)).alias("n_observed"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m = F.col("m").cast("double")
+    nhat = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    var = (n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m) / (
+        (m + 1) * (m + 1) * (m + 2)
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "m",
+        "n_observed",
+        F.round(nhat, 2).alias("n_total_est"),
+        F.round(nhat - 1.96 * F.sqrt(var), 2).alias("ci_lo"),
+        F.round(nhat + 1.96 * F.sqrt(var), 2).alias("ci_hi"),
+    )
+
+
+EXT_CAPTURE_RECAPTURE_SQL = r"""
+WITH mid AS (
+  SELECT CAST(to_timestamp((epoch(MIN(ts)) + epoch(MAX(ts))) / 2) AS DATE) AS mid
+  FROM events
+),
+per AS (
+  SELECT user_id,
+         MAX(CASE WHEN CAST(ts AS DATE) < mid THEN 1 ELSE 0 END) AS in1,
+         MAX(CASE WHEN CAST(ts AS DATE) >= mid THEN 1 ELSE 0 END) AS in2
+  FROM events CROSS JOIN mid GROUP BY 1
+),
+agg AS (
+  SELECT CAST(SUM(in1) AS BIGINT) AS n1, CAST(SUM(in2) AS BIGINT) AS n2,
+         CAST(SUM(in1 * in2) AS BIGINT) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n_observed
+  FROM per
+)
+SELECT n1, n2, m, n_observed,
+       ROUND((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1, 2) AS n_total_est,
+       ROUND((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1
+             - 1.96 * SQRT((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m)
+                           / ((m + 1.0) * (m + 1.0) * (m + 2.0))), 2) AS ci_lo,
+       ROUND((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1
+             + 1.96 * SQRT((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m)
+                           / ((m + 1.0) * (m + 1.0) * (m + 2.0))), 2) AS ci_hi
+FROM agg
+"""
+
+
+def ext_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: cheapest-price vs
+    largest-size — parts no other part beats on BOTH axes. The classic
+    multi-criteria shortlist operator relational engines lack: computed
+    by the sort-scan formulation (order by price asc, size desc; keep
+    rows whose size strictly exceeds the running max), with min-price
+    tie groups handled by keeping only dominating representatives.
+
+    Scale shape: collapse to distinct (price, size) pairs first (the
+    frontier only depends on the collapsed set), sweep with a window
+    over that axis, re-attach part ids by equi-join. The dimension
+    table is O(catalog) — bounded — and the sweep axis is its distinct
+    projection."""
+    part = _t(spark, sf_dir, "part")
+    pts = part.select(
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("pc"),
+        F.col("p_size").cast("long").alias("sz"),
+    ).distinct()
+    # keep max size per price level (others are dominated at equal price)
+    lvl = pts.groupBy("pc").agg(F.max("sz").alias("sz"))
+    wsweep = Window.orderBy("pc").rowsBetween(Window.unboundedPreceding, -1)
+    sky = (
+        lvl.withColumn("prev_max", F.max("sz").over(wsweep))
+        .filter(F.col("prev_max").isNull() | (F.col("sz") > F.col("prev_max")))
+        .select("pc", "sz")
+    )
+    out = part.join(
+        sky,
+        (F.round(F.col("p_retailprice") * 100).cast("long") == F.col("pc"))
+        & (F.col("p_size").cast("long") == F.col("sz")),
+    )
+    return (
+        out.select(
+            "p_partkey",
+            "p_brand",
+            F.round(F.col("pc") / 100.0, 2).alias("price"),
+            F.col("sz").alias("size"),
+        )
+        .orderBy("price", "p_partkey")
+    )
+
+
+EXT_SKYLINE_SQL = r"""
+WITH pts AS (
+  SELECT DISTINCT CAST(ROUND(p_retailprice * 100) AS BIGINT) AS pc,
+         CAST(p_size AS BIGINT) AS sz
+  FROM part
+),
+lvl AS (SELECT pc, MAX(sz) AS sz FROM pts GROUP BY 1),
+sky AS (
+  SELECT pc, sz FROM (
+    SELECT pc, sz,
+           MAX(sz) OVER (ORDER BY pc
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+    FROM lvl
+  ) WHERE prev_max IS NULL OR sz > prev_max
+)
+SELECT p.p_partkey, p.p_brand,
+       ROUND(s.pc / 100.0, 2) AS price, s.sz AS size
+FROM part p
+JOIN sky s ON CAST(ROUND(p.p_retailprice * 100) AS BIGINT) = s.pc
+          AND CAST(p.p_size AS BIGINT) = s.sz
+ORDER BY price, p.p_partkey
+"""
+
+
+def ext_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-Mahalanobis multivariate outlier audit of customers over
+    (order count, total spend, avg order gap is omitted — two exact
+    features plus account balance): D² = sum of squared z-scores with
+    population moments from exact sums; flags D² above the chi-square
+    (3 df, p=0.01) cutoff 11.345 — catches jointly-extreme customers
+    that every single-feature fence (X107) passes.
+
+    Scale shape: one per-customer collapse, broadcast moment scalars,
+    row-local scoring; output only the flagged rows (k-bounded head)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend_c"),
+        )
+        .join(cust, "o_custkey")
+    )
+    mom = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            expr
+            for c in ["n_orders", "spend_c", "bal_c"]
+            for expr in (
+                F.sum(c).alias(f"s_{c}"),
+                F.sum(F.col(c).cast("decimal(19,0)") * F.col(c)).alias(f"ss_{c}"),
+            )
+        ],
+    )
+    j = per.crossJoin(F.broadcast(mom))
+    n = F.col("n").cast("double")
+
+    def z(c):
+        mu = F.col(f"s_{c}").cast("double") / n
+        sd = F.sqrt(F.col(f"ss_{c}").cast("double") / n - mu * mu)
+        return (F.col(c).cast("double") - mu) / sd
+
+    d2 = (
+        z("n_orders") * z("n_orders")
+        + z("spend_c") * z("spend_c")
+        + z("bal_c") * z("bal_c")
+    )
+    return (
+        j.select("o_custkey", F.round(d2, 4).alias("d2"))
+        .filter(F.col("d2") > 11.345)
+        .orderBy(F.col("d2").desc(), "o_custkey")
+        .limit(100)
+    )
+
+
+EXT_MAHALANOBIS_SQL = r"""
+WITH per AS (
+  SELECT o.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_c,
+         CAST(ROUND(MAX(c.c_acctbal) * 100) AS BIGINT) AS bal_c
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_orders) AS BIGINT) AS s_n,
+         CAST(SUM(CAST(n_orders AS HUGEINT) * n_orders) AS DECIMAL(38,0)) AS ss_n,
+         CAST(SUM(spend_c) AS BIGINT) AS s_sp,
+         CAST(SUM(CAST(spend_c AS HUGEINT) * spend_c) AS DECIMAL(38,0)) AS ss_sp,
+         CAST(SUM(bal_c) AS BIGINT) AS s_b,
+         CAST(SUM(CAST(bal_c AS HUGEINT) * bal_c) AS DECIMAL(38,0)) AS ss_b
+  FROM per
+),
+scored AS (
+  SELECT o_custkey,
+         ROUND(
+           POWER((n_orders - CAST(s_n AS DOUBLE) / n)
+                 / SQRT(CAST(ss_n AS DOUBLE) / n - POWER(CAST(s_n AS DOUBLE) / n, 2)), 2)
+           + POWER((spend_c - CAST(s_sp AS DOUBLE) / n)
+                 / SQRT(CAST(ss_sp AS DOUBLE) / n - POWER(CAST(s_sp AS DOUBLE) / n, 2)), 2)
+           + POWER((bal_c - CAST(s_b AS DOUBLE) / n)
+                 / SQRT(CAST(ss_b AS DOUBLE) / n - POWER(CAST(s_b AS DOUBLE) / n, 2)), 2),
+           4) AS d2
+  FROM per CROSS JOIN mom
+)
+SELECT o_custkey, d2 FROM scored WHERE d2 > 11.345
+ORDER BY d2 DESC, o_custkey LIMIT 100
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_ljung_box": ext_ljung_box,
+        "ext_capture_recapture": ext_capture_recapture,
+        "ext_skyline": ext_skyline,
+        "ext_mahalanobis_outliers": ext_mahalanobis_outliers,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_ljung_box": EXT_LJUNG_BOX_SQL,
+        "ext_capture_recapture": EXT_CAPTURE_RECAPTURE_SQL,
+        "ext_skyline": EXT_SKYLINE_SQL,
+        "ext_mahalanobis_outliers": EXT_MAHALANOBIS_SQL,
+    }
+)
