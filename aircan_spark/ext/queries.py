@@ -14903,3 +14903,379 @@ EXT_ORACLES.update(
         "ext_mahalanobis_outliers": EXT_MAHALANOBIS_SQL,
     }
 )
+
+
+# --- round-3 wave: assortativity, RBO, numeric audit, runs test ---------------
+
+
+def ext_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the 5-NN cosine graph (X258's edges):
+    Pearson correlation of endpoint degrees over undirected edges —
+    positive = hubs link to hubs (skew compounds at query time),
+    negative = hub-and-spoke (the usual ANN-graph shape). Exact integer
+    degree sums; both endpoint orientations counted (the standard
+    undirected estimator).
+
+    Scale shape: edges from the thinned brute scorer (ANN candidates at
+    corpus scale); degrees are one O(nodes) collapse broadcast back;
+    the correlation is one O(edges) aggregate."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
+    hits = similarity.brute_topk(emb, emb, k=5)
+    edges = (
+        hits.select(
+            F.least("query_id", "neighbor_id").alias("u"),
+            F.greatest("query_id", "neighbor_id").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    tagged = (
+        edges.join(
+            F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))),
+            "v",
+        )
+    )
+    # both orientations: (du,dv) and (dv,du)
+    ends = tagged.select(
+        F.col("du").alias("x"), F.col("dv").alias("y")
+    ).unionByName(tagged.select(F.col("dv").alias("x"), F.col("du").alias("y")))
+    agg = ends.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("long") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("long") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("long") * F.col("y")).alias("syy"),
+    )
+    n = F.col("m2").cast("double")
+    r = (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return agg.select(
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
+        F.round(r, 6).alias("assortativity"),
+    )
+
+
+EXT_ASSORTATIVITY_SQL = r"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 2 = 0
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine
+  FROM e q CROSS JOIN e c
+  WHERE q.vec_id <> c.vec_id
+),
+hits AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rank FROM scored
+  ) WHERE rank <= 5
+),
+edges AS (
+  SELECT DISTINCT LEAST(query_id, neighbor_id) AS u,
+         GREATEST(query_id, neighbor_id) AS v
+  FROM hits
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  ) GROUP BY 1
+),
+ends AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM edges ed JOIN deg du ON du.node = ed.u JOIN deg dv ON dv.node = ed.v
+  UNION ALL
+  SELECT dv.d AS x, du.d AS y
+  FROM edges ed JOIN deg du ON du.node = ed.u JOIN deg dv ON dv.node = ed.v
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM ends
+)
+SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+       ROUND((m2 * sxy - CAST(sx AS DOUBLE) * sy)
+             / SQRT((m2 * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (m2 * syy - CAST(sy AS DOUBLE) * sy)), 6) AS assortativity
+FROM agg
+"""
+
+
+def ext_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (p=0.9, depth 50) between the BM25 ranking
+    and the quality-prior ranking over the shared candidate set —
+    the top-weighted ranking-similarity number behind X251's fusion
+    decision: RBO near 1 means the signals agree and fusion adds
+    nothing; near 0 means they rank different documents up top.
+    RBO@50 = (1-p)/(1-p^50-ish truncation) ... reported as the
+    truncated sum (1-p) * sum_{d<=50} p^(d-1) * overlap(d)/d.
+
+    Scale shape: both rankings run over the candidate set (X251's
+    bound); overlap(d) comes from each shared item's max rank — one
+    O(candidates) collapse, then the weighted sum on the 50-row depth
+    axis."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = text.bm25_scores(docs, BM25_QUERY_TERMS).select("doc_id", "score")
+    q = text.quality_score(docs).select("doc_id", "quality")
+    j = cand.join(q, "doc_id")
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    wq = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
+    ranked = j.withColumn("r1", F.row_number().over(wb)).withColumn(
+        "r2", F.row_number().over(wq)
+    )
+    mx = ranked.select(
+        F.greatest("r1", "r2").alias("m")
+    ).filter(F.col("m") <= 50)
+    per_m = mx.groupBy("m").agg(F.count(F.lit(1)).alias("c"))
+    depths = spark.range(1).select(
+        F.explode(F.sequence(F.lit(1), F.lit(50))).alias("d")
+    )
+    ov = (
+        F.broadcast(depths)
+        .join(per_m, F.col("m") <= F.col("d"))
+        .groupBy("d")
+        .agg(F.sum("c").alias("overlap"))
+    )
+    term = F.pow(F.lit(0.9), F.col("d") - 1) * F.col("overlap") / F.col("d")
+    return ov.agg(
+        F.round(F.lit(0.1) * F.sum(term), 6).alias("rbo_at_50"),
+        F.max(F.when(F.col("d") == 50, F.col("overlap"))).alias("overlap_at_50"),
+    )
+
+
+EXT_RBO_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS w
+  FROM documents
+),
+lens AS (SELECT doc_id, len(w) AS dl, w FROM toks),
+scalars AS (SELECT COUNT(*) AS n, SUM(dl) AS total_dl FROM lens),
+words AS (SELECT doc_id, dl, UNNEST(w) AS word FROM lens),
+tf AS (
+  SELECT doc_id, dl, word, COUNT(*) AS tf
+  FROM words WHERE word IN ('join', 'merge', 'window')
+  GROUP BY doc_id, dl, word
+),
+dfreq AS (SELECT word, COUNT(*) AS doc_freq FROM tf GROUP BY word),
+comp AS (
+  SELECT tf.doc_id,
+         CAST(
+           LN(1.0 + (CAST(s.n AS DOUBLE) - CAST(d.doc_freq AS DOUBLE) + 0.5)
+                    / (CAST(d.doc_freq AS DOUBLE) + 0.5))
+           * CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE)
+                                     / (CAST(s.total_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))
+           AS DECIMAL(27,12)) AS comp
+  FROM tf JOIN dfreq d ON tf.word = d.word CROSS JOIN scalars s
+),
+cand AS (
+  SELECT doc_id, ROUND(CAST(SUM(comp) AS DOUBLE), 6) AS score
+  FROM comp GROUP BY doc_id
+),
+qual AS (
+  SELECT doc_id,
+         ROUND(
+           LEAST(CAST(LENGTH(text) AS DOUBLE) / 200.0, 1.0)
+           * (1.0 - CAST(LEN(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE)
+                    / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE))
+           * (1.0 - CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                    / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE)),
+           4) AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT c.doc_id,
+         ROW_NUMBER() OVER (ORDER BY c.score DESC, c.doc_id) AS r1,
+         ROW_NUMBER() OVER (ORDER BY q.quality DESC, c.doc_id) AS r2
+  FROM cand c JOIN qual q ON q.doc_id = c.doc_id
+),
+per_m AS (
+  SELECT GREATEST(r1, r2) AS m, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ranked WHERE GREATEST(r1, r2) <= 50 GROUP BY 1
+),
+depths AS (SELECT UNNEST(range(1, 51)) AS d),
+ov AS (
+  SELECT d, CAST(SUM(c) AS BIGINT) AS overlap
+  FROM depths JOIN per_m ON m <= d GROUP BY 1
+)
+SELECT ROUND(0.1 * SUM(POWER(0.9, d - 1) * overlap / d), 6) AS rbo_at_50,
+       MAX(CASE WHEN d = 50 THEN overlap END) AS overlap_at_50
+FROM ov
+"""
+
+
+def ext_numeric_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-precision audit of the lineitem measures: decimals
+    actually used (max observed scale), sign/zero mix, and the value
+    span in log10 — the schema-tightening advisor that says whether a
+    DOUBLE column is really a DECIMAL(m, 2) in disguise (storage,
+    exactness, and pushdown all improve when it is). Long-form output,
+    one row per audited column.
+
+    Scale shape: one pass per column collapsed to O(1) audit rows; the
+    decimal-scale probe is row-local integer arithmetic (value*10^k
+    roundtrip), unioned across columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    outs = []
+    for col in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]:
+        c = F.col(col)
+        # max decimal scale actually used among {0,1,2}: value*10^k is integral
+        k = (
+            F.when(c * 1 == F.round(c * 1), 0)
+            .when(c * 10 == F.round(c * 10), 1)
+            .when(c * 100 == F.round(c * 100), 2)
+            .otherwise(3)
+        )
+        outs.append(
+            li.agg(
+                F.lit(col).alias("column_name"),
+                F.max(k).alias("max_scale_used"),
+                F.sum((c < 0).cast("long")).alias("n_negative"),
+                F.sum((c == 0).cast("long")).alias("n_zero"),
+                F.round(
+                    F.log10(F.max(F.abs(c)) / F.greatest(F.min(F.abs(F.nullif(c, F.lit(0.0)))), F.lit(1e-12))),
+                    2,
+                ).alias("span_log10"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("column_name")
+
+
+EXT_NUMERIC_AUDIT_SQL = r"""
+WITH cols AS (
+  SELECT 'l_quantity' AS column_name, l_quantity AS v FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT column_name,
+       CAST(MAX(CASE WHEN v * 1 = ROUND(v * 1) THEN 0
+                WHEN v * 10 = ROUND(v * 10) THEN 1
+                WHEN v * 100 = ROUND(v * 100) THEN 2
+                ELSE 3 END) AS INTEGER) AS max_scale_used,
+       CAST(SUM(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+       CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       ROUND(LOG10(MAX(ABS(v)) / GREATEST(MIN(CASE WHEN v <> 0 THEN ABS(v) END), 1e-12)), 2)
+         AS span_log10
+FROM cols GROUP BY 1 ORDER BY column_name
+"""
+
+
+def ext_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue vs its median: the
+    number of above/below runs against the randomness expectation
+    (too few runs = sticky regimes/trend, too many = oscillation) —
+    the order-sensitive randomness check that complements X283's
+    monotone-trend test (a square wave fools Mann-Kendall; it lights
+    this up). Median days are excluded (standard treatment).
+
+    Scale shape: day-axis collapse, broadcast median, one lag over the
+    tiny ordered axis, O(1) statistic."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    med = daily.agg(F.expr("percentile(x, 0.5)").alias("md"))
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("x") != F.col("md"))
+        .select("day", (F.col("x") > F.col("md")).cast("int").alias("s"))
+    )
+    wd = Window.orderBy("day")
+    runs = signed.withColumn("prev", F.lag("s").over(wd)).agg(
+        F.sum("s").alias("n_above"),
+        F.sum(F.lit(1) - F.col("s")).alias("n_below"),
+        (
+            F.sum(
+                (F.col("prev").isNull() | (F.col("s") != F.col("prev"))).cast(
+                    "long"
+                )
+            )
+        ).alias("n_runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    z = (F.col("n_runs").cast("double") - mu) / F.sqrt(var)
+    return runs.select(
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.round(mu, 4).alias("expected_runs"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("nonrandom"),
+    )
+
+
+EXT_RUNS_TEST_SQL = r"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+med AS (SELECT quantile_cont(x, 0.5) AS md FROM daily),
+signed AS (
+  SELECT day, CASE WHEN x > md THEN 1 ELSE 0 END AS s
+  FROM daily CROSS JOIN med WHERE x <> md
+),
+runs AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS n_above,
+         CAST(SUM(1 - s) AS BIGINT) AS n_below,
+         CAST(SUM(CASE WHEN prev IS NULL OR s <> prev THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_runs
+  FROM (SELECT day, s, LAG(s) OVER (ORDER BY day) AS prev FROM signed)
+)
+SELECT n_above, n_below, n_runs,
+       ROUND(2.0 * n_above * n_below / (n_above + n_below) + 1.0, 4) AS expected_runs,
+       ROUND((n_runs - (2.0 * n_above * n_below / (n_above + n_below) + 1.0))
+             / SQRT(2.0 * n_above * n_below * (2.0 * n_above * n_below - n_above - n_below)
+                    / ((n_above + n_below) * (n_above + n_below)
+                       * (n_above + n_below - 1.0))), 4) AS z,
+       ABS((n_runs - (2.0 * n_above * n_below / (n_above + n_below) + 1.0))
+           / SQRT(2.0 * n_above * n_below * (2.0 * n_above * n_below - n_above - n_below)
+                  / ((n_above + n_below) * (n_above + n_below)
+                     * (n_above + n_below - 1.0)))) > 1.96 AS nonrandom
+FROM runs
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_assortativity": ext_assortativity,
+        "ext_rbo": ext_rbo,
+        "ext_numeric_audit": ext_numeric_audit,
+        "ext_runs_test": ext_runs_test,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_assortativity": EXT_ASSORTATIVITY_SQL,
+        "ext_rbo": EXT_RBO_SQL,
+        "ext_numeric_audit": EXT_NUMERIC_AUDIT_SQL,
+        "ext_runs_test": EXT_RUNS_TEST_SQL,
+    }
+)
