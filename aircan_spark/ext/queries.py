@@ -15279,3 +15279,282 @@ EXT_ORACLES.update(
         "ext_runs_test": EXT_RUNS_TEST_SQL,
     }
 )
+
+
+# --- round-3 wave: Theil-Sen, 2-D histogram, UNK rate, McNemar ----------------
+
+
+def ext_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope of daily revenue: the median of all
+    pairwise day-to-day slopes — 29% outlier breakdown where OLS
+    (X205's elasticity machinery) has zero; the ESTIMATE companion to
+    X283's Mann-Kendall TEST (same pair sweep, median instead of sign
+    sum). Slopes are exact-int differences divided once.
+
+    Scale shape: day-axis collapse first; the O(days²) pair frame is
+    SF-independent (calendar-bounded); one exact percentile over it."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    a = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("x").alias("x2"))
+    slopes = a.join(b, F.col("d1") < F.col("d2")).select(
+        (
+            (F.col("x2") - F.col("x1")).cast("double")
+            / F.datediff("d2", "d1")
+        ).alias("s")
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.expr("percentile(s, 0.5)") / 100.0, 4).alias(
+            "slope_dollars_per_day"
+        ),
+    )
+
+
+EXT_THEIL_SEN_SQL = r"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+slopes AS (
+  SELECT CAST(b.x - a.x AS DOUBLE) / date_diff('day', a.day, b.day) AS s
+  FROM daily a JOIN daily b ON a.day < b.day
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(quantile_cont(s, 0.5) / 100.0, 4) AS slope_dollars_per_day
+FROM slopes
+"""
+
+
+def ext_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D density grid of (quantity band x discount level) with each
+    cell's revenue share — the joint-distribution heatmap behind
+    pricing questions that two 1-D histograms (X52) cannot answer
+    (quantity and discount are dependent: that IS the finding). Exact
+    integer binning (quantities band by 5s, discounts are exact cent
+    levels), revenue in exact cents.
+
+    Scale shape: one row-local binning pass, one O(cells) hash agg,
+    broadcast total for the share."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor((F.round(F.col("l_quantity")).cast("long") - 1) / 5).alias("q_band"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("ec"),
+    )
+    cells = li.groupBy("q_band", "disc_pct").agg(
+        F.count(F.lit(1)).alias("n_lines"), F.sum("ec").alias("rev_c")
+    )
+    tot = cells.agg(F.sum("rev_c").alias("t"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "q_band",
+            "disc_pct",
+            "n_lines",
+            F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+            F.round(F.col("rev_c") / F.col("t").cast("double"), 6).alias(
+                "rev_share"
+            ),
+        )
+        .orderBy("q_band", "disc_pct")
+    )
+
+
+EXT_HIST2D_SQL = r"""
+WITH li AS (
+  SELECT CAST(FLOOR((CAST(ROUND(l_quantity) AS BIGINT) - 1) / 5.0) AS BIGINT)
+           AS q_band,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS ec
+  FROM lineitem
+),
+cells AS (
+  SELECT q_band, disc_pct, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(ec) AS BIGINT) AS rev_c
+  FROM li GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS t FROM cells)
+SELECT q_band, disc_pct, n_lines,
+       ROUND(rev_c / 100.0, 2) AS revenue,
+       ROUND(CAST(rev_c AS DOUBLE) / t, 6) AS rev_share
+FROM cells CROSS JOIN tot
+ORDER BY q_band, disc_pct
+"""
+
+
+def ext_unk_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-truncation impact per source: with the corpus vocab
+    capped at min_count >= 3, the share of running tokens that become
+    '<unk>' and the share of kept (distinct) types — the tokenizer-
+    budget tradeoff every vocab-capped model makes, broken out by
+    source (template-heavy feeds keep more mass with fewer types).
+
+    Scale shape: one corpus token-count exchange builds the kept-vocab
+    set; per-source rates come from a second count pass joined against
+    the broadcast-sized kept set (vocab ≪ corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("kept", (F.col("c") >= 3).cast("int"))
+    )
+    per = (
+        toks.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(vocab.select("w", "kept"), "w")
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.col("n") * (1 - F.col("kept"))).alias("n_unk_tokens"),
+            F.sum(F.lit(1) - F.col("kept")).alias("n_unk_types"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_unk_tokens") / F.col("n_tokens").cast("double"), 6).alias(
+            "unk_token_rate"
+        ),
+        F.round(F.col("n_unk_types") / F.col("n_types").cast("double"), 6).alias(
+            "unk_type_rate"
+        ),
+    ).orderBy("source")
+
+
+EXT_UNK_RATE_SQL = r"""
+WITH tok AS (
+  SELECT source, w FROM (
+    SELECT source, UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+vocab AS (
+  SELECT w, CASE WHEN COUNT(*) >= 3 THEN 1 ELSE 0 END AS kept
+  FROM tok GROUP BY 1
+),
+per AS (
+  SELECT t.source, t.w, CAST(COUNT(*) AS BIGINT) AS n, MAX(v.kept) AS kept
+  FROM tok t JOIN vocab v ON v.w = t.w
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(CAST(SUM(n * (1 - kept)) AS DOUBLE) / SUM(n), 6) AS unk_token_rate,
+       ROUND(CAST(SUM(1 - kept) AS DOUBLE) / COUNT(*), 6) AS unk_type_rate
+FROM per GROUP BY 1 ORDER BY source
+"""
+
+
+def ext_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test between two English detectors on the SAME
+    documents — the marker-based lang-id (X11) vs a stopword-ratio
+    threshold — counting only the discordant documents (b: only A
+    right, c: only B right), continuity-corrected chi-square — the
+    correct way to compare two classifiers evaluated on one corpus
+    (two independent accuracy CIs overlap-test is wrong; X243/X265
+    score one model, this decides between two).
+
+    Scale shape: row-local predictions, one O(1) discordance collapse."""
+    docs = text.lang_id(_t(spark, sf_dir, "documents"))
+    stops = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda w: w != ""
+    )
+    scored = docs.select(
+        (F.col("lang") == "en").alias("y"),
+        (F.col("pred_lang") == "en").alias("pa"),
+        (
+            (
+                F.size(F.filter(toks, lambda w: w.isin(stops)))
+                / F.greatest(F.size(toks), F.lit(1))
+            )
+            > 0.08
+        ).alias("pb"),
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(((F.col("pa") == F.col("y")) & (F.col("pb") != F.col("y"))).cast("long")).alias("b"),
+        F.sum(((F.col("pa") != F.col("y")) & (F.col("pb") == F.col("y"))).cast("long")).alias("c"),
+    )
+    chi = (
+        (F.abs(F.col("b") - F.col("c")) - 1)
+        * (F.abs(F.col("b") - F.col("c")) - 1)
+        / (F.col("b") + F.col("c")).cast("double")
+    )
+    return agg.select(
+        "n_docs",
+        "b",
+        "c",
+        F.round(chi, 4).alias("mcnemar_chi2"),
+        (chi > 3.841).alias("detectors_differ"),
+    )
+
+
+EXT_MCNEMAR_SQL = r"""
+WITH scored AS (
+  SELECT lang = 'en' AS y,
+         (CASE
+            WHEN GREATEST(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+            WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr) THEN 'de'
+            WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr) THEN 'en'
+            WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr) THEN 'es'
+            ELSE 'fr'
+          END) = 'en' AS pa,
+         (CAST(len(list_filter(toks, w -> list_contains(
+               ['the','a','an','and','or','of','to','in','is','it'], w)))
+           AS DOUBLE) / GREATEST(len(toks), 1)) > 0.08 AS pb
+  FROM (
+    SELECT lang,
+           LEN(regexp_extract_all(LOWER(text), '\b(der|und|das|nicht)\b')) AS score_de,
+           LEN(regexp_extract_all(LOWER(text), '\b(the|and|of|is)\b')) AS score_en,
+           LEN(regexp_extract_all(LOWER(text), '\b(el|los|una|que)\b')) AS score_es,
+           LEN(regexp_extract_all(LOWER(text), '\b(le|la|les|des)\b')) AS score_fr,
+           list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'),
+                       w -> w <> '') AS toks
+    FROM documents
+  )
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM scored
+)
+SELECT n_docs, b, c,
+       ROUND((ABS(b - c) - 1) * (ABS(b - c) - 1) / CAST(b + c AS DOUBLE), 4)
+         AS mcnemar_chi2,
+       (ABS(b - c) - 1) * (ABS(b - c) - 1) / CAST(b + c AS DOUBLE) > 3.841
+         AS detectors_differ
+FROM agg
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_theil_sen": ext_theil_sen,
+        "ext_hist2d": ext_hist2d,
+        "ext_unk_rate": ext_unk_rate,
+        "ext_mcnemar": ext_mcnemar,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_theil_sen": EXT_THEIL_SEN_SQL,
+        "ext_hist2d": EXT_HIST2D_SQL,
+        "ext_unk_rate": EXT_UNK_RATE_SQL,
+        "ext_mcnemar": EXT_MCNEMAR_SQL,
+    }
+)
