@@ -15558,3 +15558,153 @@ EXT_ORACLES.update(
         "ext_mcnemar": EXT_MCNEMAR_SQL,
     }
 )
+
+
+# --- round-3 wave: LOF outliers, LSH parameter planner ------------------------
+
+
+def ext_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local outlier factor (k=5, euclidean) on the hash-thinned
+    embedding panel: reach-dist smoothed density ratio vs each point's
+    neighborhood — the DENSITY-based outlier detector that catches
+    points stranded between clusters, which both the centroid audit
+    (X190) and the Mahalanobis fence (X285) miss by construction.
+    Top-20 by LOF.
+
+    Scale shape: exact k-NN from the broadcast pair scan on the panel
+    (ANN candidates at corpus scale); k-dist/lrd/LOF are three O(n*k)
+    regroupings — no step touches more than the neighbor lists."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    pairs = (
+        F.broadcast(e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+        .crossJoin(e.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
+        .filter(F.col("qid") != F.col("cid"))
+    )
+    d = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        9,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("cid").asc())
+    nn = (
+        pairs.select("qid", "cid", d.alias("d"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 5)
+        .localCheckpoint()
+    )
+    kdist = nn.groupBy("qid").agg(F.max("d").alias("kd"))
+    reach = nn.join(
+        kdist.select(F.col("qid").alias("cid"), F.col("kd").alias("kd_o")), "cid"
+    ).select("qid", "cid", F.greatest("d", "kd_o").alias("rd"))
+    lrd = reach.groupBy("qid").agg((1.0 / F.avg("rd")).alias("lrd"))
+    lof = (
+        nn.join(lrd.select(F.col("qid").alias("cid"), F.col("lrd").alias("lrd_o")), "cid")
+        .groupBy("qid")
+        .agg(F.avg("lrd_o").alias("avg_lrd_o"))
+        .join(lrd, "qid")
+        .select("qid", (F.col("avg_lrd_o") / F.col("lrd")).alias("lof"))
+    )
+    return (
+        lof.select(F.col("qid").alias("vec_id"), F.round("lof", 4).alias("lof"))
+        .orderBy(F.col("lof").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+EXT_LOF_SQL = r"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 4 = 0
+),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         ROUND(list_distance(q.v, c.v), 9) AS d
+  FROM e q CROSS JOIN e c WHERE q.vec_id <> c.vec_id
+),
+nn AS (
+  SELECT qid, cid, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d ASC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn <= 5
+),
+kdist AS (SELECT qid, MAX(d) AS kd FROM nn GROUP BY 1),
+reach AS (
+  SELECT n.qid, n.cid, GREATEST(n.d, ko.kd) AS rd
+  FROM nn n JOIN kdist ko ON ko.qid = n.cid
+),
+lrd AS (SELECT qid, 1.0 / AVG(rd) AS lrd FROM reach GROUP BY 1),
+lof AS (
+  SELECT n.qid, AVG(lo.lrd) / MAX(ls.lrd) AS lof
+  FROM nn n
+  JOIN lrd lo ON lo.qid = n.cid
+  JOIN lrd ls ON ls.qid = n.qid
+  GROUP BY n.qid
+)
+SELECT qid AS vec_id, ROUND(lof, 4) AS lof
+FROM lof ORDER BY lof DESC, vec_id LIMIT 20
+"""
+
+
+def ext_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter planner: for each (bands, rows) layout of a
+    128-hash signature budget, the S-curve capture probability
+    1-(1-t^r)^b at the X3 operating threshold (t=0.3) and at a clear-
+    duplicate point (t=0.8), plus the curve's inflection threshold
+    (1/b)^(1/r) — the planning artifact that turns 'pick bands=32'
+    folklore into a table the dedup owner can read (compare X273's
+    salting plan: same philosophy, different knob).
+
+    Scale shape: pure O(layouts) arithmetic on a literal frame — the
+    point is the artifact, not the scan."""
+    layouts = [(b, 128 // b) for b in [4, 8, 16, 32, 64]]
+    base = spark.createDataFrame(
+        [(b, r) for b, r in layouts], "bands int, rows_per_band int"
+    )
+    p_at = lambda t: 1.0 - F.pow(
+        1.0 - F.pow(F.lit(t), F.col("rows_per_band")), F.col("bands")
+    )
+    return base.select(
+        "bands",
+        "rows_per_band",
+        F.round(F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows_per_band")), 4).alias(
+            "inflection_threshold"
+        ),
+        F.round(p_at(0.3), 6).alias("p_capture_at_030"),
+        F.round(p_at(0.8), 6).alias("p_capture_at_080"),
+    ).orderBy("bands")
+
+
+EXT_LSH_PLANNER_SQL = r"""
+WITH layouts AS (
+  SELECT UNNEST([4, 8, 16, 32, 64]) AS bands
+),
+base AS (SELECT bands, 128 // bands AS rows_per_band FROM layouts)
+SELECT CAST(bands AS INTEGER) AS bands,
+       CAST(rows_per_band AS INTEGER) AS rows_per_band,
+       ROUND(POWER(1.0 / bands, 1.0 / rows_per_band), 4) AS inflection_threshold,
+       ROUND(1.0 - POWER(1.0 - POWER(0.3, rows_per_band), bands), 6)
+         AS p_capture_at_030,
+       ROUND(1.0 - POWER(1.0 - POWER(0.8, rows_per_band), bands), 6)
+         AS p_capture_at_080
+FROM base ORDER BY bands
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_lof": ext_lof,
+        "ext_lsh_planner": ext_lsh_planner,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_lof": EXT_LOF_SQL,
+        "ext_lsh_planner": EXT_LSH_PLANNER_SQL,
+    }
+)
