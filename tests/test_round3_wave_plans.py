@@ -212,3 +212,132 @@ def test_fs_linkage_weight_ordering(spark):
     if (1, 1, 1) in w and (0, 0, 0) in w:
         assert w[(1, 1, 1)] == max(w.values())
         assert w[(0, 0, 0)] == min(w.values())
+
+
+def test_markov_attribution_shares_sum_to_one(spark):
+    """Attribution shares are a partition of the removal-effect mass."""
+    from aircan_spark.ext.queries import ext_markov_attribution
+
+    rows = ext_markov_attribution(spark, SF).collect()
+    assert rows
+    total = sum(r["attribution_share"] for r in rows)
+    assert abs(total - 1.0) < 1e-4
+    for r in rows:
+        assert 0.0 <= r["removal_effect"] <= 1.0
+        assert r["p_conv_without"] <= r["p_conv_base"] + 1e-9
+
+
+def test_price_index_fisher_between_extremes(spark):
+    """Fisher is the geometric mean of Laspeyres and Paasche — it must
+    lie between them."""
+    from aircan_spark.ext.queries import ext_price_index
+
+    r = ext_price_index(spark, SF).collect()[0]
+    lo, hi = sorted([r["laspeyres"], r["paasche"]])
+    assert lo - 1e-9 <= r["fisher"] <= hi + 1e-9
+
+
+def test_capture_recapture_at_least_observed(spark):
+    """The Chapman estimate can undershoot in small samples but the CI
+    construction must bracket the point estimate and n1,n2 <= observed."""
+    from aircan_spark.ext.queries import ext_capture_recapture
+
+    r = ext_capture_recapture(spark, SF).collect()[0]
+    assert r["m"] <= min(r["n1"], r["n2"])
+    assert r["n1"] <= r["n_observed"] and r["n2"] <= r["n_observed"]
+    assert r["ci_lo"] <= r["n_total_est"] <= r["ci_hi"]
+
+
+def test_skyline_is_mutually_nondominated(spark):
+    """No skyline point may dominate another (strictly better on one
+    axis, at-least-equal on the other)."""
+    from aircan_spark.ext.queries import ext_skyline
+
+    pts = [(r["price"], r["size"]) for r in ext_skyline(spark, SF).collect()]
+    for p1, s1 in pts:
+        for p2, s2 in pts:
+            if (p1, s1) == (p2, s2):
+                continue
+            assert not (p2 <= p1 and s2 >= s1 and (p2 < p1 or s2 > s1)), (
+                (p1, s1), (p2, s2)
+            )
+
+
+def test_wasserstein_identical_distributions_are_zero(spark, monkeypatch):
+    """When both segments see the SAME order-value distribution (forced
+    by overwriting every total with a constant), W1 must be exactly 0;
+    on the real data it must be non-negative."""
+    import aircan_spark.ext.queries as Q
+
+    base = Q.ext_wasserstein(spark, SF).collect()[0]["w1_dollars"]
+    assert base >= 0
+
+    real_t = Q._t
+
+    def constant(spark_, sf_dir, name):
+        df = real_t(spark_, sf_dir, name)
+        if name == "orders":
+            df = df.withColumn("o_totalprice", F.lit(1234.56))
+        return df
+
+    monkeypatch.setattr(Q, "_t", constant)
+    assert Q.ext_wasserstein(spark, SF).collect()[0]["w1_dollars"] == 0.0
+
+
+def test_lof_scores_positive_and_outlier_ordering(spark):
+    """LOF scores are positive; the head is sorted descending."""
+    from aircan_spark.ext.queries import ext_lof
+
+    rows = ext_lof(spark, SF).collect()
+    assert len(rows) == 20
+    scores = [r["lof"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_runs_test_alternating_series_reports_oscillation(spark, monkeypatch):
+    """A strictly alternating high/low series has the maximum number of
+    runs -> strongly positive z (oscillation)."""
+    import aircan_spark.ext.queries as Q
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(days=i), 100.0 if i % 2 == 0 else 500.0)
+        for i in range(40)
+    ]
+    synth = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    real_t = Q._t
+
+    def with_synth(spark_, sf_dir, name):
+        if name == "orders":
+            return synth
+        return real_t(spark_, sf_dir, name)
+
+    monkeypatch.setattr(Q, "_t", with_synth)
+    r = Q.ext_runs_test(spark, SF).collect()[0]
+    assert r["n_runs"] == 40  # every step alternates
+    assert r["z"] > 1.96 and r["nonrandom"]
+
+
+def test_rbo_bounds_and_self_similarity(spark):
+    """RBO is in [0,1]; overlap at depth 50 cannot exceed 50."""
+    from aircan_spark.ext.queries import ext_rbo
+
+    r = ext_rbo(spark, SF).collect()[0]
+    assert 0.0 <= r["rbo_at_50"] <= 1.0
+    assert 0 <= r["overlap_at_50"] <= 50
+
+
+def test_lsh_planner_monotonicity(spark):
+    """More bands (shorter rows) must capture weak matches more easily:
+    p_capture_at_030 increases with bands; the inflection threshold
+    decreases."""
+    from aircan_spark.ext.queries import ext_lsh_planner
+
+    rows = ext_lsh_planner(spark, SF).collect()
+    p = [r["p_capture_at_030"] for r in rows]
+    t = [r["inflection_threshold"] for r in rows]
+    assert p == sorted(p)
+    assert t == sorted(t, reverse=True)
