@@ -261,3 +261,22 @@ def kmv_estimates(minima: DataFrame, group_cols: list[str], k: int = 256) -> Dat
         F.lit(float(k - 1)) / (F.col("hk").cast("double") / F.lit(KMV_HASH_SPACE))
     )
     return agg.select(*group_cols, est.alias("kmv_distinct"))
+
+
+def kmv_merge(
+    cur: DataFrame, delta: DataFrame, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Merge two grouped KMV sketches: union the hash sets, dedup, and
+    re-take the k smallest per group (min-k of a union == min-k of the
+    unioned min-k's). Idempotent and associative — the property that
+    makes per-batch sketches maintainable by a stream."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("h")
+    return (
+        cur.select(*group_cols, "h")
+        .unionByName(delta.select(*group_cols, "h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.lit(k))
+    )

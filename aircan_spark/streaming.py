@@ -646,3 +646,40 @@ def stream_moments_maintenance(
         checkpoint_dir=checkpoint_dir,
         available_now=available_now,
     )
+
+
+def stream_kmv_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    item_col: str,
+    group_cols: list[str],
+    sketch_dir: str,
+    checkpoint_dir: str,
+    k: int = 256,
+    available_now: bool = False,
+):
+    """Incrementally maintain per-group KMV distinct sketches over a file
+    stream — the set-resemblance twin of ``stream_hll_maintenance``:
+    per batch ``kmv_minima``, merged into the stored minima by
+    union + re-take (``kmv_merge``). Same atomic-pointer exactly-once
+    machinery; ``read_sketch_state`` + ``sketch.kmv_estimates`` give
+    running per-group distinct estimates, and the stored minima also
+    support union/intersection/Jaccard across groups (X238) — which
+    HLL registers cannot."""
+    from aircan_spark.ext import sketch as sk
+
+    return stream_state_maintenance(
+        spark,
+        source_dir,
+        schema,
+        build_fn=lambda df: sk.kmv_minima(
+            df.select(*group_cols, item_col), item_col, group_cols, k=k
+        ).select(*group_cols, "h"),
+        merge_fn=lambda cur, delta: sk.kmv_merge(cur, delta, group_cols, k=k).select(
+            *group_cols, "h"
+        ),
+        state_dir=sketch_dir,
+        checkpoint_dir=checkpoint_dir,
+        available_now=available_now,
+    )

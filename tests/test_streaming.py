@@ -623,3 +623,62 @@ def test_stream_moments_maintenance_matches_batch(spark, tmp_path):
         assert stored[k][0] == want[k][0]
         assert abs(stored[k][1] - want[k][1]) < 1e-6
         assert abs(stored[k][2] - want[k][2]) < 1e-6
+
+
+def test_stream_kmv_maintenance_matches_batch(spark, tmp_path):
+    """Streaming KMV maintenance: after N files the stored per-group
+    minima equal a batch kmv_minima over the union (merge law through
+    foreachBatch), and the estimates track the true per-group distinct
+    counts within the 1/sqrt(k) envelope."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from aircan_spark.ext import sketch as sk
+    from aircan_spark.streaming import read_sketch_state, stream_kmv_maintenance
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("g", T.StringType(), True),
+            T.StructField("item", T.StringType(), True),
+        ]
+    )
+    all_rows = []
+    for f in range(3):
+        rows = [
+            ("g%d" % (i % 2), "u%d" % ((i * 7 + f * 500) % 1500))
+            for i in range(800)
+        ]
+        all_rows += rows
+        with open(src / f"b{f}.json", "w") as fh:
+            for g, it in rows:
+                fh.write(_json.dumps({"g": g, "item": it}) + "\n")
+
+    q = stream_kmv_maintenance(
+        spark, str(src), schema, "item", ["g"],
+        sketch_dir=str(tmp_path / "state"), checkpoint_dir=str(tmp_path / "ckpt"),
+        k=128, available_now=True,
+    )
+    q.awaitTermination(120)
+
+    stored = read_sketch_state(spark, str(tmp_path / "state"))
+    direct = sk.kmv_minima(
+        spark.createDataFrame(all_rows, "g string, item string"),
+        "item", ["g"], k=128,
+    ).select("g", "h")
+    assert sorted(map(tuple, stored.select("g", "h").collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    est = {
+        r["g"]: r["kmv_distinct"]
+        for r in sk.kmv_estimates(
+            stored.withColumn("rn", F.lit(1)), ["g"], k=128
+        ).collect()
+    }
+    truth = {}
+    for g, it in all_rows:
+        truth.setdefault(g, set()).add(it)
+    for g, s in truth.items():
+        assert abs(est[g] - len(s)) / len(s) < 3 / (128 ** 0.5), (g, est[g], len(s))
