@@ -15708,3 +15708,185 @@ EXT_ORACLES.update(
         "ext_lsh_planner": EXT_LSH_PLANNER_SQL,
     }
 )
+
+
+# --- round-3 wave: fairness audits --------------------------------------------
+
+
+def ext_exposure_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure fairness of the BM25 ranking: each source's share of
+    position-discounted exposure (1/log2(rank+1)) in the top-50 vs its
+    share of the candidate pool — the ranking-fairness audit that
+    catches a feed monopolizing the head even when per-item scoring is
+    'fair' (skew ratio > 1 = over-exposed).
+
+    Scale shape: ranking over the retrieval-bounded candidate set
+    (X251's bound); exposure and pool shares are two O(sources)
+    collapses against broadcast totals."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = (
+        text.bm25_scores(docs, BM25_QUERY_TERMS)
+        .select("doc_id", "score")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    wr = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    ranked = cand.withColumn("rank", F.row_number().over(wr))
+    exp = ranked.filter(F.col("rank") <= 50).select(
+        "source", (1.0 / F.log2(F.col("rank") + 1)).alias("e")
+    )
+    per_exp = exp.groupBy("source").agg(F.sum("e").alias("exposure"))
+    tot_exp = per_exp.agg(F.sum("exposure").alias("te"))
+    pool = cand.groupBy("source").agg(F.count(F.lit(1)).alias("n_pool"))
+    tot_pool = pool.agg(F.sum("n_pool").alias("tp"))
+    return (
+        pool.join(per_exp, "source", "left")
+        .na.fill({"exposure": 0.0})
+        .crossJoin(F.broadcast(tot_exp))
+        .crossJoin(F.broadcast(tot_pool))
+        .select(
+            "source",
+            "n_pool",
+            F.round(F.col("exposure"), 4).alias("exposure"),
+            F.round(F.col("exposure") / F.col("te"), 6).alias("exposure_share"),
+            F.round(F.col("n_pool") / F.col("tp").cast("double"), 6).alias(
+                "pool_share"
+            ),
+            F.round(
+                (F.col("exposure") / F.col("te"))
+                / (F.col("n_pool") / F.col("tp").cast("double")),
+                4,
+            ).alias("skew_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+EXT_EXPOSURE_FAIRNESS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS w
+  FROM documents
+),
+lens AS (SELECT doc_id, len(w) AS dl, w FROM toks),
+scalars AS (SELECT COUNT(*) AS n, SUM(dl) AS total_dl FROM lens),
+words AS (SELECT doc_id, dl, UNNEST(w) AS word FROM lens),
+tf AS (
+  SELECT doc_id, dl, word, COUNT(*) AS tf
+  FROM words WHERE word IN ('join', 'merge', 'window')
+  GROUP BY doc_id, dl, word
+),
+dfreq AS (SELECT word, COUNT(*) AS doc_freq FROM tf GROUP BY word),
+comp AS (
+  SELECT tf.doc_id,
+         CAST(
+           LN(1.0 + (CAST(s.n AS DOUBLE) - CAST(d.doc_freq AS DOUBLE) + 0.5)
+                    / (CAST(d.doc_freq AS DOUBLE) + 0.5))
+           * CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE)
+                                     / (CAST(s.total_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))
+           AS DECIMAL(27,12)) AS comp
+  FROM tf JOIN dfreq d ON tf.word = d.word CROSS JOIN scalars s
+),
+cand AS (
+  SELECT c.doc_id, ROUND(CAST(SUM(comp) AS DOUBLE), 6) AS score, dd.source
+  FROM comp c JOIN documents dd ON dd.doc_id = c.doc_id
+  GROUP BY c.doc_id, dd.source
+),
+ranked AS (
+  SELECT source, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM cand
+),
+per_exp AS (
+  SELECT source, SUM(1.0 / log2(rank + 1)) AS exposure
+  FROM ranked WHERE rank <= 50 GROUP BY 1
+),
+te AS (SELECT SUM(exposure) AS te FROM per_exp),
+pool AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pool FROM cand GROUP BY 1),
+tp AS (SELECT CAST(SUM(n_pool) AS BIGINT) AS tp FROM pool)
+SELECT p.source, p.n_pool,
+       ROUND(COALESCE(e.exposure, 0.0), 4) AS exposure,
+       ROUND(COALESCE(e.exposure, 0.0) / te.te, 6) AS exposure_share,
+       ROUND(CAST(p.n_pool AS DOUBLE) / tp.tp, 6) AS pool_share,
+       ROUND((COALESCE(e.exposure, 0.0) / te.te)
+             / (CAST(p.n_pool AS DOUBLE) / tp.tp), 4) AS skew_ratio
+FROM pool p
+LEFT JOIN per_exp e ON e.source = p.source
+CROSS JOIN te CROSS JOIN tp
+ORDER BY p.source
+"""
+
+
+def ext_selection_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection-rate parity audit of the quality filter (keep if
+    quality >= 0.5) across languages: per-group selection rate, the
+    disparate-impact ratio vs the most-selected group, and the 0.8-rule
+    flag — the group-fairness audit a curation pipeline owes its
+    corpus before a filter silently erases a language.
+
+    Scale shape: row-local scoring, one O(langs) collapse, broadcast
+    max-rate scalar."""
+    docs = text.quality_score(_t(spark, sf_dir, "documents"))
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("quality") >= 0.5).cast("long")).alias("n_selected"),
+    )
+    per = per.withColumn(
+        "rate", F.col("n_selected") / F.col("n_docs").cast("double")
+    )
+    mx = per.agg(F.max("rate").alias("max_rate"))
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .select(
+            "lang",
+            "n_docs",
+            "n_selected",
+            F.round("rate", 6).alias("selection_rate"),
+            F.round(F.col("rate") / F.col("max_rate"), 4).alias(
+                "impact_ratio"
+            ),
+            (F.col("rate") / F.col("max_rate") < 0.8).alias("fails_80_rule"),
+        )
+        .orderBy("lang")
+    )
+
+
+EXT_SELECTION_PARITY_SQL = r"""
+WITH scored AS (
+  SELECT lang,
+         ROUND(
+           LEAST(CAST(LENGTH(text) AS DOUBLE) / 200.0, 1.0)
+           * (1.0 - CAST(LEN(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE)
+                    / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE))
+           * (1.0 - CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                    / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE)),
+           4) AS quality
+  FROM documents
+),
+per AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_selected
+  FROM scored GROUP BY 1
+),
+mx AS (SELECT MAX(CAST(n_selected AS DOUBLE) / n_docs) AS max_rate FROM per)
+SELECT lang, n_docs, n_selected,
+       ROUND(CAST(n_selected AS DOUBLE) / n_docs, 6) AS selection_rate,
+       ROUND((CAST(n_selected AS DOUBLE) / n_docs) / max_rate, 4) AS impact_ratio,
+       (CAST(n_selected AS DOUBLE) / n_docs) / max_rate < 0.8 AS fails_80_rule
+FROM per CROSS JOIN mx
+ORDER BY lang
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_exposure_fairness": ext_exposure_fairness,
+        "ext_selection_parity": ext_selection_parity,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_exposure_fairness": EXT_EXPOSURE_FAIRNESS_SQL,
+        "ext_selection_parity": EXT_SELECTION_PARITY_SQL,
+    }
+)
