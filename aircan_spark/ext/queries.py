@@ -15890,3 +15890,329 @@ EXT_ORACLES.update(
         "ext_selection_parity": EXT_SELECTION_PARITY_SQL,
     }
 )
+
+
+# --- round-3 wave: grouped OLS, GMM EM, permutation test ----------------------
+
+
+def ext_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Massively-grouped OLS: one tiny regression per brand (quantity on
+    discount) fitted from exact integer moments in a single pass — the
+    'millions of small models' pattern (per-SKU elasticities, per-user
+    trends) where the grouped closed form beats any model-parallel
+    framework. Slope, intercept, and R² per brand.
+
+    Scale shape: ONE hash agg computes every group's five moments;
+    the fits are row-local arithmetic on the O(groups) frame."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+        F.round(F.col("l_quantity")).cast("long").alias("y"),
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    mom = (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    varx_n = n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vary_n = n * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    beta = cov_n / varx_n
+    alpha = (F.col("sy").cast("double") - beta * F.col("sx")) / n
+    r2 = cov_n * cov_n / (varx_n * vary_n)
+    return mom.select(
+        "p_brand",
+        "n",
+        F.round(beta, 6).alias("beta_qty_per_disc_pt"),
+        F.round(alpha, 4).alias("alpha"),
+        F.round(r2, 6).alias("r2"),
+    ).orderBy("p_brand")
+
+
+EXT_GROUPED_OLS_SQL = r"""
+WITH li AS (
+  SELECT p.p_brand,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS x,
+         CAST(ROUND(l_quantity) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+mom AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM li GROUP BY 1
+)
+SELECT p_brand, n,
+       ROUND((n * sxy - CAST(sx AS DOUBLE) * sy)
+             / (n * sxx - CAST(sx AS DOUBLE) * sx), 6) AS beta_qty_per_disc_pt,
+       ROUND((sy - ((n * sxy - CAST(sx AS DOUBLE) * sy)
+                    / (n * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / n, 4) AS alpha,
+       ROUND((n * sxy - CAST(sx AS DOUBLE) * sy) * (n * sxy - CAST(sx AS DOUBLE) * sy)
+             / ((n * sxx - CAST(sx AS DOUBLE) * sx)
+                * (n * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+FROM mom ORDER BY p_brand
+"""
+
+
+def ext_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D Gaussian mixture on order values by FIVE fixed
+    EM iterations — the distributed-EM pattern: each iteration is ONE
+    aggregate pass with the current parameters as broadcast scalars
+    (responsibilities are row-local; no per-row state ever persists).
+    Deterministic quantile/moment initialization makes the whole
+    trajectory engine-replayable (the oracle unrolls the same five
+    steps). Reports mixture weights, component means/sds, and the final
+    average log-likelihood.
+
+    Scale shape: 5 passes x one O(1)-output aggregate each; parameters
+    move driver-side as scalars (the accepted scalar-collect class)."""
+    import math as _math
+
+    orders = _t(spark, sf_dir, "orders")
+    xs = orders.select(
+        (F.round(F.col("o_totalprice") * 100).cast("long") / 100.0).alias("x")
+    )
+    init = xs.agg(
+        F.expr("percentile(x, 0.25)").alias("mu1"),
+        F.expr("percentile(x, 0.75)").alias("mu2"),
+        F.stddev_pop("x").alias("sd"),
+    ).collect()[0]
+    pi1, mu1, sd1 = 0.5, float(init["mu1"]), float(init["sd"])
+    pi2, mu2, sd2 = 0.5, float(init["mu2"]), float(init["sd"])
+    c = float(_math.sqrt(2.0 * _math.pi))
+    for _ in range(5):
+        d1 = (F.lit(pi1) / (c * sd1)) * F.exp(
+            -((F.col("x") - mu1) * (F.col("x") - mu1)) / (2.0 * sd1 * sd1)
+        )
+        d2 = (F.lit(pi2) / (c * sd2)) * F.exp(
+            -((F.col("x") - mu2) * (F.col("x") - mu2)) / (2.0 * sd2 * sd2)
+        )
+        r2 = d2 / (d1 + d2)
+        step = xs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(r2).alias("w2"),
+            F.sum(r2 * F.col("x")).alias("s2"),
+            F.sum(r2 * F.col("x") * F.col("x")).alias("q2"),
+            F.sum((1.0 - r2) * F.col("x")).alias("s1"),
+            F.sum((1.0 - r2) * F.col("x") * F.col("x")).alias("q1"),
+            F.sum(F.log(d1 + d2)).alias("ll"),
+        ).collect()[0]
+        n = float(step["n"])
+        w2 = float(step["w2"])
+        w1 = n - w2
+        mu1 = float(step["s1"]) / w1
+        mu2 = float(step["s2"]) / w2
+        sd1 = _math.sqrt(max(float(step["q1"]) / w1 - mu1 * mu1, 1e-6))
+        sd2 = _math.sqrt(max(float(step["q2"]) / w2 - mu2 * mu2, 1e-6))
+        pi1, pi2 = w1 / n, w2 / n
+        avg_ll = float(step["ll"]) / n
+    out = spark.createDataFrame(
+        [(int(n), pi1, mu1, sd1, mu2, sd2, avg_ll)],
+        "n_orders long, pi1 double, mu1 double, sd1 double, "
+        "mu2 double, sd2 double, avg_loglik double",
+    )
+    return out.select(
+        "n_orders",
+        F.round("pi1", 4).alias("pi1"),
+        F.round("mu1", 2).alias("mu1"),
+        F.round("sd1", 2).alias("sd1"),
+        F.round("mu2", 2).alias("mu2"),
+        F.round("sd2", 2).alias("sd2"),
+        F.round("avg_loglik", 4).alias("avg_loglik"),
+    )
+
+
+def _gmm_oracle_sql() -> str:
+    head = r"""
+WITH xs AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100.0 AS x FROM orders
+),
+p0 AS (
+  SELECT 0.5 AS pi1, quantile_cont(x, 0.25) AS mu1, STDDEV_POP(x) AS sd1,
+         0.5 AS pi2, quantile_cont(x, 0.75) AS mu2, STDDEV_POP(x) AS sd2
+  FROM xs
+)"""
+    step = r""",
+s{k} AS (
+  SELECT COUNT(*) AS n,
+         SUM(r2) AS w2, SUM(r2 * x) AS ss2, SUM(r2 * x * x) AS q2,
+         SUM((1.0 - r2) * x) AS ss1, SUM((1.0 - r2) * x * x) AS q1,
+         SUM(LN(d1 + d2)) AS ll
+  FROM (
+    SELECT x, d1, d2, d2 / (d1 + d2) AS r2 FROM (
+      SELECT x,
+             (p.pi1 / (SQRT(2 * PI()) * p.sd1))
+               * EXP(-((x - p.mu1) * (x - p.mu1)) / (2 * p.sd1 * p.sd1)) AS d1,
+             (p.pi2 / (SQRT(2 * PI()) * p.sd2))
+               * EXP(-((x - p.mu2) * (x - p.mu2)) / (2 * p.sd2 * p.sd2)) AS d2
+      FROM xs CROSS JOIN p{j} p
+    )
+  )
+),
+p{k} AS (
+  SELECT (n - w2) / n AS pi1, ss1 / (n - w2) AS mu1,
+         SQRT(GREATEST(q1 / (n - w2) - (ss1 / (n - w2)) * (ss1 / (n - w2)), 1e-6)) AS sd1,
+         w2 / n AS pi2, ss2 / w2 AS mu2,
+         SQRT(GREATEST(q2 / w2 - (ss2 / w2) * (ss2 / w2), 1e-6)) AS sd2,
+         n, ll / n AS avg_ll
+  FROM s{k}
+)"""
+    blocks = "".join(step.format(k=k, j=k - 1) for k in range(1, 6))
+    tail = r"""
+SELECT CAST(n AS BIGINT) AS n_orders,
+       ROUND(pi1, 4) AS pi1, ROUND(mu1, 2) AS mu1, ROUND(sd1, 2) AS sd1,
+       ROUND(mu2, 2) AS mu2, ROUND(sd2, 2) AS sd2,
+       ROUND(avg_ll, 4) AS avg_loglik
+FROM p5"""
+    return head + blocks + tail
+
+
+EXT_GMM_EM_SQL = _gmm_oracle_sql()
+
+
+def ext_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the hash-arm difference in per-user purchase
+    value: 200 deterministic hash-relabelings of the arms, two-sided
+    p-value = (1 + #{|diff_perm| >= |diff_obs|}) / (B + 1) — exact-
+    distribution inference with NO normality assumption (X230's power
+    math and X274's CUPED assume one; this checks it). All arm sums in
+    exact cents.
+
+    Scale shape: the panel collapses per user once; the B=200 relabeled
+    sums partial-aggregate map-side into O(B) groups (one exchange);
+    the p-value is an O(B) fold."""
+    ev = _t(spark, sf_dir, "events")
+    per = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("yc"))
+    )
+    obs = per.groupBy((F.col("user_id") % 2 == 0).cast("int").alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("yc").alias("s")
+    ).agg(
+        (
+            F.max(F.when(F.col("arm") == 1, F.col("s").cast("double") / F.col("n")))
+            - F.max(F.when(F.col("arm") == 0, F.col("s").cast("double") / F.col("n")))
+        ).alias("obs_diff")
+    )
+    b = 200
+    reps = per.select(
+        "user_id",
+        "yc",
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep"),
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", F.lit("perm"), F.col("user_id"), F.col("rep"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    perms = (
+        reps.select("rep", arm.alias("arm"), "yc")
+        .groupBy("rep", "arm")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("yc").alias("s"))
+        .groupBy("rep")
+        .agg(
+            (
+                F.max(F.when(F.col("arm") == 1, F.col("s").cast("double") / F.col("n")))
+                - F.max(F.when(F.col("arm") == 0, F.col("s").cast("double") / F.col("n")))
+            ).alias("d")
+        )
+    )
+    return (
+        perms.crossJoin(F.broadcast(obs))
+        .agg(
+            F.count(F.lit(1)).alias("n_perms"),
+            F.round(F.max("obs_diff") / 100.0, 4).alias("obs_diff"),
+            F.sum(
+                (F.abs(F.col("d")) >= F.abs(F.col("obs_diff"))).cast("long")
+            ).alias("n_extreme"),
+            F.round(
+                (
+                    1.0
+                    + F.sum(
+                        (F.abs(F.col("d")) >= F.abs(F.col("obs_diff"))).cast(
+                            "long"
+                        )
+                    )
+                )
+                / (F.count(F.lit(1)) + 1.0),
+                4,
+            ).alias("p_value"),
+        )
+    )
+
+
+EXT_PERMUTATION_SQL = r"""
+WITH per AS (
+  SELECT user_id,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS yc
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+obs AS (
+  SELECT MAX(CASE WHEN arm = 1 THEN CAST(s AS DOUBLE) / n END)
+         - MAX(CASE WHEN arm = 0 THEN CAST(s AS DOUBLE) / n END) AS obs_diff
+  FROM (
+    SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS arm,
+           CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(yc) AS BIGINT) AS s
+    FROM per GROUP BY 1
+  )
+),
+reps AS (
+  SELECT p.user_id, p.yc, r.rep,
+         CAST(('0x' || SUBSTR(md5('perm' || '-' || p.user_id || '-' || r.rep), 1, 12))::UBIGINT
+              % 2 AS BIGINT) AS arm
+  FROM per p CROSS JOIN (SELECT UNNEST(range(0, 200)) AS rep) r
+),
+perms AS (
+  SELECT rep,
+         MAX(CASE WHEN arm = 1 THEN CAST(s AS DOUBLE) / n END)
+         - MAX(CASE WHEN arm = 0 THEN CAST(s AS DOUBLE) / n END) AS d
+  FROM (
+    SELECT rep, arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(yc) AS BIGINT) AS s
+    FROM reps GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_perms,
+       ROUND(MAX(o.obs_diff) / 100.0, 4) AS obs_diff,
+       CAST(SUM(CASE WHEN ABS(d) >= ABS(o.obs_diff) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_extreme,
+       ROUND((1.0 + SUM(CASE WHEN ABS(d) >= ABS(o.obs_diff) THEN 1 ELSE 0 END))
+             / (COUNT(*) + 1.0), 4) AS p_value
+FROM perms CROSS JOIN obs o
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_grouped_ols": ext_grouped_ols,
+        "ext_gmm_em": ext_gmm_em,
+        "ext_permutation_test": ext_permutation_test,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_grouped_ols": EXT_GROUPED_OLS_SQL,
+        "ext_gmm_em": EXT_GMM_EM_SQL,
+        "ext_permutation_test": EXT_PERMUTATION_SQL,
+    }
+)
