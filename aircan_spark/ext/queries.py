@@ -16216,3 +16216,287 @@ EXT_ORACLES.update(
         "ext_permutation_test": EXT_PERMUTATION_SQL,
     }
 )
+
+
+# --- round-3 wave: Friedman, Kendall tau-b, Brown-Forsythe --------------------
+
+
+def ext_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test: do the event types keep the same daily-volume
+    ORDERING across days? Average ranks within each day-block (exact
+    tie handling via less/equal counts — no window sort), tie-robust
+    chi-square form — the nonparametric repeated-measures test for
+    blocked designs that one-way tests (X118's chi-square) get wrong by
+    ignoring the day blocking.
+
+    Scale shape: facts collapse to the O(days x types) grid; ranks come
+    from a within-block self-join on that tiny grid; the statistic is
+    O(types) arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    grid = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("x"))
+    a = grid.select(F.col("day"), F.col("event_type").alias("t"), F.col("x").alias("xa"))
+    b = grid.select(F.col("day"), F.col("event_type").alias("u"), F.col("x").alias("xb"))
+    ranks = (
+        a.join(b, "day")
+        .groupBy("day", "t", "xa")
+        .agg(
+            F.sum((F.col("xb") < F.col("xa")).cast("long")).alias("less"),
+            F.sum((F.col("xb") == F.col("xa")).cast("long")).alias("eq"),
+        )
+        .select(
+            "day",
+            "t",
+            (F.col("less") + (F.col("eq") + 1) / 2.0).alias("r"),
+        )
+    )
+    scal = ranks.agg(
+        F.count_distinct("day").alias("n"),
+        F.count_distinct("t").alias("k"),
+        F.sum(F.col("r") * F.col("r")).alias("sr2"),
+    )
+    per_t = ranks.groupBy("t").agg(F.sum("r").alias("rj"))
+    stat = (
+        per_t.crossJoin(F.broadcast(scal))
+        .agg(
+            F.max("n").alias("n_blocks"),
+            F.max("k").alias("k_treatments"),
+            (
+                (F.max("k") - 1)
+                * F.sum(
+                    (F.col("rj") - F.col("n") * (F.col("k") + 1) / 2.0)
+                    * (F.col("rj") - F.col("n") * (F.col("k") + 1) / 2.0)
+                )
+                / (
+                    F.max("sr2")
+                    - F.max("n")
+                    * F.max("k")
+                    * (F.max("k") + 1)
+                    * (F.max("k") + 1)
+                    / 4.0
+                )
+            ).alias("chi2"),
+        )
+    )
+    return stat.select(
+        "n_blocks",
+        "k_treatments",
+        F.round("chi2", 4).alias("friedman_chi2"),
+        (F.col("chi2") > 9.488).alias("ordering_differs"),  # df=4, p=0.05
+    )
+
+
+EXT_FRIEDMAN_SQL = r"""
+WITH grid AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+ranks AS (
+  SELECT a.day, a.event_type AS t,
+         SUM(CASE WHEN b.x < a.x THEN 1 ELSE 0 END)
+         + (SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) + 1) / 2.0 AS r
+  FROM grid a JOIN grid b ON b.day = a.day
+  GROUP BY a.day, a.event_type, a.x
+),
+scal AS (
+  SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT t) AS BIGINT) AS k,
+         SUM(r * r) AS sr2
+  FROM ranks
+),
+per_t AS (SELECT t, SUM(r) AS rj FROM ranks GROUP BY 1)
+SELECT MAX(n) AS n_blocks, MAX(k) AS k_treatments,
+       ROUND((MAX(k) - 1)
+             * SUM((rj - n * (k + 1) / 2.0) * (rj - n * (k + 1) / 2.0))
+             / (MAX(sr2) - MAX(n) * MAX(k) * (MAX(k) + 1) * (MAX(k) + 1) / 4.0),
+             4) AS friedman_chi2,
+       (MAX(k) - 1)
+       * SUM((rj - n * (k + 1) / 2.0) * (rj - n * (k + 1) / 2.0))
+       / (MAX(sr2) - MAX(n) * MAX(k) * (MAX(k) + 1) * (MAX(k) + 1) / 4.0)
+       > 9.488 AS ordering_differs
+FROM per_t CROSS JOIN scal
+"""
+
+
+def ext_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily click and purchase volumes (exact
+    concordant/discordant pair counts with full tie correction, all
+    integer arithmetic) — the concordance view of association: unlike
+    Spearman (X257) it has a direct probabilistic reading
+    (P(concordant) - P(discordant)) and is robust to the day-count ties
+    these small integer series are full of.
+
+    Scale shape: both series collapse to the shared O(days) axis; the
+    pair sweep is the SF-independent tiny-axis self-join; tie terms
+    come from two O(distinct values) collapses."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
+        )
+    )
+    a = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pairs = a.join(b, F.col("d1") < F.col("d2")).select(
+        (F.signum((F.col("x2") - F.col("x1")).cast("double"))
+         * F.signum((F.col("y2") - F.col("y1")).cast("double"))).alias("cd")
+    )
+    cdn = pairs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum((F.col("cd") > 0).cast("long")).alias("conc"),
+        F.sum((F.col("cd") < 0).cast("long")).alias("disc"),
+    )
+    tx = daily.groupBy("x").agg(F.count(F.lit(1)).alias("t")).agg(
+        F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("n1")
+    )
+    ty = daily.groupBy("y").agg(F.count(F.lit(1)).alias("t")).agg(
+        F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("n2")
+    )
+    j = cdn.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    tau = (F.col("conc") - F.col("disc")).cast("double") / F.sqrt(
+        (F.col("n0") - F.col("n1")).cast("double")
+        * (F.col("n0") - F.col("n2")).cast("double")
+    )
+    return j.select(
+        "n0",
+        "conc",
+        "disc",
+        F.round(tau, 6).alias("kendall_tau_b"),
+    )
+
+
+EXT_KENDALL_SQL = r"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+pairs AS (
+  SELECT SIGN(b.x - a.x) * SIGN(b.y - a.y) AS cd
+  FROM daily a JOIN daily b ON a.day < b.day
+),
+cdn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN cd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+         CAST(SUM(CASE WHEN cd < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc
+  FROM pairs
+),
+tx AS (
+  SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n1
+  FROM (SELECT x, COUNT(*) AS t FROM daily GROUP BY 1)
+),
+ty AS (
+  SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n2
+  FROM (SELECT y, COUNT(*) AS t FROM daily GROUP BY 1)
+)
+SELECT n0, conc, disc,
+       ROUND(CAST(conc - disc AS DOUBLE)
+             / SQRT(CAST(n0 - n1 AS DOUBLE) * (n0 - n2)), 6) AS kendall_tau_b
+FROM cdn CROSS JOIN tx CROSS JOIN ty
+"""
+
+
+def ext_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across market segments
+    (one-way ANOVA on |x - group median|, the median-centered Levene
+    variant that is robust to skew) — the PRECONDITION check for every
+    pooled-variance comparison in this suite (X230's power math, the
+    t-flavored readouts): unequal spreads invalidate them, and this
+    says so first.
+
+    Scale shape: per-group exact medians broadcast back, one moment
+    pass over the row-local absolute deviations, O(groups) F
+    arithmetic."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    x = orders.join(cust, "o_custkey").select(
+        "c_mktsegment",
+        (F.round(F.col("o_totalprice") * 100).cast("long") / 100.0).alias("x"),
+    )
+    med = x.groupBy("c_mktsegment").agg(
+        F.expr("percentile(x, 0.5)").alias("md")
+    )
+    z = x.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment", F.abs(F.col("x") - F.col("md")).alias("z")
+    )
+    g = z.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    tot = g.agg(
+        F.sum("ng").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("sz").alias("s"),
+    )
+    jg = g.crossJoin(F.broadcast(tot))
+    zbar = F.col("s") / F.col("n")
+    zg = F.col("sz") / F.col("ng")
+    between = F.sum(F.col("ng") * (zg - zbar) * (zg - zbar))
+    within = F.sum(F.col("szz") - F.col("sz") * F.col("sz") / F.col("ng"))
+    stat = jg.agg(
+        F.max("n").alias("n_orders"),
+        F.max("k").alias("k_groups"),
+        (
+            (between / (F.max("k") - 1)) / (within / (F.max("n") - F.max("k")))
+        ).alias("f"),
+    )
+    return stat.select(
+        "n_orders",
+        "k_groups",
+        F.round("f", 4).alias("brown_forsythe_f"),
+        (F.col("f") > 2.372).alias("variances_differ"),  # df=(4, inf), p=0.05
+    )
+
+
+EXT_LEVENE_SQL = r"""
+WITH x AS (
+  SELECT c.c_mktsegment,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100.0 AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+med AS (SELECT c_mktsegment, quantile_cont(x, 0.5) AS md FROM x GROUP BY 1),
+z AS (
+  SELECT x.c_mktsegment, ABS(x.x - m.md) AS z
+  FROM x JOIN med m ON m.c_mktsegment = x.c_mktsegment
+),
+g AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS ng, SUM(z) AS sz,
+         SUM(z * z) AS szz
+  FROM z GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+               SUM(sz) AS s FROM g)
+SELECT MAX(n) AS n_orders, MAX(k) AS k_groups,
+       ROUND((SUM(ng * (sz / ng - s / n) * (sz / ng - s / n)) / (MAX(k) - 1))
+             / (SUM(szz - sz * sz / ng) / (MAX(n) - MAX(k))), 4)
+         AS brown_forsythe_f,
+       (SUM(ng * (sz / ng - s / n) * (sz / ng - s / n)) / (MAX(k) - 1))
+       / (SUM(szz - sz * sz / ng) / (MAX(n) - MAX(k))) > 2.372
+         AS variances_differ
+FROM g CROSS JOIN tot
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_friedman": ext_friedman,
+        "ext_kendall_tau": ext_kendall_tau,
+        "ext_levene": ext_levene,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_friedman": EXT_FRIEDMAN_SQL,
+        "ext_kendall_tau": EXT_KENDALL_SQL,
+        "ext_levene": EXT_LEVENE_SQL,
+    }
+)
