@@ -16500,3 +16500,162 @@ EXT_ORACLES.update(
         "ext_levene": EXT_LEVENE_SQL,
     }
 )
+
+
+# --- round-3 wave: log-rank survival comparison --------------------------------
+
+
+def ext_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between the two hash arms' time-to-first-error
+    curves: survival time = days from a user's first event to their
+    first 'error' (death), users with no error censored at their last
+    activity; O-E accumulated over the distinct death times with the
+    hypergeometric variance — the significance companion to X177's
+    Kaplan-Meier CURVE (X177 draws survival; this says whether two
+    curves differ). Integer counts all the way to the final ratio.
+
+    Scale shape: users collapse once to (arm, lifetime, churned)
+    counts; at-risk sets come from a descending cumulative over the
+    O(distinct lifetimes) axis; the statistic is one tiny fold."""
+    ev = _t(spark, sf_dir, "events")
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("first"),
+            F.max(F.to_date("ts")).alias("last"),
+            F.min(
+                F.when(F.col("event_type") == "error", F.to_date("ts"))
+            ).alias("terr"),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("g"),
+            F.when(
+                F.col("terr").isNotNull(), F.datediff("terr", "first")
+            )
+            .otherwise(F.datediff("last", "first"))
+            .alias("tl"),
+            F.col("terr").isNotNull().cast("long").alias("churned"),
+        )
+    )
+    cells = per.groupBy("g", "tl").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("churned").alias("d")
+    )
+    wdesc = (
+        Window.partitionBy("g")
+        .orderBy(F.col("tl").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = cells.withColumn("n_at_risk", F.sum("c").over(wdesc))
+    # align the two groups on the death-time axis
+    times = risk.groupBy("tl").agg(
+        F.sum("d").alias("d_tot"),
+        F.sum(F.when(F.col("g") == 1, F.col("d"))).alias("d1"),
+    )
+    # at-risk per group at each time tl: cumulative from the cells frame
+    r1 = risk.filter(F.col("g") == 1).select("tl", F.col("n_at_risk").alias("n1r"))
+    r0 = risk.filter(F.col("g") == 0).select("tl", F.col("n_at_risk").alias("n0r"))
+    # a group may have no cell at a given tl: at-risk = risk at the next
+    # HIGHER existing tl... handled by joining on the union axis with a
+    # descending cumulative max; with daily-integer lifetimes both groups
+    # populate nearly every tl, and absent rows mean the group's at-risk
+    # equals its value at the next lower tl -> use last_value over ordered
+    # axis (tiny).
+    axis = times.select("tl")
+    wfill = (
+        Window.orderBy(F.col("tl").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        axis.join(r1, "tl", "left")
+        .join(r0, "tl", "left")
+        .withColumn("n1", F.max("n1r").over(wfill))
+        .withColumn("n0", F.max("n0r").over(wfill))
+        .na.fill({"n1": 0, "n0": 0})
+    )
+    j = times.join(filled.select("tl", "n1", "n0"), "tl").filter(
+        F.col("d_tot") > 0
+    )
+    n = (F.col("n1") + F.col("n0")).cast("double")
+    e1 = F.col("d_tot") * F.col("n1") / n
+    # a time with a single subject at risk contributes zero variance
+    # (hypergeometric of n=1 is degenerate; ANSI division would throw)
+    v = F.when(
+        n > 1.0,
+        F.col("d_tot")
+        * (F.col("n1") / n)
+        * (1.0 - F.col("n1") / n)
+        * (n - F.col("d_tot"))
+        / (n - 1.0),
+    ).otherwise(F.lit(0.0))
+    agg = j.agg(
+        F.sum(F.coalesce(F.col("d1"), F.lit(0))).alias("o1"),
+        F.sum(e1).alias("e1"),
+        F.sum(v).alias("v"),
+    )
+    chi2 = (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")) / F.col("v")
+    return agg.select(
+        "o1",
+        F.round("e1", 4).alias("e1"),
+        F.round("v", 4).alias("var"),
+        F.round(chi2, 4).alias("log_rank_chi2"),
+        (chi2 > 3.841).alias("curves_differ"),
+    )
+
+
+EXT_LOG_RANK_SQL = r"""
+WITH per AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS g,
+         CASE WHEN MIN(CASE WHEN event_type = 'error' THEN CAST(ts AS DATE) END)
+                   IS NOT NULL
+              THEN date_diff('day', MIN(CAST(ts AS DATE)),
+                             MIN(CASE WHEN event_type = 'error' THEN CAST(ts AS DATE) END))
+              ELSE date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+         END AS tl,
+         CASE WHEN MIN(CASE WHEN event_type = 'error' THEN CAST(ts AS DATE) END)
+                   IS NOT NULL THEN 1 ELSE 0 END AS churned
+  FROM events
+  GROUP BY user_id
+),
+cells AS (
+  SELECT g, tl, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(churned) AS BIGINT) AS d
+  FROM per GROUP BY 1, 2
+),
+risk AS (
+  SELECT g, tl, c, d,
+         SUM(c) OVER (PARTITION BY g ORDER BY tl DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk
+  FROM cells
+),
+times AS (
+  SELECT tl, CAST(SUM(d) AS BIGINT) AS d_tot,
+         CAST(SUM(CASE WHEN g = 1 THEN d END) AS BIGINT) AS d1
+  FROM risk GROUP BY 1
+),
+filled AS (
+  SELECT t.tl, t.d_tot, t.d1,
+         COALESCE(MAX(r1.n_at_risk) OVER (ORDER BY t.tl DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS n1,
+         COALESCE(MAX(r0.n_at_risk) OVER (ORDER BY t.tl DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS n0
+  FROM times t
+  LEFT JOIN (SELECT tl, n_at_risk FROM risk WHERE g = 1) r1 ON r1.tl = t.tl
+  LEFT JOIN (SELECT tl, n_at_risk FROM risk WHERE g = 0) r0 ON r0.tl = t.tl
+),
+agg AS (
+  SELECT CAST(SUM(COALESCE(d1, 0)) AS BIGINT) AS o1,
+         SUM(d_tot * CAST(n1 AS DOUBLE) / (n1 + n0)) AS e1,
+         SUM(CASE WHEN n1 + n0 > 1
+                  THEN d_tot * (CAST(n1 AS DOUBLE) / (n1 + n0))
+                       * (1.0 - CAST(n1 AS DOUBLE) / (n1 + n0))
+                       * (n1 + n0 - d_tot) / (n1 + n0 - 1.0)
+                  ELSE 0.0 END) AS v
+  FROM filled WHERE d_tot > 0
+)
+SELECT o1, ROUND(e1, 4) AS e1, ROUND(v, 4) AS var,
+       ROUND((o1 - e1) * (o1 - e1) / v, 4) AS log_rank_chi2,
+       (o1 - e1) * (o1 - e1) / v > 3.841 AS curves_differ
+FROM agg
+"""
+
+
+EXT_QUERIES.update({"ext_log_rank": ext_log_rank})
+EXT_ORACLES.update({"ext_log_rank": EXT_LOG_RANK_SQL})
