@@ -791,9 +791,18 @@ def containment_pairs(
 
     Same inverted-index candidate join as ``ngram_jaccard_pairs`` (and the
     same ``max_doc_freq`` hot-shingle guard); only the scoring divisor
-    changes — cost is identical."""
+    changes — cost is identical.
+
+    Guarded semantics: with ``max_doc_freq`` set, BOTH the intersection
+    and the divisor are computed over the pruned (df <= max_doc_freq,
+    i.e. discriminative) shingle universe — containment of A's
+    *distinctive* content in B. Hot boilerplate shingles carry no
+    containment signal, and pruning only the numerator would silently
+    deflate every score (a fully-contained doc whose shingles are
+    merely popular would stop matching). Documents with zero
+    discriminative shingles drop out of the result. With the guard off,
+    behavior is the original full-universe containment, unchanged."""
     sh = shingles(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
     joinable = sh
     if max_doc_freq is not None:
@@ -804,6 +813,7 @@ def containment_pairs(
             .select("shingle")
         )
         joinable = sh.join(rare, "shingle")
+    sizes = joinable.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
     a = joinable.withColumnRenamed(id_col, "id_a")
     b = joinable.withColumnRenamed(id_col, "id_b")

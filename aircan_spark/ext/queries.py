@@ -5839,14 +5839,26 @@ def ext_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup (|A∩B|/|A| >= 0.5) with a planted
     contained document: doc -1 is the first half of doc 0's shingles, so
     (-1 -> 0) must clear the threshold even though symmetric Jaccard
-    would not. Same inverted-index join shape as the Jaccard operator."""
+    would not. Same inverted-index join shape as the Jaccard operator.
+
+    Runs GUARDED (max_doc_freq=10): shingles appearing in more than 10
+    documents are pruned before the candidate join, bounding per-key
+    fan-in regardless of corpus hot spots, and containment is scored
+    over the surviving discriminative shingle universe (see
+    ``dedup.containment_pairs``). The guard is ACTIVE at sf0.01+
+    (shingle df reaches 7 at sf0.01, 25 at sf0.1 — 2.7x fewer candidate
+    rows at sf0.1), so the benched plan is the 100-TB plan. The planted
+    pair scores exactly 1.0 under any cap because every discriminative
+    shingle of doc -1 is by construction in doc 0."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     words = F.split(F.trim(F.col("text")), r"\s+")
     half = docs.filter(F.col("doc_id") == 0).select(
         F.lit(-1).cast("long").alias("doc_id"),
         F.array_join(F.slice(words, 1, F.floor(F.size(words) / 2).cast("int")), " ").alias("text"),
     )
-    return dedup.containment_pairs(docs.unionByName(half), threshold=0.5)
+    return dedup.containment_pairs(
+        docs.unionByName(half), threshold=0.5, max_doc_freq=10
+    )
 
 
 EXT_CONTAINMENT_SQL = r"""
@@ -5881,10 +5893,16 @@ sh_all AS (
   UNION
   SELECT doc_id, whole FROM short_docs
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh_all GROUP BY doc_id),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh_all GROUP BY 1),
+joinable AS (
+  SELECT s.doc_id, s.shingle
+  FROM sh_all s JOIN dfreq d ON s.shingle = d.shingle
+  WHERE d.df <= 10
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM joinable GROUP BY doc_id),
 inter AS (
   SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
-  FROM sh_all x JOIN sh_all y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+  FROM joinable x JOIN joinable y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
@@ -8759,19 +8777,45 @@ def ext_user_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bipartite-projection step of a memory-based recommender
     (users who do the same things).
 
-    Scale shape: per-user distinct interaction sets collapse first; the
-    pair join is TYPE-keyed (the item side, bounded here; with a large
-    item catalog add the X2-style hot-item guard); cosine normalizes by
-    broadcast per-user set sizes; the head is a per-user
-    WindowGroupLimit, never a global sort."""
+    Scale guard (the hot-item hazard fixed): a naive type-keyed
+    self-join is O(users^2 / types) because every popular item pairs
+    all its users. Instead, candidate generation uses CAPPED POSTING
+    LISTS — per event_type only the ``_NEIGHBOR_ANCHOR_CAP`` users with
+    the smallest md5(user_id) act as candidate neighbors ("anchors"),
+    the same hot-key bounding idea as ``dedup.containment_pairs``'s
+    ``max_doc_freq`` guard, but down-sampling instead of dropping so the
+    item still contributes signal. Per-key fan-in is <= cap and total
+    candidates are O(users * types * cap) — LINEAR in users, not
+    quadratic — while every user still receives neighbors (drawn from
+    the anchor sample; production CF does exactly this with capped
+    inverted lists). n_common/cosine stay EXACT for surviving pairs:
+    scoring re-joins the full per-user sets, only candidate generation
+    is sampled. The cap (128) is active at sf0.01+ (150+ users/type),
+    so the driver's oracle check exercises the guarded semantics. The
+    head is a per-user WindowGroupLimit, never a global sort."""
     ev = _t(spark, sf_dir, "events")
     ui = ev.select("user_id", "event_type").distinct()
     deg = ui.groupBy("user_id").agg(F.count(F.lit(1)).alias("deg"))
-    a = ui.select(F.col("user_id").alias("ua"), "event_type")
-    b = ui.select(F.col("user_id").alias("ub"), "event_type")
+    w_anchor = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("user_id").cast("string")), F.col("user_id")
+    )
+    anchors = (
+        ui.withColumn("rn", F.row_number().over(w_anchor))
+        .filter(F.col("rn") <= _NEIGHBOR_ANCHOR_CAP)
+        .select("event_type", F.col("user_id").alias("ub"))
+    )
+    cand = (
+        ui.select(F.col("user_id").alias("ua"), "event_type")
+        .join(anchors, "event_type")
+        .filter(F.col("ua") != F.col("ub"))
+        .select("ua", "ub")
+        .distinct()
+    )
+    x = ui.select(F.col("user_id").alias("ua"), "event_type")
+    y = ui.select(F.col("user_id").alias("ub"), "event_type")
     common = (
-        a.join(b, "event_type")
-        .filter(F.col("ua") < F.col("ub"))
+        cand.join(x, "ua")
+        .join(y, ["ub", "event_type"])
         .groupBy("ua", "ub")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -8794,19 +8838,11 @@ def ext_user_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    sym = scored.unionByName(
-        scored.select(
-            F.col("ub").alias("ua"),
-            F.col("ua").alias("ub"),
-            "n_common",
-            "cosine",
-        )
-    )
     w = Window.partitionBy("ua").orderBy(
         F.col("cosine").desc(), F.col("ub")
     )
     return (
-        sym.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select(
             F.col("ua").alias("user_id"),
@@ -8819,12 +8855,32 @@ def ext_user_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-item candidate-neighbor sample size for ext_user_neighbors.
+#: Bounds the pair join's per-key fan-in regardless of item popularity.
+_NEIGHBOR_ANCHOR_CAP = 128
+
+
 EXT_USER_NEIGHBORS_SQL = r"""
 WITH ui AS (SELECT DISTINCT user_id, event_type FROM events),
 deg AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS deg FROM ui GROUP BY 1),
+anchors AS (
+  SELECT event_type, user_id AS ub FROM (
+    SELECT event_type, user_id,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS rn
+    FROM ui) t
+  WHERE rn <= 128
+),
+cand AS (
+  SELECT DISTINCT u.user_id AS ua, a.ub
+  FROM ui u JOIN anchors a ON u.event_type = a.event_type
+  WHERE u.user_id <> a.ub
+),
 common AS (
-  SELECT a.user_id AS ua, b.user_id AS ub, CAST(COUNT(*) AS BIGINT) AS n_common
-  FROM ui a JOIN ui b ON a.event_type = b.event_type AND a.user_id < b.user_id
+  SELECT c.ua, c.ub, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN ui x ON x.user_id = c.ua
+  JOIN ui y ON y.user_id = c.ub AND y.event_type = x.event_type
   GROUP BY 1, 2
 ),
 scored AS (
@@ -8834,22 +8890,16 @@ scored AS (
   JOIN deg da ON c.ua = da.user_id
   JOIN deg db ON c.ub = db.user_id
 ),
-sym AS (
-  SELECT ua, ub, n_common, cosine FROM scored
-  UNION ALL
-  SELECT ub, ua, n_common, cosine FROM scored
-),
 ranked AS (
   SELECT ua, ub, n_common, cosine,
          ROW_NUMBER() OVER (PARTITION BY ua ORDER BY cosine DESC, ub) AS rank
-  FROM sym
+  FROM scored
 )
 SELECT ua AS user_id, ub AS neighbor_id, n_common, cosine,
        CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 3
 ORDER BY user_id, rank
 """
-
 
 def ext_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Churn label construction: users active in the observation window

@@ -9,6 +9,7 @@ from aircan_spark.data import load_table
 from aircan_spark.ext import dedup, multimodal, similarity, text
 
 SF_DIR = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="module")
@@ -825,6 +826,56 @@ def test_containment_asymmetric_semantics(spark):
     # symmetric jaccard on the same pair is weak
     jac = dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
     assert all(r["jaccard"] < 0.5 for r in jac)
+
+
+def test_containment_guarded_discriminative_universe(spark):
+    """With max_doc_freq set, hot shingles are pruned from BOTH the
+    intersection and the divisor: a doc fully contained in another still
+    scores 1.0 even when some of its shingles are corpus-wide
+    boilerplate, and a doc made ONLY of boilerplate drops out."""
+    boiler = "hot hot hot"  # the single shingle 'hot hot hot' in every doc
+    rows = [
+        (1, "w1 w2 w3 w4 w5 w6 " + boiler),
+        (2, "w1 w2 w3 w4 " + boiler),  # distinctive shingles all in doc 1
+        (3, boiler),                    # pure boilerplate
+        (4, "x1 x2 x3 x4 " + boiler),
+        (5, "y1 y2 y3 y4 " + boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in dedup.containment_pairs(
+               df, threshold=0.0, max_doc_freq=3).collect()}
+    # doc 2's discriminative shingles ('w1 w2 w3', 'w2 w3 w4', and the
+    # two bridging 'w3 w4 hot' / 'w4 hot hot' which only doc 2 has) —
+    # intersection with doc 1 over the pruned universe covers the pure
+    # w-shingles; containment reflects only discriminative content.
+    assert got[(2, 1)] == pytest.approx(0.5)  # 2 of its 4 rare shingles in doc1
+    assert all(3 not in pair for pair in got), got  # boilerplate-only doc gone
+    # unguarded behavior unchanged: doc 3 pairs with everything via 'hot hot hot'
+    unguarded = {(r["id_a"], r["id_b"])
+                 for r in dedup.containment_pairs(df, threshold=0.0).collect()}
+    assert any(3 in pair for pair in unguarded)
+
+
+def test_user_neighbors_anchor_cap_bounds_fanin(spark):
+    """The declared CF query's candidate join is keyed on capped anchor
+    lists: per event_type at most _NEIGHBOR_ANCHOR_CAP users appear on
+    the build side, so per-key fan-in is bounded regardless of item
+    popularity (every sf0.01+ type exceeds the cap)."""
+    from aircan_spark.ext import queries as xq
+
+    out = xq.ext_user_neighbors(spark, SF01)
+    # every user still receives neighbors (guard down-samples, not drops)
+    n_users = out.select("user_id").distinct().count()
+    ev_users = (
+        spark.read.parquet(SF01 + "/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert n_users == ev_users
+    # neighbor ids are drawn from the capped anchor pool only
+    distinct_neighbors = out.select("neighbor_id").distinct().count()
+    assert distinct_neighbors <= 5 * xq._NEIGHBOR_ANCHOR_CAP
+    assert ev_users > xq._NEIGHBOR_ANCHOR_CAP  # cap genuinely active
 
 
 def test_compression_stats_deterministic_and_directional(spark):
