@@ -11631,10 +11631,15 @@ def ext_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Differentially-private-style count release: per-segment customer
     counts with Laplace(1/eps) noise (eps=1.0, sensitivity 1), the noise
     drawn by the same replayable hash-uniform scheme every sampler here
-    uses — so the 'randomness' is auditable and engine-portable while
-    the released number still carries the calibrated perturbation. The
-    governed-export complement to k-anonymity/pseudonymization: release
-    aggregates, not classes.
+    uses. NOT A PRIVACY MECHANISM: the noise is a deterministic function
+    of the public segment name, so the release is exactly recoverable by
+    anyone who can run the same hash — the replayable-hash draw exists
+    ONLY so the pipeline shape (sensitivity-calibrated perturbation of a
+    restricted aggregate) is engine-portable and oracle-checkable. A
+    real DP release MUST draw fresh, secret randomness per release;
+    swap the `u` expression for F.rand() (and drop the oracle) to
+    deploy. The governed-export complement to k-anonymity/
+    pseudonymization: release aggregates, not classes.
 
     Scale shape: one hash agg to O(segments) rows; noise is row-local
     arithmetic on the tiny aggregate."""
@@ -14306,19 +14311,35 @@ def ext_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             v = nxt
         p_conv[removed] = v.get("START", 0.0)
     p_base = p_conv.get("NONE", 0.0)
+    schema = (
+        "channel string, p_conv_base double, p_conv_without double, "
+        "removal_effect double, attribution_share double"
+    )
+    # zero-conversion corpus: removal effects are undefined (0/0) — emit
+    # an empty frame rather than raising driver-side; the oracle's
+    # `WHERE p_base > 0` guard mirrors this exactly
+    if p_base == 0.0:
+        return spark.createDataFrame([], schema)
     effs = {
         ch: max(0.0, 1.0 - p / p_base)
         for ch, p in p_conv.items()
         if ch != "NONE"
     }
     te = sum(effs[ch] for ch in sorted(effs))
+    # te == 0 (conversions exist but no channel's removal moves them):
+    # credit nothing instead of dividing 0/0 — mirrored in the oracle
     out = spark.createDataFrame(
         [
-            (ch, p_base, p_conv[ch], effs[ch], effs[ch] / te)
+            (
+                ch,
+                p_base,
+                p_conv[ch],
+                effs[ch],
+                effs[ch] / te if te > 0.0 else 0.0,
+            )
             for ch in sorted(effs)
         ],
-        "channel string, p_conv_base double, p_conv_without double, "
-        "removal_effect double, attribution_share double",
+        schema,
     )
     return out.select(
         "channel",
@@ -14381,13 +14402,14 @@ effects AS (
   SELECT removed AS channel, p_conv, b.p_base,
          GREATEST(0.0, 1.0 - p_conv / b.p_base) AS eff
   FROM pconv CROSS JOIN base b
-  WHERE removed <> 'NONE'
+  WHERE removed <> 'NONE' AND b.p_base > 0
 ),
 te AS (SELECT SUM(eff) AS te FROM effects)
 SELECT channel, ROUND(p_base, 6) AS p_conv_base,
        ROUND(p_conv, 6) AS p_conv_without,
        ROUND(eff, 6) AS removal_effect,
-       ROUND(eff / te.te, 6) AS attribution_share
+       CASE WHEN te.te > 0 THEN ROUND(eff / te.te, 6) ELSE 0.0 END
+         AS attribution_share
 FROM effects CROSS JOIN te
 ORDER BY channel"""
     return head + "".join(steps) + tail
@@ -15334,6 +15356,70 @@ EXT_ORACLES.update(
 # --- round-3 wave: Theil-Sen, 2-D histogram, UNK rate, McNemar ----------------
 
 
+def _theil_sen_median(slopes: DataFrame, budget: int = 200_000):
+    """Exact median of the double column ``s`` by two-phase distributed
+    selection: a 10k-bucket histogram locates the two middle order
+    statistics, and only their buckets are sorted exactly — bit-identical
+    to percentile()/quantile_cont (same lo + frac*(hi-lo) interpolation
+    at p=(n-1)/2) without boxing every distinct value into one
+    counting-map buffer.
+
+    Guards (the two-phase path's failure modes, asserted not assumed):
+    - n == 0 (or NULL bounds from an all-NULL column) -> (0, None), no
+      float(None) crash;
+    - mn == mx (all values identical) -> that value, no histogram;
+    - a distribution so concentrated that the order-statistic buckets
+      hold more than ``budget`` rows (tight center + extreme outliers
+      stretching the range) -> falls back to the single-buffer exact
+      percentile() aggregate instead of collecting an unbounded bucket
+      driver-side. Same value, bounded driver memory either way.
+    Returns (n, median)."""
+    rng = slopes.agg(
+        F.count("s").alias("n"), F.min("s").alias("mn"), F.max("s").alias("mx")
+    ).collect()[0]
+    n = int(rng["n"])
+    if n == 0 or rng["mn"] is None:
+        return 0, None
+    mn, mx = float(rng["mn"]), float(rng["mx"])
+    if mn == mx:
+        return n, mn
+    w = max((mx - mn) / 10000.0, 1e-12)
+    lo_idx = (n - 1) // 2
+    hi_idx = (n - 1) - (n - 1) // 2
+    inv_w = 1.0 / w
+    hist = (
+        slopes.groupBy(F.floor((F.col("s") - mn) * inv_w).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("b")
+        .collect()
+    )
+    cum, need, need_rows = 0, [], 0
+    for r in hist:
+        if cum <= hi_idx and cum + r["c"] > lo_idx:
+            need.append(int(r["b"]))
+            need_rows += int(r["c"])
+        cum += r["c"]
+    if need_rows > budget:
+        med = slopes.agg(
+            F.expr("percentile(s, 0.5)").alias("m")
+        ).collect()[0]["m"]
+        return n, float(med)
+    cand = sorted(
+        v["s"]
+        for v in slopes.filter(
+            F.floor((F.col("s") - mn) * inv_w).isin(need)
+        ).collect()
+    )
+    before = 0
+    for r in hist:
+        if int(r["b"]) < need[0]:
+            before += r["c"]
+    lo = cand[lo_idx - before]
+    hi = cand[hi_idx - before]
+    frac = (n - 1) * 0.5 - lo_idx
+    return n, lo + frac * (hi - lo)
+
+
 def ext_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend slope of daily revenue: the median of all
     pairwise day-to-day slopes — 29% outlier breakdown where OLS
@@ -15343,10 +15429,10 @@ def ext_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: day-axis collapse first (checkpointed once); the
     O(days²) pair frame is SF-independent (calendar-bounded); the exact
-    median comes from two-phase distributed selection (bucket histogram
-    -> exact sort of only the order-statistic buckets) rather than the
-    single-buffer percentile() aggregate (9.5 s -> 7 s warm at sf0.1;
-    the value is bit-identical to percentile()/quantile_cont)."""
+    median comes from two-phase distributed selection with an explicit
+    driver-collect row budget and a percentile() fallback — see
+    ``_theil_sen_median`` (9.5 s -> 7 s warm at sf0.1; the value is
+    bit-identical to percentile()/quantile_cont either way)."""
     orders = _t(spark, sf_dir, "orders")
     daily = (
         orders.groupBy(F.to_date("o_orderdate").alias("day"))
@@ -15369,45 +15455,7 @@ def ext_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("d2", "d1").cast("double"),
         ).alias("s")
     )
-    # exact median by two-phase distributed selection: Spark's exact
-    # percentile() aggregate spent ~9 s boxing 2.9M distinct doubles into
-    # one counting map; a 10k-bucket histogram locates the two order
-    # statistics, and only their buckets (~n/10k rows) are sorted exactly.
-    # Reproduces percentile()/quantile_cont bit-for-bit: same
-    # lo + frac*(hi-lo) interpolation at p=(n-1)/2.
-    rng = slopes.agg(
-        F.count(F.lit(1)).alias("n"), F.min("s").alias("mn"), F.max("s").alias("mx")
-    ).collect()[0]
-    n, mn, mx = int(rng["n"]), float(rng["mn"]), float(rng["mx"])
-    w = max((mx - mn) / 10000.0, 1e-12)
-    lo_idx = (n - 1) // 2
-    hi_idx = (n - 1) - (n - 1) // 2
-    inv_w = 1.0 / w
-    hist = (
-        slopes.groupBy(F.floor((F.col("s") - mn) * inv_w).alias("b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy("b")
-        .collect()
-    )
-    cum, need = 0, []
-    for r in hist:
-        if cum <= hi_idx and cum + r["c"] > lo_idx:
-            need.append(int(r["b"]))
-        cum += r["c"]
-    cand = sorted(
-        v["s"]
-        for v in slopes.filter(
-            F.floor((F.col("s") - mn) * inv_w).isin(need)
-        ).collect()
-    )
-    before = 0
-    for r in hist:
-        if int(r["b"]) < need[0]:
-            before += r["c"]
-    lo = cand[lo_idx - before]
-    hi = cand[hi_idx - before]
-    frac = (n - 1) * 0.5 - lo_idx
-    med = lo + frac * (hi - lo)
+    n, med = _theil_sen_median(slopes)
     out = spark.createDataFrame(
         [(n, med)], "n_pairs long, med double"
     )
@@ -16325,6 +16373,32 @@ EXT_ORACLES.update(
 # --- round-3 wave: Friedman, Kendall tau-b, Brown-Forsythe --------------------
 
 
+# chi-square 0.95 quantiles for df 1..10. Decision flags DERIVE their
+# critical value from the OBSERVED treatment/group cardinality instead of
+# hardcoding the df=4 constant, so the boolean cannot silently test
+# against the wrong distribution if the event-type or segment count ever
+# differs from 5 (beyond df=10 the flag is NULL: refuse to decide rather
+# than misdecide). F(df1, inf) = chi2(df1)/df1 reuses the same table.
+_CHI2_CRIT_95 = {
+    1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070,
+    6: 12.592, 7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307,
+}
+
+
+def _chi2_crit_95_expr(df_col):
+    expr = F.lit(None).cast("double")
+    for d, c in sorted(_CHI2_CRIT_95.items(), reverse=True):
+        expr = F.when(df_col == F.lit(d), F.lit(c)).otherwise(expr)
+    return expr
+
+
+def _chi2_crit_95_case(df_sql: str) -> str:
+    whens = " ".join(
+        f"WHEN {df_sql} = {d} THEN {c}" for d, c in sorted(_CHI2_CRIT_95.items())
+    )
+    return f"(CASE {whens} END)"
+
+
 def ext_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Friedman rank test: do the event types keep the same daily-volume
     ORDERING across days? Average ranks within each day-block (exact
@@ -16358,6 +16432,7 @@ def ext_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     scal = ranks.agg(
         F.count_distinct("day").alias("n"),
         F.count_distinct("t").alias("k"),
+        F.count(F.lit(1)).alias("cells"),
         F.sum(F.col("r") * F.col("r")).alias("sr2"),
     )
     per_t = ranks.groupBy("t").agg(F.sum("r").alias("rj"))
@@ -16366,6 +16441,7 @@ def ext_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n").alias("n_blocks"),
             F.max("k").alias("k_treatments"),
+            F.max("cells").alias("cells"),
             (
                 (F.max("k") - 1)
                 * F.sum(
@@ -16383,11 +16459,18 @@ def ext_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2"),
         )
     )
+    crit = _chi2_crit_95_expr(F.col("k_treatments") - 1)
+    complete = F.col("cells") == F.col("n_blocks") * F.col("k_treatments")
     return stat.select(
         "n_blocks",
         "k_treatments",
+        # Friedman assumes a complete block design (every treatment
+        # present in every block) — checked, not assumed; the decision
+        # flag only fires on a valid design
+        complete.alias("complete_blocks"),
         F.round("chi2", 4).alias("friedman_chi2"),
-        (F.col("chi2") > 9.488).alias("ordering_differs"),  # df=4, p=0.05
+        crit.alias("chi2_crit"),
+        (complete & (F.col("chi2") > crit)).alias("ordering_differs"),
     )
 
 
@@ -16406,21 +16489,25 @@ ranks AS (
 scal AS (
   SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n,
          CAST(COUNT(DISTINCT t) AS BIGINT) AS k,
+         CAST(COUNT(*) AS BIGINT) AS cells,
          SUM(r * r) AS sr2
   FROM ranks
 ),
 per_t AS (SELECT t, SUM(r) AS rj FROM ranks GROUP BY 1)
 SELECT MAX(n) AS n_blocks, MAX(k) AS k_treatments,
+       MAX(cells) = MAX(n) * MAX(k) AS complete_blocks,
        ROUND((MAX(k) - 1)
              * SUM((rj - n * (k + 1) / 2.0) * (rj - n * (k + 1) / 2.0))
              / (MAX(sr2) - MAX(n) * MAX(k) * (MAX(k) + 1) * (MAX(k) + 1) / 4.0),
              4) AS friedman_chi2,
+       __CRIT__ AS chi2_crit,
+       MAX(cells) = MAX(n) * MAX(k) AND
        (MAX(k) - 1)
        * SUM((rj - n * (k + 1) / 2.0) * (rj - n * (k + 1) / 2.0))
        / (MAX(sr2) - MAX(n) * MAX(k) * (MAX(k) + 1) * (MAX(k) + 1) / 4.0)
-       > 9.488 AS ordering_differs
+       > __CRIT__ AS ordering_differs
 FROM per_t CROSS JOIN scal
-"""
+""".replace("__CRIT__", _chi2_crit_95_case("MAX(k) - 1"))
 
 
 def ext_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -16553,11 +16640,17 @@ def ext_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
             (between / (F.max("k") - 1)) / (within / (F.max("n") - F.max("k")))
         ).alias("f"),
     )
+    # F(k-1, inf) critical value derived from the observed group count:
+    # chi2_crit(k-1)/(k-1) — 2.372 exactly when k=5, but correct for any k
+    fcrit = _chi2_crit_95_expr(F.col("k_groups") - 1) / (
+        F.col("k_groups") - 1
+    ).cast("double")
     return stat.select(
         "n_orders",
         "k_groups",
         F.round("f", 4).alias("brown_forsythe_f"),
-        (F.col("f") > 2.372).alias("variances_differ"),  # df=(4, inf), p=0.05
+        fcrit.alias("f_crit"),
+        (F.col("f") > fcrit).alias("variances_differ"),
     )
 
 
@@ -16583,11 +16676,13 @@ SELECT MAX(n) AS n_orders, MAX(k) AS k_groups,
        ROUND((SUM(ng * (sz / ng - s / n) * (sz / ng - s / n)) / (MAX(k) - 1))
              / (SUM(szz - sz * sz / ng) / (MAX(n) - MAX(k))), 4)
          AS brown_forsythe_f,
+       __CRIT__ / CAST(MAX(k) - 1 AS DOUBLE) AS f_crit,
        (SUM(ng * (sz / ng - s / n) * (sz / ng - s / n)) / (MAX(k) - 1))
-       / (SUM(szz - sz * sz / ng) / (MAX(n) - MAX(k))) > 2.372
+       / (SUM(szz - sz * sz / ng) / (MAX(n) - MAX(k)))
+       > __CRIT__ / CAST(MAX(k) - 1 AS DOUBLE)
          AS variances_differ
 FROM g CROSS JOIN tot
-"""
+""".replace("__CRIT__", _chi2_crit_95_case("MAX(k) - 1"))
 
 
 EXT_QUERIES.update(

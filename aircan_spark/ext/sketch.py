@@ -240,7 +240,16 @@ def kmv_minima(
     h = F.conv(
         F.substring(F.md5(F.col(item_col).cast("string")), 1, 12), 16, 10
     ).cast("long")
-    hashes = items.select(*group_cols, h.alias("h")).distinct()
+    # NULL items hash to NULL, and Spark's ascending row_number ranks
+    # NULLs FIRST — an unfiltered NULL would silently consume a sketch
+    # slot (and DuckDB orders NULLS LAST, so oracles would diverge).
+    # Filter inside the library so the guarantee holds for any caller,
+    # including streaming input that was not pre-cleaned.
+    hashes = (
+        items.select(*group_cols, h.alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("h")
     return hashes.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= F.lit(k)
