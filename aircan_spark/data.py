@@ -20,6 +20,25 @@ TABLES = (
 ).split()
 
 
+def checkpoint(df: DataFrame) -> DataFrame:
+    """Truncate lineage for iterative operators — reliable when possible.
+
+    ``localCheckpoint`` stores blocks on executors: fast, but NOT
+    fault-tolerant (an executor loss kills the job past the point of
+    recomputation). On a real cluster, call
+    ``spark.sparkContext.setCheckpointDir("hdfs://...")`` (or
+    ``session.get_spark(checkpoint_dir=...)``) once and every iterative
+    operator in this package transparently switches to RELIABLE
+    ``df.checkpoint()`` — blocks in the fault-tolerant store survive
+    executor churn, the requirement at 1000 executors. With no
+    checkpoint dir configured (local mode, tests) this stays
+    ``localCheckpoint``, which needs no filesystem."""
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def fan_out(df: DataFrame, min_ratio: int = 1) -> DataFrame:
     """Spread a narrow scan across the cluster for compute-heavy operators.
 

@@ -1,0 +1,77 @@
+"""Shared prolog for the declared-query wave modules (split from the
+former single-file ext/queries.py): common imports, the table loader, and
+the ONE pair of registry dicts every wave module mutates in place.
+Import EXT_QUERIES/EXT_ORACLES from aircan_spark.ext.queries (the
+aggregator), not from here, unless you are a wave module.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aircan_spark.rownum import with_row_number
+
+from aircan_spark.data import fan_out
+from aircan_spark.data import load_table as _load
+from aircan_spark.ext import (
+    chunking,
+    dedup,
+    features,
+    multimodal,
+    relational,
+    sampling,
+    similarity,
+    text,
+    vectors,
+)
+
+
+def _t(spark, sf_dir, name):
+    """Load + fan_out: every ext operator is compute-heavy per row, so a
+    single-split local scan must not serialize it onto one core (no-op on
+    inputs that already have enough splits).
+
+    Delegation seam: tests historically monkeypatch ``_t`` on the
+    aggregator module (aircan_spark.ext.queries) to inject synthetic
+    frames. Wave modules resolve ``_t`` here, so this function first
+    checks whether the aggregator's attribute has been replaced and, if
+    so, routes through it — keeping that seam working across the
+    monolith split without touching any test."""
+    import sys
+
+    agg = sys.modules.get("aircan_spark.ext.queries")
+    patched = getattr(agg, "_t", None) if agg is not None else None
+    if (
+        patched is not None
+        and patched is not _t
+        and not getattr(_T_DELEGATING, "active", False)
+    ):
+        # re-entrancy guard: a patch that captured this function as the
+        # "real" loader and calls back into it must reach the real load,
+        # not recurse through the seam again
+        _T_DELEGATING.active = True
+        try:
+            return patched(spark, sf_dir, name)
+        finally:
+            _T_DELEGATING.active = False
+    return fan_out(_load(spark, sf_dir, name))
+
+
+import threading as _threading
+
+_T_DELEGATING = _threading.local()
+
+
+
+#: The shared declared-query registry. Every wave module calls
+#: EXT_QUERIES.update(...) / EXT_ORACLES.update(...) against these SAME
+#: dict objects at import time; aircan_spark.ext.queries imports the wave
+#: modules in historical order, so insertion order (which drives the
+#: round driver's sample rotation) is identical to the old monolith.
+EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+EXT_ORACLES: dict[str, str] = {}

@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from aircan_spark.data import checkpoint
+
 from aircan_spark.ext.text import normalize_text
 
 # Hard cap on the brute (lsh_bits=0) embedding_pairs baseline — ~the
@@ -539,9 +541,9 @@ def connected_components(
     # per round
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).transform(checkpoint)
     nodes = sym.select(F.col("src").alias("id")).distinct()
-    comp = nodes.withColumn("component", F.col("id")).localCheckpoint()
+    comp = nodes.withColumn("component", F.col("id")).transform(checkpoint)
 
     for _ in range(max_iter):
         nbr_min = (
@@ -564,7 +566,7 @@ def connected_components(
                     & (F.col("nbr_component") < F.col("component"))
                 ).alias("__changed"),
             )
-            .localCheckpoint()
+            .transform(checkpoint)
         )
         changed = stepped.filter(F.col("__changed")).count()
         comp = stepped.drop("__changed")
@@ -732,7 +734,7 @@ def connected_components_star(
     e = (
         e.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(checkpoint)
     )
     prev_count = -1
     for _ in range(max_iter):
@@ -757,7 +759,7 @@ def connected_components_star(
             .filter(F.col("node") != F.col("m"))
             .select(F.greatest("node", "m").alias("u"), F.least("node", "m").alias("v"))
             .distinct()
-            .localCheckpoint()
+            .transform(checkpoint)
         )
         # fixed point: star edges already point at component minima — the
         # edge set stops changing; count-equality then set-equality check

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from aircan_spark.data import checkpoint
+
 
 def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Undirected edge list -> distinct (u < v) pairs, self-loops dropped."""
@@ -73,13 +75,13 @@ def pagerank(
     edge list (every node has degree >= 1)."""
     e = _canonical_edges(edges, src, dst)
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.localCheckpoint()
+    sym = sym.transform(checkpoint)
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("u").alias("id"), "deg")
     n = nodes.count()
     if n == 0:  # empty graph -> empty ranks (matches the SQL unroll)
         return edges.sparkSession.createDataFrame([], "id long, rank double")
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"), "deg").localCheckpoint()
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"), "deg").transform(checkpoint)
     base = (1.0 - damping) / n
     for _ in range(iters):
         contrib = (
@@ -101,7 +103,7 @@ def pagerank(
                 ),
                 "deg",
             )
-            .localCheckpoint()
+            .transform(checkpoint)
         )
     return ranks.select("id", "rank")
 
@@ -119,9 +121,9 @@ def bfs_depths(
     non-convergence contract as connected_components)."""
     e = _canonical_edges(edges, src, dst)
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.localCheckpoint()
+    sym = sym.transform(checkpoint)
     spark = edges.sparkSession
-    visited = spark.createDataFrame([(source, 0)], "id long, depth int").localCheckpoint()
+    visited = spark.createDataFrame([(source, 0)], "id long, depth int").transform(checkpoint)
     frontier = visited
     for depth in range(1, max_depth + 1):
         nxt = (
@@ -130,11 +132,11 @@ def bfs_depths(
             .distinct()
             .join(visited.select("id"), "id", "left_anti")
             .select("id", F.lit(depth).alias("depth"))
-            .localCheckpoint()
+            .transform(checkpoint)
         )
         if nxt.isEmpty():
             return visited
-        visited = visited.union(nxt).localCheckpoint()
+        visited = visited.union(nxt).transform(checkpoint)
         frontier = nxt
     if not (
         sym.join(frontier.select(F.col("id").alias("u")), "u")
@@ -175,10 +177,10 @@ def label_propagation(
     e = _canonical_edges(edges, src, dst)
     sym = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    ).transform(checkpoint)
     labels = sym.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("lbl")
-    ).localCheckpoint()
+    ).transform(checkpoint)
     for _ in range(iters):
         votes = (
             sym.join(
@@ -191,6 +193,6 @@ def label_propagation(
             votes.groupBy("id")
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("nl"))).alias("m"))
             .select("id", (-F.col("m.nl")).alias("lbl"))
-            .localCheckpoint()
+            .transform(checkpoint)
         )
     return labels.select("id", F.col("lbl").alias("community"))

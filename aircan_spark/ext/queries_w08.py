@@ -1,0 +1,1011 @@
+"""Declared-query waves: round-3 wave: fairness audits; round-3 wave: grouped OLS, GMM EM, permutation test; round-3 wave: Friedman, Kendall tau-b, Brown-Forsythe; round-3 wave: log-rank survival comparison.
+
+Split from the former ext/queries.py monolith — code unchanged; each
+wave updates the shared registries in aircan_spark.ext._qcommon at
+import time (see that module for the ordering contract).
+"""
+
+from __future__ import annotations
+
+from aircan_spark.ext._qcommon import *  # noqa: F401,F403
+from aircan_spark.ext._qcommon import EXT_ORACLES, EXT_QUERIES, _load, _t  # noqa: F401
+from aircan_spark.ext.queries_w07 import *  # noqa: F401,F403
+
+
+# --- round-3 wave: fairness audits --------------------------------------------
+
+
+def ext_exposure_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure fairness of the BM25 ranking: each source's share of
+    position-discounted exposure (1/log2(rank+1)) in the top-50 vs its
+    share of the candidate pool — the ranking-fairness audit that
+    catches a feed monopolizing the head even when per-item scoring is
+    'fair' (skew ratio > 1 = over-exposed).
+
+    Scale shape: ranking over the retrieval-bounded candidate set
+    (X251's bound); exposure and pool shares are two O(sources)
+    collapses against broadcast totals."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = (
+        text.bm25_scores(docs, BM25_QUERY_TERMS)
+        .select("doc_id", "score")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    wr = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    ranked = cand.withColumn("rank", F.row_number().over(wr))
+    exp = ranked.filter(F.col("rank") <= 50).select(
+        "source", (1.0 / F.log2(F.col("rank") + 1)).alias("e")
+    )
+    per_exp = exp.groupBy("source").agg(F.sum("e").alias("exposure"))
+    tot_exp = per_exp.agg(F.sum("exposure").alias("te"))
+    pool = cand.groupBy("source").agg(F.count(F.lit(1)).alias("n_pool"))
+    tot_pool = pool.agg(F.sum("n_pool").alias("tp"))
+    return (
+        pool.join(per_exp, "source", "left")
+        .na.fill({"exposure": 0.0})
+        .crossJoin(F.broadcast(tot_exp))
+        .crossJoin(F.broadcast(tot_pool))
+        .select(
+            "source",
+            "n_pool",
+            F.round(F.col("exposure"), 4).alias("exposure"),
+            F.round(F.col("exposure") / F.col("te"), 6).alias("exposure_share"),
+            F.round(F.col("n_pool") / F.col("tp").cast("double"), 6).alias(
+                "pool_share"
+            ),
+            F.round(
+                (F.col("exposure") / F.col("te"))
+                / (F.col("n_pool") / F.col("tp").cast("double")),
+                4,
+            ).alias("skew_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+EXT_EXPOSURE_FAIRNESS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS w
+  FROM documents
+),
+lens AS (SELECT doc_id, len(w) AS dl, w FROM toks),
+scalars AS (SELECT COUNT(*) AS n, SUM(dl) AS total_dl FROM lens),
+words AS (SELECT doc_id, dl, UNNEST(w) AS word FROM lens),
+tf AS (
+  SELECT doc_id, dl, word, COUNT(*) AS tf
+  FROM words WHERE word IN ('join', 'merge', 'window')
+  GROUP BY doc_id, dl, word
+),
+dfreq AS (SELECT word, COUNT(*) AS doc_freq FROM tf GROUP BY word),
+comp AS (
+  SELECT tf.doc_id,
+         CAST(
+           LN(1.0 + (CAST(s.n AS DOUBLE) - CAST(d.doc_freq AS DOUBLE) + 0.5)
+                    / (CAST(d.doc_freq AS DOUBLE) + 0.5))
+           * CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE)
+                                     / (CAST(s.total_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))
+           AS DECIMAL(27,12)) AS comp
+  FROM tf JOIN dfreq d ON tf.word = d.word CROSS JOIN scalars s
+),
+cand AS (
+  SELECT c.doc_id, ROUND(CAST(SUM(comp) AS DOUBLE), 6) AS score, dd.source
+  FROM comp c JOIN documents dd ON dd.doc_id = c.doc_id
+  GROUP BY c.doc_id, dd.source
+),
+ranked AS (
+  SELECT source, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM cand
+),
+per_exp AS (
+  SELECT source, SUM(1.0 / log2(rank + 1)) AS exposure
+  FROM ranked WHERE rank <= 50 GROUP BY 1
+),
+te AS (SELECT SUM(exposure) AS te FROM per_exp),
+pool AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pool FROM cand GROUP BY 1),
+tp AS (SELECT CAST(SUM(n_pool) AS BIGINT) AS tp FROM pool)
+SELECT p.source, p.n_pool,
+       ROUND(COALESCE(e.exposure, 0.0), 4) AS exposure,
+       ROUND(COALESCE(e.exposure, 0.0) / te.te, 6) AS exposure_share,
+       ROUND(CAST(p.n_pool AS DOUBLE) / tp.tp, 6) AS pool_share,
+       ROUND((COALESCE(e.exposure, 0.0) / te.te)
+             / (CAST(p.n_pool AS DOUBLE) / tp.tp), 4) AS skew_ratio
+FROM pool p
+LEFT JOIN per_exp e ON e.source = p.source
+CROSS JOIN te CROSS JOIN tp
+ORDER BY p.source
+"""
+
+
+def ext_selection_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection-rate parity audit of the quality filter (keep if
+    quality >= 0.5) across languages: per-group selection rate, the
+    disparate-impact ratio vs the most-selected group, and the 0.8-rule
+    flag — the group-fairness audit a curation pipeline owes its
+    corpus before a filter silently erases a language.
+
+    Scale shape: row-local scoring, one O(langs) collapse, broadcast
+    max-rate scalar."""
+    docs = text.quality_score(_t(spark, sf_dir, "documents"))
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("quality") >= 0.5).cast("long")).alias("n_selected"),
+    )
+    per = per.withColumn(
+        "rate", F.col("n_selected") / F.col("n_docs").cast("double")
+    )
+    mx = per.agg(F.max("rate").alias("max_rate"))
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .select(
+            "lang",
+            "n_docs",
+            "n_selected",
+            F.round("rate", 6).alias("selection_rate"),
+            F.round(F.col("rate") / F.col("max_rate"), 4).alias(
+                "impact_ratio"
+            ),
+            (F.col("rate") / F.col("max_rate") < 0.8).alias("fails_80_rule"),
+        )
+        .orderBy("lang")
+    )
+
+
+EXT_SELECTION_PARITY_SQL = r"""
+WITH scored AS (
+  SELECT lang,
+         ROUND(
+           LEAST(CAST(LENGTH(text) AS DOUBLE) / 200.0, 1.0)
+           * (1.0 - CAST(LEN(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE)
+                    / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE))
+           * (1.0 - CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                    / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE)),
+           4) AS quality
+  FROM documents
+),
+per AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_selected
+  FROM scored GROUP BY 1
+),
+mx AS (SELECT MAX(CAST(n_selected AS DOUBLE) / n_docs) AS max_rate FROM per)
+SELECT lang, n_docs, n_selected,
+       ROUND(CAST(n_selected AS DOUBLE) / n_docs, 6) AS selection_rate,
+       ROUND((CAST(n_selected AS DOUBLE) / n_docs) / max_rate, 4) AS impact_ratio,
+       (CAST(n_selected AS DOUBLE) / n_docs) / max_rate < 0.8 AS fails_80_rule
+FROM per CROSS JOIN mx
+ORDER BY lang
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_exposure_fairness": ext_exposure_fairness,
+        "ext_selection_parity": ext_selection_parity,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_exposure_fairness": EXT_EXPOSURE_FAIRNESS_SQL,
+        "ext_selection_parity": EXT_SELECTION_PARITY_SQL,
+    }
+)
+
+
+# --- round-3 wave: grouped OLS, GMM EM, permutation test ----------------------
+
+
+def ext_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Massively-grouped OLS: one tiny regression per brand (quantity on
+    discount) fitted from exact integer moments in a single pass — the
+    'millions of small models' pattern (per-SKU elasticities, per-user
+    trends) where the grouped closed form beats any model-parallel
+    framework. Slope, intercept, and R² per brand.
+
+    Scale shape: ONE hash agg computes every group's five moments;
+    the fits are row-local arithmetic on the O(groups) frame."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+        F.round(F.col("l_quantity")).cast("long").alias("y"),
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    mom = (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    varx_n = n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vary_n = n * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    beta = cov_n / varx_n
+    alpha = (F.col("sy").cast("double") - beta * F.col("sx")) / n
+    r2 = cov_n * cov_n / (varx_n * vary_n)
+    return mom.select(
+        "p_brand",
+        "n",
+        F.round(beta, 6).alias("beta_qty_per_disc_pt"),
+        F.round(alpha, 4).alias("alpha"),
+        F.round(r2, 6).alias("r2"),
+    ).orderBy("p_brand")
+
+
+EXT_GROUPED_OLS_SQL = r"""
+WITH li AS (
+  SELECT p.p_brand,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS x,
+         CAST(ROUND(l_quantity) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+mom AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM li GROUP BY 1
+)
+SELECT p_brand, n,
+       ROUND((n * sxy - CAST(sx AS DOUBLE) * sy)
+             / (n * sxx - CAST(sx AS DOUBLE) * sx), 6) AS beta_qty_per_disc_pt,
+       ROUND((sy - ((n * sxy - CAST(sx AS DOUBLE) * sy)
+                    / (n * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / n, 4) AS alpha,
+       ROUND((n * sxy - CAST(sx AS DOUBLE) * sy) * (n * sxy - CAST(sx AS DOUBLE) * sy)
+             / ((n * sxx - CAST(sx AS DOUBLE) * sx)
+                * (n * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+FROM mom ORDER BY p_brand
+"""
+
+
+def ext_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D Gaussian mixture on order values by FIVE fixed
+    EM iterations — the distributed-EM pattern: each iteration is ONE
+    aggregate pass with the current parameters as broadcast scalars
+    (responsibilities are row-local; no per-row state ever persists).
+    Deterministic quantile/moment initialization makes the whole
+    trajectory engine-replayable (the oracle unrolls the same five
+    steps). Reports mixture weights, component means/sds, and the final
+    average log-likelihood.
+
+    Scale shape: 5 passes x one O(1)-output aggregate each; parameters
+    move driver-side as scalars (the accepted scalar-collect class)."""
+    import math as _math
+
+    orders = _t(spark, sf_dir, "orders")
+    xs = orders.select(
+        (F.round(F.col("o_totalprice") * 100).cast("long") / 100.0).alias("x")
+    )
+    init = xs.agg(
+        F.expr("percentile(x, 0.25)").alias("mu1"),
+        F.expr("percentile(x, 0.75)").alias("mu2"),
+        F.stddev_pop("x").alias("sd"),
+    ).collect()[0]
+    pi1, mu1, sd1 = 0.5, float(init["mu1"]), float(init["sd"])
+    pi2, mu2, sd2 = 0.5, float(init["mu2"]), float(init["sd"])
+    c = float(_math.sqrt(2.0 * _math.pi))
+    for _ in range(5):
+        d1 = (F.lit(pi1) / (c * sd1)) * F.exp(
+            -((F.col("x") - mu1) * (F.col("x") - mu1)) / (2.0 * sd1 * sd1)
+        )
+        d2 = (F.lit(pi2) / (c * sd2)) * F.exp(
+            -((F.col("x") - mu2) * (F.col("x") - mu2)) / (2.0 * sd2 * sd2)
+        )
+        r2 = d2 / (d1 + d2)
+        step = xs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(r2).alias("w2"),
+            F.sum(r2 * F.col("x")).alias("s2"),
+            F.sum(r2 * F.col("x") * F.col("x")).alias("q2"),
+            F.sum((1.0 - r2) * F.col("x")).alias("s1"),
+            F.sum((1.0 - r2) * F.col("x") * F.col("x")).alias("q1"),
+            F.sum(F.log(d1 + d2)).alias("ll"),
+        ).collect()[0]
+        n = float(step["n"])
+        w2 = float(step["w2"])
+        w1 = n - w2
+        mu1 = float(step["s1"]) / w1
+        mu2 = float(step["s2"]) / w2
+        sd1 = _math.sqrt(max(float(step["q1"]) / w1 - mu1 * mu1, 1e-6))
+        sd2 = _math.sqrt(max(float(step["q2"]) / w2 - mu2 * mu2, 1e-6))
+        pi1, pi2 = w1 / n, w2 / n
+        avg_ll = float(step["ll"]) / n
+    out = spark.createDataFrame(
+        [(int(n), pi1, mu1, sd1, mu2, sd2, avg_ll)],
+        "n_orders long, pi1 double, mu1 double, sd1 double, "
+        "mu2 double, sd2 double, avg_loglik double",
+    )
+    return out.select(
+        "n_orders",
+        F.round("pi1", 4).alias("pi1"),
+        F.round("mu1", 2).alias("mu1"),
+        F.round("sd1", 2).alias("sd1"),
+        F.round("mu2", 2).alias("mu2"),
+        F.round("sd2", 2).alias("sd2"),
+        F.round("avg_loglik", 4).alias("avg_loglik"),
+    )
+
+
+def _gmm_oracle_sql() -> str:
+    head = r"""
+WITH xs AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100.0 AS x FROM orders
+),
+p0 AS (
+  SELECT 0.5 AS pi1, quantile_cont(x, 0.25) AS mu1, STDDEV_POP(x) AS sd1,
+         0.5 AS pi2, quantile_cont(x, 0.75) AS mu2, STDDEV_POP(x) AS sd2
+  FROM xs
+)"""
+    step = r""",
+s{k} AS (
+  SELECT COUNT(*) AS n,
+         SUM(r2) AS w2, SUM(r2 * x) AS ss2, SUM(r2 * x * x) AS q2,
+         SUM((1.0 - r2) * x) AS ss1, SUM((1.0 - r2) * x * x) AS q1,
+         SUM(LN(d1 + d2)) AS ll
+  FROM (
+    SELECT x, d1, d2, d2 / (d1 + d2) AS r2 FROM (
+      SELECT x,
+             (p.pi1 / (SQRT(2 * PI()) * p.sd1))
+               * EXP(-((x - p.mu1) * (x - p.mu1)) / (2 * p.sd1 * p.sd1)) AS d1,
+             (p.pi2 / (SQRT(2 * PI()) * p.sd2))
+               * EXP(-((x - p.mu2) * (x - p.mu2)) / (2 * p.sd2 * p.sd2)) AS d2
+      FROM xs CROSS JOIN p{j} p
+    )
+  )
+),
+p{k} AS (
+  SELECT (n - w2) / n AS pi1, ss1 / (n - w2) AS mu1,
+         SQRT(GREATEST(q1 / (n - w2) - (ss1 / (n - w2)) * (ss1 / (n - w2)), 1e-6)) AS sd1,
+         w2 / n AS pi2, ss2 / w2 AS mu2,
+         SQRT(GREATEST(q2 / w2 - (ss2 / w2) * (ss2 / w2), 1e-6)) AS sd2,
+         n, ll / n AS avg_ll
+  FROM s{k}
+)"""
+    blocks = "".join(step.format(k=k, j=k - 1) for k in range(1, 6))
+    tail = r"""
+SELECT CAST(n AS BIGINT) AS n_orders,
+       ROUND(pi1, 4) AS pi1, ROUND(mu1, 2) AS mu1, ROUND(sd1, 2) AS sd1,
+       ROUND(mu2, 2) AS mu2, ROUND(sd2, 2) AS sd2,
+       ROUND(avg_ll, 4) AS avg_loglik
+FROM p5"""
+    return head + blocks + tail
+
+
+EXT_GMM_EM_SQL = _gmm_oracle_sql()
+
+
+def ext_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the hash-arm difference in per-user purchase
+    value: 200 deterministic hash-relabelings of the arms, two-sided
+    p-value = (1 + #{|diff_perm| >= |diff_obs|}) / (B + 1) — exact-
+    distribution inference with NO normality assumption (X230's power
+    math and X274's CUPED assume one; this checks it). All arm sums in
+    exact cents.
+
+    Scale shape: the panel collapses per user once; the B=200 relabeled
+    sums partial-aggregate map-side into O(B) groups (one exchange);
+    the p-value is an O(B) fold."""
+    ev = _t(spark, sf_dir, "events")
+    per = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("yc"))
+    )
+    obs = per.groupBy((F.col("user_id") % 2 == 0).cast("int").alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("yc").alias("s")
+    ).agg(
+        (
+            F.max(F.when(F.col("arm") == 1, F.col("s").cast("double") / F.col("n")))
+            - F.max(F.when(F.col("arm") == 0, F.col("s").cast("double") / F.col("n")))
+        ).alias("obs_diff")
+    )
+    b = 200
+    reps = per.select(
+        "user_id",
+        "yc",
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep"),
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", F.lit("perm"), F.col("user_id"), F.col("rep"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    perms = (
+        reps.select("rep", arm.alias("arm"), "yc")
+        .groupBy("rep", "arm")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("yc").alias("s"))
+        .groupBy("rep")
+        .agg(
+            (
+                F.max(F.when(F.col("arm") == 1, F.col("s").cast("double") / F.col("n")))
+                - F.max(F.when(F.col("arm") == 0, F.col("s").cast("double") / F.col("n")))
+            ).alias("d")
+        )
+    )
+    return (
+        perms.crossJoin(F.broadcast(obs))
+        .agg(
+            F.count(F.lit(1)).alias("n_perms"),
+            F.round(F.max("obs_diff") / 100.0, 4).alias("obs_diff"),
+            F.sum(
+                (F.abs(F.col("d")) >= F.abs(F.col("obs_diff"))).cast("long")
+            ).alias("n_extreme"),
+            F.round(
+                (
+                    1.0
+                    + F.sum(
+                        (F.abs(F.col("d")) >= F.abs(F.col("obs_diff"))).cast(
+                            "long"
+                        )
+                    )
+                )
+                / (F.count(F.lit(1)) + 1.0),
+                4,
+            ).alias("p_value"),
+        )
+    )
+
+
+EXT_PERMUTATION_SQL = r"""
+WITH per AS (
+  SELECT user_id,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS yc
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+obs AS (
+  SELECT MAX(CASE WHEN arm = 1 THEN CAST(s AS DOUBLE) / n END)
+         - MAX(CASE WHEN arm = 0 THEN CAST(s AS DOUBLE) / n END) AS obs_diff
+  FROM (
+    SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS arm,
+           CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(yc) AS BIGINT) AS s
+    FROM per GROUP BY 1
+  )
+),
+reps AS (
+  SELECT p.user_id, p.yc, r.rep,
+         CAST(('0x' || SUBSTR(md5('perm' || '-' || p.user_id || '-' || r.rep), 1, 12))::UBIGINT
+              % 2 AS BIGINT) AS arm
+  FROM per p CROSS JOIN (SELECT UNNEST(range(0, 200)) AS rep) r
+),
+perms AS (
+  SELECT rep,
+         MAX(CASE WHEN arm = 1 THEN CAST(s AS DOUBLE) / n END)
+         - MAX(CASE WHEN arm = 0 THEN CAST(s AS DOUBLE) / n END) AS d
+  FROM (
+    SELECT rep, arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(yc) AS BIGINT) AS s
+    FROM reps GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_perms,
+       ROUND(MAX(o.obs_diff) / 100.0, 4) AS obs_diff,
+       CAST(SUM(CASE WHEN ABS(d) >= ABS(o.obs_diff) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_extreme,
+       ROUND((1.0 + SUM(CASE WHEN ABS(d) >= ABS(o.obs_diff) THEN 1 ELSE 0 END))
+             / (COUNT(*) + 1.0), 4) AS p_value
+FROM perms CROSS JOIN obs o
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_grouped_ols": ext_grouped_ols,
+        "ext_gmm_em": ext_gmm_em,
+        "ext_permutation_test": ext_permutation_test,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_grouped_ols": EXT_GROUPED_OLS_SQL,
+        "ext_gmm_em": EXT_GMM_EM_SQL,
+        "ext_permutation_test": EXT_PERMUTATION_SQL,
+    }
+)
+
+
+# --- round-3 wave: Friedman, Kendall tau-b, Brown-Forsythe --------------------
+
+
+# chi-square 0.95 quantiles for df 1..10. Decision flags DERIVE their
+# critical value from the OBSERVED treatment/group cardinality instead of
+# hardcoding the df=4 constant, so the boolean cannot silently test
+# against the wrong distribution if the event-type or segment count ever
+# differs from 5 (beyond df=10 the flag is NULL: refuse to decide rather
+# than misdecide). F(df1, inf) = chi2(df1)/df1 reuses the same table.
+_CHI2_CRIT_95 = {
+    1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070,
+    6: 12.592, 7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307,
+}
+
+
+def _chi2_crit_95_expr(df_col):
+    expr = F.lit(None).cast("double")
+    for d, c in sorted(_CHI2_CRIT_95.items(), reverse=True):
+        expr = F.when(df_col == F.lit(d), F.lit(c)).otherwise(expr)
+    return expr
+
+
+def _chi2_crit_95_case(df_sql: str) -> str:
+    whens = " ".join(
+        f"WHEN {df_sql} = {d} THEN {c}" for d, c in sorted(_CHI2_CRIT_95.items())
+    )
+    return f"(CASE {whens} END)"
+
+
+def ext_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test: do the event types keep the same daily-volume
+    ORDERING across days? Average ranks within each day-block (exact
+    tie handling via less/equal counts — no window sort), tie-robust
+    chi-square form — the nonparametric repeated-measures test for
+    blocked designs that one-way tests (X118's chi-square) get wrong by
+    ignoring the day blocking.
+
+    Scale shape: facts collapse to the O(days x types) grid; ranks come
+    from a within-block self-join on that tiny grid; the statistic is
+    O(types) arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    grid = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("x"))
+    a = grid.select(F.col("day"), F.col("event_type").alias("t"), F.col("x").alias("xa"))
+    b = grid.select(F.col("day"), F.col("event_type").alias("u"), F.col("x").alias("xb"))
+    ranks = (
+        a.join(b, "day")
+        .groupBy("day", "t", "xa")
+        .agg(
+            F.sum((F.col("xb") < F.col("xa")).cast("long")).alias("less"),
+            F.sum((F.col("xb") == F.col("xa")).cast("long")).alias("eq"),
+        )
+        .select(
+            "day",
+            "t",
+            (F.col("less") + (F.col("eq") + 1) / 2.0).alias("r"),
+        )
+    )
+    scal = ranks.agg(
+        F.count_distinct("day").alias("n"),
+        F.count_distinct("t").alias("k"),
+        F.count(F.lit(1)).alias("cells"),
+        F.sum(F.col("r") * F.col("r")).alias("sr2"),
+    )
+    per_t = ranks.groupBy("t").agg(F.sum("r").alias("rj"))
+    stat = (
+        per_t.crossJoin(F.broadcast(scal))
+        .agg(
+            F.max("n").alias("n_blocks"),
+            F.max("k").alias("k_treatments"),
+            F.max("cells").alias("cells"),
+            (
+                (F.max("k") - 1)
+                * F.sum(
+                    (F.col("rj") - F.col("n") * (F.col("k") + 1) / 2.0)
+                    * (F.col("rj") - F.col("n") * (F.col("k") + 1) / 2.0)
+                )
+                / (
+                    F.max("sr2")
+                    - F.max("n")
+                    * F.max("k")
+                    * (F.max("k") + 1)
+                    * (F.max("k") + 1)
+                    / 4.0
+                )
+            ).alias("chi2"),
+        )
+    )
+    crit = _chi2_crit_95_expr(F.col("k_treatments") - 1)
+    complete = F.col("cells") == F.col("n_blocks") * F.col("k_treatments")
+    return stat.select(
+        "n_blocks",
+        "k_treatments",
+        # Friedman assumes a complete block design (every treatment
+        # present in every block) — checked, not assumed; the decision
+        # flag only fires on a valid design
+        complete.alias("complete_blocks"),
+        F.round("chi2", 4).alias("friedman_chi2"),
+        crit.alias("chi2_crit"),
+        (complete & (F.col("chi2") > crit)).alias("ordering_differs"),
+    )
+
+
+EXT_FRIEDMAN_SQL = r"""
+WITH grid AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+ranks AS (
+  SELECT a.day, a.event_type AS t,
+         SUM(CASE WHEN b.x < a.x THEN 1 ELSE 0 END)
+         + (SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) + 1) / 2.0 AS r
+  FROM grid a JOIN grid b ON b.day = a.day
+  GROUP BY a.day, a.event_type, a.x
+),
+scal AS (
+  SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT t) AS BIGINT) AS k,
+         CAST(COUNT(*) AS BIGINT) AS cells,
+         SUM(r * r) AS sr2
+  FROM ranks
+),
+per_t AS (SELECT t, SUM(r) AS rj FROM ranks GROUP BY 1)
+SELECT MAX(n) AS n_blocks, MAX(k) AS k_treatments,
+       MAX(cells) = MAX(n) * MAX(k) AS complete_blocks,
+       ROUND((MAX(k) - 1)
+             * SUM((rj - n * (k + 1) / 2.0) * (rj - n * (k + 1) / 2.0))
+             / (MAX(sr2) - MAX(n) * MAX(k) * (MAX(k) + 1) * (MAX(k) + 1) / 4.0),
+             4) AS friedman_chi2,
+       __CRIT__ AS chi2_crit,
+       MAX(cells) = MAX(n) * MAX(k) AND
+       (MAX(k) - 1)
+       * SUM((rj - n * (k + 1) / 2.0) * (rj - n * (k + 1) / 2.0))
+       / (MAX(sr2) - MAX(n) * MAX(k) * (MAX(k) + 1) * (MAX(k) + 1) / 4.0)
+       > __CRIT__ AS ordering_differs
+FROM per_t CROSS JOIN scal
+""".replace("__CRIT__", _chi2_crit_95_case("MAX(k) - 1"))
+
+
+def ext_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily click and purchase volumes (exact
+    concordant/discordant pair counts with full tie correction, all
+    integer arithmetic) — the concordance view of association: unlike
+    Spearman (X257) it has a direct probabilistic reading
+    (P(concordant) - P(discordant)) and is robust to the day-count ties
+    these small integer series are full of.
+
+    Scale shape: both series collapse to the shared O(days) axis; the
+    pair sweep is the SF-independent tiny-axis self-join; tie terms
+    come from two O(distinct values) collapses."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
+        )
+    )
+    a = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pairs = a.join(b, F.col("d1") < F.col("d2")).select(
+        (F.signum((F.col("x2") - F.col("x1")).cast("double"))
+         * F.signum((F.col("y2") - F.col("y1")).cast("double"))).alias("cd")
+    )
+    cdn = pairs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum((F.col("cd") > 0).cast("long")).alias("conc"),
+        F.sum((F.col("cd") < 0).cast("long")).alias("disc"),
+    )
+    tx = daily.groupBy("x").agg(F.count(F.lit(1)).alias("t")).agg(
+        F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("n1")
+    )
+    ty = daily.groupBy("y").agg(F.count(F.lit(1)).alias("t")).agg(
+        F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("n2")
+    )
+    j = cdn.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    tau = (F.col("conc") - F.col("disc")).cast("double") / F.sqrt(
+        (F.col("n0") - F.col("n1")).cast("double")
+        * (F.col("n0") - F.col("n2")).cast("double")
+    )
+    return j.select(
+        "n0",
+        "conc",
+        "disc",
+        F.round(tau, 6).alias("kendall_tau_b"),
+    )
+
+
+EXT_KENDALL_SQL = r"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+pairs AS (
+  SELECT SIGN(b.x - a.x) * SIGN(b.y - a.y) AS cd
+  FROM daily a JOIN daily b ON a.day < b.day
+),
+cdn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN cd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+         CAST(SUM(CASE WHEN cd < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc
+  FROM pairs
+),
+tx AS (
+  SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n1
+  FROM (SELECT x, COUNT(*) AS t FROM daily GROUP BY 1)
+),
+ty AS (
+  SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n2
+  FROM (SELECT y, COUNT(*) AS t FROM daily GROUP BY 1)
+)
+SELECT n0, conc, disc,
+       ROUND(CAST(conc - disc AS DOUBLE)
+             / SQRT(CAST(n0 - n1 AS DOUBLE) * (n0 - n2)), 6) AS kendall_tau_b
+FROM cdn CROSS JOIN tx CROSS JOIN ty
+"""
+
+
+def ext_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across market segments
+    (one-way ANOVA on |x - group median|, the median-centered Levene
+    variant that is robust to skew) — the PRECONDITION check for every
+    pooled-variance comparison in this suite (X230's power math, the
+    t-flavored readouts): unequal spreads invalidate them, and this
+    says so first.
+
+    Scale shape: per-group exact medians broadcast back, one moment
+    pass over the row-local absolute deviations, O(groups) F
+    arithmetic."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    x = orders.join(cust, "o_custkey").select(
+        "c_mktsegment",
+        (F.round(F.col("o_totalprice") * 100).cast("long") / 100.0).alias("x"),
+    )
+    med = x.groupBy("c_mktsegment").agg(
+        F.expr("percentile(x, 0.5)").alias("md")
+    )
+    z = x.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment", F.abs(F.col("x") - F.col("md")).alias("z")
+    )
+    g = z.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    tot = g.agg(
+        F.sum("ng").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("sz").alias("s"),
+    )
+    jg = g.crossJoin(F.broadcast(tot))
+    zbar = F.col("s") / F.col("n")
+    zg = F.col("sz") / F.col("ng")
+    between = F.sum(F.col("ng") * (zg - zbar) * (zg - zbar))
+    within = F.sum(F.col("szz") - F.col("sz") * F.col("sz") / F.col("ng"))
+    stat = jg.agg(
+        F.max("n").alias("n_orders"),
+        F.max("k").alias("k_groups"),
+        (
+            (between / (F.max("k") - 1)) / (within / (F.max("n") - F.max("k")))
+        ).alias("f"),
+    )
+    # F(k-1, inf) critical value derived from the observed group count:
+    # chi2_crit(k-1)/(k-1) — 2.372 exactly when k=5, but correct for any k
+    fcrit = _chi2_crit_95_expr(F.col("k_groups") - 1) / (
+        F.col("k_groups") - 1
+    ).cast("double")
+    return stat.select(
+        "n_orders",
+        "k_groups",
+        F.round("f", 4).alias("brown_forsythe_f"),
+        fcrit.alias("f_crit"),
+        (F.col("f") > fcrit).alias("variances_differ"),
+    )
+
+
+EXT_LEVENE_SQL = r"""
+WITH x AS (
+  SELECT c.c_mktsegment,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100.0 AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+med AS (SELECT c_mktsegment, quantile_cont(x, 0.5) AS md FROM x GROUP BY 1),
+z AS (
+  SELECT x.c_mktsegment, ABS(x.x - m.md) AS z
+  FROM x JOIN med m ON m.c_mktsegment = x.c_mktsegment
+),
+g AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS ng, SUM(z) AS sz,
+         SUM(z * z) AS szz
+  FROM z GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+               SUM(sz) AS s FROM g)
+SELECT MAX(n) AS n_orders, MAX(k) AS k_groups,
+       ROUND((SUM(ng * (sz / ng - s / n) * (sz / ng - s / n)) / (MAX(k) - 1))
+             / (SUM(szz - sz * sz / ng) / (MAX(n) - MAX(k))), 4)
+         AS brown_forsythe_f,
+       __CRIT__ / CAST(MAX(k) - 1 AS DOUBLE) AS f_crit,
+       (SUM(ng * (sz / ng - s / n) * (sz / ng - s / n)) / (MAX(k) - 1))
+       / (SUM(szz - sz * sz / ng) / (MAX(n) - MAX(k)))
+       > __CRIT__ / CAST(MAX(k) - 1 AS DOUBLE)
+         AS variances_differ
+FROM g CROSS JOIN tot
+""".replace("__CRIT__", _chi2_crit_95_case("MAX(k) - 1"))
+
+
+EXT_QUERIES.update(
+    {
+        "ext_friedman": ext_friedman,
+        "ext_kendall_tau": ext_kendall_tau,
+        "ext_levene": ext_levene,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "ext_friedman": EXT_FRIEDMAN_SQL,
+        "ext_kendall_tau": EXT_KENDALL_SQL,
+        "ext_levene": EXT_LEVENE_SQL,
+    }
+)
+
+
+# --- round-3 wave: log-rank survival comparison --------------------------------
+
+
+def ext_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between the two hash arms' time-to-first-error
+    curves: survival time = days from a user's first event to their
+    first 'error' (death), users with no error censored at their last
+    activity; O-E accumulated over the distinct death times with the
+    hypergeometric variance — the significance companion to X177's
+    Kaplan-Meier CURVE (X177 draws survival; this says whether two
+    curves differ). Integer counts all the way to the final ratio.
+
+    Scale shape: users collapse once to (arm, lifetime, churned)
+    counts; at-risk sets come from a descending cumulative over the
+    O(distinct lifetimes) axis; the statistic is one tiny fold."""
+    ev = _t(spark, sf_dir, "events")
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("first"),
+            F.max(F.to_date("ts")).alias("last"),
+            F.min(
+                F.when(F.col("event_type") == "error", F.to_date("ts"))
+            ).alias("terr"),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("g"),
+            F.when(
+                F.col("terr").isNotNull(), F.datediff("terr", "first")
+            )
+            .otherwise(F.datediff("last", "first"))
+            .alias("tl"),
+            F.col("terr").isNotNull().cast("long").alias("churned"),
+        )
+    )
+    cells = per.groupBy("g", "tl").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("churned").alias("d")
+    )
+    wdesc = (
+        Window.partitionBy("g")
+        .orderBy(F.col("tl").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = cells.withColumn("n_at_risk", F.sum("c").over(wdesc))
+    # align the two groups on the death-time axis
+    times = risk.groupBy("tl").agg(
+        F.sum("d").alias("d_tot"),
+        F.sum(F.when(F.col("g") == 1, F.col("d"))).alias("d1"),
+    )
+    # at-risk per group at each time tl: cumulative from the cells frame
+    r1 = risk.filter(F.col("g") == 1).select("tl", F.col("n_at_risk").alias("n1r"))
+    r0 = risk.filter(F.col("g") == 0).select("tl", F.col("n_at_risk").alias("n0r"))
+    # a group may have no cell at a given tl: at-risk = risk at the next
+    # HIGHER existing tl... handled by joining on the union axis with a
+    # descending cumulative max; with daily-integer lifetimes both groups
+    # populate nearly every tl, and absent rows mean the group's at-risk
+    # equals its value at the next lower tl -> use last_value over ordered
+    # axis (tiny).
+    axis = times.select("tl")
+    wfill = (
+        Window.orderBy(F.col("tl").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        axis.join(r1, "tl", "left")
+        .join(r0, "tl", "left")
+        .withColumn("n1", F.max("n1r").over(wfill))
+        .withColumn("n0", F.max("n0r").over(wfill))
+        .na.fill({"n1": 0, "n0": 0})
+    )
+    j = times.join(filled.select("tl", "n1", "n0"), "tl").filter(
+        F.col("d_tot") > 0
+    )
+    n = (F.col("n1") + F.col("n0")).cast("double")
+    e1 = F.col("d_tot") * F.col("n1") / n
+    # a time with a single subject at risk contributes zero variance
+    # (hypergeometric of n=1 is degenerate; ANSI division would throw)
+    v = F.when(
+        n > 1.0,
+        F.col("d_tot")
+        * (F.col("n1") / n)
+        * (1.0 - F.col("n1") / n)
+        * (n - F.col("d_tot"))
+        / (n - 1.0),
+    ).otherwise(F.lit(0.0))
+    agg = j.agg(
+        F.sum(F.coalesce(F.col("d1"), F.lit(0))).alias("o1"),
+        F.sum(e1).alias("e1"),
+        F.sum(v).alias("v"),
+    )
+    chi2 = (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")) / F.col("v")
+    return agg.select(
+        "o1",
+        F.round("e1", 4).alias("e1"),
+        F.round("v", 4).alias("var"),
+        F.round(chi2, 4).alias("log_rank_chi2"),
+        (chi2 > 3.841).alias("curves_differ"),
+    )
+
+
+EXT_LOG_RANK_SQL = r"""
+WITH per AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS g,
+         CASE WHEN MIN(CASE WHEN event_type = 'error' THEN CAST(ts AS DATE) END)
+                   IS NOT NULL
+              THEN date_diff('day', MIN(CAST(ts AS DATE)),
+                             MIN(CASE WHEN event_type = 'error' THEN CAST(ts AS DATE) END))
+              ELSE date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+         END AS tl,
+         CASE WHEN MIN(CASE WHEN event_type = 'error' THEN CAST(ts AS DATE) END)
+                   IS NOT NULL THEN 1 ELSE 0 END AS churned
+  FROM events
+  GROUP BY user_id
+),
+cells AS (
+  SELECT g, tl, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(churned) AS BIGINT) AS d
+  FROM per GROUP BY 1, 2
+),
+risk AS (
+  SELECT g, tl, c, d,
+         SUM(c) OVER (PARTITION BY g ORDER BY tl DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk
+  FROM cells
+),
+times AS (
+  SELECT tl, CAST(SUM(d) AS BIGINT) AS d_tot,
+         CAST(SUM(CASE WHEN g = 1 THEN d END) AS BIGINT) AS d1
+  FROM risk GROUP BY 1
+),
+filled AS (
+  SELECT t.tl, t.d_tot, t.d1,
+         COALESCE(MAX(r1.n_at_risk) OVER (ORDER BY t.tl DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS n1,
+         COALESCE(MAX(r0.n_at_risk) OVER (ORDER BY t.tl DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS n0
+  FROM times t
+  LEFT JOIN (SELECT tl, n_at_risk FROM risk WHERE g = 1) r1 ON r1.tl = t.tl
+  LEFT JOIN (SELECT tl, n_at_risk FROM risk WHERE g = 0) r0 ON r0.tl = t.tl
+),
+agg AS (
+  SELECT CAST(SUM(COALESCE(d1, 0)) AS BIGINT) AS o1,
+         SUM(d_tot * CAST(n1 AS DOUBLE) / (n1 + n0)) AS e1,
+         SUM(CASE WHEN n1 + n0 > 1
+                  THEN d_tot * (CAST(n1 AS DOUBLE) / (n1 + n0))
+                       * (1.0 - CAST(n1 AS DOUBLE) / (n1 + n0))
+                       * (n1 + n0 - d_tot) / (n1 + n0 - 1.0)
+                  ELSE 0.0 END) AS v
+  FROM filled WHERE d_tot > 0
+)
+SELECT o1, ROUND(e1, 4) AS e1, ROUND(v, 4) AS var,
+       ROUND((o1 - e1) * (o1 - e1) / v, 4) AS log_rank_chi2,
+       (o1 - e1) * (o1 - e1) / v > 3.841 AS curves_differ
+FROM agg
+"""
+
+
+EXT_QUERIES.update({"ext_log_rank": ext_log_rank})
+EXT_ORACLES.update({"ext_log_rank": EXT_LOG_RANK_SQL})
+

@@ -17,7 +17,15 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    checkpoint_dir: str | None = None,
 ) -> SparkSession:
+    """``checkpoint_dir``: opt-in RELIABLE checkpointing for the iterative
+    operators (PageRank/BFS/CC/PCA and the localCheckpoint-truncated
+    plans). They default to executor-local checkpoints — fast but lost
+    with an executor; pointing this at a fault-tolerant store
+    (hdfs://, s3a://) makes ``aircan_spark.data.checkpoint`` switch every
+    one of them to ``df.checkpoint()``, the requirement for thousand-
+    executor runs. Also honored via $SPARK_GRAFT_CHECKPOINT_DIR."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
@@ -46,7 +54,11 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    checkpoint_dir = checkpoint_dir or os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    return spark
 
 
 # --- C7: per-site credential/connection resolution ----------------------------------

@@ -109,3 +109,32 @@ def test_friedman_levene_critical_values_derived_from_k(spark):
     assert fr["chi2_crit"] == 9.488  # k=5 event types -> df=4
     lv = ext_levene(spark, SF).collect()[0]
     assert lv["f_crit"] == pytest.approx(9.488 / 4)  # k=5 segments
+
+
+def test_checkpoint_reliable_mode_opt_in(spark, tmp_path):
+    """aircan_spark.data.checkpoint: localCheckpoint by default (no
+    filesystem needed), RELIABLE df.checkpoint() once a checkpoint dir is
+    configured — the fault-tolerance requirement for iterative operators
+    on a real cluster (localCheckpoint blocks die with their executor)."""
+    from aircan_spark.data import checkpoint
+    from aircan_spark.ext import graph
+
+    sc = spark.sparkContext
+    # default mode: works with NO checkpoint dir configured
+    assert checkpoint(spark.range(10)).count() == 10
+    sc.setCheckpointDir(str(tmp_path))
+    try:
+        assert checkpoint(spark.range(10)).count() == 10
+        # reliable blocks actually persisted under the configured dir
+        assert any(p.is_file() for p in tmp_path.rglob("*"))
+        # an iterative operator end-to-end in reliable mode
+        edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        depths = {
+            r["id"]: r["depth"] for r in graph.bfs_depths(edges, 1).collect()
+        }
+        assert depths == {1: 0, 2: 1, 3: 2}
+    finally:
+        # unset so later tests keep fast executor-local checkpoints
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
