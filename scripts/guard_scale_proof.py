@@ -37,13 +37,20 @@ MAX_DOC_FREQ = 10     # same guard the declared ext_containment_pairs uses
 
 
 def build_docs(spark):
-    """50k docs of 40 hash-derived words (shingles ~unique), with the
-    fixed 5-word hot tail — i.e. 3 hot shingles — appended to 30%."""
+    """50k docs of 40 hash-derived words, three frequency bands:
+    - a 6-word prefix shared by each cluster of 5 docs (shingle df = 5 —
+      the legitimate near-dup signal the guard must KEEP),
+    - 34 doc-unique words (df = 1),
+    - the fixed 5-word hot tail (3 shingles with df = 15,000 — the
+      boilerplate the guard must DROP) appended to 30%."""
     base = spark.range(N_DOCS).select(F.col("id").alias("doc_id"))
-    word = lambda i: F.concat(
-        F.lit("w"), F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"-{i}"))), 1, 8), 16, 10)
+    word = lambda key, i: F.concat(
+        F.lit("w"), F.conv(F.substring(F.md5(F.concat(key.cast("string"), F.lit(f"-{i}"))), 1, 8), 16, 10)
     )
-    text = F.concat_ws(" ", *[word(i) for i in range(DOC_WORDS)])
+    cluster = F.col("doc_id") / 5
+    shared = [word(F.floor(cluster), i) for i in range(6)]
+    unique = [word(F.col("doc_id"), 100 + i) for i in range(DOC_WORDS - 6)]
+    text = F.concat_ws(" ", *(shared + unique))
     hot = (F.col("doc_id") % 10) < int(HOT_SHARE * 10)
     return base.select(
         "doc_id",
