@@ -5,14 +5,17 @@ Decode status:
 - REAL, stdlib+numpy only: WAV PCM audio (``wave`` + numpy —
   duration/rate/RMS), image dimensions (PNG IHDR / JPEG SOFn / GIF / BMP
   header parse), full pixel decode for uncompressed containers
-  (24/32-bit BMP and type-2 TGA), nearest-neighbor resize, and BMP
-  re-encode — the resize path runs end-to-end with no external libs.
-- Seamed (NULL passthrough): entropy-coded pixel decode (PNG/JPEG via
-  PIL/opencv), compressed audio (soundfile/librosa), video keyframes
-  (ffmpeg) — those libs aren't in this container; the BMP/TGA kernels
-  are the working reference implementation at the same seam, and the
-  surrounding Spark plumbing (schema, Arrow batching, partition-local
-  execution) is identical either way.
+  (24/32-bit BMP and type-2 TGA) AND for 8-bit non-interlaced PNG (all
+  color types, all five scanline filters — zlib inflate + numpy
+  unfilter, :func:`decode_png`/:func:`encode_png`), nearest-neighbor
+  resize, and BMP re-encode — the resize path runs end-to-end on both
+  uncompressed and zlib-compressed inputs with no external libs.
+- Seamed (NULL passthrough): JPEG entropy decode and exotic PNG (16-bit,
+  Adam7) via PIL/opencv, compressed audio (soundfile/librosa), video
+  keyframes (ffmpeg) — those libs aren't in this container; the
+  BMP/TGA/PNG kernels are the working reference implementation at the
+  same seam, and the surrounding Spark plumbing (schema, Arrow batching,
+  partition-local execution) is identical either way.
 
 Scale design: media bytes never leave the executor they were read on —
 all kernels are mapInPandas (per-partition Arrow batches, no shuffle);
@@ -218,12 +221,13 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def decode_pixels(blob: bytes):
-    """REAL pixel decode for uncompressed containers, stdlib+numpy only:
-    24/32-bit BI_RGB BMP (bottom-up or top-down) and type-2 (uncompressed
-    true-color) TGA. Returns an (h, w, 3) uint8 RGB array, or None for
-    unrecognized/compressed/truncated blobs — those are the PIL/opencv
-    seam (PNG/JPEG entropy coding), which now has this as its working
-    reference implementation for the formats numpy can reach."""
+    """REAL pixel decode, stdlib+numpy only: 24/32-bit BI_RGB BMP
+    (bottom-up or top-down), type-2 (uncompressed true-color) TGA, and
+    8-bit non-interlaced PNG of any color type (:func:`decode_png` —
+    zlib inflate + per-spec unfilter). Returns an (h, w, 3) uint8 RGB
+    array, or None for unrecognized/compressed/truncated blobs — the
+    remaining PIL/opencv seam is JPEG entropy coding and exotic PNG
+    variants (16-bit, Adam7)."""
     import struct
 
     import numpy as np
@@ -231,6 +235,8 @@ def decode_pixels(blob: bytes):
     if blob is None or len(blob) < 18:
         return None
     b = bytes(blob)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(b)
     if b[:2] == b"BM" and len(b) >= 54:
         data_off = struct.unpack("<I", b[10:14])[0]
         hdr_size = struct.unpack("<I", b[14:18])[0]
@@ -292,6 +298,165 @@ def encode_bmp(rgb) -> bytes:
     return header + data
 
 
+def decode_png(blob: bytes):
+    """REAL PNG pixel decode, stdlib ``zlib`` + numpy only — fills the
+    former PIL seam for the most common compressed image container.
+
+    Supported: 8-bit-depth, non-interlaced PNGs of every color type —
+    0 grayscale, 2 truecolor, 3 palette (PLTE), 4 gray+alpha, 6 RGBA —
+    with all five scanline filters (None/Sub/Up/Average/Paeth) per the
+    PNG spec §9. Returns an (h, w, 3) uint8 RGB array (alpha dropped,
+    gray broadcast, palette mapped), or None for anything else (16-bit,
+    Adam7 interlace, truncated/corrupt) — at corpus scale undecodable
+    blobs are data, not errors.
+
+    Unfiltering: Up/None rows are fully numpy-vectorized; Sub/Average/
+    Paeth carry a left-neighbor recurrence, so those rows walk the
+    scanline in Python — exact but slow on megapixel images. This is the
+    deliberate pure-python trade: the kernel is partition-local (no
+    shuffle either way) and a production image fleet drops PIL/opencv
+    into the same seam for the hot path; this implementation makes the
+    path *correct and testable* with no native deps.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob is None or len(blob) < 45 or bytes(blob[:8]) != b"\x89PNG\r\n\x1a\n":
+        return None
+    b = bytes(blob)
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + clen]
+        if len(data) < clen:
+            return None  # truncated chunk
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # length + type + data + CRC
+    if ihdr is None or not idat or len(ihdr) < 13:
+        return None
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    if depth != 8 or interlace != 0 or color not in (0, 2, 3, 4, 6) or not w or not h:
+        return None
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * nch
+    if len(raw) < h * (1 + stride):
+        return None
+    rows = np.frombuffer(raw, dtype="u1", count=h * (1 + stride)).reshape(h, 1 + stride)
+    filters, scan = rows[:, 0], rows[:, 1:].astype("int64")
+    out = np.zeros((h, stride), dtype="int64")
+    prev = np.zeros(stride, dtype="int64")
+    for y in range(h):
+        f, cur = int(filters[y]), scan[y]
+        if f == 0:
+            line = cur
+        elif f == 2:  # Up — vectorized over the whole scanline
+            line = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub/Average/Paeth — left-neighbor recurrence
+            line = cur.copy()
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                if f == 1:
+                    line[x] = (line[x] + a) & 0xFF
+                elif f == 3:
+                    line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+                else:  # Paeth predictor, spec §9.4
+                    bb = prev[x]
+                    c = prev[x - nch] if x >= nch else 0
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                    line[x] = (line[x] + pr) & 0xFF
+        else:
+            return None  # invalid filter byte
+        out[y] = line
+        prev = line
+    px = out.astype("u1").reshape(h, w, nch)
+    if color == 2:
+        return np.ascontiguousarray(px)
+    if color == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    if color == 0 or color == 4:
+        return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))
+    # color == 3: palette lookup
+    if plte is None or len(plte) % 3:
+        return None
+    pal = np.frombuffer(plte, dtype="u1").reshape(-1, 3)
+    idx = px[:, :, 0]
+    if int(idx.max()) >= pal.shape[0]:
+        return None
+    return np.ascontiguousarray(pal[idx])
+
+
+def encode_png(rgb, filters=None) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG
+    (stdlib ``zlib``) — the inverse of :func:`decode_png`'s color-type-2
+    branch. ``filters`` optionally gives the per-row filter type
+    (defaults to 0/None for all rows); passing ``[0,1,2,3,4,...]`` makes
+    fixtures that exercise every unfilter branch of the decoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rgb = np.ascontiguousarray(rgb, dtype="u1")
+    h, w = rgb.shape[:2]
+    flat = rgb.reshape(h, w * 3).astype("int64")
+    stride = w * 3
+    lines = bytearray()
+    prev = np.zeros(stride, dtype="int64")
+    for y in range(h):
+        f = int(filters[y % len(filters)]) if filters else 0
+        cur = flat[y]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(3, dtype="int64"), cur[:-3]])
+            enc = (cur - left) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            left = np.concatenate([np.zeros(3, dtype="int64"), cur[:-3]])
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:
+            left = np.concatenate([np.zeros(3, dtype="int64"), cur[:-3]])
+            ul = np.concatenate([np.zeros(3, dtype="int64"), prev[:-3]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            enc = (cur - pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        lines.append(f)
+        lines.extend(enc.astype("u1").tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def nn_resize(rgb, width: int, height: int):
     """Nearest-neighbor resample to (height, width, 3) via numpy index
     arrays — sample centers at floor((i+0.5)*src/dst), the classic NN
@@ -308,10 +473,10 @@ def nn_resize(rgb, width: int, height: int):
 def resize_images(df: DataFrame, width: int = 32, height: int = 32, fake: bool = False) -> DataFrame:
     """Resize image blobs to (width, height).
 
-    REAL for uncompressed containers: :func:`decode_pixels` (BMP/TGA) →
+    REAL for BMP/TGA and 8-bit PNG: :func:`decode_pixels` →
     :func:`nn_resize` (numpy nearest-neighbor) → :func:`encode_bmp`, all
     partition-local in one Arrow batch kernel. Blobs the decoder cannot
-    reach (PNG/JPEG entropy coding — the PIL seam) yield NULL content; at
+    reach (JPEG entropy coding — the PIL seam) yield NULL content; at
     corpus scale undecodable blobs are data, not errors. ``fake=True``
     keeps the legacy byte-downsample for plumbing tests."""
     target = width * height

@@ -1009,3 +1009,87 @@ FROM agg
 EXT_QUERIES.update({"ext_log_rank": ext_log_rank})
 EXT_ORACLES.update({"ext_log_rank": EXT_LOG_RANK_SQL})
 
+
+# --- round-4 wave: compressed-image (PNG) resize path -------------------------
+
+
+def ext_mm_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image resize, end-to-end and oracle-checked (no
+    ``fake=``): per document a deterministic gradient image
+    (W=16+id%19, H=16+id%11, gray value (x*11+y*5+id)%256) is encoded
+    as a real zlib-compressed 8-bit truecolor PNG whose per-row filter
+    type cycles through ALL FIVE spec filters starting at id%5
+    (None/Sub/Up/Average/Paeth — every unfilter branch of
+    multimodal.decode_png is on the hot path), pushed through the real
+    decode→nearest-neighbor-resize→re-encode kernel, decoded AGAIN from
+    the resized BMP bytes, and summarized as the mean sampled gray
+    value. The pixel values are closed-form in (id, x, y), so DuckDB
+    replays the whole pipeline without touching an image byte — a wrong
+    inflate/unfilter/resample anywhere shifts the mean and the hash.
+    All kernels are partition-local mapInPandas (no shuffle); media
+    bytes never cross executors. Fills the former PIL seam for PNG
+    (r03 verdict stretch #9); JPEG entropy decode remains seamed."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make_png(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                w, h = 16 + did % 19, 16 + did % 11
+                x = np.arange(w, dtype="int64")[None, :]
+                y = np.arange(h, dtype="int64")[:, None]
+                gray = ((x * 11 + y * 5 + int(did)) % 256).astype("u1")
+                rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                filters = [(int(did) + r) % 5 for r in range(5)]
+                ids.append(did)
+                blobs.append(multimodal.encode_png(rgb, filters=filters))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(make_png, "media_id bigint, content binary")
+    resized = multimodal.resize_images(media, width=8, height=8)
+
+    def mean_gray(batches):
+        for pdf in batches:
+            def m(blob):
+                px = multimodal.decode_pixels(blob)
+                return round(float(px[:, :, 0].astype("float64").mean()), 6)
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "pixel_mean": pdf["content"].map(m),
+                }
+            )
+
+    return resized.mapInPandas(
+        mean_gray, "media_id bigint, width int, height int, pixel_mean double"
+    ).orderBy("media_id")
+
+
+EXT_MM_RESIZE_PNG_SQL = r"""
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 19 AS w, 16 + doc_id % 11 AS h FROM documents
+),
+sampled AS (
+  SELECT d.doc_id,
+         CAST(FLOOR((gx.i + 0.5) * d.w / 8.0) AS BIGINT) AS sx,
+         CAST(FLOOR((gy.j + 0.5) * d.h / 8.0) AS BIGINT) AS sy
+  FROM dims d, generate_series(0, 7) gx(i), generate_series(0, 7) gy(j)
+)
+SELECT doc_id AS media_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       ROUND(AVG((sx * 11 + sy * 5 + doc_id) % 256), 6) AS pixel_mean
+FROM sampled GROUP BY doc_id ORDER BY media_id
+"""
+
+
+EXT_QUERIES.update({"ext_mm_resize_png": ext_mm_resize_png})
+EXT_ORACLES.update({"ext_mm_resize_png": EXT_MM_RESIZE_PNG_SQL})
+

@@ -77,6 +77,27 @@ def main() -> None:
             warm[name] = round(time.perf_counter() - start, 3)
     timings = warm if warm is not None else cold
 
+    # Standalone-warm for checkpoint-backed queries: their fn() eagerly
+    # materializes truncated lineage (data.checkpoint), so the same-DataFrame
+    # warm number above reuses the cold pass's checkpoint blocks and
+    # understates a from-scratch re-run. Rebuild via fn() a second time (JIT
+    # hot, files cached, but checkpoints re-materialized and Catalyst re-run)
+    # — the honest steady-state number for these (r03 verdict #4).
+    CHECKPOINT_QUERIES = [
+        "ext_theil_sen", "ext_pca_power", "ext_dedup_groups",
+        "ext_dedup_groups_star", "ext_pagerank", "ext_bfs",
+        "ext_entity_clusters", "ext_communities", "ext_lof",
+    ]
+    warm_rebuild: dict[str, float] | None = None
+    if warm_mode:
+        warm_rebuild = {}
+        for name in CHECKPOINT_QUERIES:
+            if name not in QUERIES:
+                continue
+            start = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warm_rebuild[name] = round(time.perf_counter() - start, 3)
+
     total = round(sum(timings.values()), 3)
     top = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     here = os.path.dirname(os.path.abspath(__file__))
@@ -88,6 +109,7 @@ def main() -> None:
                 "mode": "warm" if warm_mode else "cold",
                 "cold_total": round(sum(cold.values()), 3),
                 "warm_total": round(sum(warm.values()), 3) if warm else None,
+                "warm_rebuild": warm_rebuild,
                 "queries": timings,
             },
             f,
