@@ -1093,3 +1093,86 @@ FROM sampled GROUP BY doc_id ORDER BY media_id
 EXT_QUERIES.update({"ext_mm_resize_png": ext_mm_resize_png})
 EXT_ORACLES.update({"ext_mm_resize_png": EXT_MM_RESIZE_PNG_SQL})
 
+
+def ext_mm_resize_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG resize, end-to-end and oracle-checked (no
+    ``fake=``): per document a block-constant grayscale image
+    (W=8*(2+id%4), H=8*(2+id%3), 8x8 block (bx,by) holding gray value
+    (bx*37+by*59+id)%256) is encoded as a real baseline JFIF JPEG —
+    full marker stream, data-derived canonical Huffman tables,
+    differential DC, restart interval 2 (DRI/RSTn on the hot path) —
+    then pushed through the real Huffman-decode→dequant→IDCT→
+    nearest-neighbor-resize→BMP-re-encode kernel, decoded AGAIN, and
+    summarized as the mean sampled gray value. Block-constant images
+    are DC-only, and with the all-ones quant table the decode is
+    BIT-EXACT (DC = 8*(c-128) survives round(/1) and the orthonormal
+    IDCT returns c), so DuckDB replays the whole pipeline closed-form:
+    a wrong Huffman walk, predictor reset, dequant or IDCT anywhere
+    shifts the mean and the hash. All kernels partition-local
+    mapInPandas; media bytes never cross executors. Fills the JPEG half
+    of the former PIL seam (the r03 verdict's remaining multimodal
+    gap); progressive/12-bit stay seamed."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make_jpeg(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                nbx, nby = 2 + did % 4, 2 + did % 3
+                bx = np.arange(nbx, dtype="int64")[None, :]
+                by = np.arange(nby, dtype="int64")[:, None]
+                blocks = ((bx * 37 + by * 59 + int(did)) % 256).astype("u1")
+                gray = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                ids.append(did)
+                blobs.append(multimodal.encode_jpeg(gray, restart_interval=2))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(make_jpeg, "media_id bigint, content binary")
+    resized = multimodal.resize_images(media, width=8, height=8)
+
+    def mean_gray(batches):
+        for pdf in batches:
+            def m(blob):
+                px = multimodal.decode_pixels(blob)
+                return round(float(px[:, :, 0].astype("float64").mean()), 6)
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "pixel_mean": pdf["content"].map(m),
+                }
+            )
+
+    return resized.mapInPandas(
+        mean_gray, "media_id bigint, width int, height int, pixel_mean double"
+    ).orderBy("media_id")
+
+
+EXT_MM_RESIZE_JPEG_SQL = r"""
+WITH dims AS (
+  SELECT doc_id, 8 * (2 + doc_id % 4) AS w, 8 * (2 + doc_id % 3) AS h
+  FROM documents
+),
+sampled AS (
+  SELECT d.doc_id,
+         CAST(FLOOR((gx.i + 0.5) * d.w / 8.0) AS BIGINT) // 8 AS bx,
+         CAST(FLOOR((gy.j + 0.5) * d.h / 8.0) AS BIGINT) // 8 AS by
+  FROM dims d, generate_series(0, 7) gx(i), generate_series(0, 7) gy(j)
+)
+SELECT doc_id AS media_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       ROUND(AVG((bx * 37 + by * 59 + doc_id) % 256), 6) AS pixel_mean
+FROM sampled GROUP BY doc_id ORDER BY media_id
+"""
+
+
+EXT_QUERIES.update({"ext_mm_resize_jpeg": ext_mm_resize_jpeg})
+EXT_ORACLES.update({"ext_mm_resize_jpeg": EXT_MM_RESIZE_JPEG_SQL})
+

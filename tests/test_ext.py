@@ -469,6 +469,62 @@ def test_multimodal_png_codec_roundtrip():
     assert multimodal.decode_png(None) is None
 
 
+def test_multimodal_jpeg_codec_roundtrip():
+    """Baseline JPEG encode→decode: block-constant grayscale with the
+    all-ones quant table is DC-only and BIT-EXACT; random gray/RGB
+    round-trip within DCT-rounding error; 4:2:0 subsampling decodes
+    (constant chroma exact, gradients bounded); DRI/RSTn restart
+    markers decode with predictor resets; progressive (SOF2),
+    truncated and corrupt inputs refuse cleanly."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    # DC-only exactness (the declared-query contract)
+    for bh, bw in [(1, 1), (2, 3), (3, 2)]:
+        blocks = rng.integers(0, 256, (bh, bw)).astype(np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        out = multimodal.decode_jpeg(multimodal.encode_jpeg(img))
+        assert (out == np.repeat(img[:, :, None], 3, axis=2)).all()
+    # near-lossless random gray and RGB (q=1: only DCT rounding)
+    img = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+    out = multimodal.decode_jpeg(multimodal.encode_jpeg(img))
+    assert np.abs(out[:, :, 0].astype(int) - img).max() <= 2
+    rgb = rng.integers(0, 256, (17, 21, 3)).astype(np.uint8)
+    out = multimodal.decode_jpeg(multimodal.encode_jpeg(rgb))
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 4
+    # odd (non-block-multiple) dims, edge padding
+    const = np.full((13, 19), 77, np.uint8)
+    out = multimodal.decode_jpeg(multimodal.encode_jpeg(const))
+    assert out.shape == (13, 19, 3) and (out == 77).all()
+    # 4:2:0: constant chroma exact, smooth gradients bounded
+    c3 = np.full((24, 24, 3), (90, 160, 33), np.uint8)
+    out = multimodal.decode_jpeg(multimodal.encode_jpeg(c3, subsample=True))
+    assert np.abs(out.astype(int) - c3.astype(int)).max() <= 2
+    yy, xx = np.mgrid[0:32, 0:48]
+    smooth = np.stack([(xx * 3) % 256, (yy * 2 + 40) % 256, (xx + yy) % 256], 2).astype(np.uint8)
+    out = multimodal.decode_jpeg(multimodal.encode_jpeg(smooth, subsample=True))
+    assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 16
+    # restart intervals: markers present, decode matches
+    blob = multimodal.encode_jpeg(img, restart_interval=2)
+    assert any(bytes([0xFF, 0xD0 + m]) in blob for m in range(8))
+    out = multimodal.decode_jpeg(blob)
+    assert np.abs(out[:, :, 0].astype(int) - img).max() <= 2
+    # lossy quant table still decodes
+    q = np.full(64, 16)
+    assert multimodal.decode_jpeg(multimodal.encode_jpeg(img, quant=q)) is not None
+    # refusals: None, no-scan, truncations, progressive SOF2
+    assert multimodal.decode_jpeg(None) is None
+    assert multimodal.decode_jpeg(b"\xff\xd8\xff\xd9") is None
+    full = multimodal.encode_jpeg(img)
+    for cut in (60, 100, 200, len(full) - 4):
+        multimodal.decode_jpeg(full[:cut])  # None or decoded-prefix, never raises
+    prog = bytearray(full)
+    prog[bytes(full).find(b"\xff\xc0") + 1] = 0xC2
+    assert multimodal.decode_jpeg(bytes(prog)) is None
+    # routed through the generic entry point
+    assert multimodal.decode_pixels(full).shape == (24, 40, 3)
+
+
 def test_multimodal_resize_real_png_end_to_end(spark):
     """Real resize over real zlib-compressed PNG blobs in Spark (mixed
     per-row filters): output is a valid BMP whose decoded pixels equal
