@@ -977,6 +977,141 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32, fake: bool =
     return df.mapInPandas(kernel, RESIZED_SCHEMA)
 
 
+def encode_avi_mjpeg(frames, fps: int = 25) -> bytes:
+    """Build a real Motion-JPEG AVI from a list of already-encoded JPEG
+    blobs: RIFF 'AVI ' with a LIST hdrl (avih + one 'vids'/'MJPG'
+    stream: strh + BITMAPINFOHEADER strf), a LIST movi of word-aligned
+    '00dc' frame chunks, and an idx1 index — the minimal standards-
+    shaped container every AVI reader accepts. Frame dims are read from
+    the first JPEG via :func:`image_dims`. Fixture-side inverse of
+    :func:`decode_avi_mjpeg`."""
+    import struct
+
+    dims = image_dims(frames[0]) if frames else None
+    w, h = (dims[0], dims[1]) if dims else (0, 0)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // max(fps, 1), 0, 0, 0x10, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, max(fps, 1), 0, len(frames), 0, -1, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"movi"
+    idx = b""
+    for f in frames:
+        offset = len(movi_body)  # offset of the chunk within LIST movi data
+        movi_body += chunk(b"00dc", bytes(f))
+        idx += b"00dc" + struct.pack("<III", 0x10, offset, len(f))
+    movi = chunk(b"LIST", movi_body)
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_mjpeg(blob: bytes, max_frames: int = 0):
+    """REAL video keyframe decode for Motion-JPEG AVI, stdlib+numpy
+    only: walk the RIFF tree to LIST movi, take the video-stream frame
+    chunks ('..dc'/'..db', LIST rec-wrapped or flat), decode each with
+    :func:`decode_jpeg`. Returns a list of (frame_idx, rgb_array) for
+    the frames that decode (an undecodable frame is skipped, its index
+    still advances), or None if the container is not a RIFF AVI.
+    ``max_frames`` > 0 stops after that many decoded frames — keyframe
+    sampling without parsing the tail. Inter-coded containers
+    (MP4/H.264 etc.) remain the ffmpeg seam."""
+    import struct
+
+    if blob is None or len(blob) < 12:
+        return None
+    b = bytes(blob)
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+
+    def walk_movi(pos, end):
+        # returns the (start, end) of the first LIST movi body, or None
+        while pos + 8 <= end:
+            cid = b[pos : pos + 4]
+            (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if cid == b"LIST" and b[body_start : body_start + 4] == b"movi":
+                return body_start + 4, min(body_start + clen, end)
+            if cid == b"LIST":
+                got = walk_movi(body_start + 4, min(body_start + clen, end))
+                if got:
+                    return got
+            pos = body_start + clen + (clen & 1)
+        return None
+
+    got = walk_movi(12, len(b))
+    if not got:
+        return None
+    pos, end = got
+    frames = []
+    idx = 0
+    while pos + 8 <= end:
+        cid = b[pos : pos + 4]
+        (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + clen]
+        if cid == b"LIST" and body[:4] == b"rec ":
+            # 'rec ' groups interleaved chunks contiguously — flatten by
+            # stepping past the 12-byte LIST header into the group
+            pos += 12
+            continue
+        if cid[2:4] in (b"dc", b"db"):
+            rgb = decode_jpeg(body)
+            if rgb is not None:
+                frames.append((idx, rgb))
+                if max_frames and len(frames) >= max_frames:
+                    break
+            idx += 1
+        pos += 8 + clen + (clen & 1)
+    return frames
+
+
+VIDEO_FRAME_SCHEMA = "media_id long, frame_idx int, width int, height int, content binary"
+
+
+def video_keyframes(df: DataFrame, max_frames: int = 8) -> DataFrame:
+    """Extract decoded keyframes from video blobs: REAL for Motion-JPEG
+    AVI (:func:`decode_avi_mjpeg` → :func:`decode_jpeg` per frame);
+    each frame is re-encoded as a lossless BMP so downstream image
+    operators (resize, features) compose directly. Non-AVI containers
+    produce no rows (the ffmpeg seam, unchanged schema either way).
+
+    Scale shape: partition-local ``mapInPandas`` — video bytes never
+    cross executors; the fan-out is one row per extracted frame, capped
+    by ``max_frames``."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "width": [], "height": [], "content": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                frames = decode_avi_mjpeg(blob, max_frames=max_frames)
+                if not frames:
+                    continue
+                for idx, rgb in frames:
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["height"].append(rgb.shape[0])
+                    out["width"].append(rgb.shape[1])
+                    out["content"].append(encode_bmp(rgb))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, VIDEO_FRAME_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -990,28 +1125,258 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 _PCM_NORM = {1: ("u1", 128.0, 128.0), 2: ("<i2", 0.0, 32768.0), 4: ("<i4", 0.0, 2147483648.0)}
 
 
-def wav_features(blob: bytes) -> tuple[float, int, float] | None:
-    """REAL WAV PCM decode, stdlib-only: RIFF/fmt parsing via ``wave``,
-    sample normalization to [-1, 1) per bit depth, RMS over all channels.
-    Returns (duration_s, sample_rate, rms) or None if not a decodable
-    PCM WAV (compressed codecs are the soundfile/librosa seam)."""
-    import io
-    import wave
+def _mulaw_decode(codes):
+    """G.711 μ-law expand: uint8 code array → int16 samples (ITU-T G.711
+    table 2a/2b in closed form; bias 0x84, segments 0..7)."""
+    import numpy as np
+
+    u = (~np.asarray(codes, dtype="u1")).astype("int64") & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype("int64")
+
+
+def _mulaw_encode(samples):
+    """G.711 μ-law compress: int16-range samples → uint8 codes. Inverse
+    of :func:`_mulaw_decode` on its image (decode∘encode∘decode = decode
+    — verified for all 256 codes in tests)."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype="int64")
+    sign = x < 0
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = np.clip(np.floor(np.log2(mag)).astype("int64") - 7, 0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    code = (~(np.where(sign, 0x80, 0) | (exp << 4) | mant)) & 0xFF
+    return code.astype("u1")
+
+
+def _alaw_decode(codes):
+    """G.711 A-law expand: uint8 code array → int16 samples (even-bit
+    inversion 0x55; segment 0 is linear)."""
+    import numpy as np
+
+    a = (np.asarray(codes, dtype="u1").astype("int64")) ^ 0x55
+    sign = (a & 0x80) != 0
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(sign, -mag, mag).astype("int64")
+
+
+def _alaw_encode(samples):
+    """G.711 A-law compress: int16-range samples → uint8 codes (sign bit
+    0x80 = negative before the 0x55 inversion, matching
+    :func:`_alaw_decode`)."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype="int64")
+    sign = x < 0
+    mag = np.minimum(np.abs(x), 32767)
+    exp = np.clip(np.floor(np.log2(np.maximum(mag, 1))).astype("int64") - 7, 0, 7)
+    mant = np.where(exp == 0, mag >> 4, (mag >> (exp + 3)) & 0x0F)
+    code = (np.where(sign, 0x80, 0) | (exp << 4) | mant) ^ 0x55
+    return code.astype("u1")
+
+
+# IMA ADPCM step and index tables (public constants, IMA "Recommended
+# Practices for Enhancing Digital Audio Compatibility" / multimedia WAV
+# registry format 0x0011)
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, idx: int, nibble: int):
+    """One IMA ADPCM decode step: (predictor, step-index, 4-bit code) →
+    updated (predictor, step-index)."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[nibble & 7]))
+    return pred, idx
+
+
+def _ima_adpcm_decode_block(body, pred, idx):
+    """Decode one mono IMA ADPCM block body (nibble bytes, low nibble
+    first) given the block-header predictor/index; yields int16 samples."""
+    out = []
+    for byte in body:
+        for nib in (byte & 0x0F, byte >> 4):
+            pred, idx = _ima_step(pred, idx, nib)
+            out.append(pred)
+    return out
+
+
+def _ima_adpcm_encode(samples, block_samples: int = 505):
+    """Mono IMA ADPCM encode (standard nibble quantizer) → list of
+    (header_pred, header_idx, nibble_bytes) blocks; ``block_samples``
+    = 1 header sample + nibbles (505 → 256-byte blocks)."""
+    idx = 0
+    blocks = []
+    i = 0
+    n = len(samples)
+    while i < n:
+        chunk = samples[i : i + block_samples]
+        i += block_samples
+        pred = int(chunk[0])
+        hdr = (pred, idx)
+        nibs = []
+        for s in chunk[1:]:
+            step = _IMA_STEPS[idx]
+            diff = int(s) - pred
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, idx = _ima_step(pred, idx, nib)
+            nibs.append(nib)
+        if len(nibs) % 2:
+            nibs.append(0)
+        body = bytes((nibs[j] | (nibs[j + 1] << 4)) for j in range(0, len(nibs), 2))
+        blocks.append((hdr[0], hdr[1], body))
+    return blocks
+
+
+def encode_wav(samples, rate: int = 16_000, codec: str = "pcm16") -> bytes:
+    """Build a real RIFF/WAVE file from int16-range mono samples with a
+    chosen codec: ``pcm16``/``pcm8``/``float32`` (linear),
+    ``mulaw``/``alaw`` (G.711), ``ima_adpcm`` (format 0x0011, 256-byte
+    blocks). The fixture-side inverse of :func:`decode_wav`."""
+    import struct
 
     import numpy as np
 
-    if blob is None or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+    x = np.asarray(samples, dtype="int64")
+    if codec == "pcm16":
+        tag, bits, data = 1, 16, x.astype("<i2").tobytes()
+        block, extra = 2, b""
+    elif codec == "pcm8":
+        tag, bits, data = 1, 8, ((x >> 8) + 128).astype("u1").tobytes()
+        block, extra = 1, b""
+    elif codec == "float32":
+        tag, bits, data = 3, 32, (x / 32768.0).astype("<f4").tobytes()
+        block, extra = 4, b""
+    elif codec == "mulaw":
+        tag, bits, data = 7, 8, _mulaw_encode(x).tobytes()
+        block, extra = 1, b""
+    elif codec == "alaw":
+        tag, bits, data = 6, 8, _alaw_encode(x).tobytes()
+        block, extra = 1, b""
+    elif codec == "ima_adpcm":
+        blocks = _ima_adpcm_encode([int(v) for v in x], block_samples=505)
+        data = b"".join(
+            struct.pack("<hBB", p, i, 0) + body for p, i, body in blocks
+        )
+        tag, bits, block, extra = 0x11, 4, 256, struct.pack("<HH", 2, 505)
+    else:
+        raise ValueError(f"unknown codec {codec}")
+    fmt = struct.pack("<HHIIHH", tag, 1, rate, rate * block, block, bits) + extra
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if len(fmt) % 2:
+        chunks += b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(blob: bytes):
+    """REAL WAV decode, stdlib+numpy only, own RIFF parser: linear PCM
+    (8/16/32-bit), IEEE float32, G.711 μ-law and A-law, and mono IMA
+    ADPCM (format 0x0011) — the formats that cover telephony and
+    multimedia WAV corpora without a native codec lib. Returns
+    (samples_float64 in [-1, 1), sample_rate, n_frames) with channels
+    interleaved, or None for other codecs (mp3/ogg/flac stay at the
+    soundfile/librosa seam) or corrupt input."""
+    import struct
+
+    import numpy as np
+
+    if blob is None or len(blob) < 44 or bytes(blob[:4]) != b"RIFF" or bytes(blob[8:12]) != b"WAVE":
         return None
-    try:
-        with wave.open(io.BytesIO(bytes(blob))) as w:
-            n_frames, rate, width = w.getnframes(), w.getframerate(), w.getsampwidth()
-            raw = w.readframes(n_frames)
-    except (wave.Error, EOFError):
+    b = bytes(blob)
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
         return None
-    if width not in _PCM_NORM or rate <= 0:
-        return None  # 24-bit / compressed: plug a real codec at the seam
-    dtype, offset, scale = _PCM_NORM[width]
-    x = (np.frombuffer(raw, dtype=dtype).astype("float64") - offset) / scale
+    tag, nch, rate, _br, block, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag == 0xFFFE and len(fmt) >= 26:  # WAVE_FORMAT_EXTENSIBLE
+        (tag,) = struct.unpack("<H", fmt[24:26])
+    if rate <= 0 or nch <= 0:
+        return None
+    if tag == 1 and bits in (8, 16, 32):
+        dtype, offset, scale = _PCM_NORM[bits // 8]
+        x = (np.frombuffer(data, dtype=dtype).astype("float64") - offset) / scale
+    elif tag == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype("float64")
+    elif tag == 7 and bits == 8:
+        x = _mulaw_decode(np.frombuffer(data, dtype="u1")).astype("float64") / 32768.0
+    elif tag == 6 and bits == 8:
+        x = _alaw_decode(np.frombuffer(data, dtype="u1")).astype("float64") / 32768.0
+    elif tag == 0x11 and bits == 4:
+        if nch != 1 or block < 5:
+            return None  # stereo ADPCM interleaving not implemented
+        out = []
+        for off in range(0, len(data) - 4, block):
+            hdr = data[off : off + 4]
+            if len(hdr) < 4:
+                break
+            pred, idx, _ = struct.unpack("<hBB", hdr)
+            idx = max(0, min(88, idx))
+            body = data[off + 4 : off + block]
+            out.append(pred)
+            out.extend(_ima_adpcm_decode_block(body, pred, idx))
+        x = np.asarray(out, dtype="float64") / 32768.0
+    else:
+        return None
+    return x, int(rate), len(x) // nch
+
+
+def wav_features(blob: bytes) -> tuple[float, int, float] | None:
+    """REAL WAV decode, stdlib+numpy only (:func:`decode_wav` — linear
+    PCM 8/16/32, float32, G.711 μ-law/A-law, mono IMA ADPCM), sample
+    normalization to [-1, 1), RMS over all channels. Returns
+    (duration_s, sample_rate, rms) or None if not a decodable WAV
+    (mp3/ogg/flac are the soundfile/librosa seam)."""
+    import numpy as np
+
+    got = decode_wav(blob)
+    if got is None:
+        return None
+    x, rate, n_frames = got
     rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
     return (round(n_frames / rate, 6), rate, round(rms, 6))
 
@@ -1019,9 +1384,10 @@ def wav_features(blob: bytes) -> tuple[float, int, float] | None:
 def audio_features(df: DataFrame, fake: bool = False, assumed_rate: int = 16_000) -> DataFrame:
     """Audio blob features (duration / sample rate / RMS energy).
 
-    Default: REAL stdlib WAV PCM decode (:func:`wav_features` — 8/16/32-bit
-    PCM; header-declared rate, normalized RMS). Non-WAV codecs yield NULLs
-    — mp3/ogg/flac decode is the soundfile/librosa seam. ``fake=True``
+    Default: REAL stdlib WAV decode (:func:`decode_wav` — linear PCM
+    8/16/32-bit, IEEE float32, G.711 μ-law/A-law, mono IMA ADPCM;
+    header-declared rate, normalized RMS). Other codecs yield NULLs —
+    mp3/ogg/flac decode is the soundfile/librosa seam. ``fake=True``
     keeps the legacy raw-8-bit-PCM interpretation for plumbing tests."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1072,12 +1438,11 @@ def audio_rms_windows(
     samples).
 
     Engine shape: Arrow-batched ``mapInPandas`` over the REAL stdlib
-    WAV decode (:func:`wav_features`'s parser); per-file work,
-    embarrassingly parallel, zero shuffle — the output fans out one row
-    per window, so the operator is its own Generate. Non-WAV codecs
-    produce no rows (the soundfile/librosa seam)."""
-    import io
-    import wave
+    WAV decode (:func:`decode_wav` — linear PCM, float32, G.711
+    μ-law/A-law, mono IMA ADPCM); per-file work, embarrassingly
+    parallel, zero shuffle — the output fans out one row per window, so
+    the operator is its own Generate. Other codecs produce no rows
+    (the soundfile/librosa seam)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1088,18 +1453,10 @@ def audio_rms_windows(
                 "rms": [], "is_silence": [],
             }
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                if blob is None or bytes(blob[:4]) != b"RIFF":
+                got = decode_wav(blob)
+                if got is None:
                     continue
-                try:
-                    with wave.open(io.BytesIO(bytes(blob))) as w:
-                        rate, width = w.getframerate(), w.getsampwidth()
-                        raw = w.readframes(w.getnframes())
-                except (wave.Error, EOFError):
-                    continue
-                if width not in _PCM_NORM or rate <= 0:
-                    continue
-                dtype, offset, scale = _PCM_NORM[width]
-                x = (np.frombuffer(raw, dtype=dtype).astype("float64") - offset) / scale
+                x, rate, _n = got
                 step = max(int(round(window_s * rate)), 1)
                 for wi in range(0, max((len(x) + step - 1) // step, 0)):
                     seg = x[wi * step : (wi + 1) * step]

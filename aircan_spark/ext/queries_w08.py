@@ -1176,3 +1176,156 @@ FROM sampled GROUP BY doc_id ORDER BY media_id
 EXT_QUERIES.update({"ext_mm_resize_jpeg": ext_mm_resize_jpeg})
 EXT_ORACLES.update({"ext_mm_resize_jpeg": EXT_MM_RESIZE_JPEG_SQL})
 
+
+def ext_audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio (G.711 μ-law) features, end-to-end and
+    oracle-checked: per document 64 samples are synthesized whose values
+    are EXACT μ-law codeword outputs — sample_i = ±((mant*8+132)·2^exp
+    − 132) with mant=(i*7+id)%16, exp=(i*3+id)%8, sign=(i+id)%2 — so
+    G.711 compression round-trips them bit-exactly (encode∘decode is
+    the identity on the decoder's image). The samples are packed into a
+    real RIFF/WAVE file (format tag 7), decoded by the engine's own
+    RIFF parser + vectorized μ-law expander (multimodal.decode_wav),
+    and summarized as duration/rate/RMS. Every intermediate quantity is
+    an integer (or integer/2^k) exactly representable in float64, so
+    the DuckDB oracle replays the whole codec closed-form and the hash
+    compare is bit-deterministic — a wrong expand table or sign
+    convention anywhere shifts the RMS. Kernels are partition-local
+    mapInPandas; audio bytes never cross executors. Extends the audio
+    path beyond PCM (G.711 telephony + IMA ADPCM live in decode_wav;
+    mp3/ogg stay at the soundfile seam)."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make_wav(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                i = np.arange(64, dtype="int64")
+                mant = (i * 7 + int(did)) % 16
+                exp = (i * 3 + int(did)) % 8
+                sign = np.where((i + int(did)) % 2 == 0, 1, -1)
+                v = sign * ((((mant * 8) + 132) << exp) - 132)
+                ids.append(did)
+                blobs.append(multimodal.encode_wav(v, rate=8000, codec="mulaw"))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(make_wav, "media_id bigint, content binary").select(
+        "media_id", "content", F.lit("audio/basic").alias("mime_type"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    return (
+        multimodal.audio_features(media)
+        .select("media_id", "duration_s", "sample_rate", "rms")
+        .orderBy("media_id")
+    )
+
+
+EXT_AUDIO_MULAW_SQL = r"""
+WITH samples AS (
+  SELECT d.doc_id,
+         (CASE WHEN (g.i + d.doc_id) % 2 = 0 THEN 1 ELSE -1 END)
+         * ((((g.i * 7 + d.doc_id) % 16) * 8 + 132)
+            * POW(2, (g.i * 3 + d.doc_id) % 8) - 132) AS v
+  FROM documents d, generate_series(0, 63) g(i)
+)
+SELECT doc_id AS media_id,
+       0.008 AS duration_s,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       ROUND(SQRT(AVG((v / 32768.0) * (v / 32768.0))), 6) AS rms
+FROM samples GROUP BY doc_id ORDER BY media_id
+"""
+
+
+EXT_QUERIES.update({"ext_audio_mulaw": ext_audio_mulaw})
+EXT_ORACLES.update({"ext_audio_mulaw": EXT_AUDIO_MULAW_SQL})
+
+
+def ext_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video keyframe pipeline, end-to-end and oracle-checked: per
+    document a Motion-JPEG AVI is synthesized — 1+id%4 frames, each a
+    16x16 grayscale image of four constant 8x8 blocks with value
+    (f*13 + bx*37 + by*59 + id) % 256, each frame a real baseline JPEG,
+    the container a real RIFF AVI (hdrl/strl/movi/idx1) — then pushed
+    through the engine's container walk + per-frame Huffman/IDCT decode
+    (multimodal.video_keyframes → decode_avi_mjpeg → decode_jpeg),
+    frames re-encoded as BMP, decoded AGAIN, and summarized as the mean
+    gray per frame. DC-only frames under the all-ones quant table
+    decode bit-exactly, so DuckDB replays the whole container+codec
+    pipeline closed-form — one row per (doc, frame), a wrong chunk walk
+    or frame index shifts the hash. Kernels partition-local
+    mapInPandas; video bytes never cross executors. Fills the video
+    half of the former ffmpeg seam for MJPEG-AVI; inter-coded
+    containers (H.264/MP4) stay seamed."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make_avi(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                nframes = 1 + did % 4
+                frames = []
+                for f in range(nframes):
+                    bx = np.arange(2, dtype="int64")[None, :]
+                    by = np.arange(2, dtype="int64")[:, None]
+                    blocks = ((f * 13 + bx * 37 + by * 59 + int(did)) % 256).astype("u1")
+                    gray = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                    frames.append(multimodal.encode_jpeg(gray))
+                ids.append(did)
+                blobs.append(multimodal.encode_avi_mjpeg(frames, fps=10))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(make_avi, "media_id bigint, content binary")
+    frames = multimodal.video_keyframes(media, max_frames=8)
+
+    def mean_gray(batches):
+        for pdf in batches:
+            def m(blob):
+                px = multimodal.decode_pixels(blob)
+                return round(float(px[:, :, 0].astype("float64").mean()), 6)
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "pixel_mean": pdf["content"].map(m),
+                }
+            )
+
+    return frames.mapInPandas(
+        mean_gray, "media_id bigint, frame_idx int, width int, height int, pixel_mean double"
+    ).orderBy("media_id", "frame_idx")
+
+
+EXT_MM_VIDEO_SQL = r"""
+WITH frames AS (
+  SELECT d.doc_id, g.f
+  FROM documents d, generate_series(0, 3) g(f)
+  WHERE g.f < 1 + d.doc_id % 4
+),
+blocks AS (
+  SELECT fr.doc_id, fr.f,
+         (fr.f * 13 + gx.bx * 37 + gy.by * 59 + fr.doc_id) % 256 AS v
+  FROM frames fr, generate_series(0, 1) gx(bx), generate_series(0, 1) gy(by)
+)
+SELECT doc_id AS media_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       ROUND(AVG(v), 6) AS pixel_mean
+FROM blocks GROUP BY doc_id, f ORDER BY media_id, frame_idx
+"""
+
+
+EXT_QUERIES.update({"ext_mm_video_frames": ext_mm_video_frames})
+EXT_ORACLES.update({"ext_mm_video_frames": EXT_MM_VIDEO_SQL})
+

@@ -525,6 +525,95 @@ def test_multimodal_jpeg_codec_roundtrip():
     assert multimodal.decode_pixels(full).shape == (24, 40, 3)
 
 
+def test_multimodal_audio_codecs_roundtrip():
+    """WAV codec coverage: G.711 μ-law/A-law satisfy the canonical
+    all-256-codes property (encode∘decode = identity, modulo μ-law's
+    ±0 twin 0x7F); decode ranges match the spec (±32124 / ±32256);
+    PCM16 is exact, PCM8/float32 within quantization; mono IMA ADPCM
+    tracks a smooth signal at ~2% RMS error; wav_features decodes every
+    codec; corrupt containers refuse cleanly."""
+    import numpy as np
+
+    from aircan_spark.ext.multimodal import (
+        _alaw_decode, _alaw_encode, _mulaw_decode, _mulaw_encode,
+        decode_wav, encode_wav, wav_features,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    md = _mulaw_decode(codes)
+    back = _mulaw_encode(md)
+    assert (back[codes != 0x7F] == codes[codes != 0x7F]).all()
+    assert md[0x7F] == 0 and md[0xFF] == 0  # ±0 both decode to silence
+    assert md.min() == -32124 and md.max() == 32124
+    ad = _alaw_decode(codes)
+    assert (_alaw_encode(ad) == codes).all()
+    assert ad.min() == -32256 and ad.max() == 32256
+
+    s = (np.sin(np.arange(800) * 0.05) * 12000).astype(np.int64)
+    x, rate, nf = decode_wav(encode_wav(s, 8000, "pcm16"))
+    assert rate == 8000 and nf == 800 and np.abs(x * 32768 - s).max() < 1e-9
+    assert np.abs(decode_wav(encode_wav(s, 8000, "pcm8"))[0] * 32768 - s).max() <= 256
+    assert np.abs(decode_wav(encode_wav(s, 8000, "float32"))[0] * 32768 - s).max() < 0.01
+    for codec in ("mulaw", "alaw"):
+        x, _, _ = decode_wav(encode_wav(s, 8000, codec))
+        err = np.abs(x * 32768 - s)
+        assert (err <= np.maximum(16, np.abs(s) * 0.05)).all(), codec
+    x, _, nf = decode_wav(encode_wav(s, 8000, "ima_adpcm"))
+    err = x[:800] * 32768 - s
+    assert nf >= 800
+    assert np.sqrt((err**2).mean()) / np.sqrt((s.astype(float) ** 2).mean()) < 0.05
+    for codec in ("pcm16", "mulaw", "alaw", "ima_adpcm", "float32", "pcm8"):
+        f = wav_features(encode_wav(s, 8000, codec))
+        assert f is not None and f[1] == 8000 and 0.2 < f[2] < 0.4, (codec, f)
+    assert decode_wav(None) is None
+    assert decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunk") is None
+    assert decode_wav(b"not a wav at all" * 4) is None
+
+
+def test_multimodal_avi_mjpeg_keyframes(spark):
+    """Motion-JPEG AVI: encode N DC-only JPEG frames into a real RIFF
+    AVI (hdrl/movi/idx1), decode back bit-exactly in order; a corrupt
+    frame is skipped with its index preserved; video_keyframes in Spark
+    emits one BMP row per frame whose pixels match; non-AVI blobs
+    produce no rows."""
+    import numpy as np
+
+    from aircan_spark.ext.multimodal import (
+        decode_avi_mjpeg, decode_pixels, encode_avi_mjpeg, encode_jpeg,
+    )
+
+    rng = np.random.default_rng(41)
+    frames_px, jpegs = [], []
+    for _ in range(5):
+        blocks = rng.integers(0, 256, (2, 3)).astype(np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+        frames_px.append(img)
+        jpegs.append(encode_jpeg(img))
+    avi = encode_avi_mjpeg(jpegs, fps=10)
+    out = decode_avi_mjpeg(avi)
+    assert [i for i, _ in out] == [0, 1, 2, 3, 4]
+    for (_, rgb), img in zip(out, frames_px):
+        assert (rgb == np.repeat(img[:, :, None], 3, 2)).all()
+    assert len(decode_avi_mjpeg(avi, max_frames=2)) == 2
+    bad = list(jpegs)
+    bad[1] = b"\xff\xd8garbage"
+    assert [i for i, _ in decode_avi_mjpeg(encode_avi_mjpeg(bad))] == [0, 2, 3, 4]
+    assert decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert decode_avi_mjpeg(None) is None
+
+    media = spark.createDataFrame(
+        [(7, bytearray(avi)), (8, bytearray(b"not video"))],
+        "media_id long, content binary",
+    )
+    rows = multimodal.video_keyframes(media, max_frames=8).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2, 3, 4]
+    assert all(r["media_id"] == 7 for r in rows)
+    by_idx = {r["frame_idx"]: r for r in rows}
+    for i, img in enumerate(frames_px):
+        got = decode_pixels(bytes(by_idx[i]["content"]))
+        assert (got == np.repeat(img[:, :, None], 3, 2)).all()
+
+
 def test_multimodal_resize_real_png_end_to_end(spark):
     """Real resize over real zlib-compressed PNG blobs in Spark (mixed
     per-row filters): output is a valid BMP whose decoded pixels equal
