@@ -1365,15 +1365,32 @@ def decode_wav(blob: bytes):
     return x, int(rate), len(x) // nch
 
 
+def decode_audio(blob: bytes):
+    """Audio container dispatch: RIFF/WAVE → :func:`decode_wav` (linear
+    PCM, float32, G.711, IMA ADPCM), fLaC → ``ext.flac.decode_flac``
+    (lossless Rice/LPC decode). Returns (samples_float64, rate,
+    n_frames) or None; mp3/ogg stay at the soundfile seam."""
+    if blob is None or len(blob) < 4:
+        return None
+    head = bytes(blob[:4])
+    if head == b"RIFF":
+        return decode_wav(blob)
+    if head == b"fLaC":
+        from aircan_spark.ext.flac import decode_flac
+
+        return decode_flac(blob)
+    return None
+
+
 def wav_features(blob: bytes) -> tuple[float, int, float] | None:
-    """REAL WAV decode, stdlib+numpy only (:func:`decode_wav` — linear
-    PCM 8/16/32, float32, G.711 μ-law/A-law, mono IMA ADPCM), sample
-    normalization to [-1, 1), RMS over all channels. Returns
-    (duration_s, sample_rate, rms) or None if not a decodable WAV
-    (mp3/ogg/flac are the soundfile/librosa seam)."""
+    """REAL audio decode, stdlib+numpy only (:func:`decode_audio` —
+    WAV linear PCM 8/16/32, float32, G.711 μ-law/A-law, mono IMA ADPCM,
+    plus lossless FLAC), sample normalization to [-1, 1), RMS over all
+    channels. Returns (duration_s, sample_rate, rms) or None if not
+    decodable (mp3/ogg are the soundfile/librosa seam)."""
     import numpy as np
 
-    got = decode_wav(blob)
+    got = decode_audio(blob)
     if got is None:
         return None
     x, rate, n_frames = got
@@ -1453,7 +1470,7 @@ def audio_rms_windows(
                 "rms": [], "is_silence": [],
             }
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                got = decode_wav(blob)
+                got = decode_audio(blob)
                 if got is None:
                     continue
                 x, rate, _n = got

@@ -1329,3 +1329,66 @@ FROM blocks GROUP BY doc_id, f ORDER BY media_id, frame_idx
 EXT_QUERIES.update({"ext_mm_video_frames": ext_mm_video_frames})
 EXT_ORACLES.update({"ext_mm_video_frames": EXT_MM_VIDEO_SQL})
 
+
+def ext_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-compressed-audio (FLAC) features, end-to-end and
+    oracle-checked: per document 256 samples s_i = ((i²·7 + i·13 +
+    id·29) mod 4001) − 2000 are encoded as a real native-FLAC stream
+    (STREAMINFO, frame sync + CRC-8 header + CRC-16 footer, FIXED
+    order-2 predictor, Rice-coded residuals — ext.flac.encode_flac),
+    decoded back by the engine's full frame machinery
+    (ext.flac.decode_flac via multimodal.decode_audio), and summarized
+    as duration/rate/RMS. FLAC is LOSSLESS, so the decode is bit-exact
+    by construction and every intermediate sum is integer-exact in
+    float64 — the DuckDB oracle replays the signal closed-form and the
+    hash compare is bit-deterministic; a wrong Rice decode, predictor
+    reconstruction or CRC anywhere kills the frame and the hash.
+    Kernels partition-local mapInPandas. Completes the compressed-audio
+    story alongside G.711/ADPCM (X308); lossy mp3/ogg stay at the
+    soundfile seam."""
+    import pandas as pd
+
+    from aircan_spark.ext import flac as _flac
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make_flac(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                i = np.arange(256, dtype="int64")
+                v = ((i * i * 7 + i * 13 + int(did) * 29) % 4001) - 2000
+                ids.append(did)
+                blobs.append(_flac.encode_flac(v, rate=16_000, blocksize=128))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(make_flac, "media_id bigint, content binary").select(
+        "media_id", "content", F.lit("audio/flac").alias("mime_type"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    return (
+        multimodal.audio_features(media)
+        .select("media_id", "duration_s", "sample_rate", "rms")
+        .orderBy("media_id")
+    )
+
+
+EXT_AUDIO_FLAC_SQL = r"""
+WITH samples AS (
+  SELECT d.doc_id,
+         (g.i * g.i * 7 + g.i * 13 + d.doc_id * 29) % 4001 - 2000 AS v
+  FROM documents d, generate_series(0, 255) g(i)
+)
+SELECT doc_id AS media_id,
+       0.016 AS duration_s,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       ROUND(SQRT(AVG((v / 32768.0) * (v / 32768.0))), 6) AS rms
+FROM samples GROUP BY doc_id ORDER BY media_id
+"""
+
+
+EXT_QUERIES.update({"ext_audio_flac": ext_audio_flac})
+EXT_ORACLES.update({"ext_audio_flac": EXT_AUDIO_FLAC_SQL})
+

@@ -570,6 +570,144 @@ def test_multimodal_audio_codecs_roundtrip():
     assert decode_wav(b"not a wav at all" * 4) is None
 
 
+def test_multimodal_flac_codec_roundtrip():
+    """FLAC encode→decode is BIT-EXACT (lossless): random-walk and sine
+    signals through FIXED-order-2 + Rice residuals, flat blocks through
+    CONSTANT subframes, multi-block streams with partial tails; the
+    audio dispatch routes fLaC magic; truncation and a flipped bit
+    anywhere fail the CRC and refuse cleanly."""
+    import numpy as np
+
+    from aircan_spark.ext import flac as FL
+    from aircan_spark.ext.multimodal import wav_features
+
+    rng = np.random.default_rng(51)
+    s = np.cumsum(rng.integers(-200, 201, 5000)).clip(-30000, 30000).astype(np.int64)
+    x, rate, nf = FL.decode_flac(FL.encode_flac(s, rate=16000, blocksize=1024))
+    assert rate == 16000 and nf == 5000
+    assert (np.round(x * 32768).astype(np.int64) == s).all()
+    c = np.full(3000, -1234, np.int64)
+    x, _, nf = FL.decode_flac(FL.encode_flac(c, blocksize=1000))
+    assert nf == 3000 and (np.round(x * 32768).astype(np.int64) == c).all()
+    s2 = (np.sin(np.arange(777) * 0.01) * 20000).astype(np.int64)
+    x, _, nf = FL.decode_flac(FL.encode_flac(s2))
+    assert nf == 777 and (np.round(x * 32768).astype(np.int64) == s2).all()
+    f = wav_features(FL.encode_flac(s2, rate=8000))
+    assert f is not None and f[1] == 8000
+    assert FL.decode_flac(None) is None
+    assert FL.decode_flac(b"fLaC" + bytes(30)) is None
+    broken = bytearray(FL.encode_flac(s2))
+    broken[-1] ^= 0xFF
+    assert FL.decode_flac(bytes(broken)) is None
+    broken = bytearray(FL.encode_flac(s2))
+    broken[len(broken) // 2] ^= 0x10
+    assert FL.decode_flac(bytes(broken)) is None
+
+
+def _flac_streaminfo(nch, bps, rate=8000, n=0, blocksize=16):
+    from aircan_spark.ext import flac as FL
+
+    si = FL._BitWriter()
+    si.bits(blocksize, 16); si.bits(blocksize, 16); si.bits(0, 24); si.bits(0, 24)
+    si.bits(rate, 20); si.bits(nch - 1, 3); si.bits(bps - 1, 5); si.bits(n, 36)
+    si.bits(0, 64); si.bits(0, 64)
+    body = si.data()
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def _flac_frame(header_stream, subframe_bits_fn, bs, ch_code):
+    from aircan_spark.ext import flac as FL
+
+    bw = FL._BitWriter()
+    bw.bits(0b11111111111110, 14); bw.bits(0, 1); bw.bits(0, 1)
+    bw.bits(7, 4); bw.bits(0, 4); bw.bits(ch_code, 4); bw.bits(4, 3); bw.bits(0, 1)
+    FL._utf8_number(bw, 0)
+    bw.bits(bs - 1, 16)
+    bw.align()
+    hdr = bw.data()
+    hdr += bytes([FL._crc8(hdr)])
+    sw = FL._BitWriter()
+    subframe_bits_fn(sw)
+    sw.align()
+    fr = hdr + sw.data()
+    fr += FL._crc16(fr).to_bytes(2, "big")
+    return header_stream + fr
+
+
+def test_multimodal_flac_decoder_paths():
+    """Hand-crafted bitstreams for the decoder paths the fixture
+    encoder doesn't emit: LPC subframes (quantized coefficients +
+    shift), the 5-bit Rice method with partition order 2 and an
+    escape-to-raw partition, mid/side stereo reconstruction, and
+    left/side with wasted-bits shift — each decodes BIT-EXACT."""
+    import numpy as np
+
+    from aircan_spark.ext import flac as FL
+
+    # LPC order 2, coefs [3,-1], shift 1
+    s = [100, 105]
+    for i in range(2, 16):
+        s.append(((3 * s[i - 1] - s[i - 2]) >> 1) + (7 if i % 3 == 0 else -4))
+    res = [s[i] - ((3 * s[i - 1] - s[i - 2]) >> 1) for i in range(2, 16)]
+
+    def lpc_sub(sw):
+        sw.bits(0, 1); sw.bits(33, 6); sw.bits(0, 1)
+        sw.bits(s[0], 16); sw.bits(s[1], 16)
+        sw.bits(3, 4); sw.bits(1, 5); sw.bits(3, 4); sw.bits(-1, 4)
+        sw.bits(0, 2); sw.bits(0, 4); sw.bits(3, 4)
+        for r in res:
+            u = FL._zigzag(r); sw.unary(u >> 3); sw.bits(u & 7, 3)
+
+    x, _, nf = FL.decode_flac(_flac_frame(_flac_streaminfo(1, 16, n=16), lpc_sub, 16, 0))
+    assert nf == 16 and (np.round(x * 32768).astype(int) == np.array(s)).all()
+
+    # FIXED order 1, 5-bit rice, partition order 2, escape partition
+    s2 = [(i * 97) % 256 - 128 for i in range(16)]
+    res2 = [s2[i] - s2[i - 1] for i in range(1, 16)]
+
+    def fixed_sub(sw):
+        sw.bits(0, 1); sw.bits(9, 6); sw.bits(0, 1)
+        sw.bits(s2[0], 16)
+        sw.bits(1, 2); sw.bits(2, 4)
+        parts = [res2[0:3], res2[3:7], res2[7:11], res2[11:15]]
+        for pi, part in enumerate(parts):
+            if pi == 1:
+                sw.bits(31, 5); sw.bits(10, 5)
+                for r in part:
+                    sw.bits(r, 10)
+            else:
+                sw.bits(4, 5)
+                for r in part:
+                    u = FL._zigzag(r); sw.unary(u >> 4); sw.bits(u & 15, 4)
+
+    x, _, nf = FL.decode_flac(_flac_frame(_flac_streaminfo(1, 16, n=16), fixed_sub, 16, 0))
+    assert nf == 16 and (np.round(x * 32768).astype(int) == np.array(s2)).all()
+
+    # mid/side stereo, CONSTANT subframes
+    L, R = 101, 40
+    mid, side = (L + R) >> 1, L - R
+
+    def ms_sub(sw):
+        sw.bits(0, 1); sw.bits(0, 6); sw.bits(0, 1); sw.bits(mid, 16)
+        sw.bits(0, 1); sw.bits(0, 6); sw.bits(0, 1); sw.bits(side, 17)
+
+    x, _, nf = FL.decode_flac(_flac_frame(_flac_streaminfo(2, 16, n=16), ms_sub, 16, 10))
+    rec = np.round(x * 32768).astype(int)
+    assert nf == 16 and (rec[0::2] == L).all() and (rec[1::2] == R).all()
+
+    # left/side with wasted bits on the left channel (stored 30 << 2 = 120)
+    Lc, Rc = 120, -48
+
+    def ls_sub(sw):
+        sw.bits(0, 1); sw.bits(0, 6); sw.bits(1, 1); sw.unary(1)
+        sw.bits(30, 14)
+        sw.bits(0, 1); sw.bits(0, 6); sw.bits(0, 1); sw.bits(Lc - Rc, 17)
+
+    x, _, nf = FL.decode_flac(_flac_frame(_flac_streaminfo(2, 16, n=16), ls_sub, 16, 8))
+    rec = np.round(x * 32768).astype(int)
+    assert (rec[0::2] == Lc).all() and (rec[1::2] == Rc).all()
+
+
 def test_multimodal_avi_mjpeg_keyframes(spark):
     """Motion-JPEG AVI: encode N DC-only JPEG frames into a real RIFF
     AVI (hdrl/movi/idx1), decode back bit-exactly in order; a corrupt
