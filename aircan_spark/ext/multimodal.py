@@ -243,6 +243,8 @@ def decode_pixels(blob: bytes):
         return decode_png(b)
     if b[:2] == b"\xff\xd8":
         return decode_jpeg(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(b)
     if b[:2] == b"BM" and len(b) >= 54:
         data_off = struct.unpack("<I", b[10:14])[0]
         hdr_size = struct.unpack("<I", b[14:18])[0]
@@ -461,6 +463,257 @@ def encode_png(rgb, filters=None) -> bytes:
         + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
         + chunk(b"IEND", b"")
     )
+
+
+def decode_gif(blob: bytes):
+    """REAL GIF decode, stdlib+numpy only: GIF87a/89a header, global and
+    local color tables, extension-block skip, LZW decompression
+    (LSB-first code packing, dynamic code width, clear/EOI handling),
+    and 4-pass interlace reordering. Returns the FIRST image frame as
+    an (h, w, 3) uint8 RGB array (frame dims, composited standalone —
+    multi-frame animations expose later frames via
+    :func:`gif_frames`), or None for corrupt/truncated input."""
+    frames = gif_frames(blob, max_frames=1)
+    return frames[0][1] if frames else None
+
+
+def gif_frames(blob: bytes, max_frames: int = 0):
+    """Decode GIF frames: list of (frame_idx, rgb_array) — the animated
+    GIF analog of :func:`decode_avi_mjpeg`. Each frame is decoded
+    standalone against its own descriptor (no inter-frame disposal
+    compositing — keyframe semantics, documented). None if not a GIF."""
+    import numpy as np
+
+    if blob is None or len(blob) < 13 or bytes(blob[:6]) not in (b"GIF87a", b"GIF89a"):
+        return None
+    b = bytes(blob)
+    try:
+        packed = b[10]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            size = 2 << (packed & 0x07)
+            gct = np.frombuffer(b, dtype="u1", count=size * 3, offset=pos).reshape(-1, 3)
+            pos += size * 3
+        frames = []
+        idx = 0
+        while pos < len(b):
+            marker = b[pos]
+            pos += 1
+            if marker == 0x3B:  # trailer
+                break
+            if marker == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while b[pos]:
+                    pos += 1 + b[pos]
+                pos += 1
+                continue
+            if marker != 0x2C:
+                return None
+            _left, _top, w, h = (
+                int.from_bytes(b[pos : pos + 2], "little"),
+                int.from_bytes(b[pos + 2 : pos + 4], "little"),
+                int.from_bytes(b[pos + 4 : pos + 6], "little"),
+                int.from_bytes(b[pos + 6 : pos + 8], "little"),
+            )
+            ipacked = b[pos + 8]
+            pos += 9
+            table = gct
+            if ipacked & 0x80:
+                size = 2 << (ipacked & 0x07)
+                table = np.frombuffer(b, dtype="u1", count=size * 3, offset=pos).reshape(-1, 3)
+                pos += size * 3
+            if table is None or w <= 0 or h <= 0:
+                return None
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while b[pos]:
+                n = b[pos]
+                data += b[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            pixels = _gif_lzw_decode(bytes(data), min_code, w * h)
+            if pixels is None:
+                return None
+            px = np.asarray(pixels[: w * h], dtype="int64").reshape(h, w)
+            if ipacked & 0x40:  # 4-pass interlace
+                out = np.empty_like(px)
+                rows = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                out[rows] = px
+                px = out
+            if int(px.max()) >= table.shape[0]:
+                return None
+            frames.append((idx, np.ascontiguousarray(table[px])))
+            idx += 1
+            if max_frames and len(frames) >= max_frames:
+                break
+        return frames or None
+    except (IndexError, ValueError):
+        return None
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, n_pixels: int):
+    """GIF LZW decompress: LSB-first bit packing, dynamic code width
+    from min_code+1 up to 12 bits, CLEAR resets the table, EOI ends."""
+    if not 2 <= min_code <= 11:
+        return None
+    clear = 1 << min_code
+    eoi = clear + 1
+    out: list[int] = []
+    table: list[tuple[int, ...]] = []
+
+    def reset():
+        nonlocal table, width
+        table = [(i,) for i in range(clear)] + [(), ()]
+        width = min_code + 1
+
+    width = min_code + 1
+    reset()
+    acc = 0
+    nbits = 0
+    prev: tuple[int, ...] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:  # table freezes at 12 bits (deferred clear)
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_pixels:
+                return out
+    return out
+
+
+def encode_gif(indices, palette=None, interlace: bool = False) -> bytes:
+    """Encode an (h, w) uint8 index array as a real GIF89a with a
+    256-entry palette (default: grayscale identity, so index == gray
+    value — what makes fixtures closed-form). Real LZW compression:
+    greedy longest-match against the growing table, dynamic code width,
+    CLEAR emitted on table overflow — the canonical encoder, so the
+    decoder's table-growth/width logic is genuinely exercised.
+    ``interlace`` stores rows in 4-pass order."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype="u1")
+    h, w = idx.shape
+    if palette is None:
+        g = np.arange(256, dtype="u1")
+        palette = np.stack([g, g, g], axis=1)
+    pal = np.asarray(palette, dtype="u1")
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF7, 0x00, 0x00])  # GCT present, 256 entries, 8-bit color
+    out += pal.tobytes()
+    out += b"\x2c" + bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0x00])
+    rows = idx
+    if interlace:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = idx[order]
+    pixels = rows.reshape(-1).tolist()
+
+    min_code = 8
+    clear = 1 << min_code
+    eoi = clear + 1
+    # The encoder's own match table may run one entry ahead of the
+    # decoder's (the KwKwK case), so code widths are chosen by SIMULATING
+    # the decoder's table growth (dec_len bumps one code later than
+    # next_code; width bumps when dec_len hits 2^width) — the exact
+    # mirror of _gif_lzw_decode's loop.
+    codes: list[tuple[int, int]] = []
+    table: dict[tuple[int, ...], int] = {}
+    next_code = 0
+    dec_len = dec_width = 0
+    first_in_segment = True
+
+    def reset_tables():
+        nonlocal table, next_code, dec_len, dec_width, first_in_segment
+        table = {(i,): i for i in range(clear)}
+        next_code = eoi + 1
+        dec_len = eoi + 1
+        dec_width = min_code + 1
+        first_in_segment = True
+
+    def emit(code):
+        nonlocal dec_len, dec_width, first_in_segment
+        codes.append((code, dec_width))
+        if code == clear:
+            return
+        if first_in_segment:
+            first_in_segment = False
+        elif dec_len < 4096:
+            dec_len += 1
+        if dec_len == (1 << dec_width) and dec_width < 12:
+            dec_width += 1
+
+    reset_tables()
+    emit(clear)
+    run: tuple[int, ...] = ()
+    for p in pixels:
+        cand = run + (p,)
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+        else:
+            emit(clear)
+            reset_tables()
+        run = (p,)
+    if run:
+        emit(table[run])
+    emit(eoi)
+
+    acc = 0
+    nbits = 0
+    stream = bytearray()
+    for code, cwidth in codes:
+        acc |= code << nbits
+        nbits += cwidth
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+    out += bytes([min_code])
+    for off in range(0, len(stream), 255):
+        chunk = stream[off : off + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def _dct_matrix():

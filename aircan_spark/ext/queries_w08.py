@@ -1392,3 +1392,79 @@ FROM samples GROUP BY doc_id ORDER BY media_id
 EXT_QUERIES.update({"ext_audio_flac": ext_audio_flac})
 EXT_ORACLES.update({"ext_audio_flac": EXT_AUDIO_FLAC_SQL})
 
+
+def ext_mm_resize_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF resize, end-to-end and oracle-checked: per document a
+    deterministic gradient (W=16+id%15, H=16+id%9, gray value
+    (x*13+y*7+id)%256) is LZW-compressed into a real GIF89a with the
+    256-entry grayscale identity palette — odd ids stored INTERLACED,
+    so the 4-pass reorder is on the hot path — then pushed through the
+    real LZW-decode→palette-map→nearest-neighbor-resize→BMP-re-encode
+    kernel, decoded AGAIN, and summarized as the mean sampled gray.
+    GIF is lossless, so the closed-form resample oracle is exact: a
+    wrong LZW width bump, table reset or interlace pass anywhere shifts
+    the mean and the hash. Completes the raster-format family
+    (BMP/TGA/PNG/JPEG/GIF all REAL in decode_pixels). Kernels
+    partition-local mapInPandas."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make_gif(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                w, h = 16 + did % 15, 16 + did % 9
+                x = np.arange(w, dtype="int64")[None, :]
+                y = np.arange(h, dtype="int64")[:, None]
+                gray = ((x * 13 + y * 7 + int(did)) % 256).astype("u1")
+                ids.append(did)
+                blobs.append(multimodal.encode_gif(gray, interlace=bool(did % 2)))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(make_gif, "media_id bigint, content binary")
+    resized = multimodal.resize_images(media, width=8, height=8)
+
+    def mean_gray(batches):
+        for pdf in batches:
+            def m(blob):
+                px = multimodal.decode_pixels(blob)
+                return round(float(px[:, :, 0].astype("float64").mean()), 6)
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "pixel_mean": pdf["content"].map(m),
+                }
+            )
+
+    return resized.mapInPandas(
+        mean_gray, "media_id bigint, width int, height int, pixel_mean double"
+    ).orderBy("media_id")
+
+
+EXT_MM_RESIZE_GIF_SQL = r"""
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 15 AS w, 16 + doc_id % 9 AS h FROM documents
+),
+sampled AS (
+  SELECT d.doc_id,
+         CAST(FLOOR((gx.i + 0.5) * d.w / 8.0) AS BIGINT) AS sx,
+         CAST(FLOOR((gy.j + 0.5) * d.h / 8.0) AS BIGINT) AS sy
+  FROM dims d, generate_series(0, 7) gx(i), generate_series(0, 7) gy(j)
+)
+SELECT doc_id AS media_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       ROUND(AVG((sx * 13 + sy * 7 + doc_id) % 256), 6) AS pixel_mean
+FROM sampled GROUP BY doc_id ORDER BY media_id
+"""
+
+
+EXT_QUERIES.update({"ext_mm_resize_gif": ext_mm_resize_gif})
+EXT_ORACLES.update({"ext_mm_resize_gif": EXT_MM_RESIZE_GIF_SQL})
+

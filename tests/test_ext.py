@@ -570,6 +570,37 @@ def test_multimodal_audio_codecs_roundtrip():
     assert decode_wav(b"not a wav at all" * 4) is None
 
 
+def test_multimodal_gif_codec_roundtrip():
+    """GIF LZW encode→decode is EXACT across every table regime: few
+    codes (small image), dynamic width growth through 512/1024/2048,
+    the 4096-entry table reset (CLEAR) on a 128x128 noise image, long
+    repetitive runs, 4-pass interlace, custom palettes; truncated and
+    corrupt inputs refuse cleanly."""
+    import numpy as np
+
+    from aircan_spark.ext.multimodal import decode_gif, decode_pixels, encode_gif, gif_frames
+
+    rng = np.random.default_rng(61)
+    img = rng.integers(0, 256, (5, 7)).astype(np.uint8)
+    out = decode_gif(encode_gif(img))
+    assert out.shape == (5, 7, 3) and (out[:, :, 0] == img).all()
+    noise = rng.integers(0, 256, (128, 128)).astype(np.uint8)
+    assert (decode_gif(encode_gif(noise))[:, :, 0] == noise).all()
+    rep = np.tile(np.arange(16, dtype=np.uint8).repeat(4), (64, 2))
+    assert (decode_gif(encode_gif(rep))[:, :, 0] == rep).all()
+    inter = rng.integers(0, 256, (23, 17)).astype(np.uint8)
+    assert (decode_gif(encode_gif(inter, interlace=True))[:, :, 0] == inter).all()
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    small = rng.integers(0, 256, (9, 9)).astype(np.uint8)
+    assert (decode_gif(encode_gif(small, palette=pal)) == pal[small]).all()
+    assert (decode_pixels(encode_gif(small, palette=pal)) == pal[small]).all()
+    assert gif_frames(encode_gif(small), max_frames=4)[0][0] == 0
+    assert decode_gif(None) is None
+    assert decode_gif(b"GIF89a" + bytes(5)) is None
+    assert decode_gif(b"JUNK" * 10) is None
+    assert decode_gif(encode_gif(small)[:30]) is None
+
+
 def test_multimodal_flac_codec_roundtrip():
     """FLAC encode→decode is BIT-EXACT (lossless): random-walk and sine
     signals through FIXED-order-2 + Rice residuals, flat blocks through
