@@ -224,7 +224,10 @@ def _decode_subframe(br: _BitReader, blocksize: int, bps: int):
         coefs = _FIXED_COEFS[order]
         for r in res:
             pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
-            out.append(r + pred)
+            v = r + pred
+            if v > (1 << 35) or v < -(1 << 35):
+                raise ValueError("runaway prediction (corrupt stream)")
+            out.append(v)
     elif ftype >= 32:  # LPC, order = ftype - 31
         order = ftype - 31
         warm = [br.sbits(bps) for _ in range(order)]
@@ -239,7 +242,10 @@ def _decode_subframe(br: _BitReader, blocksize: int, bps: int):
         out = list(warm)
         for r in res:
             pred = sum(c * out[-1 - j] for j, c in enumerate(coefs)) >> shift
-            out.append(r + pred)
+            v = r + pred
+            if v > (1 << 35) or v < -(1 << 35):
+                raise ValueError("runaway prediction (corrupt stream)")
+            out.append(v)
     else:
         raise ValueError(f"reserved subframe type {ftype}")
     if wasted:

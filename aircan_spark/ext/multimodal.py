@@ -1020,7 +1020,10 @@ def decode_jpeg(blob: bytes):
                 comps = []
                 for ci in range(nc):
                     cid, samp, tq = body[6 + ci * 3 : 9 + ci * 3]
-                    comps.append((cid, samp >> 4, samp & 0x0F, tq))
+                    hs, vs = samp >> 4, samp & 0x0F
+                    if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                        return None  # T.81 limits sampling factors to 1-4
+                    comps.append((cid, hs, vs, tq))
                 sof = (h, w, comps)
             elif marker == 0xDD:
                 (restart,) = struct.unpack(">H", body[:2])
@@ -1104,7 +1107,9 @@ def _jpeg_scan(b, pos, sof, scomp, qtabs, htabs, restart):
     pred = [0] * len(comps)
     order = []
     for si, (cid, td, ta) in enumerate(scomp):
-        ci = next(k for k, c in enumerate(comps) if c[0] == cid)
+        ci = next((k for k, c in enumerate(comps) if c[0] == cid), None)
+        if ci is None:
+            return None  # scan references a component SOF never declared
         order.append((ci, td, ta))
 
     mcu_count = 0
@@ -1121,6 +1126,8 @@ def _jpeg_scan(b, pos, sof, scomp, qtabs, htabs, restart):
                     for bx in range(hs):
                         zz = np.zeros(64, dtype="int64")
                         s = huff_decode(htabs[(0, td)])
+                        if s > 15:
+                            return None  # valid DC size categories are 0-15
                         diff = extend(read_bits(s), s) if s else 0
                         pred[ci] += diff
                         zz[0] = pred[ci]

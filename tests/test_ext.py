@@ -570,6 +570,48 @@ def test_multimodal_audio_codecs_roundtrip():
     assert decode_wav(b"not a wav at all" * 4) is None
 
 
+def test_multimodal_decoders_never_raise_on_garbage():
+    """Corpus-robustness contract: at 100 TB malformed blobs are data,
+    not errors — every decoder must return None/empty for ANY input,
+    never raise. Fuzz all entry points with random bytes, truncations
+    of valid artifacts at every prefix length, and bit-flipped valid
+    artifacts (mutations hit headers, tables and entropy data alike)."""
+    import numpy as np
+
+    from aircan_spark.ext import flac as FL
+    from aircan_spark.ext.multimodal import (
+        decode_avi_mjpeg, decode_pixels, decode_wav, encode_avi_mjpeg,
+        encode_bmp, encode_gif, encode_jpeg, encode_png, encode_wav, gif_frames,
+    )
+
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 256, (10, 12, 3)).astype(np.uint8)
+    gray = img[:, :, 0]
+    s = (np.sin(np.arange(300) * 0.1) * 9000).astype(np.int64)
+    valid = [
+        encode_bmp(img), encode_png(img, filters=[0, 1, 2, 3, 4]),
+        encode_jpeg(gray, restart_interval=2), encode_jpeg(img, subsample=True),
+        encode_gif(gray), encode_wav(s, 8000, "mulaw"),
+        encode_wav(s, 8000, "ima_adpcm"), FL.encode_flac(s, blocksize=128),
+        encode_avi_mjpeg([encode_jpeg(gray)] * 2),
+    ]
+    decoders = [decode_pixels, decode_wav, FL.decode_flac, decode_avi_mjpeg, gif_frames]
+
+    def hammer(blob):
+        for dec in decoders:
+            dec(blob)  # any exception fails the test
+
+    for _ in range(40):  # pure random garbage, varied lengths
+        hammer(rng.integers(0, 256, int(rng.integers(0, 400))).astype("u1").tobytes())
+    for blob in valid:
+        for cut in range(0, len(blob), max(1, len(blob) // 37)):  # truncations
+            hammer(blob[:cut])
+        for _ in range(25):  # random single-byte corruptions
+            mutated = bytearray(blob)
+            mutated[int(rng.integers(len(blob)))] ^= int(rng.integers(1, 256))
+            hammer(bytes(mutated))
+
+
 def test_multimodal_gif_codec_roundtrip():
     """GIF LZW encode→decode is EXACT across every table regime: few
     codes (small image), dynamic width growth through 512/1024/2048,
