@@ -318,13 +318,20 @@ def decode_png(blob: bytes):
     Adam7 interlace, truncated/corrupt) — at corpus scale undecodable
     blobs are data, not errors.
 
-    Unfiltering: Up/None rows are fully numpy-vectorized; Sub/Average/
-    Paeth carry a left-neighbor recurrence, so those rows walk the
-    scanline in Python — exact but slow on megapixel images. This is the
-    deliberate pure-python trade: the kernel is partition-local (no
-    shuffle either way) and a production image fleet drops PIL/opencv
-    into the same seam for the hot path; this implementation makes the
-    path *correct and testable* with no native deps.
+    Unfiltering: None/Up rows are fully numpy-vectorized; Sub is a
+    per-channel prefix sum mod 256 (``np.cumsum & 0xFF`` — vectorized);
+    Average/Paeth carry a true sequential left-neighbor recurrence, so
+    those rows run a Python loop over plain lists (several-fold faster
+    than numpy scalar indexing). This is the deliberate pure-python
+    trade: the kernel is partition-local (no shuffle either way) and a
+    production image fleet drops PIL/opencv into the same seam for the
+    hot path; this implementation makes the path *correct and testable*
+    with no native deps.
+
+    Robustness: IDAT inflation is bounded by the size the IHDR promises
+    (``decompressobj(...).decompress(data, max_length)``) so a zlib bomb
+    cannot expand past the declared image size, and images above a
+    2^26-pixel cap are rejected before any allocation.
     """
     import struct
     import zlib
@@ -355,44 +362,55 @@ def decode_png(blob: bytes):
     w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
     if depth != 8 or interlace != 0 or color not in (0, 2, 3, 4, 6) or not w or not h:
         return None
+    if w * h > (1 << 26):  # forged-header / decompression-bomb cap
+        return None
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    stride = w * nch
+    need = h * (1 + stride)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # bound inflation by what the IHDR promises — a zlib bomb stops here
+        raw = zlib.decompressobj().decompress(b"".join(idat), need)
     except zlib.error:
         return None
-    stride = w * nch
-    if len(raw) < h * (1 + stride):
+    if len(raw) < need:
         return None
-    rows = np.frombuffer(raw, dtype="u1", count=h * (1 + stride)).reshape(h, 1 + stride)
-    filters, scan = rows[:, 0], rows[:, 1:].astype("int64")
-    out = np.zeros((h, stride), dtype="int64")
-    prev = np.zeros(stride, dtype="int64")
+    rows = np.frombuffer(raw, dtype="u1", count=need).reshape(h, 1 + stride)
+    filters, scan = rows[:, 0], rows[:, 1:]
+    out = np.zeros((h, stride), dtype="u1")
+    prev = np.zeros(stride, dtype="u1")
     for y in range(h):
         f, cur = int(filters[y]), scan[y]
         if f == 0:
-            line = cur
-        elif f == 2:  # Up — vectorized over the whole scanline
-            line = (cur + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub/Average/Paeth — left-neighbor recurrence
             line = cur.copy()
+        elif f == 2:  # Up — vectorized; uint8 add wraps mod 256 natively
+            line = cur + prev
+        elif f == 1:  # Sub — per-channel prefix sum mod 256, vectorized
+            ch = cur.reshape(w, nch).astype("int64")
+            line = (np.cumsum(ch, axis=0) & 0xFF).astype("u1").reshape(stride)
+        elif f == 3:  # Average — sequential recurrence over python lists
+            cl, pl = cur.tolist(), prev.tolist()
+            ln = [0] * stride
             for x in range(stride):
-                a = line[x - nch] if x >= nch else 0
-                if f == 1:
-                    line[x] = (line[x] + a) & 0xFF
-                elif f == 3:
-                    line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
-                else:  # Paeth predictor, spec §9.4
-                    bb = prev[x]
-                    c = prev[x - nch] if x >= nch else 0
-                    p = a + bb - c
-                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
-                    pr = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
-                    line[x] = (line[x] + pr) & 0xFF
+                a = ln[x - nch] if x >= nch else 0
+                ln[x] = (cl[x] + ((a + pl[x]) >> 1)) & 0xFF
+            line = np.asarray(ln, dtype="u1")
+        elif f == 4:  # Paeth predictor, spec §9.4 — python-list loop
+            cl, pl = cur.tolist(), prev.tolist()
+            ln = [0] * stride
+            for x in range(stride):
+                a = ln[x - nch] if x >= nch else 0
+                bb = pl[x]
+                c = pl[x - nch] if x >= nch else 0
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                ln[x] = (cl[x] + pr) & 0xFF
+            line = np.asarray(ln, dtype="u1")
         else:
             return None  # invalid filter byte
         out[y] = line
         prev = line
-    px = out.astype("u1").reshape(h, w, nch)
+    px = out.reshape(h, w, nch)
     if color == 2:
         return np.ascontiguousarray(px)
     if color == 6:
@@ -1017,6 +1035,9 @@ def decode_jpeg(blob: bytes):
                 prec, h, w, nc = struct.unpack(">BHHB", body[:6])
                 if prec != 8 or nc not in (1, 3):
                     return None
+                if not h or not w or h * w > (1 << 26):
+                    return None  # forged 65535×65535 header would demand
+                    # ~32 GiB/plane before any entropy data validates it
                 comps = []
                 for ci in range(nc):
                     cid, samp, tq = body[6 + ci * 3 : 9 + ci * 3]
@@ -1037,7 +1058,7 @@ def decode_jpeg(blob: bytes):
                     scomp.append((cid, tabs >> 4, tabs & 0x0F))
                 return _jpeg_scan(b, pos, sof, scomp, qtabs, htabs, restart)
         return None
-    except (IndexError, KeyError, ValueError, struct.error):
+    except (IndexError, KeyError, ValueError, struct.error, MemoryError):
         return None
 
 
@@ -1599,8 +1620,11 @@ def decode_wav(blob: bytes):
         return None
     if tag == 1 and bits in (8, 16, 32):
         dtype, offset, scale = _PCM_NORM[bits // 8]
+        width = bits // 8
+        data = data[: len(data) // width * width]  # truncated final sample → drop
         x = (np.frombuffer(data, dtype=dtype).astype("float64") - offset) / scale
     elif tag == 3 and bits == 32:
+        data = data[: len(data) // 4 * 4]  # truncated final sample → drop
         x = np.frombuffer(data, dtype="<f4").astype("float64")
     elif tag == 7 and bits == 8:
         x = _mulaw_decode(np.frombuffer(data, dtype="u1")).astype("float64") / 32768.0

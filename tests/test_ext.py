@@ -594,7 +594,20 @@ def test_multimodal_decoders_never_raise_on_garbage():
         encode_gif(gray), encode_wav(s, 8000, "mulaw"),
         encode_wav(s, 8000, "ima_adpcm"), FL.encode_flac(s, blocksize=128),
         encode_avi_mjpeg([encode_jpeg(gray)] * 2),
+        # multi-byte sample widths: truncation must hit the frombuffer
+        # "buffer size must be a multiple of element size" branches
+        encode_wav(s, 8000, "pcm16"), encode_wav(s, 8000, "pcm8"),
+        encode_wav(s, 8000, "float32"), encode_wav(s, 8000, "alaw"),
     ]
+    # hand-built pcm32 (no fixture encoder): fmt tag 1, 32-bit
+    pcm16 = bytearray(encode_wav(s, 8000, "pcm16"))
+    fmt_at = pcm16.index(b"fmt ")
+    pcm32 = bytearray(pcm16[: fmt_at + 8])
+    import struct as _st
+    pcm32 += _st.pack("<HHIIHH", 1, 1, 8000, 32000, 4, 32)
+    body32 = (s.astype("<i4") << 16).tobytes()
+    pcm32 += b"data" + _st.pack("<I", len(body32)) + body32
+    valid.append(bytes(pcm32))
     decoders = [decode_pixels, decode_wav, FL.decode_flac, decode_avi_mjpeg, gif_frames]
 
     def hammer(blob):
@@ -603,6 +616,12 @@ def test_multimodal_decoders_never_raise_on_garbage():
 
     for _ in range(40):  # pure random garbage, varied lengths
         hammer(rng.integers(0, 256, int(rng.integers(0, 400))).astype("u1").tobytes())
+    # forged giant SOF dims: a 65535x65535 header must be rejected before
+    # plane allocation (OOM vector), not raise MemoryError
+    big = bytearray(encode_jpeg(gray))
+    sof_at = big.index(b"\xff\xc0")
+    big[sof_at + 5 : sof_at + 9] = b"\xff\xff\xff\xff"
+    hammer(bytes(big))
     for blob in valid:
         for cut in range(0, len(blob), max(1, len(blob) // 37)):  # truncations
             hammer(blob[:cut])
