@@ -1468,3 +1468,191 @@ FROM sampled GROUP BY doc_id ORDER BY media_id
 EXT_QUERIES.update({"ext_mm_resize_gif": ext_mm_resize_gif})
 EXT_ORACLES.update({"ext_mm_resize_gif": EXT_MM_RESIZE_GIF_SQL})
 
+
+
+# --- round-5 wave: streaming ops in batch-parity / real-stream harness --------
+# X14/X16/X39 were e2e-tests-only; these declared queries give each a
+# driver-checkable record by running the REAL streaming operator (file
+# source -> availableNow -> memory/table sink) and reducing its output
+# to an integer-exact, order-free summary an ANSI oracle can replay.
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """availableNow file-source stream over the events parquet — the
+    real streaming read path (one batch on a bounded dir). The file
+    source requires a DIRECTORY, and the testdata table is a single
+    parquet file — symlink it into a fresh temp dir (zero-copy)."""
+    import os as _os
+    import tempfile
+
+    src = f"{sf_dir}/events.parquet"
+    stage = tempfile.mkdtemp(prefix="aircan_r5_events_dir_")
+    _os.symlink(_os.path.abspath(src), _os.path.join(stage, "events.parquet"))
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(stage)
+
+
+def _run_available_now(stream_df, output_mode: str) -> "DataFrame":
+    """Start stream_df into a uniquely-named memory sink with
+    availableNow trigger, await the single batch, return the sink table."""
+    import tempfile
+    import uuid
+
+    spark = stream_df.sparkSession
+    name = f"r5stream_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="aircan_r5_ckpt_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover — availableNow should terminate
+        q.stop()
+    return spark.table(name)
+
+
+def ext_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16 as a driver-checkable query: the REAL
+    ``applyInPandasWithState`` stateful operator
+    (streaming.running_user_totals) over an availableNow file stream of
+    the events table. Determinism: value is pre-scaled to cents as
+    float64 INTEGERS (floor(v*100+0.5)) before entering the kernel —
+    integer-valued doubles below 2^53 sum exactly in any partition
+    order, so the per-user running total is bit-stable and emitted as
+    BIGINT. One bounded batch => the final state equals the batch
+    aggregate the oracle computes. State is O(users); the stream shape
+    (update-mode rows per key per batch) is exactly what a continuous
+    deployment emits."""
+    from aircan_spark.streaming import running_user_totals
+
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "value", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double")
+    )
+    out = _run_available_now(running_user_totals(stream), "update")
+    return (
+        out.select(
+            "user_id",
+            F.col("total_value").cast("bigint").alias("total_cents"),
+            "n_events",
+        )
+        .orderBy("user_id")
+    )
+
+
+EXT_STREAM_RUNNING_TOTALS_SQL = r"""
+SELECT user_id,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+EXT_QUERIES.update({"ext_stream_running_totals": ext_stream_running_totals})
+EXT_ORACLES.update({"ext_stream_running_totals": EXT_STREAM_RUNNING_TOTALS_SQL})
+
+
+def ext_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X39 as a driver-checkable query: the REAL
+    ``dropDuplicatesWithinWatermark`` streaming dedup
+    (streaming.stream_dedup — bounded state, watermark eviction) over an
+    availableNow events stream, keyed on (user_id, event_type). WHICH
+    duplicate survives is engine-chosen, so the declared output reduces
+    to the survivor-set invariant: per event_type, the number of
+    surviving rows == COUNT(DISTINCT user_id) — wrong dedup state (a
+    dropped first-seen or a leaked duplicate) shifts the counts."""
+    from aircan_spark.streaming import stream_dedup
+
+    stream = _events_stream(spark, sf_dir).withColumn(
+        # watermarks require TIMESTAMP (tz); the table is NTZ — session
+        # tz is pinned UTC so the cast is a pure type change
+        "ts", F.col("ts").cast("timestamp")
+    )
+    deduped = stream_dedup(stream, ["user_id", "event_type"], delay="100 days")
+    out = _run_available_now(deduped, "append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+        .orderBy("event_type")
+    )
+
+
+EXT_STREAM_DEDUP_KEYS_SQL = r"""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_unique_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+EXT_QUERIES.update({"ext_stream_dedup_keys": ext_stream_dedup_keys})
+EXT_ORACLES.update({"ext_stream_dedup_keys": EXT_STREAM_DEDUP_KEYS_SQL})
+
+
+def ext_stream_ingest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14 as a driver-checkable query: the REAL ``stream_ingest``
+    pipeline — orders rows are staged as one ndjson file (sorted by
+    o_orderkey, prices pre-converted to exact BIGINT cents), a file
+    stream ingests it availableNow into a fresh ParquetTable with
+    keys=[k] (k = o_orderkey % 97), and the final table is read back.
+    The upsert's within-batch dedup keeps the FIRST row per key by _id
+    (A2 rule); _id follows file order via partition-offset row numbers,
+    and the file is sorted — so the winner per k is the min-o_orderkey
+    row, which the oracle replays with ROW_NUMBER(). Checkpointed
+    offsets + idempotent merge = effective exactly-once, the property
+    this query pins end-to-end."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from aircan_spark.streaming import stream_ingest
+    from aircan_spark.table import ParquetTable
+
+    src_dir = tempfile.mkdtemp(prefix="aircan_r5_ingest_src_")
+    wh = tempfile.mkdtemp(prefix="aircan_r5_ingest_wh_")
+    ckpt = tempfile.mkdtemp(prefix="aircan_r5_ingest_ckpt_")
+
+    orders = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 97).alias("k"),
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    orders.orderBy("o_orderkey").coalesce(1).write.mode("overwrite").json(src_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("price_cents", T.LongType()),
+        ]
+    )
+    table = ParquetTable(spark, wh, "stream_ingest_q")
+    q = stream_ingest(
+        spark, src_dir, schema, table, ckpt, keys=["k"], available_now=True
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover
+        q.stop()
+    return (
+        table.read()
+        .select("k", "o_orderkey", "price_cents")
+        .orderBy("k")
+    )
+
+
+EXT_STREAM_INGEST_UPSERT_SQL = r"""
+WITH ranked AS (
+  SELECT o_orderkey % 97 AS k, o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderkey % 97 ORDER BY o_orderkey) AS rn
+  FROM orders
+)
+SELECT k, o_orderkey, price_cents FROM ranked WHERE rn = 1 ORDER BY k
+"""
+
+
+EXT_QUERIES.update({"ext_stream_ingest_upsert": ext_stream_ingest_upsert})
+EXT_ORACLES.update({"ext_stream_ingest_upsert": EXT_STREAM_INGEST_UPSERT_SQL})

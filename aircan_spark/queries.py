@@ -504,14 +504,18 @@ _DRIVER_CHECKED_R01_04 = {
     "q14_schema_evolution", "q15_upsert_e2e", "q16_bucketed_upsert",
     "q17_salted_agg"
 }
-_CODEC_FIRST = [
+_R05_FIRST = [
+    # r4 codec queries — only substantial r4 work with no driver record
     "ext_mm_resize_png", "ext_mm_resize_jpeg", "ext_mm_resize_gif",
     "ext_audio_mulaw", "ext_audio_flac", "ext_mm_video_frames",
+    # new r5 streaming batch-parity queries (X14/X16/X39)
+    "ext_stream_running_totals", "ext_stream_dedup_keys",
+    "ext_stream_ingest_upsert",
 ]
 _order = (
-    [n for n in _CODEC_FIRST if n in QUERIES]
+    [n for n in _R05_FIRST if n in QUERIES]
     + [n for n in QUERIES
-       if n not in _DRIVER_CHECKED_R01_04 and n not in _CODEC_FIRST]
+       if n not in _DRIVER_CHECKED_R01_04 and n not in _R05_FIRST]
     + [n for n in QUERIES if n in _DRIVER_CHECKED_R01_04]
 )
 QUERIES = {n: QUERIES[n] for n in _order}

@@ -174,6 +174,74 @@ def _upsert_sqls(table: str, columns: list[str], unique_keys: list[str]) -> tupl
     return ddl, _copy_sql(tmp, columns), merge
 
 
+def _pg_index_defs(cur, table: str) -> list[tuple[str, str]]:
+    """(indexname, indexdef) rows for ``table`` from ``pg_indexes``
+    (reference D6 discovery query, postgres_loader.py:14-19)."""
+    safe = table.replace("'", "''")
+    cur.execute(
+        "SELECT indexname, indexdef FROM pg_indexes "
+        f"WHERE schemaname = 'public' AND tablename = '{safe}'"
+    )
+    fetch = getattr(cur, "fetchall", None)
+    rows = fetch() if callable(fetch) else None
+    return [tuple(r) for r in rows] if rows else []
+
+
+def drop_indexes(table: str, connection_factory: Callable[[], Any]) -> list[tuple[str, str]]:
+    """D6 pre-load step: drop every index on ``table`` so a bulk COPY
+    writes heap pages only (index maintenance per-row is the classic
+    bulk-load tax), returning (name, CREATE-statement) pairs for
+    :func:`restore_indexes`. Mirrors the reference's ``delete_index``
+    (postgres_loader.py:12-41) but keeps the real ``indexdef`` so the
+    restore recreates the indexes that actually existed — not a
+    re-derivation from the schema dictionary."""
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        defs = _pg_index_defs(cur, table)
+        for name, _ in defs:
+            cur.execute(f"DROP INDEX {_quote_ident(name)} CASCADE")
+        conn.commit()
+        return defs
+    finally:
+        conn.close()
+
+
+def restore_indexes(
+    table: str,
+    saved: list[tuple[str, str]],
+    connection_factory: Callable[[], Any],
+    *,
+    primary_key: list[str] | None = None,
+) -> None:
+    """D6 post-load step: recreate the indexes captured by
+    :func:`drop_indexes` (exact ``indexdef`` replay). If nothing was
+    saved and ``primary_key`` is given, create the reference-shaped
+    sha1-named UNIQUE index on the key columns (intent of
+    ``restore_indexes_and_set_datastore_active`` +
+    ``_generate_index_name``, postgres_loader.py:44-87 — the reference
+    builds one unique primary-key index; its bug of indexing every
+    field into the PK index is not reproduced)."""
+    import hashlib
+
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        if saved:
+            for _, indexdef in saved:
+                cur.execute(indexdef)
+        elif primary_key:
+            flds = ", ".join(_quote_ident(k) for k in primary_key)
+            name = hashlib.sha1((table + flds).encode("utf-8")).hexdigest()
+            cur.execute(
+                f"CREATE UNIQUE INDEX {_quote_ident(name)} "
+                f"ON {_quote_ident(table)} ({flds})"
+            )
+        conn.commit()
+    finally:
+        conn.close()
+
+
 def copy_to_postgres(
     df: DataFrame,
     table: str,
@@ -181,6 +249,8 @@ def copy_to_postgres(
     *,
     unique_keys: list[str] | None = None,
     chunk_rows: int = 85_000,
+    manage_indexes: bool = False,
+    primary_key: list[str] | None = None,
 ) -> None:
     """Postgres bulk load via COPY FROM STDIN (reference K8/J2 fast path,
     postgres_loader.py:86-212 — the reference picked COPY FROM STDIN over
@@ -205,6 +275,17 @@ def copy_to_postgres(
     connection whose cursor supports ``copy_expert`` (psycopg2-style). The
     driver jar / psycopg2 are absent in this container — injectable by
     design, unit-tested against a recording fake.
+
+    ``manage_indexes=True`` (reference D6, postgres_loader.py:12-87):
+    drop every index on ``table`` driver-side BEFORE the distributed
+    COPY and recreate them after — bulk loads into an indexed table pay
+    per-row B-tree maintenance on every partition's connection; one
+    rebuild at the end is O(n log n) once instead. With no pre-existing
+    indexes and ``primary_key`` set, the post-step creates the
+    reference's sha1-named UNIQUE key index. Skipped on the upsert path
+    (``unique_keys``): ON CONFLICT requires the unique index to exist
+    DURING the merge, so dropping it would break the load — the
+    reference only ever managed indexes around its plain-COPY path.
     """
     columns = list(df.columns)
     keys = list(unique_keys or [])
@@ -215,6 +296,9 @@ def copy_to_postgres(
         from aircan_spark.upsert import dedup_stage
 
         df = dedup_stage(df, keys).repartition(*[F.col(k) for k in keys])
+    saved_indexes: list[tuple[str, str]] = []
+    if manage_indexes and not keys:
+        saved_indexes = drop_indexes(table, connection_factory)
 
     def load_partition(rows: Iterator) -> None:
         import csv as _csv
@@ -244,3 +328,7 @@ def copy_to_postgres(
             conn.close()
 
     df.foreachPartition(load_partition)
+    if manage_indexes and not keys:
+        restore_indexes(
+            table, saved_indexes, connection_factory, primary_key=primary_key
+        )

@@ -111,6 +111,9 @@ def read_resource(
     descriptor: dict[str, Any] | None = None,
     sanitize_names: bool = True,
     options: dict[str, str] | None = None,
+    respill: bool = False,
+    respill_dir: str | None = None,
+    respill_partitions: int | None = None,
 ) -> DataFrame:
     """Read a resource into a DataFrame.
 
@@ -125,7 +128,18 @@ def read_resource(
       beyond-reference format Spark provides for free).
     - ``.gz`` sources decompress transparently (S5). NOTE a gzip file is
       non-splittable -> single-task read, same as the reference's
-      single-threaded stream; at scale recompress on ingest (SURVEY §7.4).
+      single-threaded stream; at scale recompress on ingest (SURVEY §7.4)
+      — ``respill=True`` does exactly that.
+
+    ``respill=True`` (SURVEY §7.4 hard-part 4): when the source is a
+    non-splittable ``.gz`` text file, rewrite it ONCE to zstd parquet in
+    a staging dir (``respill_dir`` or a fresh tempdir) and return a
+    DataFrame over the parquet. The single mandatory decompression task
+    round-robins its rows into ``respill_partitions`` (default
+    ``sc.defaultParallelism``) shuffle blocks, so the rewrite itself and
+    every downstream stage run wide — one serial pass instead of a
+    serial pass per query over the source. No-op for already-splittable
+    sources (plain text, parquet, orc).
     """
     fmt = infer_format(path, fmt)
     if is_http_url(path):
@@ -175,4 +189,17 @@ def read_resource(
         renamed = [sanitize_column_name(c) for c in df.columns]
         if renamed != df.columns:
             df = df.toDF(*renamed)
+    if respill and path.lower().endswith(".gz") and fmt not in ("parquet", "orc"):
+        import tempfile
+        import uuid
+
+        base = respill_dir or tempfile.mkdtemp(prefix="aircan_respill_")
+        target = os.path.join(base, f"respill_{uuid.uuid4().hex}")
+        n = respill_partitions or spark.sparkContext.defaultParallelism
+        (
+            df.repartition(n)
+            .write.option("compression", "zstd")
+            .parquet(target)
+        )
+        df = spark.read.parquet(target)
     return df

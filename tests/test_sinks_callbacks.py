@@ -194,3 +194,129 @@ def test_copy_to_postgres_missing_key_raises(spark, tmp_path):
     df = spark.createDataFrame([(1,)], "id int")
     with _pytest.raises(ValueError, match="unique keys absent"):
         copy_to_postgres(df, "t", _make_recording_factory(str(tmp_path)), unique_keys=["nope"])
+
+
+def _make_sequenced_factory(log_dir, index_rows):
+    """Recording factory whose log filenames carry a system-wide
+    monotonic timestamp so driver-side (index DDL) and executor-side
+    (COPY) events interleave in true order, and whose cursor answers
+    the pg_indexes discovery query with ``index_rows``."""
+
+    def factory():
+        import os
+        import time
+
+        class Cur:
+            _sql = ""
+
+            def _log(self, kind, payload):
+                p = os.path.join(log_dir, f"{time.monotonic_ns():020d}_{kind}.log")
+                with open(p, "w") as f:
+                    f.write(payload)
+
+            def execute(self, sql):
+                self._sql = sql
+                self._log("execute", sql)
+
+            def fetchall(self):
+                if "pg_indexes" in self._sql:
+                    return list(index_rows)
+                return []
+
+            def copy_expert(self, sql, buf):
+                self._log("copy", sql + "\n---\n" + buf.read())
+
+        class Conn:
+            def cursor(self):
+                return Cur()
+
+            def commit(self):
+                pass
+
+            def close(self):
+                pass
+
+        return Conn()
+
+    return factory
+
+
+def _event_sequence(log_dir):
+    import glob
+    import os
+
+    out = []
+    for p in sorted(glob.glob(f"{log_dir}/*_*.log")):
+        kind = os.path.basename(p).split("_", 1)[1].removesuffix(".log")
+        out.append((kind, open(p).read()))
+    return out
+
+
+def test_copy_to_postgres_manage_indexes_drop_before_copy_create_after(spark, tmp_path):
+    """D6: with manage_indexes=True every pre-existing index is dropped
+    BEFORE the first COPY and its exact indexdef replayed AFTER the last
+    one (reference postgres_loader.py:12-87 intent)."""
+    from aircan_spark.sinks import copy_to_postgres
+
+    log_dir = str(tmp_path)
+    indexdef = 'CREATE INDEX "idx_name" ON "target" ("name")'
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string").coalesce(1)
+    copy_to_postgres(
+        df,
+        "target",
+        _make_sequenced_factory(log_dir, [("idx_name", indexdef)]),
+        manage_indexes=True,
+    )
+    seq = _event_sequence(log_dir)
+    drop_at = next(i for i, (k, s) in enumerate(seq) if 'DROP INDEX "idx_name" CASCADE' in s)
+    copy_ats = [i for i, (k, s) in enumerate(seq) if k == "copy"]
+    create_at = next(i for i, (k, s) in enumerate(seq) if s == indexdef)
+    assert copy_ats, "no COPY recorded"
+    assert drop_at < min(copy_ats) <= max(copy_ats) < create_at
+    # discovery query ran against pg_indexes for the right table
+    assert any("pg_indexes" in s and "'target'" in s for _, s in seq)
+
+
+def test_copy_to_postgres_manage_indexes_pk_fallback(spark, tmp_path):
+    """D6: no pre-existing indexes + primary_key -> the reference's
+    sha1-named UNIQUE index on the key columns is created post-load."""
+    import hashlib
+
+    from aircan_spark.sinks import copy_to_postgres
+
+    log_dir = str(tmp_path)
+    df = spark.createDataFrame([(1, "a")], "id int, name string").coalesce(1)
+    copy_to_postgres(
+        df,
+        "target",
+        _make_sequenced_factory(log_dir, []),
+        manage_indexes=True,
+        primary_key=["id"],
+    )
+    seq = _event_sequence(log_dir)
+    name = hashlib.sha1(('target' + '"id"').encode()).hexdigest()
+    create_at = next(
+        i for i, (k, s) in enumerate(seq)
+        if f'CREATE UNIQUE INDEX "{name}" ON "target" ("id")' in s
+    )
+    copy_ats = [i for i, (k, s) in enumerate(seq) if k == "copy"]
+    assert copy_ats and max(copy_ats) < create_at
+
+
+def test_copy_to_postgres_upsert_path_skips_index_management(spark, tmp_path):
+    """ON CONFLICT needs the unique index alive during the merge — the
+    upsert path must never drop indexes even with manage_indexes=True."""
+    from aircan_spark.sinks import copy_to_postgres
+
+    log_dir = str(tmp_path)
+    df = spark.createDataFrame([(1, "a")], "id int, name string").coalesce(1)
+    copy_to_postgres(
+        df,
+        "target",
+        _make_sequenced_factory(log_dir, [("idx", 'CREATE INDEX "idx" ON "target" ("name")')]),
+        unique_keys=["id"],
+        manage_indexes=True,
+    )
+    seq = _event_sequence(log_dir)
+    assert not any("DROP INDEX" in s for _, s in seq)
+    assert not any("pg_indexes" in s for _, s in seq)

@@ -86,6 +86,37 @@ def test_read_csv_gz(spark, tmp_path):
     _check(read_resource(spark, p, descriptor=DESCRIPTOR))
 
 
+def test_read_csv_gz_respill_splits_downstream_scan(spark, tmp_path):
+    """SURVEY §7.4 #4: a .csv.gz source is a single-task read (gzip is
+    non-splittable); respill=True rewrites it once to zstd parquet so
+    the downstream scan runs multi-partition with identical contents."""
+    p = str(tmp_path / "big.csv.gz")
+    with gzip.open(p, "wt") as fh:
+        fh.write("id,val\n")
+        for i in range(5000):
+            fh.write(f"{i},v{i}\n")
+    plain = read_resource(spark, p)
+    assert plain.rdd.getNumPartitions() == 1  # the non-splittable baseline
+    spilled = read_resource(
+        spark, p, respill=True, respill_dir=str(tmp_path / "stage"),
+        respill_partitions=8,
+    )
+    assert spilled.rdd.getNumPartitions() > 1
+    assert spilled.count() == 5000
+    assert sorted(r.id for r in spilled.collect()) == sorted(
+        r.id for r in plain.collect()
+    )
+    # the rewrite landed as parquet under the staging dir
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "stage" / "respill_*" / "*.parquet"))
+    # splittable sources are untouched: respill on parquet is a no-op path
+    pq = str(tmp_path / "t.parquet")
+    plain.write.parquet(pq)
+    again = read_resource(spark, pq, fmt="parquet", respill=True)
+    assert again.count() == 5000
+
+
 def test_read_ndjson(spark, tmp_path):
     p = str(tmp_path / "d.ndjson")
     with open(p, "w") as fh:
