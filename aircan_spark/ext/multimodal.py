@@ -306,32 +306,91 @@ def encode_bmp(rgb) -> bytes:
     return header + data
 
 
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step) per pass
+# (PNG spec §8.2). A pass with zero pixels in either axis emits NO
+# scanline bytes at all.
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw, h, wpx, bpp):
+    """Reverse the five PNG scanline filters (spec §9) over ``h`` rows of
+    ``wpx`` pixels × ``bpp`` bytes each (the filter's left-neighbor
+    distance — channels×bytes-per-sample). None/Up rows are fully
+    numpy-vectorized; Sub is a per-column prefix sum mod 256
+    (``np.cumsum & 0xFF``); Average/Paeth carry a true sequential
+    left-neighbor recurrence and run a Python loop over plain lists
+    (several-fold faster than numpy scalar indexing). Returns an
+    (h, wpx*bpp) uint8 array, or None on an invalid filter byte."""
+    import numpy as np
+
+    stride = wpx * bpp
+    rows = np.frombuffer(raw, dtype="u1", count=h * (1 + stride)).reshape(h, 1 + stride)
+    filters, scan = rows[:, 0], rows[:, 1:]
+    out = np.zeros((h, stride), dtype="u1")
+    prev = np.zeros(stride, dtype="u1")
+    for y in range(h):
+        f, cur = int(filters[y]), scan[y]
+        if f == 0:
+            line = cur.copy()
+        elif f == 2:  # Up — vectorized; uint8 add wraps mod 256 natively
+            line = cur + prev
+        elif f == 1:  # Sub — per-column prefix sum mod 256, vectorized
+            ch = cur.reshape(wpx, bpp).astype("int64")
+            line = (np.cumsum(ch, axis=0) & 0xFF).astype("u1").reshape(stride)
+        elif f == 3:  # Average — sequential recurrence over python lists
+            cl, pl = cur.tolist(), prev.tolist()
+            ln = [0] * stride
+            for x in range(stride):
+                a = ln[x - bpp] if x >= bpp else 0
+                ln[x] = (cl[x] + ((a + pl[x]) >> 1)) & 0xFF
+            line = np.asarray(ln, dtype="u1")
+        elif f == 4:  # Paeth predictor, spec §9.4 — python-list loop
+            cl, pl = cur.tolist(), prev.tolist()
+            ln = [0] * stride
+            for x in range(stride):
+                a = ln[x - bpp] if x >= bpp else 0
+                bb = pl[x]
+                c = pl[x - bpp] if x >= bpp else 0
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                ln[x] = (cl[x] + pr) & 0xFF
+            line = np.asarray(ln, dtype="u1")
+        else:
+            return None  # invalid filter byte
+        out[y] = line
+        prev = line
+    return out
+
+
 def decode_png(blob: bytes):
     """REAL PNG pixel decode, stdlib ``zlib`` + numpy only — fills the
     former PIL seam for the most common compressed image container.
 
-    Supported: 8-bit-depth, non-interlaced PNGs of every color type —
-    0 grayscale, 2 truecolor, 3 palette (PLTE), 4 gray+alpha, 6 RGBA —
-    with all five scanline filters (None/Sub/Up/Average/Paeth) per the
-    PNG spec §9. Returns an (h, w, 3) uint8 RGB array (alpha dropped,
-    gray broadcast, palette mapped), or None for anything else (16-bit,
-    Adam7 interlace, truncated/corrupt) — at corpus scale undecodable
-    blobs are data, not errors.
+    Supported: 8-bit AND 16-bit depths, sequential AND Adam7-interlaced
+    layouts, every color type — 0 grayscale, 2 truecolor, 3 palette
+    (PLTE, 8-bit only per spec §11.2.2), 4 gray+alpha, 6 RGBA — with
+    all five scanline filters (None/Sub/Up/Average/Paeth) per spec §9.
+    Returns an (h, w, 3) uint8 RGB array (alpha dropped, gray
+    broadcast, palette mapped, 16-bit down-converted via the high
+    byte), or None for anything else (truncated/corrupt) — at corpus
+    scale undecodable blobs are data, not errors.
 
-    Unfiltering: None/Up rows are fully numpy-vectorized; Sub is a
-    per-channel prefix sum mod 256 (``np.cumsum & 0xFF`` — vectorized);
-    Average/Paeth carry a true sequential left-neighbor recurrence, so
-    those rows run a Python loop over plain lists (several-fold faster
-    than numpy scalar indexing). This is the deliberate pure-python
-    trade: the kernel is partition-local (no shuffle either way) and a
-    production image fleet drops PIL/opencv into the same seam for the
-    hot path; this implementation makes the path *correct and testable*
-    with no native deps.
+    Adam7 (spec §8.2): each of the 7 passes is an independent
+    sub-image with its own scanlines + filters; decoded blocks scatter
+    into the output via strided numpy assignment — no per-pixel
+    deinterlace loop. 16-bit: the filter distance becomes
+    channels×2 bytes; unfiltered rows view as big-endian u2 and the
+    high byte is taken (the standard 16→8 quick conversion).
 
-    Robustness: IDAT inflation is bounded by the size the IHDR promises
-    (``decompressobj(...).decompress(data, max_length)``) so a zlib bomb
-    cannot expand past the declared image size, and images above a
-    2^26-pixel cap are rejected before any allocation.
+    Robustness: IDAT inflation is bounded by the total size the IHDR
+    promises across passes (``decompressobj(...).decompress(data,
+    max_length)``) so a zlib bomb cannot expand past the declared image
+    size, and images above a 2^26-pixel cap are rejected before any
+    allocation.
     """
     import struct
     import zlib
@@ -360,13 +419,28 @@ def decode_png(blob: bytes):
     if ihdr is None or not idat or len(ihdr) < 13:
         return None
     w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
-    if depth != 8 or interlace != 0 or color not in (0, 2, 3, 4, 6) or not w or not h:
+    if (
+        depth not in (8, 16)
+        or interlace not in (0, 1)
+        or color not in (0, 2, 3, 4, 6)
+        or not w
+        or not h
+    ):
         return None
+    if depth == 16 and color == 3:
+        return None  # palette indices are never 16-bit (spec §11.2.2)
     if w * h > (1 << 26):  # forged-header / decompression-bomb cap
         return None
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    stride = w * nch
-    need = h * (1 + stride)
+    bpp = nch * (depth // 8)
+    passes = _ADAM7_PASSES if interlace else ((0, 0, 1, 1),)
+    plan, need = [], 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            plan.append((x0, y0, dx, dy, pw, ph, need))
+            need += ph * (1 + pw * bpp)
     try:
         # bound inflation by what the IHDR promises — a zlib bomb stops here
         raw = zlib.decompressobj().decompress(b"".join(idat), need)
@@ -374,43 +448,16 @@ def decode_png(blob: bytes):
         return None
     if len(raw) < need:
         return None
-    rows = np.frombuffer(raw, dtype="u1", count=need).reshape(h, 1 + stride)
-    filters, scan = rows[:, 0], rows[:, 1:]
-    out = np.zeros((h, stride), dtype="u1")
-    prev = np.zeros(stride, dtype="u1")
-    for y in range(h):
-        f, cur = int(filters[y]), scan[y]
-        if f == 0:
-            line = cur.copy()
-        elif f == 2:  # Up — vectorized; uint8 add wraps mod 256 natively
-            line = cur + prev
-        elif f == 1:  # Sub — per-channel prefix sum mod 256, vectorized
-            ch = cur.reshape(w, nch).astype("int64")
-            line = (np.cumsum(ch, axis=0) & 0xFF).astype("u1").reshape(stride)
-        elif f == 3:  # Average — sequential recurrence over python lists
-            cl, pl = cur.tolist(), prev.tolist()
-            ln = [0] * stride
-            for x in range(stride):
-                a = ln[x - nch] if x >= nch else 0
-                ln[x] = (cl[x] + ((a + pl[x]) >> 1)) & 0xFF
-            line = np.asarray(ln, dtype="u1")
-        elif f == 4:  # Paeth predictor, spec §9.4 — python-list loop
-            cl, pl = cur.tolist(), prev.tolist()
-            ln = [0] * stride
-            for x in range(stride):
-                a = ln[x - nch] if x >= nch else 0
-                bb = pl[x]
-                c = pl[x - nch] if x >= nch else 0
-                p = a + bb - c
-                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
-                ln[x] = (cl[x] + pr) & 0xFF
-            line = np.asarray(ln, dtype="u1")
-        else:
-            return None  # invalid filter byte
-        out[y] = line
-        prev = line
-    px = out.reshape(h, w, nch)
+    img = np.zeros((h, w, bpp), dtype="u1")
+    for x0, y0, dx, dy, pw, ph, off in plan:
+        sub = _png_unfilter(raw[off : off + ph * (1 + pw * bpp)], ph, pw, bpp)
+        if sub is None:
+            return None
+        img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    if depth == 16:
+        px = np.ascontiguousarray(img.reshape(h, w, nch, 2)[:, :, :, 0])
+    else:
+        px = img
     if color == 2:
         return np.ascontiguousarray(px)
     if color == 6:
@@ -427,54 +474,83 @@ def decode_png(blob: bytes):
     return np.ascontiguousarray(pal[idx])
 
 
-def encode_png(rgb, filters=None) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG
-    (stdlib ``zlib``) — the inverse of :func:`decode_png`'s color-type-2
-    branch. ``filters`` optionally gives the per-row filter type
-    (defaults to 0/None for all rows); passing ``[0,1,2,3,4,...]`` makes
-    fixtures that exercise every unfilter branch of the decoder."""
+def encode_png(rgb, filters=None, interlace: bool = False, depth: int = 8) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a truecolor PNG (stdlib
+    ``zlib``) — the inverse of :func:`decode_png`'s color-type-2 branch.
+    ``filters`` optionally gives the filter type per emitted scanline
+    (defaults to 0/None; passing ``[0,1,2,3,4,...]`` makes fixtures
+    that exercise every unfilter branch). ``interlace=True`` emits the
+    Adam7 7-pass layout (spec §8.2); ``depth=16`` widens samples with
+    the standard 8→16 expansion v*257 (so the decoder's high-byte
+    down-conversion round-trips exactly)."""
     import struct
     import zlib
 
     import numpy as np
 
+    if depth not in (8, 16):
+        raise ValueError(f"bad PNG depth {depth}")
     rgb = np.ascontiguousarray(rgb, dtype="u1")
     h, w = rgb.shape[:2]
-    flat = rgb.reshape(h, w * 3).astype("int64")
-    stride = w * 3
+    if depth == 16:
+        wide = (rgb.astype(">u2") * 257).astype(">u2")
+        byte_img = np.frombuffer(wide.tobytes(), dtype="u1").reshape(h, w, 6)
+    else:
+        byte_img = rgb.reshape(h, w, 3)
+    bpp = byte_img.shape[2]
     lines = bytearray()
-    prev = np.zeros(stride, dtype="int64")
-    for y in range(h):
-        f = int(filters[y % len(filters)]) if filters else 0
-        cur = flat[y]
-        if f == 0:
-            enc = cur
-        elif f == 1:
-            left = np.concatenate([np.zeros(3, dtype="int64"), cur[:-3]])
-            enc = (cur - left) & 0xFF
-        elif f == 2:
-            enc = (cur - prev) & 0xFF
-        elif f == 3:
-            left = np.concatenate([np.zeros(3, dtype="int64"), cur[:-3]])
-            enc = (cur - ((left + prev) >> 1)) & 0xFF
-        elif f == 4:
-            left = np.concatenate([np.zeros(3, dtype="int64"), cur[:-3]])
-            ul = np.concatenate([np.zeros(3, dtype="int64"), prev[:-3]])
-            p = left + prev - ul
-            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
-            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
-            enc = (cur - pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter {f}")
-        lines.append(f)
-        lines.extend(enc.astype("u1").tobytes())
-        prev = cur
+    emitted = 0  # global scanline counter — filters cycle across passes
+
+    def emit_block(block):
+        """Filter one pass's (ph, pw, bpp) block into ``lines``."""
+        nonlocal emitted
+        ph, pw = block.shape[:2]
+        flat = block.reshape(ph, pw * bpp).astype("int64")
+        stride = pw * bpp
+        z = np.zeros(bpp, dtype="int64")
+        prev = np.zeros(stride, dtype="int64")
+        for y in range(ph):
+            f = int(filters[emitted % len(filters)]) if filters else 0
+            cur = flat[y]
+            if f == 0:
+                enc = cur
+            elif f == 1:
+                left = np.concatenate([z, cur[:-bpp]])
+                enc = (cur - left) & 0xFF
+            elif f == 2:
+                enc = (cur - prev) & 0xFF
+            elif f == 3:
+                left = np.concatenate([z, cur[:-bpp]])
+                enc = (cur - ((left + prev) >> 1)) & 0xFF
+            elif f == 4:
+                left = np.concatenate([z, cur[:-bpp]])
+                ul = np.concatenate([z, prev[:-bpp]])
+                p = left + prev - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+                )
+                enc = (cur - pred) & 0xFF
+            else:
+                raise ValueError(f"bad PNG filter {f}")
+            lines.append(f)
+            lines.extend(enc.astype("u1").tobytes())
+            prev = cur
+            emitted += 1
+
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            block = byte_img[y0::dy, x0::dx]
+            if block.shape[0] and block.shape[1]:
+                emit_block(block)
+    else:
+        emit_block(byte_img)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         body = ctype + data
         return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 2, 0, 0, 1 if interlace else 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -1208,10 +1284,11 @@ def nn_resize(rgb, width: int, height: int):
 def resize_images(df: DataFrame, width: int = 32, height: int = 32, fake: bool = False) -> DataFrame:
     """Resize image blobs to (width, height).
 
-    REAL for BMP/TGA and 8-bit PNG: :func:`decode_pixels` →
+    REAL for every supported container — BMP/TGA, PNG (8/16-bit,
+    sequential or Adam7), baseline JPEG, GIF: :func:`decode_pixels` →
     :func:`nn_resize` (numpy nearest-neighbor) → :func:`encode_bmp`, all
     partition-local in one Arrow batch kernel. Blobs the decoder cannot
-    reach (JPEG entropy coding — the PIL seam) yield NULL content; at
+    reach (progressive JPEG, native-lib codecs) yield NULL content; at
     corpus scale undecodable blobs are data, not errors. ``fake=True``
     keeps the legacy byte-downsample for plumbing tests."""
     target = width * height
@@ -1770,3 +1847,128 @@ def audio_rms_windows(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(kernel, AUDIO_WINDOWS_SCHEMA)
+
+
+# --- round-5 operators: perceptual image hash, audio silence, scene cuts ------
+
+
+DHASH_SCHEMA = "media_id long, dhash_hi long, dhash_lo long"
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image blob — the standard
+    near-duplicate-image signature: decode (any supported container),
+    nearest-neighbor resample to 9×8 grayscale (first channel), compare
+    each pixel against its right neighbor → 64 bits. Emitted as two
+    32-bit halves (``dhash_hi`` = rows 0-3, ``dhash_lo`` = rows 4-7,
+    bit (y*8+x) at position 31-(y%4*8+x)) so the value stays inside a
+    signed BIGINT in every engine — exact integers end to end, which is
+    what makes the whole pipeline closed-form oracle-checkable.
+
+    Identical images hash identically (exact-dup groups are a groupBy
+    away); near-identical images differ in few bits (near-dup pairs =
+    small Hamming distance — pair search composes with the X3/X4 banded
+    LSH machinery, 8 bytes per image of state). Partition-local
+    mapInPandas, zero shuffle, media bytes never leave the executor."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                px = decode_pixels(blob)
+                if px is None:
+                    continue
+                g = nn_resize(px, 9, 8)[:, :, 0].astype("int64")
+                bits = (g[:, :8] > g[:, 1:]).astype("int64")  # (8 rows, 8 cols)
+                weights = 1 << (31 - (np.arange(4)[:, None] * 8 + np.arange(8)[None, :]))
+                ids.append(mid)
+                his.append(int((bits[:4] * weights).sum()))
+                los.append(int((bits[4:] * weights).sum()))
+            yield pd.DataFrame({"media_id": ids, "dhash_hi": his, "dhash_lo": los})
+
+    return df.mapInPandas(kernel, DHASH_SCHEMA)
+
+
+AUDIO_SILENCE_SCHEMA = "media_id long, n_samples long, n_silent long, silence_ratio double"
+
+
+def audio_silence_stats(df: DataFrame, threshold: float = 0.1) -> DataFrame:
+    """Per-file silence profile: fraction of samples whose normalized
+    amplitude is <= ``threshold`` — the corpus-curation gate that drops
+    dead-air recordings before an expensive ASR/embedding pass (the
+    windowed variant for trimming is :func:`audio_rms_windows`).
+
+    Exactness: decoded samples are dyadic rationals (integer/2^k), so
+    the ``<=`` comparison against a short-decimal threshold has no
+    representable boundary case — counts are integers, bit-stable in
+    any partition order. Partition-local mapInPandas, zero shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "n_samples": [], "n_silent": [], "silence_ratio": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                got = decode_audio(blob)
+                if got is None:
+                    continue
+                x, _rate, _n = got
+                n = int(len(x))
+                ns = int((np.abs(x) <= threshold).sum())
+                out["media_id"].append(mid)
+                out["n_samples"].append(n)
+                out["n_silent"].append(ns)
+                out["silence_ratio"].append(round(ns / n, 6) if n else 0.0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, AUDIO_SILENCE_SCHEMA)
+
+
+SCENE_CHANGE_SCHEMA = (
+    "media_id long, n_frames long, n_scene_changes long, first_change_idx long"
+)
+
+
+def video_scene_changes(df: DataFrame, threshold: float = 20.0) -> DataFrame:
+    """Shot-boundary detection over video blobs: decode frames
+    (:func:`decode_avi_mjpeg` for MJPEG-AVI), reduce each to its mean
+    gray level, and count jumps where |mean(f) − mean(f−1)| >=
+    ``threshold`` — the classic luma-difference cut detector, the
+    frame-sampling primitive a training pipeline runs before picking
+    which frames to caption/embed. ``first_change_idx`` is the first
+    cut's frame index (NULL when the video has no cut).
+
+    On DC-only constant frames the means are exact integers (the
+    baseline-JPEG bit-exactness contract), so counts are deterministic.
+    Partition-local mapInPandas, zero shuffle; per-video state is one
+    float, frames stream through the decoder one at a time."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "n_frames": [], "n_scene_changes": [],
+                "first_change_idx": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                frames = decode_avi_mjpeg(blob)
+                if not frames:
+                    continue
+                prev_mean, n_changes, first_idx = None, 0, None
+                for idx, rgb in frames:
+                    m = float(rgb.astype("float64").mean())
+                    if prev_mean is not None and abs(m - prev_mean) >= threshold:
+                        n_changes += 1
+                        if first_idx is None:
+                            first_idx = idx
+                    prev_mean = m
+                out["media_id"].append(mid)
+                out["n_frames"].append(len(frames))
+                out["n_scene_changes"].append(n_changes)
+                out["first_change_idx"].append(first_idx)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, SCENE_CHANGE_SCHEMA)

@@ -7,7 +7,7 @@ SQL-expressible operators carry a DuckDB oracle; the LSH-based ones
 weaker rows-only check plus recall tests in tests/test_ext.py.
 
 This module is the AGGREGATOR for the per-wave modules the former
-16.7k-line monolith was split into (queries_w01..w08): importing it
+16.7k-line monolith was split into (queries_w01..w09): importing it
 imports every wave in historical order (filling the shared
 EXT_QUERIES/EXT_ORACLES registries with identical content and insertion
 order) and re-exports every wave-module name, so existing imports —
@@ -32,9 +32,10 @@ from aircan_spark.ext import (  # noqa: F401
     queries_w06,
     queries_w07,
     queries_w08,
+    queries_w09,
 )
 
-for _m in (queries_w01, queries_w02, queries_w03, queries_w04, queries_w05, queries_w06, queries_w07, queries_w08,):
+for _m in (queries_w01, queries_w02, queries_w03, queries_w04, queries_w05, queries_w06, queries_w07, queries_w08, queries_w09,):
     globals().update(
         {_k: _v for _k, _v in vars(_m).items() if not _k.startswith("__")}
     )

@@ -669,3 +669,32 @@ def cluster_by_zorder(
         else keyed.repartitionByRange("__zkey")
     )
     return parted.sortWithinPartitions("__zkey").drop("__zkey")
+
+
+def plan_compaction(
+    df: DataFrame,
+    size_col: str,
+    order_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-files compaction plan: assign each file/shard (one input
+    row with a byte size) to an output bin so every bin holds
+    ~``target_bytes``, preserving ``order_col`` order so compacted files
+    stay range-clustered (time-travel/pruning friendly). The split rule
+    is the streaming one — ``bin_id = floor(exclusive_cumsum(size) /
+    target)`` — deterministic, single-pass, and exactly replayable in
+    SQL, unlike best-fit heuristics.
+
+    Scale shape: the window runs over the FILE MANIFEST (one row per
+    file — O(files), thousands at 100 TB), never over data rows; the
+    plan is then a broadcast-join against the write path. A global
+    orderBy window on a manifest-sized frame is the cheap, correct
+    tool here."""
+    w = (
+        Window.orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return df.withColumn(
+        "bin_id", F.floor(cum_before / F.lit(target_bytes)).cast("long")
+    )

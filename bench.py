@@ -59,6 +59,34 @@ def main() -> None:
         _noop_batches, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Host-noise calibration probe (r4 verdict #4): a FIXED trivial query
+    # (1M-row range -> 101-key hash agg -> noop sink, 9 reps) whose cost is
+    # pure Spark-stack scheduling + one small shuffle — invariant across
+    # rounds by construction. Run before AND after the suite; the medians
+    # let any cross-round comparison be normalized for boot-to-boot noise
+    # (r3 vs r4 showed 2-20x swings on identical code).
+    def _calibration() -> dict[str, float]:
+        reps = []
+        for _ in range(9):
+            t0 = time.perf_counter()
+            (
+                spark.range(1_000_000, numPartitions=int(cpus))
+                .groupBy((F.col("id") % 101).alias("k"))
+                .count()
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            reps.append(time.perf_counter() - t0)
+        reps.sort()
+        return {
+            "median_s": round(reps[4], 3),
+            "min_s": round(reps[0], 3),
+            "max_s": round(reps[-1], 3),
+        }
+
+    calibration_pre = _calibration()
+
     warm_mode = os.environ.get("SPARK_GRAFT_WARM") == "1"
     cold: dict[str, float] = {}
     warm: dict[str, float] | None = {} if warm_mode else None
@@ -98,6 +126,8 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             warm_rebuild[name] = round(time.perf_counter() - start, 3)
 
+    calibration_post = _calibration()
+
     total = round(sum(timings.values()), 3)
     top = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     here = os.path.dirname(os.path.abspath(__file__))
@@ -110,6 +140,8 @@ def main() -> None:
                 "cold_total": round(sum(cold.values()), 3),
                 "warm_total": round(sum(warm.values()), 3) if warm else None,
                 "warm_rebuild": warm_rebuild,
+                "calibration_pre": calibration_pre,
+                "calibration_post": calibration_post,
                 "queries": timings,
             },
             f,
@@ -126,6 +158,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "mode": "warm" if warm_mode else "cold",
+                "calib": calibration_pre["median_s"],
                 "top5": {k: v for k, v in top},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -458,15 +458,46 @@ def test_multimodal_png_codec_roundtrip():
     pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
     out = multimodal.decode_png(manual(3, 1, 3, b"\x00" + bytes([2, 0, 1]), plte=pal))
     assert (out == np.array([[[0, 0, 255], [255, 0, 0], [0, 255, 0]]], dtype=np.uint8)).all()
-    # refusals: truncated stream, 16-bit depth, Adam7 interlace,
-    # out-of-range palette index, invalid filter byte, None input
+    # 16-bit and Adam7 now DECODE (r5): an all-zero 16-bit stream is black
+    assert (multimodal.decode_png(manual(2, 2, 2, bytes(26), depth=16)) == 0).all()
+    # refusals: truncated stream, short interlaced stream (needs 15 bytes),
+    # 16-bit palette (invalid per spec §11.2.2), out-of-range palette
+    # index, invalid filter byte, None input
     full = multimodal.encode_png(rng.integers(0, 256, (6, 6, 3), dtype=np.uint8))
     assert multimodal.decode_png(full[:40]) is None
-    assert multimodal.decode_png(manual(2, 2, 2, bytes(26), depth=16)) is None
     assert multimodal.decode_png(manual(2, 2, 2, bytes(14), interlace=1)) is None
+    assert multimodal.decode_png(manual(2, 1, 3, bytes(4), plte=pal, depth=16)) is None
     assert multimodal.decode_png(manual(2, 1, 3, b"\x00\x09\x00", plte=pal)) is None
     assert multimodal.decode_png(manual(2, 1, 2, b"\x07" + bytes(6))) is None
     assert multimodal.decode_png(None) is None
+
+
+def test_multimodal_png_adam7_and_16bit_roundtrip():
+    """Adam7 interlace (all 7 passes incl. empty-pass shapes like 1×1
+    and 1×9) and 16-bit depth (v*257 expansion, high-byte
+    down-conversion) round-trip EXACTLY under every filter regime and
+    in combination — the r4 'codec seams that remain NULL-passthrough'
+    gap, closed. Filters cycle across pass scanlines so every unfilter
+    branch runs inside every pass geometry."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    for h, w in [(1, 1), (1, 9), (9, 1), (3, 5), (8, 8), (23, 17)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for interlace in (False, True):
+            for depth in (8, 16):
+                for filters in (None, [0, 1, 2, 3, 4], [4], [3]):
+                    blob = multimodal.encode_png(
+                        img, filters=filters, interlace=interlace, depth=depth
+                    )
+                    rt = multimodal.decode_png(blob)
+                    assert rt is not None and (rt == img).all(), (
+                        h, w, interlace, depth, filters,
+                    )
+    # dispatch still routes through decode_pixels
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    blob = multimodal.encode_png(img, interlace=True, depth=16)
+    assert (multimodal.decode_pixels(blob) == img).all()
 
 
 def test_multimodal_jpeg_codec_roundtrip():
@@ -590,6 +621,9 @@ def test_multimodal_decoders_never_raise_on_garbage():
     s = (np.sin(np.arange(300) * 0.1) * 9000).astype(np.int64)
     valid = [
         encode_bmp(img), encode_png(img, filters=[0, 1, 2, 3, 4]),
+        encode_png(img, filters=[0, 1, 2, 3, 4], interlace=True),
+        encode_png(img, filters=[4, 3, 2, 1, 0], depth=16),
+        encode_png(img, interlace=True, depth=16),
         encode_jpeg(gray, restart_interval=2), encode_jpeg(img, subsample=True),
         encode_gif(gray), encode_wav(s, 8000, "mulaw"),
         encode_wav(s, 8000, "ima_adpcm"), FL.encode_flac(s, blocksize=128),
