@@ -225,11 +225,13 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT 5-gram word shingles that no lower-numbered document
     contains — the marginal-contribution measure behind "how much new
     content does each source add" and dedup-threshold tuning. Shingle
-    first-owners come from one MIN aggregate over the exploded
-    (shingle, doc) pairs; attribution is an equi-join back.
+    first-owners come from a MIN window over the exploded (shingle, doc)
+    pairs, so the corpus is scanned and exploded exactly ONCE (the
+    agg+join-back form re-scans the corpus for the owner side — its plan
+    showed two parquet scans; the window form shows one).
 
-    Scale shape: explode once, two hash aggs (per-shingle MIN, per-doc
-    counts) — the inverted-index shape; no pairwise comparison."""
+    Scale shape: one explode, one shuffle by shingle (high-cardinality
+    window key), one per-doc hash agg; no join, no pairwise compare."""
     sh = (
         _t(spark, sf_dir, "documents")
         .select(
@@ -247,9 +249,11 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    owner = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    w = Window.partitionBy("sh")
     per = (
-        sh.join(owner, "sh")
+        sh.select(
+            "doc_id", F.min("doc_id").over(w).alias("first_doc")
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
