@@ -151,3 +151,148 @@ def test_sampling_error_curve_shrinks_with_rate(spark, sf_dir):
     assert rows["r05_pct"]["sample_rows"] >= rows["r01_pct"]["sample_rows"]
     for r in rows.values():
         assert math.isfinite(r["revenue_rel_error"])
+
+
+def test_ordering_audit_internally_consistent(spark, sf_dir):
+    """Inversions are a subset of pairs, the rate is their exact ratio,
+    and a zero-inversion feed must report a zero worst backward jump."""
+    (r,) = _rows(spark, sf_dir, "ext_ordering_audit")
+    assert 0 <= r["n_inversions"] <= r["n_pairs"]
+    assert abs(r["inversion_rate"] - r["n_inversions"] / r["n_pairs"]) < 1e-6
+    assert r["max_backward_s"] >= 0
+    if r["n_inversions"] == 0:
+        assert r["max_backward_s"] == 0
+
+
+def test_item_cold_start_first_week_all_cold(spark, sf_dir):
+    """In the earliest week every item is by definition first-seen, so
+    the cold share there must be exactly 1; cold events never exceed
+    events anywhere."""
+    rows = sorted(_rows(spark, sf_dir, "ext_item_cold_start"), key=lambda r: r["wk"])
+    assert rows[0]["cold_share"] == 1.0
+    assert all(0 <= r["n_cold_events"] <= r["n_events"] for r in rows)
+
+
+def test_survivorship_premium_is_exact_ratio(spark, sf_dir):
+    """Survivors are a subset of users and the premium must reproduce
+    the ratio of the two reported means (identity, not estimate)."""
+    (r,) = _rows(spark, sf_dir, "ext_survivorship_bias")
+    assert 0 <= r["n_survivors"] <= r["n_users"]
+    expect = r["mean_spend_survivors"] / r["mean_spend_all"] - 1
+    assert abs(r["survivor_premium"] - expect) < 1e-3  # two rounded inputs
+
+
+def test_fdr_bh_rejections_form_prefix(spark, sf_dir):
+    """BH rejects exactly the ranks up to i*: the rejected set must be a
+    prefix of the p-ordering, criticals increase with rank, and every
+    p lies in [0, 1]."""
+    rows = sorted(_rows(spark, sf_dir, "ext_fdr_bh"), key=lambda r: r["p_rank"])
+    flags = [r["rejected"] for r in rows]
+    assert flags == sorted(flags, reverse=True)  # 1s then 0s
+    crits = [r["bh_crit"] for r in rows]
+    assert crits == sorted(crits)
+    assert all(0.0 <= r["p"] <= 1.0 for r in rows)
+
+
+def test_qini_curve_accumulates_all_users(spark, sf_dir):
+    """The cumulative axis must be monotone and end with EVERY user
+    counted once (treated + control partition the population)."""
+    rows = _rows(spark, sf_dir, "ext_qini_uplift")  # already score DESC
+    cums = [r["cum_users"] for r in rows]
+    assert cums == sorted(cums)
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert cums[-1] == n_users
+
+
+def test_dr_ate_covers_every_lineitem(spark, sf_dir):
+    """The part join is FK-complete, so the estimator must consume every
+    lineitem row; clipped propensities stay inside [0.05, 0.95]."""
+    (r,) = _rows(spark, sf_dir, "ext_dr_ate")
+    n_li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert r["n_rows"] == n_li
+    assert 0.05 <= r["mean_propensity"] <= 0.95
+
+
+def test_invoice_conformance_partitions_orders(spark, sf_dir):
+    """Residual buckets partition the order population: counts sum to
+    the orders row count and shares to 1."""
+    rows = _rows(spark, sf_dir, "ext_invoice_conformance")
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_duplicate_payment_pairs_satisfy_predicate(spark, sf_dir):
+    """Every reported pair must re-satisfy its own definition: distinct
+    ordered keys, 3-day window, amounts within 5%."""
+    for r in _rows(spark, sf_dir, "ext_duplicate_payments"):
+        assert r["k1"] < r["k2"]
+        assert 0 <= r["day_gap"] <= 3
+        lo = min(r["amount_1"], r["amount_2"])
+        hi = max(r["amount_1"], r["amount_2"])
+        assert (hi - lo) <= 0.05 * lo + 0.02  # cent-rounding slack
+
+
+def test_erasure_audit_matches_independent_cascade(spark, sf_dir):
+    """Blast-radius counts must equal an independently-written cascade
+    (IN-subquery instead of semi joins)."""
+    rows = {r["table_name"]: r["n_rows"] for r in _rows(spark, sf_dir, "ext_erasure_audit")}
+    for t in ("customer", "orders", "lineitem"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(
+            f"_era_{t}"
+        )
+    got = {
+        "customer": spark.sql(
+            "SELECT COUNT(*) c FROM _era_customer WHERE CAST(conv(substring("
+            "md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10) AS BIGINT) % 97 = 0"
+        ).collect()[0]["c"],
+        "orders": spark.sql(
+            "SELECT COUNT(*) c FROM _era_orders WHERE o_custkey IN ("
+            "SELECT c_custkey FROM _era_customer WHERE CAST(conv(substring("
+            "md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10) AS BIGINT) % 97 = 0)"
+        ).collect()[0]["c"],
+        "lineitem": spark.sql(
+            "SELECT COUNT(*) c FROM _era_lineitem WHERE l_orderkey IN ("
+            "SELECT o_orderkey FROM _era_orders WHERE o_custkey IN ("
+            "SELECT c_custkey FROM _era_customer WHERE CAST(conv(substring("
+            "md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10) AS BIGINT) % 97 = 0))"
+        ).collect()[0]["c"],
+    }
+    assert rows == got
+
+
+def test_periodogram_power_fractions_valid(spark, sf_dir):
+    """Each power fraction is a share of total variance (in [0, 1]) and
+    the peak flag marks exactly the max."""
+    rows = _rows(spark, sf_dir, "ext_periodogram")
+    assert all(0.0 <= r["power_frac"] <= 1.0 for r in rows)
+    top = max(r["power_frac"] for r in rows)
+    for r in rows:
+        assert r["is_peak"] == (1 if r["power_frac"] == top else 0)
+
+
+def test_anisotropy_in_unit_range(spark, sf_dir):
+    """The mean-unit-vector squared norm lives in [0, 1] by
+    Cauchy-Schwarz; norms are positive with nonnegative CV."""
+    (r,) = _rows(spark, sf_dir, "ext_embedding_anisotropy")
+    assert 0.0 <= r["anisotropy"] <= 1.0 + 1e-6
+    assert r["mean_norm"] > 0
+    assert r["norm_cv"] >= 0
+
+
+def test_price_dispersion_ordered_and_sane(spark, sf_dir):
+    """Spreads are nonnegative, reported descending, from 3+ suppliers,
+    with min <= max and the spread reproducible from the two prices."""
+    rows = _rows(spark, sf_dir, "ext_price_dispersion")
+    spreads = [r["rel_spread"] for r in rows]
+    assert spreads == sorted(spreads, reverse=True)
+    for r in rows:
+        assert r["n_suppliers"] >= 3
+        assert 0 < r["min_unit_price"] <= r["max_unit_price"]
+        expect = (r["max_unit_price"] - r["min_unit_price"]) / r["min_unit_price"]
+        assert abs(r["rel_spread"] - expect) < 1e-3
