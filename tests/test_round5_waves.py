@@ -296,3 +296,107 @@ def test_price_dispersion_ordered_and_sane(spark, sf_dir):
         assert 0 < r["min_unit_price"] <= r["max_unit_price"]
         expect = (r["max_unit_price"] - r["min_unit_price"]) / r["min_unit_price"]
         assert abs(r["rel_spread"] - expect) < 1e-3
+
+
+def test_factorial_anova_decomposition_bounds(spark, sf_dir):
+    """Main-effect eta-squareds live in [0, 1] and the three reported
+    components reconstruct SS_cells/SS_total, which Cauchy bounds in
+    [0, 1]; the cell F is positive."""
+    (r,) = _rows(spark, sf_dir, "ext_factorial_anova")
+    assert 0.0 <= r["eta2_type"] <= 1.0
+    assert 0.0 <= r["eta2_weekday"] <= 1.0
+    cells_share = r["eta2_type"] + r["eta2_weekday"] + r["eta2_interaction_rem"]
+    assert -1e-5 <= cells_share <= 1.0 + 1e-5
+    assert r["f_cells"] > 0
+
+
+def test_deming_corrects_ols_attenuation(spark, sf_dir):
+    """With lambda=1 the Deming slope must agree in sign with OLS and be
+    at least as steep (errors-in-x attenuate OLS toward zero)."""
+    (r,) = _rows(spark, sf_dir, "ext_deming_regression")
+    d, o = r["deming_slope"], r["ols_slope"]
+    assert d is not None and o is not None
+    assert (d >= 0) == (o >= 0)
+    assert abs(d) >= abs(o) - 1e-6
+
+
+def test_hurst_block_accounting(spark, sf_dir):
+    """The block count must equal exactly floor(n/4)+floor(n/8)+floor(n/16)
+    complete blocks of the observed-day axis, and H stays in a sane band."""
+    (r,) = _rows(spark, sf_dir, "ext_hurst_exponent")
+    n_days = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("CAST(ts AS DATE) AS d")
+        .distinct()
+        .count()
+    )
+    assert r["total_blocks"] == n_days // 4 + n_days // 8 + n_days // 16
+    assert -0.5 <= r["hurst"] <= 1.5
+
+
+def test_truncation_loss_monotone_in_budget(spark, sf_dir):
+    """A larger budget can only truncate fewer documents and lose fewer
+    tokens; every budget row sees the whole corpus."""
+    rows = sorted(_rows(spark, sf_dir, "ext_truncation_loss"), key=lambda r: r["budget"])
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert all(r["n_docs"] == n_docs for r in rows)
+    trunc = [r["n_truncated"] for r in rows]
+    lost = [r["tokens_lost"] for r in rows]
+    assert trunc == sorted(trunc, reverse=True)
+    assert lost == sorted(lost, reverse=True)
+    assert all(0.0 <= r["loss_share"] <= 1.0 for r in rows)
+
+
+def test_rec_popularity_eval_rates_valid(spark, sf_dir):
+    """All three reported rates are probabilities and coverage@10 is
+    exactly min(10, catalog)/catalog."""
+    (r,) = _rows(spark, sf_dir, "ext_rec_popularity_eval")
+    for k in ("user_hit_rate", "test_event_share_top10", "coverage_at_10"):
+        assert 0.0 <= r[k] <= 1.0
+    n = r["n_train_items"]
+    assert abs(r["coverage_at_10"] - min(10.0, n) / n) < 1e-6
+
+
+def test_receivables_aging_partitions_open_book(spark, sf_dir):
+    """Buckets partition the open orders exactly and value shares sum
+    to 1."""
+    rows = _rows(spark, sf_dir, "ext_receivables_aging")
+    n_open = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter("o_orderstatus = 'O'")
+        .count()
+    )
+    assert sum(r["n_orders"] for r in rows) == n_open
+    assert abs(sum(r["value_share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_cronbach_alpha_reconstructs_from_components(spark, sf_dir):
+    """Alpha must reproduce k/(k-1)*(1 - sum_item_var/total_var) from
+    its own reported components, and never exceed 1."""
+    (r,) = _rows(spark, sf_dir, "ext_cronbach_alpha")
+    k = r["k_items"]
+    expect = k / (k - 1) * (1 - r["sum_item_var"] / r["total_var"])
+    assert abs(r["cronbach_alpha"] - expect) < 1e-4
+    assert r["cronbach_alpha"] <= 1.0
+
+
+def test_terminal_digits_ranked_and_consistent(spark, sf_dir):
+    """Top endings are count-descending, shares are probabilities, and
+    the chi-square (a whole-distribution scalar) repeats identically on
+    every row."""
+    rows = _rows(spark, sf_dir, "ext_terminal_digits")
+    counts = [r["c"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(0.0 <= r["share"] <= 1.0 for r in rows)
+    assert len({r["chi2_uniform"] for r in rows}) == 1
+    assert rows[0]["chi2_uniform"] >= 0.0
+
+
+def test_littles_law_identity_holds_exactly(spark, sf_dir):
+    """L = lambda * W is an identity for the exact time average — the
+    two reported factors must reproduce l_exact; the sampled estimate
+    is nonnegative."""
+    (r,) = _rows(spark, sf_dir, "ext_littles_law")
+    assert abs(r["l_exact"] - r["lambda_per_hour"] * r["w_hours"]) < 1e-3
+    assert r["l_sampled"] >= 0.0
+    assert r["n_sessions"] > 0
