@@ -400,3 +400,107 @@ def test_littles_law_identity_holds_exactly(spark, sf_dir):
     assert abs(r["l_exact"] - r["lambda_per_hour"] * r["w_hours"]) < 1e-3
     assert r["l_sampled"] >= 0.0
     assert r["n_sessions"] > 0
+
+
+def test_dickey_fuller_flag_matches_stat(spark, sf_dir):
+    """The stationarity flag must be exactly the -2.86 comparison on the
+    reported statistic, and n_obs is the purchase-day count minus one."""
+    (r,) = _rows(spark, sf_dir, "ext_dickey_fuller")
+    assert r["stationary_5pct"] == (1 if r["df_stat"] < -2.86 else 0)
+    n_days = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("event_type = 'purchase'")
+        .selectExpr("CAST(ts AS DATE) AS d")
+        .distinct()
+        .count()
+    )
+    assert r["n_obs"] == n_days - 1
+
+
+def test_segment_migration_partitions_users(spark, sf_dir):
+    """Matrix cells partition the user base, shares sum to 1, and the
+    impossible (none, none) cell never appears."""
+    rows = _rows(spark, sf_dir, "ext_segment_migration")
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_users
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    assert not any(r["seg_h1"] == "none" and r["seg_h2"] == "none" for r in rows)
+
+
+def test_t_closeness_values_valid(spark, sf_dir):
+    """Normalized EMD lives in [0, 1], classes are nonempty, and the
+    top-5 listing is descending."""
+    rows = _rows(spark, sf_dir, "ext_t_closeness")
+    ts = [r["t_emd"] for r in rows]
+    assert ts == sorted(ts, reverse=True)
+    assert all(0.0 <= t <= 1.0 + 1e-6 for t in ts)
+    assert all(r["n_rows"] > 0 for r in rows)
+
+
+def test_weight_ess_kish_bounds(spark, sf_dir):
+    """Kish: ESS never exceeds n, the design effect never drops below 1,
+    and the listing is worst-first."""
+    rows = _rows(spark, sf_dir, "ext_weight_ess")
+    des = [r["design_effect"] for r in rows]
+    assert des == sorted(des, reverse=True)
+    for r in rows:
+        assert 0 < r["ess"] <= r["n"] + 1e-6
+        assert r["design_effect"] >= 1.0 - 1e-6
+        assert 0.05 <= r["propensity"] <= 0.95
+
+
+def test_js_divergence_bounded_and_complete(spark, sf_dir):
+    """JS in nats is bounded by ln 2, pairs are ordered, and every
+    unordered source pair appears exactly once."""
+    rows = _rows(spark, sf_dir, "ext_js_divergence")
+    assert all(0.0 <= r["js_nats"] <= math.log(2) + 1e-6 for r in rows)
+    assert all(r["src_a"] < r["src_b"] for r in rows)
+    n_sources = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+
+
+def test_gumbel_levels_ordered(spark, sf_dir):
+    """Return levels grow with horizon and the scale is positive."""
+    (r,) = _rows(spark, sf_dir, "ext_gumbel_return_level")
+    assert r["gumbel_beta"] > 0
+    assert r["level_1000d"] >= r["level_100d"] >= r["gumbel_mu"]
+
+
+def test_var_cvar_tail_ordering(spark, sf_dir):
+    """The tail mean sits between the worst day and the VaR threshold,
+    and the tail is nonempty."""
+    (r,) = _rows(spark, sf_dir, "ext_var_cvar")
+    assert r["n_tail_days"] >= 1
+    assert r["worst_day_change"] <= r["cvar95"] <= r["var95"]
+
+
+def test_zero_inflation_nb_dominates_poisson(spark, sf_dir):
+    """Under overdispersion an NB with the same mean puts MORE mass at
+    zero than the Poisson; the observed share is a probability."""
+    (r,) = _rows(spark, sf_dir, "ext_zero_inflation")
+    assert 0.0 <= r["obs_zero_share"] <= 1.0
+    assert 0.0 <= r["poisson_zero"] <= 1.0
+    if r["nb_zero"] is not None:
+        assert r["nb_zero"] >= r["poisson_zero"] - 1e-6
+        assert r["nb_r"] > 0
+
+
+def test_evalue_closed_form(spark, sf_dir):
+    """The E-value must reproduce RR* + sqrt(RR*(RR*-1)) from its own
+    reported risk ratio and always be at least 1."""
+    (r,) = _rows(spark, sf_dir, "ext_evalue_sensitivity")
+    rr = r["risk_ratio"]
+    rr_star = rr if rr >= 1.0 else 1.0 / rr
+    expect = rr_star + math.sqrt(rr_star * (rr_star - 1.0))
+    assert abs(r["e_value"] - expect) < 1e-3
+    assert r["e_value"] >= 1.0
