@@ -504,3 +504,58 @@ def test_evalue_closed_form(spark, sf_dir):
     expect = rr_star + math.sqrt(rr_star * (rr_star - 1.0))
     assert abs(r["e_value"] - expect) < 1e-3
     assert r["e_value"] >= 1.0
+
+
+def test_weibull_flags_consistent(spark, sf_dir):
+    """Shape and scale are positive and the bursty flag is exactly the
+    k < 1 comparison."""
+    (r,) = _rows(spark, sf_dir, "ext_weibull_interarrival")
+    assert r["weibull_shape"] > 0
+    assert r["weibull_scale_hours"] > 0
+    assert r["bursty"] == (1 if r["weibull_shape"] < 1.0 else 0)
+
+
+def test_bounce_sessions_agree_with_littles_law(spark, sf_dir):
+    """Two independently-written sessionizations (bounce analysis and the
+    Little's-law audit) must count the same number of sessions; rates
+    and depths are sane."""
+    rows = _rows(spark, sf_dir, "ext_bounce_entry_exit")
+    (ll,) = _rows(spark, sf_dir, "ext_littles_law")
+    assert sum(r["n_sessions"] for r in rows) == ll["n_sessions"]
+    for r in rows:
+        assert 0.0 <= r["bounce_rate"] <= 1.0
+        assert r["avg_depth"] >= 1.0
+        assert r["avg_minutes"] >= 0.0
+
+
+def test_durbin_watson_range_and_rho(spark, sf_dir):
+    """DW lives in [0, 4] and the reported rho is exactly 1 - DW/2."""
+    (r,) = _rows(spark, sf_dir, "ext_durbin_watson")
+    assert 0.0 <= r["durbin_watson"] <= 4.0
+    assert abs(r["rho_approx"] - (1.0 - r["durbin_watson"] / 2.0)) < 1e-3
+
+
+def test_davies_bouldin_positive_and_ordered(spark, sf_dir):
+    """The index is positive and never exceeds the worst pair ratio it
+    averages over."""
+    (r,) = _rows(spark, sf_dir, "ext_davies_bouldin")
+    assert r["davies_bouldin"] > 0
+    assert r["worst_pair_ratio"] >= r["davies_bouldin"]
+
+
+def test_morans_expected_value_formula(spark, sf_dir):
+    """The null expectation is exactly round(-1e6/(n-1)) micro-units and
+    the statistic stays in a sane band."""
+    (r,) = _rows(spark, sf_dir, "ext_morans_i")
+    assert r["expected_i_x1e6"] == round(-1e6 / (r["n_nations"] - 1))
+    assert -1.5 <= r["morans_i"] <= 1.5
+
+
+def test_icc_accounting_and_bounds(spark, sf_dir):
+    """Event accounting must be exact and ICC(1) cannot exceed 1; both
+    mean squares are positive."""
+    (r,) = _rows(spark, sf_dir, "ext_icc")
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert r["n_events"] == n_events
+    assert r["ms_between"] > 0 and r["ms_within"] > 0
+    assert r["icc1"] <= 1.0
