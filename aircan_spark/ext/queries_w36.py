@@ -30,9 +30,15 @@ def ext_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero baseline. The hierarchical-coherence check every rollup
     forecast needs.
 
-    Scale shape: fact-to-(nation, month) rollup, trend fits from exact
-    moments on the O(nations x months) axis, O(regions) output."""
-    mo = (
+    The nation x month grid is ZERO-FILLED (a nation with no orders in
+    a month contributes an exact 0) so every node shares the same time
+    axis — without the fill, unbalanced month coverage breaks the
+    linearity identity and the gap stops being a correctness pin.
+
+    Scale shape: fact-to-(nation, month) rollup, a broadcast spine
+    fill, trend fits from exact moments on the O(nations x months)
+    axis, O(regions) output."""
+    mo_raw = (
         _t(spark, sf_dir, "orders")
         .join(
             _t(spark, sf_dir, "customer").select(
@@ -60,6 +66,18 @@ def ext_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) DIV 100"
                 " AS BIGINT)"
             ).alias("y")
+        )
+    )
+    spine = mo_raw.select("mo").distinct()
+    nations = mo_raw.select("n_regionkey", "c_nationkey").distinct()
+    mo = (
+        nations.crossJoin(F.broadcast(spine))
+        .join(mo_raw, ["n_regionkey", "c_nationkey", "mo"], "left")
+        .select(
+            "n_regionkey",
+            "c_nationkey",
+            "mo",
+            F.expr("COALESCE(y, 0L)").alias("y"),
         )
     )
     horizon = mo.agg(F.max("mo").alias("mmax"))
@@ -107,7 +125,7 @@ def ext_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_FORECAST_RECONCILIATION_SQL = r"""
-WITH mo AS (
+WITH mo_raw AS (
   SELECT n.n_regionkey, c.c_nationkey,
          (YEAR(o_orderdate) - 1995)*12 + MONTH(o_orderdate) - 1 AS mo,
          CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) // 100 AS BIGINT) AS y
@@ -115,6 +133,13 @@ WITH mo AS (
   JOIN customer c ON c.c_custkey = o.o_custkey
   JOIN nation n ON n.n_nationkey = c.c_nationkey
   GROUP BY 1, 2, 3
+),
+mo AS (
+  SELECT na.n_regionkey, na.c_nationkey, sp.mo, COALESCE(r.y, 0) AS y
+  FROM (SELECT DISTINCT n_regionkey, c_nationkey FROM mo_raw) na
+  CROSS JOIN (SELECT DISTINCT mo FROM mo_raw) sp
+  LEFT JOIN mo_raw r ON r.n_regionkey = na.n_regionkey
+    AND r.c_nationkey = na.c_nationkey AND r.mo = sp.mo
 ),
 horizon AS (SELECT MAX(mo) AS mmax FROM mo),
 nation_fit AS (

@@ -559,3 +559,65 @@ def test_icc_accounting_and_bounds(spark, sf_dir):
     assert r["n_events"] == n_events
     assert r["ms_between"] > 0 and r["ms_within"] > 0
     assert r["icc1"] <= 1.0
+
+
+def test_slope_heterogeneity_accounting(spark, sf_dir):
+    """The slope difference must reproduce the two reported slopes and
+    arms must partition the user base."""
+    (r,) = _rows(spark, sf_dir, "ext_slope_heterogeneity")
+    assert abs(r["slope_diff"] - (r["slope_arm1"] - r["slope_arm0"])) < 1e-5
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r["n0"] + r["n1"] == n_users
+
+
+def test_jackknife_design_effect_identity(spark, sf_dir):
+    """The design effect must be the squared SE ratio it claims to be."""
+    (r,) = _rows(spark, sf_dir, "ext_jackknife_ratio_se")
+    assert r["se_jackknife"] > 0 and r["se_naive"] > 0
+    expect = (r["se_jackknife"] / r["se_naive"]) ** 2
+    assert abs(r["design_effect"] - expect) < 0.05 * expect + 1e-3
+
+
+def test_binary_segmentation_improves_fit(spark, sf_dir):
+    """Two splits cannot fit worse than none; changepoints are ordered
+    interior days; variance explained is the exact SSE ratio."""
+    (r,) = _rows(spark, sf_dir, "ext_binary_segmentation")
+    assert 1 <= r["cp1_t"] < r["cp2_t"] < r["n_days"]
+    assert r["sse_two_splits"] <= r["sse_none"] + 1e-6
+    expect = 1.0 - r["sse_two_splits"] / r["sse_none"]
+    assert abs(r["var_explained"] - expect) < 1e-4
+    assert 0.0 <= r["var_explained"] <= 1.0
+
+
+def test_forecast_reconciliation_ols_coherence(spark, sf_dir):
+    """OLS is linear in the response, so bottom-up and direct forecasts
+    must agree to rounding — the zero baseline the query documents."""
+    rows = _rows(spark, sf_dir, "ext_forecast_reconciliation")
+    assert sum(r["n_nations"] for r in rows) == 25
+    for r in rows:
+        assert r["rel_gap"] < 1e-4
+
+
+def test_snips_lift_identity(spark, sf_dir):
+    """The reported lift must be exactly snips/logged - 1 and the row
+    count covers every lineitem."""
+    (r,) = _rows(spark, sf_dir, "ext_snips_policy_value")
+    expect = r["snips_policy_value"] / r["logged_value"] - 1.0
+    assert abs(r["policy_lift"] - expect) < 1e-3
+    n_li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert r["n_rows"] == n_li
+
+
+def test_basket_diversity_bounds(spark, sf_dir):
+    """Effective brands are at least 1, shares are probabilities, and
+    the quantiles are ordered."""
+    (r,) = _rows(spark, sf_dir, "ext_basket_diversity")
+    assert r["avg_effective_brands"] >= 1.0
+    assert 0.0 <= r["single_brand_share"] <= 1.0
+    assert 1 <= r["p50_basket"] <= r["p90_basket"]
+    assert r["avg_basket_size"] >= 1.0
