@@ -696,3 +696,32 @@ def test_log_odds_terms_favor_top_source(spark, sf_dir):
     for r in rows:
         if r["z"] > 0:
             assert r["log_odds"] > 0
+
+
+def test_pacf_lag1_equals_acf1(spark, sf_dir):
+    """PACF at lag 1 IS the lag-1 autocorrelation by definition, and
+    every correlation lives in [-1, 1]."""
+    (r,) = _rows(spark, sf_dir, "ext_pacf")
+    assert r["pacf1"] == r["acf1"]
+    for k in ("acf1", "acf2", "acf3", "pacf1", "pacf2", "pacf3"):
+        assert -1.0 - 1e-6 <= r[k] <= 1.0 + 1e-6
+
+
+def test_cochran_flag_matches_stat(spark, sf_dir):
+    """When defined, the heterogeneity flag is exactly the 9.488
+    comparison; Q is nonnegative."""
+    (r,) = _rows(spark, sf_dir, "ext_cochran_q")
+    if r["cochran_q"] is not None:
+        assert r["cochran_q"] >= 0
+        assert r["heterogeneous_5pct"] == (1 if r["cochran_q"] > 9.488 else 0)
+    else:
+        assert r["heterogeneous_5pct"] is None
+
+
+def test_spectral_flatness_bounds(spark, sf_dir):
+    """Geometric mean never exceeds arithmetic (flatness in (0, 1]) and
+    the peak share is at least 1/n_periods."""
+    (r,) = _rows(spark, sf_dir, "ext_spectral_flatness")
+    assert 0.0 < r["spectral_flatness"] <= 1.0 + 1e-6
+    assert r["peak_power_share"] >= 1.0 / r["n_periods"] - 1e-6
+    assert r["peak_power_share"] <= 1.0 + 1e-6
