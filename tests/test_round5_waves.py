@@ -725,3 +725,33 @@ def test_spectral_flatness_bounds(spark, sf_dir):
     assert 0.0 < r["spectral_flatness"] <= 1.0 + 1e-6
     assert r["peak_power_share"] >= 1.0 / r["n_periods"] - 1e-6
     assert r["peak_power_share"] <= 1.0 + 1e-6
+
+
+def test_transitivity_wedge_bound(spark, sf_dir):
+    """Every triangle closes exactly three wedges, so W >= 3T and the
+    ratio lives in [0, 1] when defined."""
+    (r,) = _rows(spark, sf_dir, "ext_transitivity")
+    assert r["n_wedges"] >= 3 * r["n_triangles"]
+    if r["transitivity"] is not None:
+        assert 0.0 <= r["transitivity"] <= 1.0 + 1e-6
+
+
+def test_rich_club_subset_bounds(spark, sf_dir):
+    """Rich nodes are a subset, rich edges are a subset, and both
+    densities are probabilities when defined."""
+    (r,) = _rows(spark, sf_dir, "ext_rich_club")
+    assert 0 <= r["n_rich"] <= r["n_nodes"]
+    assert 0 <= r["e_rich"] <= r["n_edges"]
+    for k in ("rich_density", "global_density"):
+        if r[k] is not None:
+            assert 0.0 <= r[k] <= 1.0 + 1e-6
+
+
+def test_hits_normalized_descending(spark, sf_dir):
+    """Max renormalization pins the top authority at exactly 1 and the
+    listing is authority-descending within (0, 1]."""
+    rows = _rows(spark, sf_dir, "ext_hits")
+    scores = [r["authority"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert scores[0] == 1.0
+    assert all(0.0 < s <= 1.0 for s in scores)
