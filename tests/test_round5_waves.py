@@ -755,3 +755,40 @@ def test_hits_normalized_descending(spark, sf_dir):
     assert scores == sorted(scores, reverse=True)
     assert scores[0] == 1.0
     assert all(0.0 < s <= 1.0 for s in scores)
+
+
+def test_vif_lower_bound(spark, sf_dir):
+    """VIF is 1/(1-R^2) with R^2 >= 0, so every factor is at least 1;
+    correlations are correlations."""
+    (r,) = _rows(spark, sf_dir, "ext_vif")
+    for k in ("vif_clicks", "vif_views", "vif_purchases"):
+        assert r[k] >= 1.0 - 1e-6
+    for k in ("corr_click_view", "corr_click_purchase", "corr_view_purchase"):
+        assert -1.0 <= r[k] <= 1.0
+
+
+def test_competing_risks_monotone_partition(spark, sf_dir):
+    """Both incidence curves are nondecreasing in horizon and each row
+    partitions the population (cif_p + cif_e + at_risk = 1)."""
+    rows = sorted(
+        _rows(spark, sf_dir, "ext_competing_risks"), key=lambda r: r["horizon_days"]
+    )
+    ps = [r["cif_purchase"] for r in rows]
+    es = [r["cif_error"] for r in rows]
+    assert ps == sorted(ps) and es == sorted(es)
+    for r in rows:
+        total = r["cif_purchase"] + r["cif_error"] + r["at_risk_share"]
+        assert abs(total - 1.0) < 1e-4
+
+
+def test_taylor_fit_is_valid_regression(spark, sf_dir):
+    """The ln-ln fit is a real regression: r2 is a proportion, the
+    catalog axis is bounded by the 101-item universe, and the fit is
+    finite. (The exponent itself is data-dependent: the synthetic
+    catalog's near-identical item means make it unstable by design,
+    so no band is pinned.)"""
+    (r,) = _rows(spark, sf_dir, "ext_taylors_law")
+    assert 0 < r["n_items"] <= 101
+    assert 0.0 <= r["r2"] <= 1.0 + 1e-6
+    assert math.isfinite(r["taylor_exponent"])
+    assert math.isfinite(r["ln_intercept"])
