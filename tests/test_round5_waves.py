@@ -792,3 +792,35 @@ def test_taylor_fit_is_valid_regression(spark, sf_dir):
     assert 0.0 <= r["r2"] <= 1.0 + 1e-6
     assert math.isfinite(r["taylor_exponent"])
     assert math.isfinite(r["ln_intercept"])
+
+
+def test_poisson_mixture_ordered_components(spark, sf_dir):
+    """Ordered init is preserved (low <= high), the mix is a
+    probability, and the fit covers every user."""
+    (r,) = _rows(spark, sf_dir, "ext_poisson_mixture")
+    assert 0 < r["lambda_low"] <= r["lambda_high"]
+    assert 0.0 <= r["pi_low"] <= 1.0
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r["n_users"] == n_users
+
+
+def test_western_electric_rule_accounting(spark, sf_dir):
+    """Each rule's violation days are bounded by the chart length and
+    the any-violation count is sandwiched between max and sum."""
+    (r,) = _rows(spark, sf_dir, "ext_western_electric")
+    parts = [r["r1_days"], r["r2_days"], r["r3_days"], r["r4_days"]]
+    assert all(0 <= p <= r["n_days"] for p in parts)
+    assert max(parts) <= r["any_violation_days"] <= min(sum(parts), r["n_days"])
+
+
+def test_wilcoxon_t_plus_bounds(spark, sf_dir):
+    """T+ lies in [0, n(n+1)/2] and the z statistic is finite."""
+    (r,) = _rows(spark, sf_dir, "ext_wilcoxon_signed_rank")
+    n = r["n_pairs"]
+    assert 0.0 <= r["t_plus"] <= n * (n + 1) / 2
+    assert math.isfinite(r["z"])
