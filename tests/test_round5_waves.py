@@ -824,3 +824,31 @@ def test_wilcoxon_t_plus_bounds(spark, sf_dir):
     n = r["n_pairs"]
     assert 0.0 <= r["t_plus"] <= n * (n + 1) / 2
     assert math.isfinite(r["z"])
+
+
+def test_kendall_w_in_unit_interval(spark, sf_dir):
+    """W is a normalized concordance: bounded in [0, 1] over the full
+    5-type panel."""
+    (r,) = _rows(spark, sf_dir, "ext_kendall_w")
+    assert r["n_types"] == 5
+    assert 0.0 <= r["kendall_w"] <= 1.0 + 1e-6
+
+
+def test_poisson_gof_flag_matches_stat(spark, sf_dir):
+    """The rejection flag is exactly the 16.92 comparison and chi2 is
+    nonnegative with a positive fitted rate."""
+    (r,) = _rows(spark, sf_dir, "ext_poisson_gof")
+    assert r["chi2"] >= 0.0
+    assert r["lambda_hat"] > 0.0
+    assert r["reject_poisson_5pct"] == (1 if r["chi2"] > 16.92 else 0)
+
+
+def test_retention_decay_shares_valid(spark, sf_dir):
+    """The week-1 share is a probability, the fit uses all four
+    offsets, and a reported half-life implies meaningful decay."""
+    (r,) = _rows(spark, sf_dir, "ext_retention_decay")
+    assert r["n_offsets"] == 4
+    assert 0.0 <= r["retention_w1"] <= 1.0
+    if r["half_life_weeks"] is not None:
+        assert r["decay_exponent"] >= 0.01
+        assert r["half_life_weeks"] > 1.0
