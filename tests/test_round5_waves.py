@@ -852,3 +852,34 @@ def test_retention_decay_shares_valid(spark, sf_dir):
     if r["half_life_weeks"] is not None:
         assert r["decay_exponent"] >= 0.01
         assert r["half_life_weeks"] > 1.0
+
+
+def test_page_l_within_exact_bounds(spark, sf_dir):
+    """Page's L is bounded by the anti-monotone and monotone extremes
+    b*sum(j*(k+1-j)) <= L <= b*sum(j*j)."""
+    (r,) = _rows(spark, sf_dir, "ext_page_trend")
+    b, k, L = r["n_blocks"], r["n_weeks"], r["page_l"]
+    lo = b * sum(j * (k + 1 - j) for j in range(1, k + 1))
+    hi = b * sum(j * j for j in range(1, k + 1))
+    assert lo <= L <= hi
+    assert math.isfinite(r["z"])
+
+
+def test_sourcing_risk_share_ordering(spark, sf_dir):
+    """HHI-weighted risk lives in (0, 1]; the revenue share through
+    single-sourced parts and the part share are probabilities; a part
+    universe exists."""
+    (r,) = _rows(spark, sf_dir, "ext_sourcing_risk")
+    assert r["n_parts"] > 0
+    assert 0.0 <= r["single_source_part_share"] <= 1.0
+    assert 0.0 <= r["single_source_rev_share"] <= 1.0
+    assert 0.0 < r["rev_weighted_hhi"] <= 1.0 + 1e-6
+
+
+def test_burrows_delta_nonnegative_pair(spark, sf_dir):
+    """Delta is a mean of absolute values over a real word panel and
+    the pair is ordered."""
+    (r,) = _rows(spark, sf_dir, "ext_burrows_delta")
+    assert r["burrows_delta"] >= 0.0
+    assert 0 < r["n_words"] <= 30
+    assert r["src_a"] < r["src_b"]
