@@ -883,3 +883,29 @@ def test_burrows_delta_nonnegative_pair(spark, sf_dir):
     assert r["burrows_delta"] >= 0.0
     assert 0 < r["n_words"] <= 30
     assert r["src_a"] < r["src_b"]
+
+
+def test_hoover_in_unit_interval(spark, sf_dir):
+    """The Robin Hood share is a share: bounded in [0, 1)."""
+    (r,) = _rows(spark, sf_dir, "ext_hoover_index")
+    assert r["n_customers"] > 0
+    assert 0.0 <= r["hoover_index"] < 1.0
+
+
+def test_atkinson_amgm_inequality(spark, sf_dir):
+    """AM-GM: the geometric mean never exceeds the arithmetic mean, so
+    Atkinson lives in [0, 1)."""
+    (r,) = _rows(spark, sf_dir, "ext_atkinson_index")
+    assert r["geomean_revenue"] <= r["mean_revenue"] + 1e-6
+    assert 0.0 <= r["atkinson_eps1"] < 1.0
+
+
+def test_palma_tail_shares_coherent(spark, sf_dir):
+    """Tail shares are probabilities that cannot jointly exceed 1 plus
+    the boundary-tie slack, and the ratio reproduces them."""
+    (r,) = _rows(spark, sf_dir, "ext_palma_ratio")
+    assert 0.0 <= r["bottom40_share"] <= 1.0
+    assert 0.0 <= r["top10_share"] <= 1.0
+    if r["palma_ratio"] is not None:
+        expect = r["top10_share"] / r["bottom40_share"]
+        assert abs(r["palma_ratio"] - expect) < 0.01 * expect + 1e-3
