@@ -68,10 +68,35 @@ _T_DELEGATING = _threading.local()
 
 
 
+class _Registry(dict):
+    """Insertion-ordered registry that REFUSES duplicate keys.
+
+    Round-5 postmortem: two waves both registered ``ext_cronbach_alpha``
+    and plain ``dict.update`` silently let the later wave shadow the
+    earlier one — the w10 query became unreachable dead code while
+    SURVEY still declared it. A wave module registering a key that
+    already exists is always a bug (each declared query is a distinct
+    SURVEY row), so collisions raise at import time instead of hiding.
+    """
+
+    def __setitem__(self, key, value):
+        if key in self:
+            raise KeyError(
+                f"duplicate ext-query registry key {key!r}: already "
+                "registered by an earlier wave module — pick a new key "
+                "(one SURVEY row per key)"
+            )
+        super().__setitem__(key, value)
+
+    def update(self, *args, **kwargs):  # noqa: A003 - dict API
+        for k, v in dict(*args, **kwargs).items():
+            self[k] = v
+
+
 #: The shared declared-query registry. Every wave module calls
 #: EXT_QUERIES.update(...) / EXT_ORACLES.update(...) against these SAME
 #: dict objects at import time; aircan_spark.ext.queries imports the wave
 #: modules in historical order, so insertion order (which drives the
 #: round driver's sample rotation) is identical to the old monolith.
-EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-EXT_ORACLES: dict[str, str] = {}
+EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = _Registry()
+EXT_ORACLES: dict[str, str] = _Registry()

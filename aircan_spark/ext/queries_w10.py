@@ -331,7 +331,7 @@ EXT_ORACLES.update({"ext_partial_correlation": EXT_PARTIAL_CORRELATION_SQL})
 # --- round-5 wave: Cronbach's alpha -------------------------------------------
 
 
-def ext_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ext_cronbach_alpha_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cronbach's alpha internal-consistency coefficient treating the 7
     weekdays as items and users as subjects (score = event count) — do
     the per-weekday activity signals measure one underlying engagement
@@ -401,8 +401,8 @@ FROM item CROSS JOIN tot CROSS JOIN uu
 """
 
 
-EXT_QUERIES.update({"ext_cronbach_alpha": ext_cronbach_alpha})
-EXT_ORACLES.update({"ext_cronbach_alpha": EXT_CRONBACH_ALPHA_SQL})
+EXT_QUERIES.update({"ext_cronbach_alpha_weekday": ext_cronbach_alpha_weekday})
+EXT_ORACLES.update({"ext_cronbach_alpha_weekday": EXT_CRONBACH_ALPHA_SQL})
 
 
 # --- round-5 wave: Markov entropy rate ----------------------------------------

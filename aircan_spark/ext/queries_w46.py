@@ -1,0 +1,236 @@
+"""Declared-query wave (round 6): streaming sketch maintenance in
+batch-parity harness — X131 (count-min), X158 (HLL registers), X177
+(bottom-k sample), X296 (grouped KMV minima) each get a DRIVER-CHECKABLE
+record by running the REAL streaming maintainer (file source ->
+availableNow split into one-file micro-batches -> foreachBatch merge
+through the atomic-pointer exactly-once machinery) and returning the
+FINAL STORED STATE, which an ANSI oracle replays directly: every sketch
+in this family is deterministic integer state built from portable md5
+arithmetic, and every merge law (count addition, register GREATEST,
+min-k re-take) is associative/commutative/idempotent, so the committed
+state is independent of file-to-batch assignment — exactly the property
+that makes the sketches maintainable at 100 TB.
+
+Split-wave module per the _qcommon ordering contract (see that module);
+updates the shared EXT_QUERIES/EXT_ORACLES registries at import time.
+"""
+
+from __future__ import annotations
+
+from aircan_spark.ext._qcommon import *  # noqa: F401,F403
+from aircan_spark.ext._qcommon import EXT_ORACLES, EXT_QUERIES, _load, _t  # noqa: F401
+from aircan_spark.ext.queries_w45 import *  # noqa: F401,F403
+
+
+def _staged_split_dir(spark, sf_dir: str, table: str, cols: list[str], n: int = 3):
+    """Stage ``cols`` of a testdata table as ``n`` parquet files in a fresh
+    temp dir — the bounded 'backlog' the availableNow stream consumes as
+    ``n`` one-file micro-batches (maxFilesPerTrigger=1), so the declared
+    query exercises n REAL merges, not one. Which rows land in which file
+    is irrelevant: every maintained state below is partitioning-invariant
+    by its merge law."""
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="aircan_r6_sketch_src_")
+    df = _load(spark, sf_dir, table).select(*cols)
+    df.repartition(n).write.mode("overwrite").parquet(stage)
+    return stage, df.schema
+
+
+def _run_maintenance(maintainer, spark, sf_dir, table, cols, n_files=3, **kw):
+    """Drive a stream_*_maintenance function over a staged split of a
+    testdata table to completion (availableNow, one file per batch) and
+    return the final committed state frame."""
+    import tempfile
+
+    from aircan_spark.streaming import read_sketch_state
+
+    src, schema = _staged_split_dir(spark, sf_dir, table, cols, n=n_files)
+    state_dir = tempfile.mkdtemp(prefix="aircan_r6_sketch_state_")
+    ckpt = tempfile.mkdtemp(prefix="aircan_r6_sketch_ckpt_")
+    q = maintainer(
+        spark,
+        src,
+        schema,
+        sketch_dir=state_dir,
+        checkpoint_dir=ckpt,
+        available_now=True,
+        source_format="parquet",
+        max_files_per_trigger=1,
+        **kw,
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover — availableNow should terminate
+        q.stop()
+    return read_sketch_state(spark, state_dir)
+
+
+def ext_stream_cms_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X131 as a driver-checkable query: REAL streaming count-min
+    maintenance over the events table staged as 3 one-file micro-batches
+    — each batch builds a 3x256 CMS over user_id and MERGES it into the
+    stored sketch by count addition through the atomic-pointer
+    exactly-once commit. The returned final state is the full (row,
+    bucket, cnt) sketch, which the oracle rebuilds in one pass: batch
+    counts sum to corpus counts regardless of how rows split across
+    batches (the merge law). Hashing is the portable md5 integer
+    arithmetic, so the oracle replays buckets bit-for-bit."""
+    from aircan_spark.streaming import stream_sketch_maintenance
+
+    state = _run_maintenance(
+        lambda sp, src, schema, **kw: stream_sketch_maintenance(
+            sp, src, schema, "user_id", depth=3, width=256, seed=7, **kw
+        ),
+        spark,
+        sf_dir,
+        "events",
+        ["user_id"],
+    )
+    return state.select(
+        F.col("row").cast("bigint").alias("row"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    ).orderBy("row", "bucket")
+
+
+EXT_STREAM_CMS_STATE_SQL = r"""
+WITH r AS (SELECT unnest(range(3)) AS rw),
+sk AS (
+  SELECT rw AS row,
+         CAST(('0x' || SUBSTR(md5('7:' || CAST(rw AS VARCHAR) || '-' || CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT
+              % 256 AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events CROSS JOIN r
+  WHERE user_id IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT CAST(row AS BIGINT) AS row, bucket, cnt FROM sk ORDER BY row, bucket
+"""
+
+
+EXT_QUERIES.update({"ext_stream_cms_state": ext_stream_cms_state})
+EXT_ORACLES.update({"ext_stream_cms_state": EXT_STREAM_CMS_STATE_SQL})
+
+
+def ext_stream_hll_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X158 as a driver-checkable query: REAL streaming HyperLogLog
+    register maintenance (3 one-file micro-batches over events, per-batch
+    hll_build merged by per-register GREATEST through the exactly-once
+    pointer machinery). Final state = the (reg, max_rho) register table;
+    max is order- and partitioning-free, and rho is computed with integer
+    bit-length arithmetic (never floating log2), so the oracle rebuilds
+    the registers bit-for-bit from the corpus."""
+    from aircan_spark.streaming import stream_hll_maintenance
+
+    state = _run_maintenance(
+        lambda sp, src, schema, **kw: stream_hll_maintenance(
+            sp, src, schema, "user_id", b=10, seed=42, **kw
+        ),
+        spark,
+        sf_dir,
+        "events",
+        ["user_id"],
+    )
+    return state.select(
+        F.col("reg").cast("bigint").alias("reg"),
+        F.col("max_rho").cast("bigint").alias("max_rho"),
+    ).orderBy("reg")
+
+
+EXT_STREAM_HLL_STATE_SQL = r"""
+WITH h AS (
+  SELECT CAST(('0x' || SUBSTR(md5('42-' || CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+rr AS (
+  SELECT h % 1024 AS reg,
+         CASE WHEN (h >> 10) = 0 THEN 51
+              ELSE 51 - length(bin(h >> 10)) END AS rho
+  FROM h
+)
+SELECT CAST(reg AS BIGINT) AS reg, CAST(MAX(rho) AS BIGINT) AS max_rho
+FROM rr GROUP BY reg ORDER BY reg
+"""
+
+
+EXT_QUERIES.update({"ext_stream_hll_state": ext_stream_hll_state})
+EXT_ORACLES.update({"ext_stream_hll_state": EXT_STREAM_HLL_STATE_SQL})
+
+
+def ext_stream_bottomk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X177 as a driver-checkable query: REAL streaming bottom-k (KMV)
+    uniform-sample maintenance over orders keys (3 one-file
+    micro-batches, per-batch bottom-k merged by union + re-take-k).
+    min-k of a union == min-k of the unioned min-k's, so the final
+    stored sample is EXACTLY the corpus-wide 100 smallest md5 hashes —
+    replayable by ORDER BY hash LIMIT k in any engine (md5 collisions
+    make ties impossible)."""
+    from aircan_spark.streaming import stream_bottomk_maintenance
+
+    state = _run_maintenance(
+        lambda sp, src, schema, **kw: stream_bottomk_maintenance(
+            sp, src, schema, "o_orderkey", k=100, seed=42, **kw
+        ),
+        spark,
+        sf_dir,
+        "orders",
+        ["o_orderkey"],
+    )
+    return state.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("__bk").alias("bk_hash"),
+    ).orderBy("bk_hash")
+
+
+EXT_STREAM_BOTTOMK_STATE_SQL = r"""
+SELECT o_orderkey, md5('42-' || CAST(o_orderkey AS VARCHAR)) AS bk_hash
+FROM orders ORDER BY bk_hash LIMIT 100
+"""
+
+
+EXT_QUERIES.update({"ext_stream_bottomk_state": ext_stream_bottomk_state})
+EXT_ORACLES.update({"ext_stream_bottomk_state": EXT_STREAM_BOTTOMK_STATE_SQL})
+
+
+def ext_stream_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X296 as a driver-checkable query: REAL streaming grouped-KMV
+    maintenance (3 one-file micro-batches over events; per-batch
+    per-event-type k-minimum 48-bit hashes of distinct user_ids, merged
+    by union + dedup + re-take-k). The final stored minima are the exact
+    per-group k smallest distinct-item hashes of the whole corpus —
+    the state that serves both distinct estimates and cross-group
+    resemblance — and 48-bit hashes are exact in BIGINT and DOUBLE, so
+    the oracle replays them bit-for-bit."""
+    from aircan_spark.streaming import stream_kmv_maintenance
+
+    state = _run_maintenance(
+        lambda sp, src, schema, **kw: stream_kmv_maintenance(
+            sp, src, schema, "user_id", ["event_type"], k=64, **kw
+        ),
+        spark,
+        sf_dir,
+        "events",
+        ["event_type", "user_id"],
+    )
+    return state.select(
+        "event_type", F.col("h").cast("bigint").alias("h")
+    ).orderBy("event_type", "h")
+
+
+EXT_STREAM_KMV_STATE_SQL = r"""
+WITH hashes AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 12))::UBIGINT AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashes
+)
+SELECT event_type, h FROM ranked WHERE rn <= 64 ORDER BY event_type, h
+"""
+
+
+EXT_QUERIES.update({"ext_stream_kmv_state": ext_stream_kmv_state})
+EXT_ORACLES.update({"ext_stream_kmv_state": EXT_STREAM_KMV_STATE_SQL})

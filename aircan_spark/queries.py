@@ -512,10 +512,43 @@ _R05_FIRST = [
     "ext_stream_running_totals", "ext_stream_dedup_keys",
     "ext_stream_ingest_upsert",
 ]
+# Keys CORRECTNESS_r05.json actually sampled (all 50 hash-green) — move
+# them behind the still-never-sampled backlog so round 6's sample again
+# lands 100% in the backlog (judge item #2).
+_DRIVER_CHECKED_R05 = {
+    "ext_ab_test", "ext_activity_entropy", "ext_audio_flac",
+    "ext_audio_mulaw", "ext_balance_audit", "ext_benford_audit",
+    "ext_bitmap_distinct", "ext_burst_detection", "ext_calendar_anomalies",
+    "ext_case_signals", "ext_churn_labels", "ext_cluster_size_histogram",
+    "ext_corpus_perplexity", "ext_cross_source_dupes", "ext_dataset_card",
+    "ext_decay_features", "ext_dispersion_index", "ext_distinctive_terms",
+    "ext_forecast_error", "ext_heaps_growth", "ext_kmv_distinct",
+    "ext_kmv_jaccard", "ext_lang_confusion", "ext_lang_mismatch",
+    "ext_lift_table", "ext_mm_resize_gif", "ext_mm_resize_jpeg",
+    "ext_mm_resize_png", "ext_mm_video_frames", "ext_mutual_information",
+    "ext_negative_pairs", "ext_neyman_allocation", "ext_pareto_tail",
+    "ext_power_analysis", "ext_price_elasticity", "ext_quantile_norm",
+    "ext_seasonality_strength", "ext_session_cooccurrence",
+    "ext_shrunk_return_rates", "ext_sql_interface", "ext_stream_dedup_keys",
+    "ext_stream_ingest_upsert", "ext_stream_running_totals",
+    "ext_survival_curve", "ext_target_encoding", "ext_tfidf_cosine_pairs",
+    "ext_token_budget", "ext_trigram_paths", "ext_user_neighbors",
+    "ext_weighted_median",
+}
+_DRIVER_CHECKED = _DRIVER_CHECKED_R01_04 | _DRIVER_CHECKED_R05
+# Round-6 additions lead: the new streaming-sketch batch-parity queries
+# (X460-X463) and the un-shadowed weekday Cronbach variant are the only
+# keys with no driver record AND no prior-round local history — give
+# them the first driver look.
+_R06_FIRST = [
+    "ext_stream_cms_state", "ext_stream_hll_state",
+    "ext_stream_bottomk_state", "ext_stream_kmv_state",
+    "ext_cronbach_alpha_weekday",
+]
 _order = (
-    [n for n in _R05_FIRST if n in QUERIES]
+    [n for n in _R06_FIRST if n in QUERIES]
     + [n for n in QUERIES
-       if n not in _DRIVER_CHECKED_R01_04 and n not in _R05_FIRST]
-    + [n for n in QUERIES if n in _DRIVER_CHECKED_R01_04]
+       if n not in _DRIVER_CHECKED and n not in _R06_FIRST]
+    + [n for n in QUERIES if n in _DRIVER_CHECKED]
 )
 QUERIES = {n: QUERIES[n] for n in _order}

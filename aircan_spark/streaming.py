@@ -348,6 +348,8 @@ def stream_sketch_maintenance(
     width: int = 1024,
     seed: int = 42,
     available_now: bool = False,
+    source_format: str = "json",
+    max_files_per_trigger: int | None = None,
 ):
     """Incrementally maintain a count-min sketch over a file stream: each
     micro-batch builds its own sketch (fixed depth x width) and MERGES it
@@ -389,6 +391,8 @@ def stream_sketch_maintenance(
         state_dir=sketch_dir,
         checkpoint_dir=checkpoint_dir,
         available_now=available_now,
+        source_format=source_format,
+        max_files_per_trigger=max_files_per_trigger,
     )
 
 
@@ -402,6 +406,8 @@ def stream_hll_maintenance(
     b: int = 10,
     seed: int = 42,
     available_now: bool = False,
+    source_format: str = "json",
+    max_files_per_trigger: int | None = None,
 ):
     """Incrementally maintain HyperLogLog registers over a file stream —
     the distinct-count twin of ``stream_sketch_maintenance``: per batch
@@ -423,6 +429,8 @@ def stream_hll_maintenance(
         state_dir=sketch_dir,
         checkpoint_dir=checkpoint_dir,
         available_now=available_now,
+        source_format=source_format,
+        max_files_per_trigger=max_files_per_trigger,
     )
 
 
@@ -435,6 +443,8 @@ def stream_state_maintenance(
     state_dir: str,
     checkpoint_dir: str,
     available_now: bool = False,
+    source_format: str = "json",
+    max_files_per_trigger: int | None = None,
 ):
     """Generic exactly-once maintenance of a SMALL mergeable state over a
     file stream (the machinery behind the CMS and HLL maintainers):
@@ -443,13 +453,23 @@ def stream_state_maintenance(
     docstring for the full rationale): versioned state directories + an
     atomically-replaced JSON pointer carrying {run_id, batch_id, version},
     run identity minted per checkpoint lineage, missing-state-only
-    first-batch fallback, corrupt reads propagate."""
+    first-batch fallback, corrupt reads propagate.
+
+    ``source_format`` selects the file source ("json" or "parquet");
+    ``max_files_per_trigger`` bounds each micro-batch's file count —
+    with availableNow this splits a bounded backlog into MULTIPLE real
+    micro-batches, each committing one merge through the pointer
+    machinery (how the batch-parity declared queries exercise the merge
+    law end-to-end, not just on a single batch)."""
     import json as _json
     import os as _os
     import shutil as _shutil
     import uuid as _uuid
 
-    stream = spark.readStream.schema(schema).json(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.format(source_format).load(source_dir)
     pointer_path = _os.path.join(state_dir, "_current.json")
 
     # run identity: one uuid per checkpoint lineage — cleared checkpoint
@@ -523,6 +543,8 @@ def stream_bottomk_maintenance(
     k: int = 2000,
     seed: int = 42,
     available_now: bool = False,
+    source_format: str = "json",
+    max_files_per_trigger: int | None = None,
 ):
     """Incrementally maintain a bottom-k (KMV) uniform sample over a file
     stream — the SAMPLE twin of the CMS/HLL maintainers: per batch
@@ -542,6 +564,8 @@ def stream_bottomk_maintenance(
         state_dir=sketch_dir,
         checkpoint_dir=checkpoint_dir,
         available_now=available_now,
+        source_format=source_format,
+        max_files_per_trigger=max_files_per_trigger,
     )
 
 
@@ -610,6 +634,8 @@ def stream_moments_maintenance(
     sketch_dir: str,
     checkpoint_dir: str,
     available_now: bool = False,
+    source_format: str = "json",
+    max_files_per_trigger: int | None = None,
 ):
     """Incrementally maintain per-key moment partials (n, Σx, Σx²) over
     a file stream — the KEYED-aggregate face of the atomic-pointer
@@ -645,6 +671,8 @@ def stream_moments_maintenance(
         state_dir=sketch_dir,
         checkpoint_dir=checkpoint_dir,
         available_now=available_now,
+        source_format=source_format,
+        max_files_per_trigger=max_files_per_trigger,
     )
 
 
@@ -658,6 +686,8 @@ def stream_kmv_maintenance(
     checkpoint_dir: str,
     k: int = 256,
     available_now: bool = False,
+    source_format: str = "json",
+    max_files_per_trigger: int | None = None,
 ):
     """Incrementally maintain per-group KMV distinct sketches over a file
     stream — the set-resemblance twin of ``stream_hll_maintenance``:
@@ -682,4 +712,6 @@ def stream_kmv_maintenance(
         state_dir=sketch_dir,
         checkpoint_dir=checkpoint_dir,
         available_now=available_now,
+        source_format=source_format,
+        max_files_per_trigger=max_files_per_trigger,
     )

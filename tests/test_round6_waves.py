@@ -1,0 +1,126 @@
+"""Invariant pins for the round-6 waves: the registry collision guard,
+the un-shadowed weekday Cronbach variant, and properties of the new
+streaming-sketch batch-parity and sqlapi-text queries that the DuckDB
+value-compare cannot express.
+"""
+
+import pytest
+
+from aircan_spark.ext import queries as Q
+from aircan_spark.ext._qcommon import _Registry
+
+
+def _rows(spark, sf_dir, name):
+    return Q.EXT_QUERIES[name](spark, sf_dir).collect()
+
+
+def test_registry_rejects_duplicate_keys():
+    """Round-5 defect class: a later wave silently shadowing an earlier
+    wave's key (ext_cronbach_alpha). The registry must now raise on any
+    re-registration, via both __setitem__ and update()."""
+    r = _Registry()
+    r["a"] = 1
+    with pytest.raises(KeyError, match="duplicate ext-query registry key"):
+        r["a"] = 2
+    with pytest.raises(KeyError, match="duplicate"):
+        r.update({"b": 1, "a": 3})
+    assert r["a"] == 1  # original binding survives the refused update
+
+
+def test_both_cronbach_variants_registered_and_distinct():
+    """The w10 weekday variant and the w29 per-type-spend variant are
+    BOTH reachable under distinct keys, in both registries."""
+    assert "ext_cronbach_alpha" in Q.EXT_QUERIES
+    assert "ext_cronbach_alpha_weekday" in Q.EXT_QUERIES
+    assert "ext_cronbach_alpha" in Q.EXT_ORACLES
+    assert "ext_cronbach_alpha_weekday" in Q.EXT_ORACLES
+    assert (
+        Q.EXT_QUERIES["ext_cronbach_alpha"]
+        is not Q.EXT_QUERIES["ext_cronbach_alpha_weekday"]
+    )
+
+
+def test_stream_cms_state_ran_multiple_batches_and_conserves_mass(spark, sf_dir, tmp_path, monkeypatch):
+    """The X460 parity query must exercise REAL multi-batch maintenance:
+    3 staged files + maxFilesPerTrigger=1 => the committed pointer's
+    batch_id is 2 (three merges), and the sketch conserves mass — every
+    CMS row's total count equals the non-null item count."""
+    import glob
+    import json
+    import os
+    import tempfile
+
+    state_dirs_before = set(glob.glob(os.path.join(tempfile.gettempdir(), "aircan_r6_sketch_state_*")))
+    rows = _rows(spark, sf_dir, "ext_stream_cms_state")
+    new_dirs = set(glob.glob(os.path.join(tempfile.gettempdir(), "aircan_r6_sketch_state_*"))) - state_dirs_before
+    assert new_dirs, "maintenance must have committed a state dir"
+    (state_dir,) = sorted(new_dirs, key=os.path.getmtime)[-1:]
+    with open(os.path.join(state_dir, "_current.json")) as fh:
+        pointer = json.load(fh)
+    assert pointer["batch_id"] == 2  # 3 one-file micro-batches, 0-indexed
+    n_items = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("user_id IS NOT NULL")
+        .count()
+    )
+    for r in range(3):
+        assert sum(x["cnt"] for x in rows if x["row"] == r) == n_items
+
+
+def test_stream_hll_state_register_bounds(spark, sf_dir):
+    """HLL registers: reg in [0, 1024), max_rho in [1, 51] (rho = 51 -
+    bitlength of a 50-bit window, 51 when the window is 0)."""
+    rows = _rows(spark, sf_dir, "ext_stream_hll_state")
+    assert rows and len(rows) <= 1024
+    assert all(0 <= r["reg"] < 1024 for r in rows)
+    assert all(1 <= r["max_rho"] <= 51 for r in rows)
+
+
+def test_stream_bottomk_state_is_global_minimum_set(spark, sf_dir):
+    """The maintained bottom-k sample must be EXACTLY the k smallest
+    hashes of the whole corpus — the min-k-of-union merge law."""
+    from pyspark.sql import functions as F
+
+    rows = _rows(spark, sf_dir, "ext_stream_bottomk_state")
+    assert len(rows) == 100
+    got = {r["o_orderkey"] for r in rows}
+    want = {
+        r["o_orderkey"]
+        for r in (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select(
+                "o_orderkey",
+                F.md5(F.concat_ws("-", F.lit("42"), F.col("o_orderkey").cast("string"))).alias("h"),
+            )
+            .orderBy("h")
+            .limit(100)
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def test_stream_kmv_state_per_group_capped_and_sorted(spark, sf_dir):
+    """Grouped KMV minima: at most k=64 hashes per event_type, all
+    distinct, and each group's set is a prefix of the sorted hash axis
+    (minima, not arbitrary k)."""
+    rows = _rows(spark, sf_dir, "ext_stream_kmv_state")
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["h"])
+    assert by_type
+    for t, hs in by_type.items():
+        assert len(hs) <= 64
+        assert len(set(hs)) == len(hs)
+        assert all(0 <= h < (1 << 48) for h in hs)
+
+
+def test_cronbach_weekday_reconstructs_from_components(spark, sf_dir):
+    """The formerly-shadowed weekday variant must satisfy its own
+    defining identity alpha = k/(k-1)*(1 - sum_item_var/total_var)
+    with k=7 weekday items, and alpha <= 1."""
+    (r,) = _rows(spark, sf_dir, "ext_cronbach_alpha_weekday")
+    expect = 7 / 6 * (1 - r["sum_item_var"] / r["total_var"])
+    assert abs(r["alpha"] - expect) < 1e-4
+    assert r["alpha"] <= 1.0
+    assert r["n_subjects"] > 0 and r["n_events"] > 0
