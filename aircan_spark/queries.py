@@ -544,6 +544,9 @@ _R06_FIRST = [
     "ext_stream_cms_state", "ext_stream_hll_state",
     "ext_stream_bottomk_state", "ext_stream_kmv_state",
     "ext_cronbach_alpha_weekday",
+    "ext_sqltext_window_rank", "ext_sqltext_rollup_grouping",
+    "ext_sqltext_correlated_exists", "ext_sqltext_set_cohorts",
+    "ext_sqltext_scalar_having",
 ]
 _order = (
     [n for n in _R06_FIRST if n in QUERIES]

@@ -115,6 +115,50 @@ def test_stream_kmv_state_per_group_capped_and_sorted(spark, sf_dir):
         assert all(0 <= h < (1 << 48) for h in hs)
 
 
+def test_sqltext_family_oracle_is_the_same_string():
+    """The zero-drift contract of the SQL-text family: each key's DuckDB
+    oracle IS the exact string fed to spark.sql — not a rewrite."""
+    from aircan_spark.ext.queries_w47 import SQLTEXT_QUERIES
+
+    assert len(SQLTEXT_QUERIES) == 5
+    for name, sql_text in SQLTEXT_QUERIES.items():
+        assert Q.EXT_ORACLES[name] is sql_text
+
+
+def test_sqltext_window_rank_totals_consistent(spark, sf_dir):
+    """The windowed grand total must equal the sum of the per-type
+    counts on every row, and ranks must start at 1."""
+    rows = _rows(spark, sf_dir, "ext_sqltext_window_rank")
+    total = sum(r["n_events"] for r in rows)
+    assert all(r["total_events"] == total for r in rows)
+    assert min(r["volume_rank"] for r in rows) == 1
+
+
+def test_sqltext_rollup_grand_total_matches_leaves(spark, sf_dir):
+    """ROLLUP conservation: the (ALL, ALL) super-aggregate equals the
+    sum of the leaf (region, nation) rows for both measures."""
+    rows = _rows(spark, sf_dir, "ext_sqltext_rollup_grouping")
+    grand = [r for r in rows if r["g_region"] == 1 and r["g_nation"] == 1]
+    leaves = [r for r in rows if r["g_region"] == 0 and r["g_nation"] == 0]
+    assert len(grand) == 1
+    assert grand[0]["n_customers"] == sum(r["n_customers"] for r in leaves)
+    assert grand[0]["acctbal_cents"] == sum(r["acctbal_cents"] for r in leaves)
+
+
+def test_sqltext_set_cohorts_partition_the_union(spark, sf_dir):
+    """both + f_only + o_only must equal |f_buyers ∪ o_buyers| — the
+    inclusion-exclusion identity INTERSECT/EXCEPT must satisfy."""
+    rows = {r["cohort"]: r["n_customers"] for r in _rows(spark, sf_dir, "ext_sqltext_set_cohorts")}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    union_n = (
+        orders.filter("o_orderstatus IN ('F', 'O')")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert rows["both"] + rows["f_only"] + rows["o_only"] == union_n
+
+
 def test_cronbach_weekday_reconstructs_from_components(spark, sf_dir):
     """The formerly-shadowed weekday variant must satisfy its own
     defining identity alpha = k/(k-1)*(1 - sum_item_var/total_var)
