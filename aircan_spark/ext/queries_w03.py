@@ -207,8 +207,14 @@ def ext_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
+            # exact decimal SUM, then ONE cast to double for the output:
+            # wide-decimal outputs reach pandas as Decimal objects on the
+            # Spark side but float64 on the DuckDB side, and Decimal's
+            # trailing-zero repr ('7097.20' vs '7097.2') broke the value
+            # compare the first time this query produced rows at sf0.1
+            # (sf<=0.01 returns 0 rows — a vacuous pass since r1)
             F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("totacctbal"),
         )
         .orderBy("c_nationkey")
@@ -220,7 +226,7 @@ WITH thresh AS (
   SELECT ROUND(AVG(c_acctbal), 4) AS threshold FROM customer WHERE c_acctbal > 0
 )
 SELECT c_nationkey, COUNT(*) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
 FROM customer CROSS JOIN thresh
 WHERE c_acctbal > threshold
   AND c_custkey NOT IN (SELECT o_custkey FROM orders)

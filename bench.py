@@ -87,7 +87,11 @@ def main() -> None:
 
     calibration_pre = _calibration()
 
-    warm_mode = os.environ.get("SPARK_GRAFT_WARM") == "1"
+    # Warm pass is ON by default (r5 verdict #6: the per-round artifact
+    # must carry cold AND warm in the parsed block — r5's driver run left
+    # warm_total null because warm was opt-in). SPARK_GRAFT_WARM=0 skips
+    # it for quick local iteration.
+    warm_mode = os.environ.get("SPARK_GRAFT_WARM", "1") != "0"
     cold: dict[str, float] = {}
     warm: dict[str, float] | None = {} if warm_mode else None
     for name, fn in QUERIES.items():
@@ -103,7 +107,9 @@ def main() -> None:
             start = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             warm[name] = round(time.perf_counter() - start, 3)
-    timings = warm if warm is not None else cold
+    # Headline stays the COLD total for cross-round comparability with
+    # r1-r5 and BASELINE; warm rides alongside.
+    timings = cold
 
     # Standalone-warm for checkpoint-backed queries: their fn() eagerly
     # materializes truncated lineage (data.checkpoint), so the same-DataFrame
@@ -136,13 +142,14 @@ def main() -> None:
             {
                 "sf_dir": sf_dir,
                 "cpus": int(cpus),
-                "mode": "warm" if warm_mode else "cold",
+                "mode": "cold+warm" if warm_mode else "cold",
                 "cold_total": round(sum(cold.values()), 3),
                 "warm_total": round(sum(warm.values()), 3) if warm else None,
                 "warm_rebuild": warm_rebuild,
                 "calibration_pre": calibration_pre,
                 "calibration_post": calibration_post,
-                "queries": timings,
+                "queries": cold,
+                "queries_warm": warm,
             },
             f,
             indent=1,
@@ -157,8 +164,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(timings),
-                "mode": "warm" if warm_mode else "cold",
+                "mode": "cold+warm" if warm_mode else "cold",
+                "warm": round(sum(warm.values()), 3) if warm else None,
                 "calib": calibration_pre["median_s"],
+                "calib_post": calibration_post["median_s"],
                 "top5": {k: v for k, v in top},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

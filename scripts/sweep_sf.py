@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Whole-registry value sweep at a chosen scale factor, in ONE pass, with
+a JSON artifact: runs every declared query against its DuckDB oracle
+using the exact devcheck/test_oracle compare (sorted columns, dtype-kind
+check, canonicalized values, atol 1e-9) and writes per-query status +
+wall time to the artifact path.
+
+    python scripts/sweep_sf.py /root/testdata/sf0.1 SWEEP_SF01_r06.json
+
+Exit code 0 iff every oracled query value-matches and every rows-only
+query executes.
+"""
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+import duckdb
+import pandas as pd
+
+from aircan_spark.queries import ORACLES, QUERIES
+from test_oracle import canonicalize, dtype_kind
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    from aircan_spark.session import get_spark
+
+    spark = get_spark(
+        master=os.environ.get("SPARK_GRAFT_MASTER", "local[8]"),
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    results: dict[str, dict] = {}
+    t_start = time.time()
+    failed = 0
+    for i, name in enumerate(QUERIES, 1):
+        t0 = time.time()
+        rec: dict = {}
+        try:
+            got_raw = QUERIES[name](spark, sf).toPandas()
+            if name not in ORACLES:
+                rec = {"status": "rows_only", "rows": len(got_raw)}
+            else:
+                want_raw = con.sql(ORACLES[name]).df()
+                got_raw = got_raw.reindex(sorted(got_raw.columns), axis=1)
+                want_raw = want_raw.reindex(sorted(want_raw.columns), axis=1)
+                assert list(got_raw.columns) == list(want_raw.columns), (
+                    f"cols {list(got_raw.columns)} vs {list(want_raw.columns)}"
+                )
+                km = {
+                    c: (dtype_kind(got_raw[c]), dtype_kind(want_raw[c]))
+                    for c in got_raw.columns
+                    if "?" not in (dtype_kind(got_raw[c]), dtype_kind(want_raw[c]))
+                    and dtype_kind(got_raw[c]) != dtype_kind(want_raw[c])
+                }
+                assert not km, f"dtype-kind mismatch {km}"
+                got, want = canonicalize(got_raw), canonicalize(want_raw)
+                assert len(got) == len(want), f"rows {len(got)} vs {len(want)}"
+                pd.testing.assert_frame_equal(
+                    got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
+                )
+                rec = {"status": "values_match", "rows": len(got)}
+        except Exception as e:  # noqa: BLE001 - record and continue
+            failed += 1
+            rec = {"status": "FAIL", "error": f"{type(e).__name__}: {str(e)[:400]}"}
+        rec["sec"] = round(time.time() - t0, 2)
+        results[name] = rec
+        print(f"[{i}/{len(QUERIES)}] {name}: {rec['status']} {rec['sec']}s", flush=True)
+
+    artifact = {
+        "sf_dir": sf,
+        "n_queries": len(QUERIES),
+        "n_oracled": sum(1 for n in QUERIES if n in ORACLES),
+        "n_values_match": sum(
+            1 for r in results.values() if r["status"] == "values_match"
+        ),
+        "n_rows_only": sum(1 for r in results.values() if r["status"] == "rows_only"),
+        "n_fail": failed,
+        "wall_sec": round(time.time() - t_start, 1),
+        "queries": results,
+    }
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(artifact, fh, indent=1, sort_keys=True)
+    print(
+        json.dumps(
+            {k: v for k, v in artifact.items() if k != "queries"}, sort_keys=True
+        )
+    )
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -159,6 +159,17 @@ def test_sqltext_set_cohorts_partition_the_union(spark, sf_dir):
     assert rows["both"] + rows["f_only"] + rows["o_only"] == union_n
 
 
+def test_idle_customers_outputs_double_not_decimal(spark, sf_dir):
+    """Regression pin for the sf0.1 sweep find: Spark DECIMAL outputs
+    reach pandas as Decimal objects (trailing-zero repr '7097.20') while
+    DuckDB maps DECIMAL to float64 ('7097.2') — the value compare breaks
+    the first time the query produces rows (sf<=0.01 yields 0 rows, so
+    every earlier gate passed vacuously). The output column must stay
+    DOUBLE."""
+    df = Q.EXT_QUERIES["ext_idle_customers"](spark, sf_dir)
+    assert dict(df.dtypes)["totacctbal"] == "double"
+
+
 def test_cronbach_weekday_reconstructs_from_components(spark, sf_dir):
     """The formerly-shadowed weekday variant must satisfy its own
     defining identity alpha = k/(k-1)*(1 - sum_item_var/total_var)
