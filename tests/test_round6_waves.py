@@ -5,6 +5,7 @@ value-compare cannot express.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from aircan_spark.ext import queries as Q
 from aircan_spark.ext._qcommon import _Registry
@@ -157,6 +158,49 @@ def test_sqltext_set_cohorts_partition_the_union(spark, sf_dir):
         .count()
     )
     assert rows["both"] + rows["f_only"] + rows["o_only"] == union_n
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bottomk_sample_compiles_to_take_ordered(spark):
+    """bottomk_sample's orderBy(hash).limit(k) must compile to
+    TakeOrderedAndProject — per-task local k-heaps merged on the driver,
+    never a global Sort + single-partition Exchange."""
+    from aircan_spark.ext import sketch as sk
+
+    df = spark.range(5000).select(F.col("id").alias("k"))
+    plan = _plan(sk.bottomk_sample(df, ["k"], k=50))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no standalone global sort survives
+
+
+def test_cms_estimate_broadcasts_the_sketch(spark):
+    """count_min_estimate must probe the tiny sketch via a
+    BroadcastHashJoin — the sketch is O(depth*width) and must never be
+    the build side of a shuffled join."""
+    from aircan_spark.ext import sketch as sk
+
+    items = spark.range(2000).select((F.col("id") % 37).cast("string").alias("w"))
+    sketch = sk.count_min_build(items, "w", depth=3, width=64, seed=1)
+    est = sk.count_min_estimate(
+        sketch, items.distinct(), "w", depth=3, width=64, seed=1
+    )
+    assert "BroadcastHashJoin" in _plan(est)
+
+
+def test_sqltext_exists_compiles_to_semi_join(spark, sf_dir):
+    """The correlated EXISTS text query must reach a left-semi hash join
+    — Catalyst's subquery decorrelation — not a nested-loop or
+    cartesian plan."""
+    from aircan_spark.ext.queries_w47 import SQLTEXT_QUERIES
+    from aircan_spark import sqlapi
+
+    df = sqlapi.sql(spark, sf_dir, SQLTEXT_QUERIES["ext_sqltext_correlated_exists"])
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_idle_customers_outputs_double_not_decimal(spark, sf_dir):
