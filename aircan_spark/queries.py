@@ -547,6 +547,7 @@ _R06_FIRST = [
     "ext_sqltext_window_rank", "ext_sqltext_rollup_grouping",
     "ext_sqltext_correlated_exists", "ext_sqltext_set_cohorts",
     "ext_sqltext_scalar_having",
+    "ext_stream_dlq_gate", "ext_audio_rms_windows",
 ]
 _order = (
     [n for n in _R06_FIRST if n in QUERIES]

@@ -214,6 +214,49 @@ def test_idle_customers_outputs_double_not_decimal(spark, sf_dir):
     assert dict(df.dtypes)["totacctbal"] == "double"
 
 
+def test_dlq_gate_conserves_rows_and_splits_by_threshold(spark, sf_dir):
+    """The DLQ contract: nothing dropped silently — table + quarantine
+    row counts sum to the orders count per bucket — and the routing is
+    exactly the data-derived threshold rule (2 buckets each way, barring
+    exact max ties)."""
+    rows = _rows(spark, sf_dir, "ext_stream_dlq_gate")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = orders.count()
+    assert sum(r["n_rows"] for r in rows) == n
+    assert len(rows) == 4  # each bucket lands WHOLE in exactly one place
+    assert {r["bucket"] for r in rows} == {0, 1, 2, 3}
+    dests = [r["destination"] for r in rows]
+    assert dests.count("table") == 2 and dests.count("dlq") == 2
+    # destination follows the per-bucket max, never the bucket id
+    from pyspark.sql import functions as F2
+
+    mx = {
+        r["b"]: r["m"]
+        for r in orders.groupBy((F2.col("o_orderkey") % 4).alias("b"))
+        .agg(F2.max("o_totalprice").alias("m"))
+        .collect()
+    }
+    ms = sorted(mx.values())
+    thr = (ms[1] + ms[2]) / 2.0
+    for r in rows:
+        assert r["destination"] == ("table" if mx[r["bucket"]] <= thr else "dlq")
+
+
+def test_audio_rms_windows_vad_flags_and_ranges(spark, sf_dir):
+    """Every file yields exactly 2 windows: window 0 voiced (RMS >=
+    512/32768), window 1 silent (RMS <= 15/32768 < 0.01) — the fixture
+    margins that make the VAD flag rounding-proof."""
+    rows = _rows(spark, sf_dir, "ext_audio_rms_windows")
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["media_id"], {})[r["window_idx"]] = r
+    for did, ws in by_doc.items():
+        assert set(ws) == {0, 1}
+        assert not ws[0]["is_silence"] and ws[0]["rms"] >= 512 / 32768
+        assert ws[1]["is_silence"] and ws[1]["rms"] <= 15 / 32768
+        assert ws[0]["t_start_s"] == 0.0 and ws[1]["t_start_s"] == 0.05
+
+
 def test_cronbach_weekday_reconstructs_from_components(spark, sf_dir):
     """The formerly-shadowed weekday variant must satisfy its own
     defining identity alpha = k/(k-1)*(1 - sum_item_var/total_var)
