@@ -54,6 +54,20 @@ def main() -> None:
         rec: dict = {}
         try:
             got_raw = QUERIES[name](spark, sf).toPandas()
+            # Guard the decimal-repr class (round-6 ext_idle_customers
+            # find): a Spark DECIMAL output lands in pandas as Decimal
+            # objects whose trailing-zero repr diverges from DuckDB's
+            # float64 mapping the first time the query produces rows.
+            import decimal as _decimal
+
+            for c in got_raw.columns:
+                col = got_raw[c]
+                if col.dtype == object and len(col.dropna()):
+                    v = col.dropna().iloc[0]
+                    assert not isinstance(v, _decimal.Decimal), (
+                        f"column {c!r} outputs raw DECIMAL — cast to "
+                        "double/string in the query (vacuous-pass trap)"
+                    )
             if name not in ORACLES:
                 rec = {"status": "rows_only", "rows": len(got_raw)}
             else:
