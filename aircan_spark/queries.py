@@ -548,6 +548,7 @@ _R06_FIRST = [
     "ext_sqltext_correlated_exists", "ext_sqltext_set_cohorts",
     "ext_sqltext_scalar_having",
     "ext_stream_dlq_gate", "ext_audio_rms_windows",
+    "ext_table_delete_parity", "ext_bucketed_delete_parity",
 ]
 _order = (
     [n for n in _R06_FIRST if n in QUERIES]

@@ -257,6 +257,26 @@ def test_audio_rms_windows_vad_flags_and_ranges(spark, sf_dir):
         assert ws[0]["t_start_s"] == 0.0 and ws[1]["t_start_s"] == 0.05
 
 
+def test_delete_parity_paths_agree_and_conserve(spark, sf_dir):
+    """The full-rewrite and bucket-pruned deletes must produce
+    IDENTICAL observable results (they share one oracle), the reported
+    delete count must equal the doomed-key population, and survivors +
+    deleted must conserve the orders count."""
+    plain = sorted(
+        _rows(spark, sf_dir, "ext_table_delete_parity"),
+        key=lambda r: r["o_orderstatus"],
+    )
+    bucketed = sorted(
+        _rows(spark, sf_dir, "ext_bucketed_delete_parity"),
+        key=lambda r: r["o_orderstatus"],
+    )
+    assert [tuple(r) for r in plain] == [tuple(r) for r in bucketed]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_doomed = orders.filter("o_orderkey % 7 = 3").count()
+    assert plain[0]["n_deleted"] == n_doomed
+    assert sum(r["n_rows"] for r in plain) + n_doomed == orders.count()
+
+
 def test_cronbach_weekday_reconstructs_from_components(spark, sf_dir):
     """The formerly-shadowed weekday variant must satisfy its own
     defining identity alpha = k/(k-1)*(1 - sum_item_var/total_var)
