@@ -22,7 +22,7 @@ from aircan_spark.ext._qcommon import EXT_ORACLES, EXT_QUERIES, _load, _t  # noq
 from aircan_spark.ext.queries_w45 import *  # noqa: F401,F403
 
 
-def _staged_split_dir(spark, sf_dir: str, table: str, cols: list[str], n: int = 3):
+def _staged_split_dir(spark, sf_dir: str, table: str, cols: list[str], n: int = 3, pre=None):
     """Stage ``cols`` of a testdata table as ``n`` parquet files in a fresh
     temp dir — the bounded 'backlog' the availableNow stream consumes as
     ``n`` one-file micro-batches (maxFilesPerTrigger=1), so the declared
@@ -33,11 +33,16 @@ def _staged_split_dir(spark, sf_dir: str, table: str, cols: list[str], n: int = 
 
     stage = tempfile.mkdtemp(prefix="aircan_r6_sketch_src_")
     df = _load(spark, sf_dir, table).select(*cols)
+    if pre is not None:
+        # optional deterministic pre-transform (e.g. integer-cent
+        # rescale) applied BEFORE staging so the stream consumes the
+        # already-exact column
+        df = pre(df)
     df.repartition(n).write.mode("overwrite").parquet(stage)
     return stage, df.schema
 
 
-def _run_maintenance(maintainer, spark, sf_dir, table, cols, n_files=3, **kw):
+def _run_maintenance(maintainer, spark, sf_dir, table, cols, n_files=3, pre=None, **kw):
     """Drive a stream_*_maintenance function over a staged split of a
     testdata table to completion (availableNow, one file per batch) and
     return the final committed state frame."""
@@ -45,7 +50,7 @@ def _run_maintenance(maintainer, spark, sf_dir, table, cols, n_files=3, **kw):
 
     from aircan_spark.streaming import read_sketch_state
 
-    src, schema = _staged_split_dir(spark, sf_dir, table, cols, n=n_files)
+    src, schema = _staged_split_dir(spark, sf_dir, table, cols, n=n_files, pre=pre)
     state_dir = tempfile.mkdtemp(prefix="aircan_r6_sketch_state_")
     ckpt = tempfile.mkdtemp(prefix="aircan_r6_sketch_ckpt_")
     q = maintainer(

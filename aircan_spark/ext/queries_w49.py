@@ -18,6 +18,7 @@ from __future__ import annotations
 from aircan_spark.ext._qcommon import *  # noqa: F401,F403
 from aircan_spark.ext._qcommon import EXT_ORACLES, EXT_QUERIES, _load, _t  # noqa: F401
 from aircan_spark.ext.queries_w48 import *  # noqa: F401,F403
+from aircan_spark.ext.queries_w46 import _run_maintenance  # noqa: F401
 
 
 _DELETE_PARITY_SQL = r"""
@@ -109,3 +110,61 @@ EXT_ORACLES.update(
         "ext_bucketed_delete_parity": _DELETE_PARITY_SQL,
     }
 )
+
+
+def ext_stream_moments_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X213 as a driver-checkable query — the LAST no-declared-query
+    SURVEY row: REAL streaming keyed-moments maintenance (per-user
+    (n, Σx, Σx²) partials, full-outer ADD merge through the
+    atomic-pointer exactly-once machinery) over events staged as 3
+    one-file micro-batches. Determinism: value is pre-scaled to integer
+    cents carried as float64 (floor(v*100+0.5)); cents ≤ ~6e4 so Σx² ≤
+    ~3e14 < 2^53 at any test SF — every partial sum is an exact
+    integer-valued double, the add-merge is order-free, and the final
+    state casts to BIGINT bit-stably. The oracle rebuilds the same
+    moments in one grouped pass (the ADD merge law: per-batch partials
+    sum to corpus partials regardless of batch split)."""
+    from aircan_spark.streaming import stream_moments_maintenance
+
+    state = _run_maintenance(
+        lambda sp, src, schema, **kw: stream_moments_maintenance(
+            sp, src, schema, "user_id", "cents", **kw
+        ),
+        spark,
+        sf_dir,
+        "events",
+        ["user_id", "value"],
+        pre=lambda df: df.select(
+            "user_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("double")
+            .alias("cents"),
+        ),
+    )
+    return (
+        state.select(
+            F.col("key").alias("user_id"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("s1").cast("bigint").alias("sum_cents"),
+            F.col("s2").cast("bigint").alias("sum_cents_sq"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EXT_STREAM_MOMENTS_STATE_SQL = r"""
+WITH c AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(cents * cents) AS BIGINT) AS sum_cents_sq
+FROM c GROUP BY user_id ORDER BY user_id
+"""
+
+
+EXT_QUERIES.update({"ext_stream_moments_state": ext_stream_moments_state})
+EXT_ORACLES.update({"ext_stream_moments_state": EXT_STREAM_MOMENTS_STATE_SQL})

@@ -549,6 +549,7 @@ _R06_FIRST = [
     "ext_sqltext_scalar_having",
     "ext_stream_dlq_gate", "ext_audio_rms_windows",
     "ext_table_delete_parity", "ext_bucketed_delete_parity",
+    "ext_stream_moments_state",
 ]
 _order = (
     [n for n in _R06_FIRST if n in QUERIES]

@@ -277,6 +277,19 @@ def test_delete_parity_paths_agree_and_conserve(spark, sf_dir):
     assert sum(r["n_rows"] for r in plain) + n_doomed == orders.count()
 
 
+def test_stream_moments_state_conserves_and_is_psd(spark, sf_dir):
+    """Keyed-moments state: per-user counts must sum to the events row
+    count (ADD merge law, nothing lost across batches), and every
+    user's second moment must satisfy n*Σx² >= (Σx)² (Cauchy-Schwarz —
+    an impossible-to-fake positive-semidefiniteness check on the
+    maintained partials)."""
+    rows = _rows(spark, sf_dir, "ext_stream_moments_state")
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    for r in rows:
+        assert r["n_events"] * r["sum_cents_sq"] >= r["sum_cents"] ** 2
+
+
 def test_cronbach_weekday_reconstructs_from_components(spark, sf_dir):
     """The formerly-shadowed weekday variant must satisfy its own
     defining identity alpha = k/(k-1)*(1 - sum_item_var/total_var)
