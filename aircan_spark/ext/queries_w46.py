@@ -67,6 +67,13 @@ def _run_maintenance(maintainer, spark, sf_dir, table, cols, n_files=3, pre=None
     q.awaitTermination(300)
     if q.isActive:  # pragma: no cover — availableNow should terminate
         q.stop()
+    # the backlog and checkpoint are fully consumed once the query
+    # terminates — reclaim them now; state_dir must SURVIVE (the
+    # returned frame reads it lazily at collection time)
+    import shutil
+
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
     return read_sketch_state(spark, state_dir)
 
 

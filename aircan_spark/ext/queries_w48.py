@@ -80,12 +80,13 @@ def ext_stream_dlq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = tempfile.mkdtemp(prefix="aircan_r6_dlq_wh_")
     dlq_dir = _os.path.join(wh, "dlq")
     table = ParquetTable(spark, wh, "gated")
+    ckpt = tempfile.mkdtemp(prefix="aircan_r6_dlq_ckpt_")
     q = stream_quality_gate(
         spark,
         src,
         schema,
         table,
-        checkpoint_dir=tempfile.mkdtemp(prefix="aircan_r6_dlq_ckpt_"),
+        checkpoint_dir=ckpt,
         checks=[{"column": "o_totalprice", "kind": "max", "max": thr}],
         quarantine_dir=dlq_dir,
         max_files_per_trigger=1,
@@ -94,6 +95,12 @@ def ext_stream_dlq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     if q.isActive:  # pragma: no cover — availableNow should terminate
         q.stop()
+    # staged backlog + checkpoint are consumed; the warehouse (table +
+    # DLQ) must SURVIVE — the returned frame reads it lazily
+    import shutil as _shutil
+
+    _shutil.rmtree(src, ignore_errors=True)
+    _shutil.rmtree(ckpt, ignore_errors=True)
 
     parts = []
     if table.exists():
