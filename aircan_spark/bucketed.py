@@ -119,6 +119,30 @@ class BucketedParquetTable:
             if entry.startswith("data_v") and entry not in live:
                 shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
 
+    def vacuum(self, keep_versions: int = 1) -> int:
+        """Retire manifest history beyond the newest ``keep_versions``
+        (default: current only) and GC the data dirs only dead history
+        referenced. Same contract as ``ParquetTable.vacuum``: the normal
+        window keeps the previous version for time-travel; call this when
+        the history is known dead (post-delete GDPR hygiene, scratch
+        warehouses). Returns the number of data dirs removed."""
+        manifest = self.manifest()
+        if manifest is None:
+            return 0
+        keep_hist = max(keep_versions - 1, 0)
+        history = manifest.get("history", [])
+        manifest["history"] = history[-keep_hist:] if keep_hist else []
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path())
+        before = {
+            e for e in os.listdir(self.path) if e.startswith("data_v")
+        }
+        self._gc(manifest)
+        after = {e for e in os.listdir(self.path) if e.startswith("data_v")}
+        return len(before - after)
+
     # ---- reads -----------------------------------------------------------------
     def read(self, buckets: list[int] | None = None) -> DataFrame:
         m = self.manifest()

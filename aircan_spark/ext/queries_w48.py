@@ -115,6 +115,11 @@ def ext_stream_dlq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "o_totalprice")
             .withColumn("destination", F.lit("dlq"))
         )
+    if not parts:
+        raise RuntimeError(
+            "DLQ gate produced neither a table nor a DLQ directory — "
+            "the ingest wrote nothing (threshold/check-list edit?)"
+        )
     allr = parts[0]
     for p in parts[1:]:
         allr = allr.unionByName(p)

@@ -61,6 +61,7 @@ def _delete_parity(spark: SparkSession, sf_dir: str, bucketed: bool) -> DataFram
         table.overwrite(numbered)
         doomed = orders.filter(F.expr("o_orderkey % 7 = 3")).select("o_orderkey")
         n_del = table.delete(doomed)
+        table.vacuum(keep_versions=1)
     else:
         from aircan_spark.table import ParquetTable
 
@@ -68,6 +69,13 @@ def _delete_parity(spark: SparkSession, sf_dir: str, bucketed: bool) -> DataFram
         table.overwrite(numbered)
         doomed = orders.filter(F.expr("o_orderkey % 7 = 3")).select("o_orderkey")
         n_del = table.delete(doomed, ["o_orderkey"])
+        table.vacuum(keep_snapshots=1)
+    # vacuum retires the pre-delete snapshot immediately (read() below is
+    # lazy but only ever reads the CURRENT version's files) — repeated
+    # sweep/bench invocations previously accumulated two full orders
+    # snapshots per run (the temp-dir class commit 09159e6 fixed for the
+    # streaming harnesses), and at production scale the doomed snapshot
+    # lingering is exactly what a GDPR delete must not do.
     surv = table.read()
     return (
         surv.groupBy("o_orderstatus")

@@ -42,7 +42,13 @@ def count_min_build(
     Scale shape: the depth-way fan-out is a row-local array explode; the
     only exchange is the (row, bucket) partial agg whose key space is
     depth*width. Two sketches with the same (depth, width, seed) merge by
-    summing cnt — union + one more tiny agg."""
+    summing cnt — union + one more tiny agg.
+
+    NULL items are dropped in-library (matching ``kmv_minima``): the hash
+    is built with concat_ws, which silently skips a NULL arg — without
+    the filter a NULL item would hash the seed prefix alone into a real
+    bucket instead of being excluded."""
+    items = items.filter(F.col(item_col).isNotNull())
     fan = items.select(
         F.col(item_col).alias("item"),
         F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row"),
@@ -132,7 +138,12 @@ def hll_build(
     ``bin``), never floating log2 — exactly replicable in SQL, immune to
     libm ulp flips. Registers merge by GREATEST (``hll_merge``); the
     cardinality estimate (``hll_estimate``) is derived from the collected
-    registers driver-side (<= m rows)."""
+    registers driver-side (<= m rows).
+
+    NULL items are dropped in-library (matching ``kmv_minima``): the
+    seed-prefix md5 a NULL would otherwise produce is a real register
+    update, not an excluded item."""
+    items = items.filter(F.col(item_col).isNotNull())
     m = 1 << b
     h = _hll_hash60(F.col(item_col), seed)
     reg = F.pmod(h, F.lit(m))

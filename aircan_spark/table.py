@@ -111,6 +111,26 @@ class ParquetTable:
                 if int(entry[1:]) <= version - keep_snapshots:
                     shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
 
+    def vacuum(self, keep_snapshots: int = 1) -> int:
+        """Retire snapshot versions older than the newest
+        ``keep_snapshots`` (default: current only). The normal retention
+        window (``_commit`` keep_snapshots=2) holds the previous version
+        for time-travel/diff; call this when the history is known dead —
+        e.g. a rewrite-style delete whose pre-delete snapshot must not
+        linger (GDPR), or a scratch warehouse a harness will re-read
+        lazily (only the CURRENT version's files back ``read()``).
+        Returns the number of snapshot dirs removed."""
+        current = self.current_version()
+        removed = 0
+        for entry in os.listdir(self.path) if os.path.isdir(self.path) else []:
+            if entry.startswith("v") and entry[1:].isdigit():
+                if int(entry[1:]) <= current - max(keep_snapshots, 1):
+                    shutil.rmtree(
+                        os.path.join(self.path, entry), ignore_errors=True
+                    )
+                    removed += 1
+        return removed
+
     # ---- reads ---------------------------------------------------------------
     def read(self) -> DataFrame:
         if not self.exists():

@@ -3,9 +3,11 @@
 
     SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[] parallelism (default 32)
-    SPARK_GRAFT_WARM     "1" -> run the suite twice, report the warm pass
-                         (plans compiled, JIT hot — the steady-state number
-                         a long-lived cluster session sees)
+    SPARK_GRAFT_WARM     warm pass is ON by default: the suite runs twice
+                         and the warm pass (plans compiled, JIT hot — the
+                         steady-state number a long-lived cluster session
+                         sees) is reported alongside cold. Set "0" to run
+                         cold-only.
 
 Each query is forced end-to-end with a noop sink (full computation, no
 driver collect bottleneck). The final stdout line is a SHORT parseable
