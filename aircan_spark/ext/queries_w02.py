@@ -240,11 +240,21 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 def ext_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders — LeftAnti physical join; the orders side
-    projects to its key column only before the exchange."""
+    """Customers with no URGENT orders — LeftAnti physical join; the
+    orders side filters to the urgent priority and projects to its key
+    column only before the exchange (filter pushed below the join build).
+
+    Non-vacuousness: the original "no orders at all" predicate returned
+    0 rows at sf<=0.01 (every testdata customer has orders), so every
+    small-SF gate passed vacuously — the exact trap the sweep now
+    hard-fails. The urgent restriction exercises the same LeftAnti +
+    key-projected-build plan and fires at every SF (18/203/1986 rows at
+    sf0.001/0.01/0.1)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
     return (
         cust.join(orders, "c_custkey", "left_anti")
@@ -255,7 +265,10 @@ def ext_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXT_ANTI_JOIN_SQL = r"""
 SELECT c_custkey, c_nationkey FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
 ORDER BY c_custkey
 """
 

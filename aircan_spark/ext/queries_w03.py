@@ -188,15 +188,32 @@ GROUP BY 1, 2 ORDER BY p_brand, size_band
 
 
 def ext_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Well-funded customers with no orders (TPC-H Q22 flavor): balance
-    above the positive-balance average AND no order history — scalar-
-    subquery threshold + LEFT ANTI existence check, reported per nation.
+    """Well-funded customers gone IDLE (TPC-H Q22 flavor): balance above
+    the positive-balance average AND no order in the trailing 365 days
+    of the corpus (cutoff = max(o_orderdate) - 365d, data-derived) —
+    scalar-subquery thresholds + LEFT ANTI existence check, reported per
+    nation.
 
-    Scale shape: the average is a 1-row broadcast; the anti join probes
-    orders by custkey only (key-projected build side); output is
-    O(nations)."""
+    Non-vacuousness: the original "no order history at all" predicate
+    yielded 0 rows at sf<=0.01 (every testdata customer has orders), so
+    its r6 DECIMAL repr bug hid behind a vacuous pass until sf0.1 — the
+    episode that made zero-row results a hard sweep failure. The
+    trailing-window variant keeps the scalar-broadcast + anti-join plan
+    and fires at every SF (14/149/1514 customers at sf0.001/0.01/0.1).
+
+    Scale shape: the average and the cutoff are 1-row broadcasts; the
+    anti join probes recent orders by custkey only (filter pushed below
+    the build-side projection); output is O(nations)."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
-    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    all_orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    cutoff = all_orders.agg(
+        F.date_sub(F.to_date(F.max("o_orderdate")), 365).alias("co")
+    )
+    orders = (
+        all_orders.join(F.broadcast(cutoff))
+        .filter(F.to_date(F.col("o_orderdate")) >= F.col("co"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
         F.round(F.avg("c_acctbal"), 4).alias("threshold")
     )
@@ -224,12 +241,17 @@ def ext_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_IDLE_CUSTOMERS_SQL = r"""
 WITH thresh AS (
   SELECT ROUND(AVG(c_acctbal), 4) AS threshold FROM customer WHERE c_acctbal > 0
+),
+cutoff AS (
+  SELECT CAST(MAX(o_orderdate) AS DATE) - INTERVAL 365 DAY AS co FROM orders
 )
 SELECT c_nationkey, COUNT(*) AS numcust,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
-FROM customer CROSS JOIN thresh
+FROM customer CROSS JOIN thresh CROSS JOIN cutoff
 WHERE c_acctbal > threshold
-  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+  AND c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE CAST(o_orderdate AS DATE) >= co
+  )
 GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
@@ -901,10 +923,20 @@ EXT_ORACLES.update({"ext_boilerplate_heads": EXT_BOILERPLATE_SQL})
 
 
 def ext_cross_lang_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-language duplicate audit: normalized fingerprints appearing
-    in MORE THAN ONE language — the translation-leak / mislabeled-lang
-    signal a multilingual curation pass checks before per-lang dedup
-    (within-lang dedup would silently keep both copies).
+    """Cross-language duplicate-CANDIDATE audit: normalized 16-char
+    PREFIX fingerprints appearing in MORE THAN ONE language — the
+    translation-leak / mislabeled-lang signal a multilingual curation
+    pass checks before per-lang dedup (within-lang dedup would silently
+    keep both copies). Prefix fingerprinting is the standard cheap
+    candidate generator (boilerplate openers, templated intros); the
+    exact-content variant is X1's dedup fingerprint.
+
+    Non-vacuousness: the original exact-content fingerprint matched
+    nothing at sf<=0.01 (testdata has no exact text dups there), so the
+    gate passed vacuously — the class the sweep now hard-fails. The
+    prefix fingerprint keeps the IDENTICAL exchange + HAVING plan and
+    fires at every SF (18/21/334 offending fingerprints at
+    sf0.001/0.01/0.1).
 
     Scale shape: one fingerprint exchange (same md5 the exact-dedup op
     uses), HAVING on distinct langs; output rows only for offending
@@ -912,7 +944,11 @@ def ext_cross_lang_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "lang",
         F.md5(
-            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+            F.substring(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                1,
+                16,
+            )
         ).alias("fp"),
     )
     return (
@@ -928,7 +964,7 @@ def ext_cross_lang_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_CROSS_LANG_SQL = r"""
-SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+SELECT md5(substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 16)) AS fp,
        COUNT(DISTINCT lang) AS n_langs,
        COUNT(*) AS n_docs,
        array_to_string(list_sort(list_distinct(list(lang))), ',') AS langs

@@ -1325,12 +1325,24 @@ def ext_cross_source_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnosis (two feeds mirroring each other waste budget and skew
     mixtures; the X129 cross-language audit's source-axis sibling).
 
+    Shared content is keyed by the normalized 16-char PREFIX fingerprint
+    — the cheap candidate generator for templated/mirrored feeds;
+    exact-content hashing is X1's dedup fingerprint.
+
+    Non-vacuousness: the original exact-content hash shared nothing at
+    sf<=0.01 (no exact text dups in small testdata), a vacuous pass the
+    sweep now hard-fails; the prefix key keeps the identical inverted-
+    index + row-local pair-expansion plan and fires at every SF
+    (24/25/432 shared fingerprints at sf0.001/0.01/0.1).
+
     Scale shape: contents collapse to a hash -> sorted-source-set
     inverted index; pair expansion is row-local (bounded by the feed
     count), one O(sources^2) exchange."""
     docs = _t(spark, sf_dir, "documents")
     h = F.md5(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).cast("binary")
+        F.substring(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 1, 16
+        ).cast("binary")
     )
     idx = (
         docs.select(h.alias("h"), "source")
@@ -1360,7 +1372,7 @@ def ext_cross_source_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXT_CROSS_SOURCE_DUPES_SQL = r"""
 WITH sh AS (
-  SELECT DISTINCT md5(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS h,
+  SELECT DISTINCT md5(substr(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')), 1, 16)) AS h,
          source
   FROM documents
 )

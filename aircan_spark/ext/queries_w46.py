@@ -22,35 +22,76 @@ from aircan_spark.ext._qcommon import EXT_ORACLES, EXT_QUERIES, _load, _t  # noq
 from aircan_spark.ext.queries_w45 import *  # noqa: F401,F403
 
 
-def _staged_split_dir(spark, sf_dir: str, table: str, cols: list[str], n: int = 3, pre=None):
-    """Stage ``cols`` of a testdata table as ``n`` parquet files in a fresh
-    temp dir — the bounded 'backlog' the availableNow stream consumes as
-    ``n`` one-file micro-batches (maxFilesPerTrigger=1), so the declared
-    query exercises n REAL merges, not one. Which rows land in which file
-    is irrelevant: every maintained state below is partitioning-invariant
-    by its merge law."""
+# Session-scoped staging cache (r6 verdict item #3): the five
+# streaming-state queries previously each staged their own backlog per
+# INVOCATION — at sf0.1 that was 5 parquet writes per sweep/bench run for
+# ~13% of cold suite wall spent on fixed harness latency. The backlog is
+# a pure function of (sf_dir, table, cols, n, pre), so stage it ONCE per
+# process and let every query (and every repeat run in the same session)
+# reuse it. Dirs are reclaimed atexit instead of per-run.
+_STAGE_CACHE: dict[tuple, tuple[str, object]] = {}
+
+
+def _reclaim_stage_cache() -> None:  # pragma: no cover — atexit hook
+    import shutil
+
+    for stage, _schema in _STAGE_CACHE.values():
+        shutil.rmtree(stage, ignore_errors=True)
+    _STAGE_CACHE.clear()
+
+
+def _staged_split_dir(
+    spark, sf_dir: str, table: str, cols: list[str], n: int = 2, pre=None, pre_key: str = ""
+):
+    """Stage ``cols`` of a testdata table as ``n`` parquet files in a
+    process-cached temp dir — the bounded 'backlog' the availableNow
+    stream consumes as ``n`` one-file micro-batches
+    (maxFilesPerTrigger=1), so the declared query exercises n REAL
+    merges, not one. Which rows land in which file is irrelevant: every
+    maintained state below is partitioning-invariant by its merge law.
+
+    ``pre`` is an optional deterministic pre-transform (e.g. integer-cent
+    rescale) applied BEFORE staging; callers passing one must also pass a
+    stable ``pre_key`` naming it, since the staged bytes depend on it."""
+    import atexit
+    import os
     import tempfile
 
+    assert pre is None or pre_key, "pre-transform requires a stable pre_key"
+    key = (sf_dir, table, tuple(cols), n, pre_key)
+    hit = _STAGE_CACHE.get(key)
+    if hit is not None and os.path.isdir(hit[0]):
+        return hit
+    if not _STAGE_CACHE:
+        atexit.register(_reclaim_stage_cache)
     stage = tempfile.mkdtemp(prefix="aircan_r6_sketch_src_")
     df = _load(spark, sf_dir, table).select(*cols)
     if pre is not None:
-        # optional deterministic pre-transform (e.g. integer-cent
-        # rescale) applied BEFORE staging so the stream consumes the
-        # already-exact column
         df = pre(df)
     df.repartition(n).write.mode("overwrite").parquet(stage)
+    _STAGE_CACHE[key] = (stage, df.schema)
     return stage, df.schema
 
 
-def _run_maintenance(maintainer, spark, sf_dir, table, cols, n_files=3, pre=None, **kw):
+def _run_maintenance(
+    maintainer, spark, sf_dir, table, cols, n_files=2, pre=None, pre_key="", **kw
+):
     """Drive a stream_*_maintenance function over a staged split of a
     testdata table to completion (availableNow, one file per batch) and
-    return the final committed state frame."""
+    return the final committed state frame.
+
+    ``n_files=2`` (r6 verdict item #3): two one-file micro-batches still
+    exercise the full merge law — batch 0 initializes the stored state,
+    batch 1 MERGES into it through the atomic-pointer exactly-once
+    commit (pointer batch_id == 1 >= 1) — while shedding a third of the
+    fixed micro-batch scheduling latency the suite paid five times."""
     import tempfile
 
     from aircan_spark.streaming import read_sketch_state
 
-    src, schema = _staged_split_dir(spark, sf_dir, table, cols, n=n_files, pre=pre)
+    src, schema = _staged_split_dir(
+        spark, sf_dir, table, cols, n=n_files, pre=pre, pre_key=pre_key
+    )
     state_dir = tempfile.mkdtemp(prefix="aircan_r6_sketch_state_")
     ckpt = tempfile.mkdtemp(prefix="aircan_r6_sketch_ckpt_")
     q = maintainer(
@@ -67,19 +108,19 @@ def _run_maintenance(maintainer, spark, sf_dir, table, cols, n_files=3, pre=None
     q.awaitTermination(300)
     if q.isActive:  # pragma: no cover — availableNow should terminate
         q.stop()
-    # the backlog and checkpoint are fully consumed once the query
-    # terminates — reclaim them now; state_dir must SURVIVE (the
-    # returned frame reads it lazily at collection time)
+    # the checkpoint is fully consumed once the query terminates —
+    # reclaim it now; the staged backlog is process-cached (reclaimed
+    # atexit) and state_dir must SURVIVE (the returned frame reads it
+    # lazily at collection time)
     import shutil
 
-    shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return read_sketch_state(spark, state_dir)
 
 
 def ext_stream_cms_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X131 as a driver-checkable query: REAL streaming count-min
-    maintenance over the events table staged as 3 one-file micro-batches
+    maintenance over the events table staged as 2 one-file micro-batches
     — each batch builds a 3x256 CMS over user_id and MERGES it into the
     stored sketch by count addition through the atomic-pointer
     exactly-once commit. The returned final state is the full (row,
@@ -126,7 +167,7 @@ EXT_ORACLES.update({"ext_stream_cms_state": EXT_STREAM_CMS_STATE_SQL})
 
 def ext_stream_hll_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X158 as a driver-checkable query: REAL streaming HyperLogLog
-    register maintenance (3 one-file micro-batches over events, per-batch
+    register maintenance (2 one-file micro-batches over events, per-batch
     hll_build merged by per-register GREATEST through the exactly-once
     pointer machinery). Final state = the (reg, max_rho) register table;
     max is order- and partitioning-free, and rho is computed with integer
@@ -171,7 +212,7 @@ EXT_ORACLES.update({"ext_stream_hll_state": EXT_STREAM_HLL_STATE_SQL})
 
 def ext_stream_bottomk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X177 as a driver-checkable query: REAL streaming bottom-k (KMV)
-    uniform-sample maintenance over orders keys (3 one-file
+    uniform-sample maintenance over orders keys (2 one-file
     micro-batches, per-batch bottom-k merged by union + re-take-k).
     min-k of a union == min-k of the unioned min-k's, so the final
     stored sample is EXACTLY the corpus-wide 100 smallest md5 hashes —
@@ -206,7 +247,7 @@ EXT_ORACLES.update({"ext_stream_bottomk_state": EXT_STREAM_BOTTOMK_STATE_SQL})
 
 def ext_stream_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X296 as a driver-checkable query: REAL streaming grouped-KMV
-    maintenance (3 one-file micro-batches over events; per-batch
+    maintenance (2 one-file micro-batches over events; per-batch
     per-event-type k-minimum 48-bit hashes of distinct user_ids, merged
     by union + dedup + re-take-k). The final stored minima are the exact
     per-group k smallest distinct-item hashes of the whole corpus —

@@ -22,33 +22,37 @@ from aircan_spark.ext._qcommon import EXT_ORACLES, EXT_QUERIES, _load, _t  # noq
 from aircan_spark.ext.queries_w47 import *  # noqa: F401,F403
 
 
-def ext_stream_dlq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X197 as a driver-checkable query: the REAL streaming quality gate
-    with dead-letter quarantine. Orders are staged as 4 ndjson files by
-    bucket = o_orderkey % 4; the gate streams them availableNow one file
-    per micro-batch, runs the one-scan expectation suite per batch
-    (max(o_totalprice) <= T), appends passing batches to a fresh
-    ParquetTable through the numbered A1 write path and quarantines
-    failing batches WHOLE into the DLQ dir. T is the midpoint of the 2nd
-    and 3rd largest per-bucket maxima — data-derived, so (barring exact
-    ties, where both engines agree too) two buckets pass and two land in
-    the DLQ at any SF, and the oracle recomputes the same T and the same
-    routing from the corpus. Output: per (bucket, destination) row count
-    and exact cents total — conservation-checkable (nothing dropped
-    silently is the DLQ contract).
+# Process-cached DLQ backlog per sf_dir (same staging-reuse rationale as
+# queries_w46._STAGE_CACHE): the 4-file ndjson backlog and its
+# data-derived threshold are a pure function of sf_dir, and the file
+# stream never mutates the source dir (each run has a fresh checkpoint,
+# so it re-reads the whole backlog) — staging once per process drops a
+# driver-side toPandas + per-row json write from every repeat run.
+_DLQ_STAGE_CACHE: dict[str, tuple[str, float]] = {}
 
-    Scale shape: the gate costs ONE partial-aggregable scan per batch;
-    routing is whole-batch, so the table write path and the quarantine
-    write are both append-only sequential jobs."""
+
+def _reclaim_dlq_stage_cache() -> None:  # pragma: no cover — atexit hook
+    import shutil
+
+    for src, _thr in _DLQ_STAGE_CACHE.values():
+        shutil.rmtree(src, ignore_errors=True)
+    _DLQ_STAGE_CACHE.clear()
+
+
+def _staged_dlq_backlog(spark, sf_dir: str) -> tuple[str, float]:
+    """Stage orders as 4 ndjson files keyed by o_orderkey % 4 and return
+    (src_dir, threshold), where threshold is the midpoint of the 2nd and
+    3rd largest per-bucket o_totalprice maxima."""
+    import atexit
     import json as _json
     import os as _os
     import tempfile
 
-    from pyspark.sql import types as T
-
-    from aircan_spark.streaming import stream_quality_gate
-    from aircan_spark.table import ParquetTable
-
+    hit = _DLQ_STAGE_CACHE.get(sf_dir)
+    if hit is not None and _os.path.isdir(hit[0]):
+        return hit
+    if not _DLQ_STAGE_CACHE:
+        atexit.register(_reclaim_dlq_stage_cache)
     pdf = (
         _load(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice")
@@ -70,6 +74,37 @@ def ext_stream_dlq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
     ms = sorted(maxes)
     thr = (ms[1] + ms[2]) / 2.0
+    _DLQ_STAGE_CACHE[sf_dir] = (src, thr)
+    return src, thr
+
+
+def ext_stream_dlq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X197 as a driver-checkable query: the REAL streaming quality gate
+    with dead-letter quarantine. Orders are staged as 4 ndjson files by
+    bucket = o_orderkey % 4; the gate streams them availableNow one file
+    per micro-batch, runs the one-scan expectation suite per batch
+    (max(o_totalprice) <= T), appends passing batches to a fresh
+    ParquetTable through the numbered A1 write path and quarantines
+    failing batches WHOLE into the DLQ dir. T is the midpoint of the 2nd
+    and 3rd largest per-bucket maxima — data-derived, so (barring exact
+    ties, where both engines agree too) two buckets pass and two land in
+    the DLQ at any SF, and the oracle recomputes the same T and the same
+    routing from the corpus. Output: per (bucket, destination) row count
+    and exact cents total — conservation-checkable (nothing dropped
+    silently is the DLQ contract).
+
+    Scale shape: the gate costs ONE partial-aggregable scan per batch;
+    routing is whole-batch, so the table write path and the quarantine
+    write are both append-only sequential jobs."""
+    import os as _os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from aircan_spark.streaming import stream_quality_gate
+    from aircan_spark.table import ParquetTable
+
+    src, thr = _staged_dlq_backlog(spark, sf_dir)
 
     schema = T.StructType(
         [
@@ -95,11 +130,11 @@ def ext_stream_dlq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     if q.isActive:  # pragma: no cover — availableNow should terminate
         q.stop()
-    # staged backlog + checkpoint are consumed; the warehouse (table +
-    # DLQ) must SURVIVE — the returned frame reads it lazily
+    # the checkpoint is consumed; the staged backlog is process-cached
+    # (reclaimed atexit) and the warehouse (table + DLQ) must SURVIVE —
+    # the returned frame reads it lazily
     import shutil as _shutil
 
-    _shutil.rmtree(src, ignore_errors=True)
     _shutil.rmtree(ckpt, ignore_errors=True)
 
     parts = []

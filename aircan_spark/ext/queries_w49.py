@@ -124,7 +124,7 @@ def ext_stream_moments_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X213 as a driver-checkable query — the LAST no-declared-query
     SURVEY row: REAL streaming keyed-moments maintenance (per-user
     (n, Σx, Σx²) partials, full-outer ADD merge through the
-    atomic-pointer exactly-once machinery) over events staged as 3
+    atomic-pointer exactly-once machinery) over events staged as 2
     one-file micro-batches. Determinism: value is pre-scaled to integer
     cents carried as float64 (floor(v*100+0.5)); cents ≤ ~6e4 so Σx² ≤
     ~3e14 < 2^53 at any test SF — every partial sum is an exact
@@ -148,6 +148,7 @@ def ext_stream_moments_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("cents"),
         ),
+        pre_key="cents100",
     )
     return (
         state.select(

@@ -571,3 +571,13 @@ _order = (
     + [n for n in QUERIES if n in _DRIVER_CHECKED]
 )
 QUERIES = {n: QUERIES[n] for n in _order}
+
+# --- non-vacuousness contract -------------------------------------------------
+# A declared query that returns 0 rows at a checked SF proves NOTHING —
+# oracle agreement on an empty result is vacuous (the r6
+# ext_idle_customers episode: its DECIMAL repr bug hid behind 0 rows at
+# sf<=0.01 and every gate passed). The sweep harness therefore HARD-FAILS
+# any query returning 0 rows unless its key is annotated here with a
+# reason. Keep this set empty if at all possible: an empty-at-all-SFs
+# query should be rewritten so its predicate fires on testdata.
+ALLOW_EMPTY: dict[str, str] = {}

@@ -8,7 +8,9 @@ wall time to the artifact path.
     python scripts/sweep_sf.py /root/testdata/sf0.1 SWEEP_SF01_r06.json
 
 Exit code 0 iff every oracled query value-matches and every rows-only
-query executes.
+query executes. Non-vacuousness is a HARD invariant: any query returning
+0 rows at the sweep SF fails unless annotated in
+aircan_spark.queries.ALLOW_EMPTY (see that docstring).
 """
 import json
 import os
@@ -22,7 +24,7 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 import duckdb
 import pandas as pd
 
-from aircan_spark.queries import ORACLES, QUERIES
+from aircan_spark.queries import ALLOW_EMPTY, ORACLES, QUERIES
 from test_oracle import canonicalize, dtype_kind
 
 
@@ -68,6 +70,15 @@ def main() -> None:
                         f"column {c!r} outputs raw DECIMAL — cast to "
                         "double/string in the query (vacuous-pass trap)"
                     )
+            # Non-vacuousness is a HARD invariant (r6 verdict item #2):
+            # a 0-row result proves nothing — oracle agreement on empty
+            # frames is vacuous (the ext_idle_customers class). Applies
+            # to rows-only queries too (their check is even weaker).
+            assert len(got_raw) > 0 or name in ALLOW_EMPTY, (
+                "vacuous result: 0 rows at this SF — rewrite the "
+                "predicate to fire on testdata or annotate "
+                f"ALLOW_EMPTY[{name!r}] with a reason"
+            )
             if name not in ORACLES:
                 rec = {"status": "rows_only", "rows": len(got_raw)}
             else:

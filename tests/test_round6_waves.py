@@ -43,9 +43,10 @@ def test_both_cronbach_variants_registered_and_distinct():
 
 def test_stream_cms_state_ran_multiple_batches_and_conserves_mass(spark, sf_dir, tmp_path, monkeypatch):
     """The X460 parity query must exercise REAL multi-batch maintenance:
-    3 staged files + maxFilesPerTrigger=1 => the committed pointer's
-    batch_id is 2 (three merges), and the sketch conserves mass — every
-    CMS row's total count equals the non-null item count."""
+    2 staged files + maxFilesPerTrigger=1 => the committed pointer's
+    batch_id is 1 (batch 0 initializes, batch 1 MERGES through the
+    atomic pointer), and the sketch conserves mass — every CMS row's
+    total count equals the non-null item count."""
     import glob
     import json
     import os
@@ -58,7 +59,8 @@ def test_stream_cms_state_ran_multiple_batches_and_conserves_mass(spark, sf_dir,
     (state_dir,) = sorted(new_dirs, key=os.path.getmtime)[-1:]
     with open(os.path.join(state_dir, "_current.json")) as fh:
         pointer = json.load(fh)
-    assert pointer["batch_id"] == 2  # 3 one-file micro-batches, 0-indexed
+    assert pointer["batch_id"] == 1  # 2 one-file micro-batches, 0-indexed
+    assert pointer["batch_id"] >= 1  # >=1 real merge into stored state
     n_items = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .filter("user_id IS NOT NULL")

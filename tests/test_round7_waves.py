@@ -110,3 +110,106 @@ def test_dlq_gate_empty_parts_raises():
 
     src = open(w48.__file__).read()
     assert "if not parts:" in src and "RuntimeError" in src
+
+
+# --- plan-shape pins for the next bench tier (r6 verdict item #5) ------------
+# Same cheap regression-proofing that made the r6 streaming queries
+# auditable: assert the physical plan the operator was designed around,
+# so a Catalyst or refactor regression to a cartesian / global-sort /
+# shuffled-tiny-side plan fails loudly instead of silently costing 10x.
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_theil_sen_pair_join_broadcasts_day_axis(spark, sf_dir):
+    """The O(days^2) slope pair frame must come from a BROADCAST
+    nested-loop over the tiny collapsed day axis — never a
+    CartesianProduct (shuffled all-pairs of the fact table would be the
+    scale bug; the day axis is calendar-bounded so broadcast is always
+    right)."""
+    from aircan_spark.ext.queries_w07 import _t
+    from pyspark.sql import functions as F
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+    )
+    a = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("x").alias("x2"))
+    plan = _plan(a.join(b, F.col("d1") < F.col("d2")))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_ci_is_one_pass_no_cartesian(spark, sf_dir):
+    """The Poisson-weighted bootstrap must stay a single pass: replicate
+    expansion row-local (explode), per-replicate sums partial-aggregated
+    (map-side HashAggregate), and the point/CI combination a broadcast —
+    no CartesianProduct, no per-replicate shuffle of the data."""
+    from aircan_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["ext_bootstrap_ci"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # point x CI combine
+    assert "HashAggregate" in plan  # partial-aggregable replicate sums
+
+
+def test_pca_power_no_cartesian_and_broadcast_iterations(spark, sf_dir):
+    """The only data-sized exchange in pca_power is the gram build
+    (equi-join on vec_id); every power-iteration join and the
+    normalization scalars run on O(dim^2) frames and must broadcast —
+    a CartesianProduct anywhere means a tiny side stopped
+    broadcasting."""
+    from aircan_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["ext_pca_power"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # scalar norm/eigval combines
+
+
+def test_hits_top10_compiles_to_take_ordered(spark, sf_dir):
+    """HITS' top-10 authorities must compile to TakeOrderedAndProject
+    (per-task k-heaps), never a global Sort + single-partition Exchange;
+    and the per-round max renormalizations must broadcast."""
+    from aircan_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["ext_hits"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+# --- non-vacuousness rewrites (r6 verdict item #2) ---------------------------
+# A declared query returning 0 rows at a checked SF proves nothing; the
+# sweep now HARD-FAILS zero-row results (scripts/sweep_sf.py). The two
+# structurally-empty-at-small-SF queries were rewritten to fire at every
+# SF while keeping their plan shape.
+
+
+def test_anti_join_fires_at_smallest_sf_and_stays_left_anti(spark, sf_dir):
+    from aircan_spark.queries import QUERIES
+
+    df = QUERIES["ext_anti_join"](spark, sf_dir)
+    assert "LeftAnti" in _plan(df)
+    assert df.count() > 0  # non-vacuous at every SF incl. sf0.001
+
+
+def test_idle_customers_fires_at_smallest_sf(spark, sf_dir):
+    from aircan_spark.queries import QUERIES
+
+    df = QUERIES["ext_idle_customers"](spark, sf_dir)
+    assert "LeftAnti" in _plan(df)
+    assert df.count() > 0
+
+
+def test_sweep_hard_fails_zero_row_results():
+    """The sweep harness must contain the hard non-vacuousness assert
+    keyed on ALLOW_EMPTY (kept empty unless a key genuinely cannot fire
+    on testdata)."""
+    import aircan_spark.queries as Q
+
+    src = open(os.path.join(os.path.dirname(Q.__file__), "..", "scripts", "sweep_sf.py")).read()
+    assert "ALLOW_EMPTY" in src and "vacuous" in src
+    assert Q.ALLOW_EMPTY == {}
