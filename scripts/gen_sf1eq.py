@@ -16,7 +16,14 @@ realistic rather than quadratic.
 Output goes OUTSIDE the repo (default /tmp/sf1eq); the committed
 artifact is the measured table in PERFORMANCE.md, not the data.
 
-    python scripts/gen_sf1eq.py [/tmp/sf1eq] [replicas=10]
+With salt=1, each replica's document text gets a per-replica token
+appended (and each embedding's first component is nudged by a tiny
+per-replica epsilon), so replicas are DISTINCT contents: the corpus
+duplication RATE stays that of sf0.1 instead of growing to 10 copies
+per content — the controlled variant that isolates plan scaling from
+problem-size scaling for the dedup family.
+
+    python scripts/gen_sf1eq.py [/tmp/sf1eq] [replicas=10] [salt=0|1]
 """
 import os
 import sys
@@ -56,6 +63,7 @@ COPY_ONLY = ["region", "nation"]
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1eq"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    salt = len(sys.argv) > 3 and sys.argv[3] == "1"
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     t0 = time.time()
@@ -80,12 +88,38 @@ def main() -> None:
                 f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
             ).fetchall()
         ]
-        sel = ", ".join(
-            f"CAST({c} + r.i * {strides[keycols[c]]} AS BIGINT) AS {c}"
-            if c in keycols
-            else c
-            for c in cols
-        )
+        def _proj(c: str) -> str:
+            if c in keycols:
+                return f"CAST({c} + r.i * {strides[keycols[c]]} AS BIGINT) AS {c}"
+            if salt and t == "documents" and c == "text":
+                # constant-dup-rate replication: inject a replica-specific
+                # token every 3 words, so EVERY trigram shingle contains a
+                # replica token — cross-replica Jaccard drops to ~0 while
+                # within-replica near-dup structure is preserved (two docs
+                # sharing shingles still share the salted versions).
+                # Appending one trailing token is NOT enough: it leaves
+                # replicas 99% shingle-identical (measured: still ~17x
+                # wall on dedup CC).
+                return (
+                    "CASE WHEN r.i = 0 THEN text ELSE regexp_replace("
+                    "text, '(\\S+ \\S+ \\S+) ', "
+                    "'\\1 zq' || CAST(r.i AS VARCHAR) || 'x ', 'g') "
+                    "END AS text"
+                )
+            if salt and t == "embeddings" and c == "embedding":
+                # per-replica deterministic sign-flip pattern: within a
+                # replica all inner products are EXACTLY preserved
+                # (s_ij^2 = 1), across replicas vectors decorrelate to
+                # ~random-sign sums — dup rate stays that of sf0.1
+                # instead of 10 exact copies per vector.
+                return (
+                    "list_transform(embedding, (x, j) -> CAST(CASE WHEN "
+                    "hash(j * 1009 + r.i * 9176) % 2 = 0 THEN x ELSE -x "
+                    "END AS FLOAT)) AS embedding"
+                )
+            return c
+
+        sel = ", ".join(_proj(c) for c in cols)
         con.execute(
             f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet') "
             f"CROSS JOIN (SELECT UNNEST(range(0, {reps})) AS i) r) TO "

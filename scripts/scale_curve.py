@@ -35,7 +35,8 @@ DEFAULT_QUERIES = [
     "ext_dedup_groups",
 ]
 
-DIRS = ["/root/testdata/sf0.1", "/tmp/sf1eq"]
+# override second point with e.g. SCALE_CURVE_BIG=/tmp/sf1eq_salted
+DIRS = ["/root/testdata/sf0.1", os.environ.get("SCALE_CURVE_BIG", "/tmp/sf1eq")]
 
 
 def main() -> None:
@@ -60,7 +61,7 @@ def main() -> None:
         fn = QUERIES[name]
         rec: dict[str, float] = {}
         for d in DIRS:
-            tag = "sf1eq" if "sf1eq" in d else "sf0.1"
+            tag = "sf1eq" if d != DIRS[0] else "sf0.1"
             t0 = time.perf_counter()
             fn(spark, d).write.format("noop").mode("overwrite").save()
             rec[f"{tag}_cold_s"] = round(time.perf_counter() - t0, 3)
