@@ -103,11 +103,17 @@ class BucketedParquetTable:
                 -max(keep_versions - 1, 0) :
             ]
         manifest["history"] = history
+        self._publish_manifest(manifest)
+        self._gc(manifest)
+
+    def _publish_manifest(self, manifest: dict) -> None:
+        """Atomically publish the manifest (tmp write + os.replace) —
+        shared by _commit and vacuum so the publish mechanics (atomicity,
+        naming, any future fsync) can never drift between the two."""
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, self._manifest_path())
-        self._gc(manifest)
 
     def _gc(self, manifest: dict) -> None:
         """Delete data dirs no retained manifest references."""
@@ -132,10 +138,7 @@ class BucketedParquetTable:
         keep_hist = max(keep_versions - 1, 0)
         history = manifest.get("history", [])
         manifest["history"] = history[-keep_hist:] if keep_hist else []
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, self._manifest_path())
+        self._publish_manifest(manifest)
         before = {
             e for e in os.listdir(self.path) if e.startswith("data_v")
         }

@@ -938,8 +938,9 @@ def ext_cross_lang_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     fires at every SF (18/21/334 offending fingerprints at
     sf0.001/0.01/0.1).
 
-    Scale shape: one fingerprint exchange (same md5 the exact-dedup op
-    uses), HAVING on distinct langs; output rows only for offending
+    Scale shape: one fingerprint exchange (md5 over the normalized
+    prefix — same exchange pattern as X1's exact-dedup, different key),
+    HAVING on distinct langs; output rows only for offending
     fingerprints."""
     docs = _t(spark, sf_dir, "documents").select(
         "lang",

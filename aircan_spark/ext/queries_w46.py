@@ -40,6 +40,19 @@ def _reclaim_stage_cache() -> None:  # pragma: no cover — atexit hook
     _STAGE_CACHE.clear()
 
 
+def _staged_files_intact(stage: str, n: int) -> bool:
+    """A cache hit is valid only if all ``n`` staged part files still
+    exist — a tmp-reaper can remove files while leaving the dir, and a
+    partial backlog would silently produce wrong streaming state (fewer
+    micro-batches than the merge-law tests pin)."""
+    import glob
+    import os
+
+    if not os.path.isdir(stage):
+        return False
+    return len(glob.glob(os.path.join(stage, "part-*.parquet"))) == n
+
+
 def _staged_split_dir(
     spark, sf_dir: str, table: str, cols: list[str], n: int = 2, pre=None, pre_key: str = ""
 ):
@@ -57,10 +70,14 @@ def _staged_split_dir(
     import os
     import tempfile
 
-    assert pre is None or pre_key, "pre-transform requires a stable pre_key"
+    if pre is not None and not pre_key:
+        # explicit raise (not assert — python -O strips asserts): the
+        # cache keys on pre_key, so an unnamed pre-transform would
+        # alias the unkeyed staged bytes
+        raise ValueError("pre-transform requires a stable pre_key")
     key = (sf_dir, table, tuple(cols), n, pre_key)
     hit = _STAGE_CACHE.get(key)
-    if hit is not None and os.path.isdir(hit[0]):
+    if hit is not None and _staged_files_intact(hit[0], n):
         return hit
     if not _STAGE_CACHE:
         atexit.register(_reclaim_stage_cache)

@@ -39,6 +39,22 @@ def _reclaim_dlq_stage_cache() -> None:  # pragma: no cover — atexit hook
     _DLQ_STAGE_CACHE.clear()
 
 
+def _union_gate_outputs(parts):
+    """Union the gate's output frames (table + DLQ). Raises a
+    descriptive error when BOTH are absent — the ingest wrote nothing,
+    which means the threshold/check-list was edited into an
+    unreachable configuration (r6 ADVICE #2; unit-tested directly)."""
+    if not parts:
+        raise RuntimeError(
+            "DLQ gate produced neither a table nor a DLQ directory — "
+            "the ingest wrote nothing (threshold/check-list edit?)"
+        )
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    return allr
+
+
 def _staged_dlq_backlog(spark, sf_dir: str) -> tuple[str, float]:
     """Stage orders as 4 ndjson files keyed by o_orderkey % 4 and return
     (src_dir, threshold), where threshold is the midpoint of the 2nd and
@@ -49,7 +65,13 @@ def _staged_dlq_backlog(spark, sf_dir: str) -> tuple[str, float]:
     import tempfile
 
     hit = _DLQ_STAGE_CACHE.get(sf_dir)
-    if hit is not None and _os.path.isdir(hit[0]):
+    if hit is not None and all(
+        _os.path.isfile(_os.path.join(hit[0], f"bucket{k}.json"))
+        for k in range(4)
+    ):
+        # all 4 staged files must survive, not just the dir — a partial
+        # backlog would stream fewer micro-batches than the gate's
+        # conservation contract assumes
         return hit
     if not _DLQ_STAGE_CACHE:
         atexit.register(_reclaim_dlq_stage_cache)
@@ -150,14 +172,7 @@ def ext_stream_dlq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "o_totalprice")
             .withColumn("destination", F.lit("dlq"))
         )
-    if not parts:
-        raise RuntimeError(
-            "DLQ gate produced neither a table nor a DLQ directory — "
-            "the ingest wrote nothing (threshold/check-list edit?)"
-        )
-    allr = parts[0]
-    for p in parts[1:]:
-        allr = allr.unionByName(p)
+    allr = _union_gate_outputs(parts)
     return (
         allr.groupBy(
             (F.col("o_orderkey") % 4).alias("bucket"), "destination"

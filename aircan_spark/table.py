@@ -105,11 +105,26 @@ class ParquetTable:
         with open(tmp, "w") as fh:
             fh.write(str(version))
         os.replace(tmp, self._version_path())
-        # GC old snapshots beyond the retention window.
-        for entry in os.listdir(self.path):
+        # GC old snapshots beyond the retention window (shared with
+        # vacuum so the retention predicate can never drift between the
+        # commit path and explicit maintenance).
+        self._gc_snapshots(version, keep_snapshots)
+
+    def _gc_snapshots(self, newest: int, keep_snapshots: int) -> int:
+        """Remove snapshot dirs with version <= newest - keep_snapshots.
+        Returns the count of dirs that actually DISAPPEARED (not
+        attempts): callers auditing retirement (GDPR delete flows) must
+        not be told a snapshot is gone while an EACCES/busy file keeps
+        its data readable on disk."""
+        removed = 0
+        for entry in os.listdir(self.path) if os.path.isdir(self.path) else []:
             if entry.startswith("v") and entry[1:].isdigit():
-                if int(entry[1:]) <= version - keep_snapshots:
-                    shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+                if int(entry[1:]) <= newest - keep_snapshots:
+                    target = os.path.join(self.path, entry)
+                    shutil.rmtree(target, ignore_errors=True)
+                    if not os.path.isdir(target):
+                        removed += 1
+        return removed
 
     def vacuum(self, keep_snapshots: int = 1) -> int:
         """Retire snapshot versions older than the newest
@@ -119,17 +134,8 @@ class ParquetTable:
         e.g. a rewrite-style delete whose pre-delete snapshot must not
         linger (GDPR), or a scratch warehouse a harness will re-read
         lazily (only the CURRENT version's files back ``read()``).
-        Returns the number of snapshot dirs removed."""
-        current = self.current_version()
-        removed = 0
-        for entry in os.listdir(self.path) if os.path.isdir(self.path) else []:
-            if entry.startswith("v") and entry[1:].isdigit():
-                if int(entry[1:]) <= current - max(keep_snapshots, 1):
-                    shutil.rmtree(
-                        os.path.join(self.path, entry), ignore_errors=True
-                    )
-                    removed += 1
-        return removed
+        Returns the number of snapshot dirs actually removed."""
+        return self._gc_snapshots(self.current_version(), max(keep_snapshots, 1))
 
     # ---- reads ---------------------------------------------------------------
     def read(self) -> DataFrame:

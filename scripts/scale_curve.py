@@ -46,10 +46,15 @@ def main() -> None:
     from aircan_spark.queries import QUERIES
     from aircan_spark.session import get_spark
 
+    # SCALE_CURVE_SHUFFLE: at bigger rungs, scale the partition count
+    # with the data so per-partition size stays constant — the same knob
+    # a real cluster turns (at 30x with 32 partitions, partitions are
+    # 30x sf0.1's and a 32-task shared local heap OOMs; 96-128 restores
+    # the per-task working set). This is sizing, not a plan change.
     spark = get_spark(
         app_name="aircan_scale_curve",
         master="local[32]",
-        shuffle_partitions=32,
+        shuffle_partitions=int(os.environ.get("SCALE_CURVE_SHUFFLE", "32")),
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -66,19 +66,26 @@ def main() -> None:
                 col = got_raw[c]
                 if col.dtype == object and len(col.dropna()):
                     v = col.dropna().iloc[0]
-                    assert not isinstance(v, _decimal.Decimal), (
-                        f"column {c!r} outputs raw DECIMAL — cast to "
-                        "double/string in the query (vacuous-pass trap)"
-                    )
+                    if isinstance(v, _decimal.Decimal):
+                        # explicit raise, not assert: the gate must
+                        # survive python -O / PYTHONOPTIMIZE
+                        raise AssertionError(
+                            f"column {c!r} outputs raw DECIMAL — cast "
+                            "to double/string in the query "
+                            "(vacuous-pass trap)"
+                        )
             # Non-vacuousness is a HARD invariant (r6 verdict item #2):
             # a 0-row result proves nothing — oracle agreement on empty
             # frames is vacuous (the ext_idle_customers class). Applies
             # to rows-only queries too (their check is even weaker).
-            assert len(got_raw) > 0 or name in ALLOW_EMPTY, (
-                "vacuous result: 0 rows at this SF — rewrite the "
-                "predicate to fire on testdata or annotate "
-                f"ALLOW_EMPTY[{name!r}] with a reason"
-            )
+            if len(got_raw) == 0 and name not in ALLOW_EMPTY:
+                # explicit raise, not assert — python -O strips asserts
+                # and would silently re-admit the vacuous-pass class
+                raise AssertionError(
+                    "vacuous result: 0 rows at this SF — rewrite the "
+                    "predicate to fire on testdata or annotate "
+                    f"ALLOW_EMPTY[{name!r}] with a reason"
+                )
             if name not in ORACLES:
                 rec = {"status": "rows_only", "rows": len(got_raw)}
             else:

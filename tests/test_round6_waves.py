@@ -59,8 +59,9 @@ def test_stream_cms_state_ran_multiple_batches_and_conserves_mass(spark, sf_dir,
     (state_dir,) = sorted(new_dirs, key=os.path.getmtime)[-1:]
     with open(os.path.join(state_dir, "_current.json")) as fh:
         pointer = json.load(fh)
-    assert pointer["batch_id"] == 1  # 2 one-file micro-batches, 0-indexed
-    assert pointer["batch_id"] >= 1  # >=1 real merge into stored state
+    # 2 one-file micro-batches, 0-indexed — exactly pins n_files=2 AND
+    # guarantees >=1 real merge into stored state
+    assert pointer["batch_id"] == 1
     n_items = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .filter("user_id IS NOT NULL")

@@ -105,11 +105,18 @@ def test_delete_parity_harness_leaves_single_snapshot(spark, sf_dir):
 # --- DLQ-gate harness refuses an empty ingest (r6 ADVICE #2) -----------------
 
 
-def test_dlq_gate_empty_parts_raises():
-    from aircan_spark.ext import queries_w48 as w48
+def test_dlq_gate_empty_parts_raises(spark):
+    """Behavioral pin for r6 ADVICE #2: when the gate wrote neither a
+    table nor a DLQ dir, the union helper raises a descriptive error
+    instead of IndexError; with frames present it unions them."""
+    from aircan_spark.ext.queries_w48 import _union_gate_outputs
 
-    src = open(w48.__file__).read()
-    assert "if not parts:" in src and "RuntimeError" in src
+    with pytest.raises(RuntimeError, match="neither a table nor a DLQ"):
+        _union_gate_outputs([])
+    a = spark.range(2).withColumn("destination", F.lit("table"))
+    b = spark.range(3).withColumn("destination", F.lit("dlq"))
+    assert _union_gate_outputs([a, b]).count() == 5
+    assert _union_gate_outputs([a]).count() == 2
 
 
 # --- plan-shape pins for the next bench tier (r6 verdict item #5) ------------
