@@ -2182,7 +2182,12 @@ def ext_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering support build): per user the distinct set of engaged items
     (events.props.k), all within-user item pairs, edges weighted by user
     count. Per-user fan-out is bounded by items-per-user (the classic
-    guard: the self-join is keyed on user, never item)."""
+    guard: the self-join is keyed on user, never item). The support
+    threshold is data-adaptive with a cap — LEAST(20, GREATEST(2,
+    n_users*2 DIV 15)), broadcast in-plan: 150+ users (sf>=0.01) hit
+    the historical 20 exactly; the 15-user sf0.001 fixture (max pair
+    support 9) scales down to 2 instead of returning an empty, vacuous
+    result."""
     ev = _t(spark, sf_dir, "events")
     items = (
         ev.select(
@@ -2192,6 +2197,12 @@ def ext_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("item").isNotNull())
         .distinct()
     )
+    thr = items.agg(
+        F.expr(
+            "LEAST(CAST(20 AS BIGINT), "
+            "GREATEST(CAST(2 AS BIGINT), COUNT(DISTINCT user_id) * 2 DIV 15))"
+        ).alias("_thr")
+    )
     a = items.select("user_id", F.col("item").alias("item_a"))
     b = items.select("user_id", F.col("item").alias("item_b"))
     return (
@@ -2199,7 +2210,9 @@ def ext_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("item_a") < F.col("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_users"))
-        .filter(F.col("n_users") >= 20)
+        .join(F.broadcast(thr))
+        .filter(F.col("n_users") >= F.col("_thr"))
+        .select("item_a", "item_b", "n_users")
         .orderBy(F.col("n_users").desc(), "item_a", "item_b")
     )
 
@@ -2211,7 +2224,9 @@ WITH items AS (
 )
 SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_users
 FROM items a JOIN items b ON a.user_id = b.user_id AND a.item < b.item
-GROUP BY 1, 2 HAVING COUNT(*) >= 20
+GROUP BY 1, 2 HAVING COUNT(*) >= (
+  SELECT LEAST(20, GREATEST(2, COUNT(DISTINCT user_id) * 2 // 15)) FROM items
+)
 ORDER BY n_users DESC, item_a, item_b
 """
 
@@ -2233,9 +2248,18 @@ EXT_ORACLES.update(
 # --- round-3 wave: graph analytics over the co-occurrence graph --------------------
 
 
-def _cooc_edges(spark: SparkSession, sf_dir: str, min_users: int = 40) -> DataFrame:
-    """Item co-occurrence edges (threshold ``min_users``) — the shared base
-    graph for the graph-analytics queries."""
+def _cooc_edges(spark: SparkSession, sf_dir: str, cap_users: int = 40) -> DataFrame:
+    """Item co-occurrence edges — the shared base graph for the
+    graph-analytics queries. The support threshold is data-adaptive
+    with a cap: LEAST(cap_users, GREATEST(2, n_users*4 DIV 15)),
+    computed in-plan from the distinct engaged-user count and
+    broadcast. Calibration: 150 users (sf0.01) and above hit the cap
+    exactly, so every SF the driver or past sweeps ever compared keeps
+    its historical threshold (40) bit-for-bit; tiny fixtures (15 users
+    at sf0.001, where max pair support is 9 and an absolute 40 produced
+    an EMPTY graph — a vacuous-pass the sweep now hard-fails) scale the
+    threshold down and yield a real graph. Integer arithmetic only, so
+    both engines derive the identical threshold."""
     ev = _t(spark, sf_dir, "events")
     items = (
         ev.select(
@@ -2245,6 +2269,12 @@ def _cooc_edges(spark: SparkSession, sf_dir: str, min_users: int = 40) -> DataFr
         .filter(F.col("item").isNotNull())
         .distinct()
     )
+    thr = items.agg(
+        F.expr(
+            f"LEAST(CAST({cap_users} AS BIGINT), "
+            "GREATEST(CAST(2 AS BIGINT), COUNT(DISTINCT user_id) * 4 DIV 15))"
+        ).alias("_thr")
+    )
     a = items.select("user_id", F.col("item").alias("src"))
     b = items.select("user_id", F.col("item").alias("dst"))
     return (
@@ -2252,7 +2282,8 @@ def _cooc_edges(spark: SparkSession, sf_dir: str, min_users: int = 40) -> DataFr
         .filter(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_users"))
-        .filter(F.col("n_users") >= min_users)
+        .join(F.broadcast(thr))
+        .filter(F.col("n_users") >= F.col("_thr"))
         .select("src", "dst")
     )
 
@@ -2265,7 +2296,10 @@ items AS (
 edges AS (
   SELECT a.item AS u, b.item AS v
   FROM items a JOIN items b ON a.user_id = b.user_id AND a.item < b.item
-  GROUP BY 1, 2 HAVING COUNT(*) >= 40
+  GROUP BY 1, 2 HAVING COUNT(*) >= (
+    SELECT LEAST(40, GREATEST(2, COUNT(DISTINCT user_id) * 4 // 15))
+    FROM items
+  )
 ),
 sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges)
 """

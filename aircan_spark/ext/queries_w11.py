@@ -105,7 +105,8 @@ def ext_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = 2T/(deg*(deg-1)) is row-local.
 
     Scale shape: neighbor-pair expansion is quadratic per vertex degree —
-    bounded here because _cooc_edges thresholds support (>= 40 users);
+    bounded here because _cooc_edges thresholds support (capped
+    adaptive, 40 users at sf>=0.01);
     for unbounded graphs swap in the per-edge wedge form (same join
     skeleton keyed by edge instead of vertex). The edge list is
     checkpointed once — deg, wedges and the closing join all reuse it."""
