@@ -220,3 +220,33 @@ def test_sweep_hard_fails_zero_row_results():
     src = open(os.path.join(os.path.dirname(Q.__file__), "..", "scripts", "sweep_sf.py")).read()
     assert "ALLOW_EMPTY" in src and "vacuous" in src
     assert Q.ALLOW_EMPTY == {}
+
+
+# --- cap-adaptive co-occurrence thresholds (second vacuous pocket) -----------
+# The sf0.001 sweep's hard invariant caught 4 graph queries whose
+# ABSOLUTE support thresholds are unreachable on the 15-user fixture.
+# The fix is LEAST(cap, GREATEST(2, n_users*k DIV 15)) — these pins
+# protect both halves of that contract.
+
+
+def test_cooc_threshold_hits_cap_at_driver_sf_and_scales_down(spark):
+    """150+ engaged users must evaluate to the HISTORICAL caps exactly
+    (so every past driver hash stays valid at sf>=0.01); 15 users must
+    scale down (so the sf0.001 fixture yields a real graph)."""
+    for users, edges_thr, cooc_thr in [(15, 4, 2), (150, 40, 20), (1500, 40, 20)]:
+        row = spark.sql(
+            f"SELECT LEAST(CAST(40 AS BIGINT), GREATEST(CAST(2 AS BIGINT), "
+            f"CAST({users} AS BIGINT) * 4 DIV 15)) AS e, "
+            f"LEAST(CAST(20 AS BIGINT), GREATEST(CAST(2 AS BIGINT), "
+            f"CAST({users} AS BIGINT) * 2 DIV 15)) AS c"
+        ).collect()[0]
+        assert (row["e"], row["c"]) == (edges_thr, cooc_thr), (users, row)
+
+
+def test_cooc_graph_nonempty_at_smallest_sf(spark, sf_dir):
+    """The shared graph base must produce a NON-EMPTY edge set on the
+    smallest fixture — the condition whose absence made kcore/
+    clustering_coeff/pagerank/cooccurrence vacuous for five rounds."""
+    from aircan_spark.ext.queries_w03 import _cooc_edges
+
+    assert _cooc_edges(spark, sf_dir).count() > 0
