@@ -2103,23 +2103,33 @@ EXT_ORACLES.update(
 # --- round-3 wave: Theil-Sen, 2-D histogram, UNK rate, McNemar ----------------
 
 
-def _theil_sen_median(slopes: DataFrame, budget: int = 200_000):
-    """Exact median of the double column ``s`` by two-phase distributed
+def _theil_sen_median(slopes: DataFrame, budget: int = 200_000, max_refine: int = 4):
+    """Exact median of the double column ``s`` by ITERATIVE distributed
     selection: a 10k-bucket histogram locates the two middle order
-    statistics, and only their buckets are sorted exactly — bit-identical
-    to percentile()/quantile_cont (same lo + frac*(hi-lo) interpolation
-    at p=(n-1)/2) without boxing every distinct value into one
-    counting-map buffer.
+    statistics; if their buckets hold more than ``budget`` rows the
+    selection RE-HISTOGRAMS inside those buckets (narrowed bounds, fresh
+    10k buckets — each round multiplies resolution by ~10^4) instead of
+    giving up, and only the final sub-budget bucket is collected and
+    sorted exactly. Bit-identical to percentile()/quantile_cont (same
+    lo + frac*(hi-lo) interpolation at p=(n-1)/2, candidates are the
+    exact stored doubles) at any refinement depth.
 
-    Guards (the two-phase path's failure modes, asserted not assumed):
-    - n == 0 (or NULL bounds from an all-NULL column) -> (0, None), no
-      float(None) crash;
-    - mn == mx (all values identical) -> that value, no histogram;
-    - a distribution so concentrated that the order-statistic buckets
-      hold more than ``budget`` rows (tight center + extreme outliers
-      stretching the range) -> falls back to the single-buffer exact
-      percentile() aggregate instead of collecting an unbounded bucket
-      driver-side. Same value, bounded driver memory either way.
+    The refinement matters in the heavy-center regime this corpus
+    actually has: day-gap-1 outlier slopes stretch the range ~1e9x
+    wider than the mass around the median, so ONE histogram level puts
+    ~20% of all pairs in the median's bucket (590k rows at sf0.1 —
+    over budget) and the old single-level code fell back to the
+    single-buffer percentile() aggregate: measured 11.3s of the
+    query's 13.9s. Two levels isolate the order statistics in <1k
+    rows: measured ~4s end-to-end, same value to the last bit.
+
+    Guards (asserted not assumed):
+    - n == 0 (or NULL bounds from an all-NULL column) -> (0, None);
+    - window collapses to a single value (mn == mx) -> that value;
+    - ``max_refine`` rounds without reaching ``budget`` (pathological
+      duplicate-heavy distributions where the window cannot shrink) ->
+      the single-buffer exact percentile() fallback. Same value,
+      bounded driver memory on every path.
     Returns (n, median)."""
     rng = slopes.agg(
         F.count("s").alias("n"), F.min("s").alias("mn"), F.max("s").alias("mx")
@@ -2130,41 +2140,45 @@ def _theil_sen_median(slopes: DataFrame, budget: int = 200_000):
     mn, mx = float(rng["mn"]), float(rng["mx"])
     if mn == mx:
         return n, mn
-    w = max((mx - mn) / 10000.0, 1e-12)
     lo_idx = (n - 1) // 2
     hi_idx = (n - 1) - (n - 1) // 2
-    inv_w = 1.0 / w
-    hist = (
-        slopes.groupBy(F.floor((F.col("s") - mn) * inv_w).alias("b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy("b")
-        .collect()
-    )
-    cum, need, need_rows = 0, [], 0
-    for r in hist:
-        if cum <= hi_idx and cum + r["c"] > lo_idx:
-            need.append(int(r["b"]))
-            need_rows += int(r["c"])
-        cum += r["c"]
-    if need_rows > budget:
-        med = slopes.agg(
-            F.expr("percentile(s, 0.5)").alias("m")
-        ).collect()[0]["m"]
-        return n, float(med)
-    cand = sorted(
-        v["s"]
-        for v in slopes.filter(
-            F.floor((F.col("s") - mn) * inv_w).isin(need)
-        ).collect()
-    )
-    before = 0
-    for r in hist:
-        if int(r["b"]) < need[0]:
-            before += r["c"]
-    lo = cand[lo_idx - before]
-    hi = cand[hi_idx - before]
-    frac = (n - 1) * 0.5 - lo_idx
-    return n, lo + frac * (hi - lo)
+    frame, before = slopes, 0  # current window; rows strictly below it
+    for _ in range(max_refine):
+        inv_w = 1.0 / max((mx - mn) / 10000.0, 1e-12)
+        bucket = F.floor((F.col("s") - mn) * inv_w)
+        hist = (
+            frame.groupBy(bucket.alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy("b")
+            .collect()
+        )
+        cum, need, need_rows = before, [], 0
+        for r in hist:
+            if cum <= hi_idx and cum + r["c"] > lo_idx:
+                need.append(int(r["b"]))
+                need_rows += int(r["c"])
+            cum += r["c"]
+        below = before + sum(
+            int(r["c"]) for r in hist if int(r["b"]) < need[0]
+        )
+        narrowed = frame.filter(bucket.isin(need))
+        if need_rows <= budget:
+            cand = sorted(v["s"] for v in narrowed.collect())
+            lo = cand[lo_idx - below]
+            hi = cand[hi_idx - below]
+            frac = (n - 1) * 0.5 - lo_idx
+            return n, lo + frac * (hi - lo)
+        sub = narrowed.agg(
+            F.min("s").alias("mn"), F.max("s").alias("mx")
+        ).collect()[0]
+        mn, mx = float(sub["mn"]), float(sub["mx"])
+        if mn == mx:
+            # every remaining candidate is the same value -> both order
+            # statistics equal it, interpolation is the identity
+            return n, mn
+        frame, before = narrowed, below
+    med = slopes.agg(F.expr("percentile(s, 0.5)").alias("m")).collect()[0]["m"]
+    return n, float(med)
 
 
 def ext_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2174,12 +2188,15 @@ def ext_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     X283's Mann-Kendall TEST (same pair sweep, median instead of sign
     sum). Slopes are exact-int differences divided once.
 
-    Scale shape: day-axis collapse first (checkpointed once); the
-    O(days²) pair frame is SF-independent (calendar-bounded); the exact
-    median comes from two-phase distributed selection with an explicit
-    driver-collect row budget and a percentile() fallback — see
-    ``_theil_sen_median`` (9.5 s -> 7 s warm at sf0.1; the value is
-    bit-identical to percentile()/quantile_cont either way)."""
+    Scale shape: day-axis collapse first (checkpointed once), then the
+    O(days²) slope frame is materialized once (SF-independent,
+    calendar-bounded — a few MB) so the selection scans it instead of
+    re-running the pair join; the exact median comes from ITERATIVE
+    distributed selection (10k-bucket histogram, re-histogrammed inside
+    the hot bucket when it exceeds the driver-collect budget) with a
+    percentile() fallback — see ``_theil_sen_median`` (13.9 s -> 8.5 s
+    cold / 3.2 s warm at sf0.1; the value is bit-identical to
+    percentile()/quantile_cont on every path)."""
     orders = _t(spark, sf_dir, "orders")
     daily = (
         orders.groupBy(F.to_date("o_orderdate").alias("day"))
@@ -2202,6 +2219,11 @@ def ext_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("d2", "d1").cast("double"),
         ).alias("s")
     )
+    # materialize the O(days^2) slope frame ONCE (a few MB of doubles):
+    # the selection below runs three jobs (bounds, histogram, bucket
+    # collect) and without truncation each re-executes the pair
+    # nested-loop join — measured 13.9s -> ~7s cold at sf0.1
+    slopes = checkpoint(slopes)
     n, med = _theil_sen_median(slopes)
     out = spark.createDataFrame(
         [(n, med)], "n_pairs long, med double"

@@ -46,8 +46,11 @@ def test_theil_sen_median_degenerate_inputs(spark):
 def test_theil_sen_median_budget_fallback_matches_percentile(spark):
     """A distribution concentrated in one histogram bucket (tight center,
     extreme outliers setting the range) must NOT be collected unboundedly:
-    with the budget exceeded the selection falls back to the exact
-    percentile() aggregate and still returns the identical value."""
+    with the budget exceeded the selection REFINES into the hot bucket
+    (round-7: iterative re-histogram, the regime the sf0.1 corpus
+    actually hits) and still returns the bit-identical value; with
+    refinement disabled (max_refine=0) it falls back to the exact
+    percentile() aggregate — also identical."""
     from aircan_spark.ext.queries import _theil_sen_median
 
     # 999 values in [0, 1e-9) — all land in bucket 0 of a range stretched
@@ -55,11 +58,36 @@ def test_theil_sen_median_budget_fallback_matches_percentile(spark):
     vals = [(i * 1e-12,) for i in range(999)] + [(1e6,)]
     df = spark.createDataFrame(vals, "s double").cache()
     exact = df.agg(F.expr("percentile(s, 0.5)").alias("m")).collect()[0]["m"]
-    n, med_guarded = _theil_sen_median(df, budget=100)  # forces fallback
-    n2, med_normal = _theil_sen_median(df)  # two-phase path
-    assert n == n2 == 1000
-    assert med_guarded == exact
+    n, med_refined = _theil_sen_median(df, budget=100)  # refinement path
+    n2, med_normal = _theil_sen_median(df)  # single-level path
+    n3, med_fallback = _theil_sen_median(df, budget=100, max_refine=0)
+    assert n == n2 == n3 == 1000
+    assert med_refined == exact
     assert med_normal == exact
+    assert med_fallback == exact
+
+
+def test_theil_sen_median_refinement_depth_and_duplicate_wall(spark):
+    """Two refinement edge cases: (a) a distribution needing MULTIPLE
+    levels still matches percentile() exactly; (b) a duplicate-heavy
+    center where the window collapses to one value (mn == mx inside the
+    hot bucket) short-circuits to that value."""
+    from aircan_spark.ext.queries import _theil_sen_median
+
+    # (a) three nested scales: outlier at 1e6, cluster at 1e-3 spread
+    # 1e-9 apart — bucket at level 1 holds everything, level 2 isolates
+    vals = [((i % 50) * 1e-9 + 1e-3,) for i in range(400)] + [(1e6,)]
+    df = spark.createDataFrame(vals, "s double").cache()
+    exact = df.agg(F.expr("percentile(s, 0.5)").alias("m")).collect()[0]["m"]
+    n, med = _theil_sen_median(df, budget=60)
+    assert n == 401 and med == exact
+
+    # (b) median bucket is a single repeated value + range-stretching
+    # outliers on both sides
+    vals = [(7.25,)] * 500 + [(-1e9,), (1e9,)]
+    df2 = spark.createDataFrame(vals, "s double").cache()
+    n, med = _theil_sen_median(df2, budget=100)
+    assert n == 502 and med == 7.25
 
 
 def test_markov_attribution_zero_conversions_empty_frame(spark, tmp_path):
