@@ -2131,6 +2131,10 @@ def _theil_sen_median(slopes: DataFrame, budget: int = 200_000, max_refine: int 
       the single-buffer exact percentile() fallback. Same value,
       bounded driver memory on every path.
     Returns (n, median)."""
+    # NULL s rows would land in a NULL histogram bucket (sorted first),
+    # desyncing cum vs the non-null n (count/min/max/percentile all skip
+    # NULLs) and raising on int(r['b']) if selected — drop them up front
+    slopes = slopes.filter(F.col("s").isNotNull())
     rng = slopes.agg(
         F.count("s").alias("n"), F.min("s").alias("mn"), F.max("s").alias("mx")
     ).collect()[0]

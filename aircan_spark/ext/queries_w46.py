@@ -77,8 +77,16 @@ def _staged_split_dir(
         raise ValueError("pre-transform requires a stable pre_key")
     key = (sf_dir, table, tuple(cols), n, pre_key)
     hit = _STAGE_CACHE.get(key)
-    if hit is not None and _staged_files_intact(hit[0], n):
-        return hit
+    if hit is not None:
+        if _staged_files_intact(hit[0], n):
+            return hit
+        # stale hit: reclaim the abandoned dir NOW — re-staging below
+        # overwrites the cache entry, and the atexit reclaim only walks
+        # current entries, so without this the old dir leaks for the
+        # process lifetime
+        import shutil
+
+        shutil.rmtree(hit[0], ignore_errors=True)
     if not _STAGE_CACHE:
         atexit.register(_reclaim_stage_cache)
     stage = tempfile.mkdtemp(prefix="aircan_r6_sketch_src_")

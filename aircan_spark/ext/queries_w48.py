@@ -65,14 +65,20 @@ def _staged_dlq_backlog(spark, sf_dir: str) -> tuple[str, float]:
     import tempfile
 
     hit = _DLQ_STAGE_CACHE.get(sf_dir)
-    if hit is not None and all(
-        _os.path.isfile(_os.path.join(hit[0], f"bucket{k}.json"))
-        for k in range(4)
-    ):
-        # all 4 staged files must survive, not just the dir — a partial
-        # backlog would stream fewer micro-batches than the gate's
-        # conservation contract assumes
-        return hit
+    if hit is not None:
+        if all(
+            _os.path.isfile(_os.path.join(hit[0], f"bucket{k}.json"))
+            for k in range(4)
+        ):
+            # all 4 staged files must survive, not just the dir — a
+            # partial backlog would stream fewer micro-batches than the
+            # gate's conservation contract assumes
+            return hit
+        # stale hit: reclaim the abandoned dir before re-staging
+        # overwrites the entry (atexit only walks current entries)
+        import shutil
+
+        shutil.rmtree(hit[0], ignore_errors=True)
     if not _DLQ_STAGE_CACHE:
         atexit.register(_reclaim_dlq_stage_cache)
     pdf = (

@@ -560,12 +560,35 @@ _DRIVER_CHECKED_R06 = {
     "ext_stream_kmv_state", "ext_stream_moments_state",
     "ext_table_delete_parity", "ext_theil_index",
 }
+# Keys CORRECTNESS_r07.json actually sampled (all 50 rows+schema+hash
+# green, zero overlap with r1-r6) — move them behind the never-sampled
+# backlog so round 8's sample again lands 100% in the backlog (r7 verdict
+# item #1: registry frozen at 468; backlog 124 after r7).
+_DRIVER_CHECKED_R07 = {
+    "ext_adamic_adar", "ext_assortativity", "ext_audio_silence",
+    "ext_average_precision", "ext_capture_recapture",
+    "ext_classifier_metrics", "ext_compaction_plan", "ext_cramer_distance",
+    "ext_cramers_v", "ext_dedup_storage_gain", "ext_duplicate_columns",
+    "ext_exposure_fairness", "ext_fd_audit", "ext_fleiss_kappa",
+    "ext_friedman", "ext_gmm_em", "ext_grouped_ols", "ext_hist2d",
+    "ext_image_dhash", "ext_ips_ate", "ext_jarque_bera", "ext_kendall_tau",
+    "ext_kruskal_wallis", "ext_levene", "ext_ljung_box", "ext_lof",
+    "ext_log_rank", "ext_logistic_gradient", "ext_lsh_planner",
+    "ext_mahalanobis_outliers", "ext_markov_attribution",
+    "ext_markov_entropy", "ext_mcnemar", "ext_mm_resize_png_full",
+    "ext_numeric_audit", "ext_partial_correlation", "ext_permutation_test",
+    "ext_pvm_decomposition", "ext_rbo", "ext_runs_test",
+    "ext_selection_parity", "ext_skyline", "ext_srm_check", "ext_theil_sen",
+    "ext_unk_rate", "ext_video_scene_change", "ext_wasserstein",
+    "ext_welch_ttest", "ext_wilson_ci", "ext_xcorr_lead_lag",
+}
 _DRIVER_CHECKED = (
     _DRIVER_CHECKED_R01_04 | _DRIVER_CHECKED_R05 | _DRIVER_CHECKED_R06
+    | _DRIVER_CHECKED_R07
 )
-# Round 7: no new keys (registry frozen at 468 per the r6 verdict) — the
-# entire front of the registry IS the never-sampled backlog, so the
-# driver's next ~50 draws all drain it.
+# Round 8: no new keys (registry frozen at 468 per the r6/r7 verdicts) —
+# the entire front of the registry IS the never-sampled backlog (124 keys
+# after r7), so the driver's next ~50 draws all drain it.
 _order = (
     [n for n in QUERIES if n not in _DRIVER_CHECKED]
     + [n for n in QUERIES if n in _DRIVER_CHECKED]

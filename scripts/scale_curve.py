@@ -73,11 +73,20 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, d).write.format("noop").mode("overwrite").save()
             rec[f"{tag}_warm_s"] = round(time.perf_counter() - t0, 3)
-        rec["ratio_warm"] = round(rec["sf1eq_warm_s"] / rec["sf0.1_warm_s"], 2)
-        rec["ratio_cold"] = round(rec["sf1eq_cold_s"] / rec["sf0.1_cold_s"], 2)
+        # clamp the denominator: a sub-millisecond sf0.1 timing rounds
+        # to 0.0 and would ZeroDivisionError away the whole run's results
+        rec["ratio_warm"] = round(
+            rec["sf1eq_warm_s"] / max(rec["sf0.1_warm_s"], 1e-3), 2
+        )
+        rec["ratio_cold"] = round(
+            rec["sf1eq_cold_s"] / max(rec["sf0.1_cold_s"], 1e-3), 2
+        )
         res[name] = rec
         print(f"{name}: sf0.1 warm {rec['sf0.1_warm_s']}s -> sf1eq warm "
               f"{rec['sf1eq_warm_s']}s (x{rec['ratio_warm']})", flush=True)
+        # write incrementally so a late-query failure keeps earlier rows
+        with open(out_path, "w") as fh:
+            json.dump(res, fh, indent=1, sort_keys=True)
 
     with open(out_path, "w") as fh:
         json.dump(res, fh, indent=1, sort_keys=True)

@@ -28,6 +28,41 @@ from aircan_spark.queries import ALLOW_EMPTY, ORACLES, QUERIES
 from test_oracle import canonicalize, dtype_kind
 
 
+def guard_result(name: str, got_raw: "pd.DataFrame", allow_empty: dict) -> None:
+    """The sweep's two hard result invariants, factored out so tests can
+    exercise them BEHAVIORALLY (not via source grep — a grep pin passes
+    even if the raise becomes unreachable).
+
+    1. No raw-DECIMAL output columns (round-6 ext_idle_customers find):
+       a Spark DECIMAL lands in pandas as Decimal objects whose
+       trailing-zero repr diverges from DuckDB's float64 mapping the
+       first time the query produces rows.
+    2. Non-vacuousness (r6 verdict item #2): a 0-row result proves
+       nothing — oracle agreement on empty frames is vacuous. Applies to
+       rows-only queries too (their check is even weaker).
+
+    Both are explicit raises, not asserts — python -O strips asserts and
+    would silently re-admit the vacuous-pass class."""
+    import decimal as _decimal
+
+    for c in got_raw.columns:
+        col = got_raw[c]
+        if col.dtype == object and len(col.dropna()):
+            v = col.dropna().iloc[0]
+            if isinstance(v, _decimal.Decimal):
+                raise AssertionError(
+                    f"column {c!r} outputs raw DECIMAL — cast "
+                    "to double/string in the query "
+                    "(vacuous-pass trap)"
+                )
+    if len(got_raw) == 0 and name not in allow_empty:
+        raise AssertionError(
+            "vacuous result: 0 rows at this SF — rewrite the "
+            "predicate to fire on testdata or annotate "
+            f"ALLOW_EMPTY[{name!r}] with a reason"
+        )
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
@@ -56,36 +91,7 @@ def main() -> None:
         rec: dict = {}
         try:
             got_raw = QUERIES[name](spark, sf).toPandas()
-            # Guard the decimal-repr class (round-6 ext_idle_customers
-            # find): a Spark DECIMAL output lands in pandas as Decimal
-            # objects whose trailing-zero repr diverges from DuckDB's
-            # float64 mapping the first time the query produces rows.
-            import decimal as _decimal
-
-            for c in got_raw.columns:
-                col = got_raw[c]
-                if col.dtype == object and len(col.dropna()):
-                    v = col.dropna().iloc[0]
-                    if isinstance(v, _decimal.Decimal):
-                        # explicit raise, not assert: the gate must
-                        # survive python -O / PYTHONOPTIMIZE
-                        raise AssertionError(
-                            f"column {c!r} outputs raw DECIMAL — cast "
-                            "to double/string in the query "
-                            "(vacuous-pass trap)"
-                        )
-            # Non-vacuousness is a HARD invariant (r6 verdict item #2):
-            # a 0-row result proves nothing — oracle agreement on empty
-            # frames is vacuous (the ext_idle_customers class). Applies
-            # to rows-only queries too (their check is even weaker).
-            if len(got_raw) == 0 and name not in ALLOW_EMPTY:
-                # explicit raise, not assert — python -O strips asserts
-                # and would silently re-admit the vacuous-pass class
-                raise AssertionError(
-                    "vacuous result: 0 rows at this SF — rewrite the "
-                    "predicate to fire on testdata or annotate "
-                    f"ALLOW_EMPTY[{name!r}] with a reason"
-                )
+            guard_result(name, got_raw, ALLOW_EMPTY)
             if name not in ORACLES:
                 rec = {"status": "rows_only", "rows": len(got_raw)}
             else:

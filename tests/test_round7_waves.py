@@ -211,15 +211,56 @@ def test_idle_customers_fires_at_smallest_sf(spark, sf_dir):
     assert df.count() > 0
 
 
-def test_sweep_hard_fails_zero_row_results():
-    """The sweep harness must contain the hard non-vacuousness assert
-    keyed on ALLOW_EMPTY (kept empty unless a key genuinely cannot fire
-    on testdata)."""
+def _sweep_guard():
+    """Import scripts/sweep_sf.py's guard_result by file path (scripts/
+    is not a package) so the invariants are tested BEHAVIORALLY — a
+    source-grep pin would keep passing even if the raise became
+    unreachable (r7 ADVICE #3)."""
+    import importlib.util
+
     import aircan_spark.queries as Q
 
-    src = open(os.path.join(os.path.dirname(Q.__file__), "..", "scripts", "sweep_sf.py")).read()
-    assert "ALLOW_EMPTY" in src and "vacuous" in src
+    path = os.path.join(
+        os.path.dirname(Q.__file__), "..", "scripts", "sweep_sf.py"
+    )
+    spec = importlib.util.spec_from_file_location("sweep_sf_under_test", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.guard_result
+
+
+def test_sweep_hard_fails_zero_row_results():
+    """guard_result must RAISE on an empty frame unless the key is in
+    ALLOW_EMPTY — and the production ALLOW_EMPTY must stay empty."""
+    import pandas as pd
+    import pytest
+
+    import aircan_spark.queries as Q
+
+    guard = _sweep_guard()
+    empty = pd.DataFrame({"k": pd.Series([], dtype="int64")})
+    with pytest.raises(AssertionError, match="vacuous"):
+        guard("some_query", empty, {})
+    # annotated keys are exempt; non-empty frames pass
+    guard("some_query", empty, {"some_query": "documented reason"})
+    guard("some_query", pd.DataFrame({"k": [1]}), {})
     assert Q.ALLOW_EMPTY == {}
+
+
+def test_sweep_hard_fails_raw_decimal_columns():
+    """guard_result must RAISE on a raw-DECIMAL output column even when
+    the frame has rows (the r6 ext_idle_customers repr-drift class)."""
+    import decimal
+
+    import pandas as pd
+    import pytest
+
+    guard = _sweep_guard()
+    dec = pd.DataFrame({"v": [decimal.Decimal("1.10"), decimal.Decimal("2")]})
+    with pytest.raises(AssertionError, match="DECIMAL"):
+        guard("some_query", dec, {})
+    # plain object-string columns are fine
+    guard("some_query", pd.DataFrame({"v": ["a", "b"]}), {})
 
 
 # --- cap-adaptive co-occurrence thresholds (second vacuous pocket) -----------
