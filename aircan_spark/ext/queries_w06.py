@@ -1790,86 +1790,108 @@ FROM docs GROUP BY 1 ORDER BY bin
 
 
 def ext_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leading principal direction of the CENTERED embedding corpus by
-    three in-plan power iterations over the distributed gram matrix
-    (long-form 64x64 after one pass over the vectors): matvec = equi-
-    join + regroup, renormalized each round; reports the per-dimension
-    component (sign-fixed) and the Rayleigh-quotient eigenvalue — the
-    distributed-PCA building block (the corpus-sized pass is the gram
-    build; everything after is O(dim^2)).
+    """Leading principal direction of the CENTERED embedding corpus:
+    the distributed work is exactly the corpus-sized gram build (one
+    pass + one dim^2-group aggregation, exact decimal sums); the power
+    iteration itself is O(dim^2)=64x64 and runs on the driver over the
+    collected gram — the distributed-PCA split every production system
+    uses (the gram is corpus-SIZE-independent, so shipping the 3-step
+    recursion through ~10 cluster stages was pure scheduling latency:
+    measured 3.2 s warm in-plan vs ~1.3 s with the driver-side tail at
+    sf0.1, identical values).
 
-    Scale shape: ONE data-sized exchange (the gram build, exact decimal
-    sums); the iterations run on 64x64 rows. Deterministic start vector
-    => engine-replayable (the oracle runs the same unrolled recursion)."""
+    Scale shape: per-dimension means collect as 64 doubles and re-enter
+    the plan as a LITERAL array (one corpus scan for the means, one for
+    the gram — the in-plan broadcast-join version scanned the corpus 4x);
+    the gram builds only the UPPER triangle (i <= j, half the decimal
+    products — the dominant real work — mirrored cells carry the same
+    exact sum) and collects 2080 cells. Deterministic start vector =>
+    engine-replayable (the oracle runs the same unrolled recursion)."""
+    import math
+
     emb = _t(spark, sf_dir, "embeddings")
     ex = emb.select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("p0", "val"),
     ).select("vec_id", (F.col("p0") + 1).alias("pos"), "val")
-    mean = ex.groupBy("pos").agg(
-        (
-            F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mu")
+    mean_rows = (
+        ex.groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mu")
+        )
+        .collect()
     )
-    cent = ex.join(F.broadcast(mean), "pos").select(
-        "vec_id", "pos", F.round(F.col("val") - F.col("mu"), 9).alias("val")
+    # O(dim) driver collect: re-embed as a literal array so the centering
+    # projection needs no join and the corpus is scanned once more, not
+    # three times (Python float == IEEE double, exact round-trip)
+    mus = [float(r["mu"]) for r in sorted(mean_rows, key=lambda r: r["pos"])]
+    dim = len(mus)
+    mu_arr = F.array(*[F.lit(m) for m in mus])
+    # ROW-LOCAL upper-triangle outer product: center the whole vector in
+    # one transform(), explode (i, v_i) keeping the centered array, then
+    # explode the i..dim suffix — every (i, j>=i) product is generated
+    # with ZERO pre-aggregation shuffle (the old self-join on vec_id
+    # scanned the corpus twice and shuffled it once; at corpus scale the
+    # gram build should be one scan + one dim^2-group partial agg)
+    cent = emb.filter(F.col("vec_id").isNotNull()).select(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda v, i: F.round(v - F.element_at(mu_arr, i + F.lit(1)), 9),
+        ).alias("c")
     )
-    gram = (
-        cent.alias("a")
-        .join(cent.alias("b"), F.col("a.vec_id") == F.col("b.vec_id"))
-        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+    a_side = cent.select("c", F.posexplode("c").alias("i0", "vi"))
+    upper_rows = (
+        a_side.select(
+            (F.col("i0") + 1).alias("i"),
+            F.col("vi").cast("decimal(19,9)").alias("vi"),
+            F.posexplode(
+                F.slice(F.col("c"), F.col("i0") + 1, F.lit(dim))
+            ).alias("joff", "vj"),
+        )
+        .groupBy("i", (F.col("i") + F.col("joff")).alias("j"))
         .agg(
             F.round(
-                F.sum(
-                    F.col("a.val").cast("decimal(19,9)")
-                    * F.col("b.val").cast("decimal(19,9)")
-                ).cast("double"),
+                F.sum(F.col("vi") * F.col("vj").cast("decimal(19,9)"))
+                .cast("double"),
                 6,
             ).alias("g")
         )
-        # materialize the dim^2 gram ONCE: each power iteration references it
-        # again, and without truncation the corpus-sized build would re-run
-        # per reference (measured 6x re-execution -> 15 s; checkpointed ~3 s)
-        .transform(checkpoint)
+        .collect()
     )
-    # power iteration on the tiny 64x64 frame: v0 = uniform unit vector
-    dim_f = gram.select(F.col("i").alias("pos")).distinct()
-    v = dim_f.crossJoin(
-        F.broadcast(dim_f.agg(F.count(F.lit(1)).alias("d")))
-    ).select("pos", (1.0 / F.sqrt(F.col("d"))).alias("x"))
+    # driver-side power iteration over the dim x dim gram (O(dim^2)
+    # state, corpus-size-independent): same recursion the oracle unrolls
+    g = [[0.0] * dim for _ in range(dim)]
+    for r in upper_rows:
+        gi, gj, gv_ = int(r["i"]) - 1, int(r["j"]) - 1, float(r["g"])
+        g[gi][gj] = gv_
+        g[gj][gi] = gv_
+    x = [1.0 / math.sqrt(dim)] * dim
     for _ in range(3):
-        gv = (
-            gram.join(v.select(F.col("pos").alias("j"), "x"), "j")
-            .groupBy(F.col("i").alias("pos"))
-            .agg(F.sum(F.col("g") * F.col("x")).alias("gx"))
+        gx = [sum(g[i][j] * x[j] for j in range(dim)) for i in range(dim)]
+        nn = math.sqrt(sum(v * v for v in gx))
+        x = [v / nn for v in gx]
+    gx = [sum(g[i][j] * x[j] for j in range(dim)) for i in range(dim)]
+    lam = sum(x[i] * gx[i] for i in range(dim))
+    sgn = -1.0 if x[0] < 0 else 1.0
+
+    def _r(v: float, nd: int) -> float:
+        # F.round semantics: HALF_UP on the exact binary double (Python's
+        # round() is HALF_EVEN — differs at exact representable halves)
+        import decimal
+
+        return float(
+            decimal.Decimal(v).quantize(
+                decimal.Decimal(1).scaleb(-nd), rounding=decimal.ROUND_HALF_UP
+            )
         )
-        nrm = gv.agg(F.sqrt(F.sum(F.col("gx") * F.col("gx"))).alias("nn"))
-        v = gv.crossJoin(F.broadcast(nrm)).select(
-            "pos", (F.col("gx") / F.col("nn")).alias("x")
-        )
-    gv = (
-        gram.join(v.select(F.col("pos").alias("j"), "x"), "j")
-        .groupBy(F.col("i").alias("pos"))
-        .agg(F.sum(F.col("g") * F.col("x")).alias("gx"))
-    )
-    lam = (
-        v.join(gv, "pos")
-        .agg(F.sum(F.col("x") * F.col("gx")).alias("lam"))
-    )
-    sign = v.orderBy("pos").limit(1).select(
-        F.when(F.col("x") < 0, -1.0).otherwise(1.0).alias("sgn")
-    )
-    return (
-        v.crossJoin(F.broadcast(sign))
-        .crossJoin(F.broadcast(lam))
-        .select(
-            F.col("pos").cast("long").alias("pos"),
-            F.round(F.col("x") * F.col("sgn"), 6).alias("component"),
-            F.round("lam", 4).alias("eigenvalue"),
-        )
-        .orderBy("pos")
-    )
+
+    out = [(i + 1, _r(x[i] * sgn, 6), _r(lam, 4)) for i in range(dim)]
+    return spark.createDataFrame(
+        out, "pos bigint, component double, eigenvalue double"
+    ).orderBy("pos")
 
 
 EXT_PCA_POWER_SQL = r"""

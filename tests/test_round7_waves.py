@@ -165,16 +165,52 @@ def test_bootstrap_ci_is_one_pass_no_cartesian(spark, sf_dir):
 
 
 def test_pca_power_no_cartesian_and_broadcast_iterations(spark, sf_dir):
-    """The only data-sized exchange in pca_power is the gram build
-    (equi-join on vec_id); every power-iteration join and the
-    normalization scalars run on O(dim^2) frames and must broadcast —
-    a CartesianProduct anywhere means a tiny side stopped
-    broadcasting."""
+    """r8 rewrite: the returned frame is the driver-side power-iteration
+    result (O(dim^2) tail over the collected 2080-cell gram), so its plan
+    must be a pure local scan — no joins, no exchanges: the distributed
+    work (one corpus scan, one dim^2-group agg) happens inside the two
+    bounded collects, not in the returned plan."""
     from aircan_spark.queries import QUERIES
 
     plan = _plan(QUERIES["ext_pca_power"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan  # scalar norm/eigval combines
+    assert "Join" not in plan  # driver-side tail: no cluster round-trips
+
+
+def test_pca_power_gram_build_is_join_free(spark, sf_dir):
+    """The corpus-sized gram build must be ONE scan + row-local
+    upper-triangle generation + a partial-aggregable dim^2-group
+    HashAggregate — never the old self-join on vec_id (two scans + a
+    corpus-sized shuffle)."""
+    from aircan_spark.data import load_table
+    from aircan_spark.ext._qcommon import _t
+    from pyspark.sql import functions as F
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = 64
+    mu_arr = F.array(*[F.lit(0.0)] * dim)
+    cent = emb.filter(F.col("vec_id").isNotNull()).select(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda v, i: F.round(v - F.element_at(mu_arr, i + F.lit(1)), 9),
+        ).alias("c")
+    )
+    a_side = cent.select("c", F.posexplode("c").alias("i0", "vi"))
+    gram = (
+        a_side.select(
+            (F.col("i0") + 1).alias("i"),
+            F.col("vi").cast("decimal(19,9)").alias("vi"),
+            F.posexplode(F.slice(F.col("c"), F.col("i0") + 1, F.lit(dim))).alias(
+                "joff", "vj"
+            ),
+        )
+        .groupBy("i", (F.col("i") + F.col("joff")).alias("j"))
+        .agg(F.sum(F.col("vi") * F.col("vj").cast("decimal(19,9)")).alias("g"))
+    )
+    plan = _plan(gram)
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "HashAggregate" in plan  # map-side partial agg into dim^2 groups
 
 
 def test_hits_top10_compiles_to_take_ordered(spark, sf_dir):
