@@ -19,8 +19,12 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# set once checkpoint(big=True) mints a local-mode temp checkpoint dir —
+# distinguishes our minted dir from an externally configured cluster dir
+_MINTED_CKPT_DIR = False
 
-def checkpoint(df: DataFrame) -> DataFrame:
+
+def checkpoint(df: DataFrame, big: bool = False) -> DataFrame:
     """Truncate lineage for iterative operators — reliable when possible.
 
     ``localCheckpoint`` stores blocks on executors: fast, but NOT
@@ -32,10 +36,49 @@ def checkpoint(df: DataFrame) -> DataFrame:
     ``df.checkpoint()`` — blocks in the fault-tolerant store survive
     executor churn, the requirement at 1000 executors. With no
     checkpoint dir configured (local mode, tests) this stays
-    ``localCheckpoint``, which needs no filesystem."""
+    ``localCheckpoint``, which needs no filesystem.
+
+    ``big=True`` marks a DATA-PROPORTIONAL frame (an edge list, a pair
+    corpus) as opposed to the bounded per-round label/axis frames:
+    localCheckpoint's MEMORY_AND_DISK_DESER level is wrong for those —
+    blocks that spill to disk are RE-PROMOTED into the heap as
+    deserialized objects on every read (``maybeCacheDiskValuesInMemory``),
+    which is exactly how the r7 30x experiment OOMed ext_entity_clusters
+    at the default heap. Big frames therefore go through RELIABLE
+    ``df.checkpoint()`` even in local mode (lazily minting a process-
+    lifetime temp checkpoint dir when none is configured): serialized on
+    disk, read with bounded memory, lineage truncated — the same
+    mechanics a cluster gets from its configured HDFS dir."""
+    global _MINTED_CKPT_DIR
     sc = df.sparkSession.sparkContext
-    if sc._jsc.sc().getCheckpointDir().isDefined():
+    if sc._jsc.sc().getCheckpointDir().isDefined() and not _MINTED_CKPT_DIR:
+        # externally configured (cluster HDFS dir): everything reliable
         return df.checkpoint(eager=True)
+    if big:
+        if not _MINTED_CKPT_DIR:
+            import atexit
+            import shutil
+            import tempfile
+
+            ckpt_dir = tempfile.mkdtemp(prefix="aircan_big_ckpt_")
+            atexit.register(shutil.rmtree, ckpt_dir, ignore_errors=True)
+            sc.setCheckpointDir(ckpt_dir)
+            _MINTED_CKPT_DIR = True
+        from pyspark import StorageLevel
+
+        # classic cache-before-checkpoint: the eager count populates the
+        # DISK_ONLY persist, so the checkpoint WRITE job streams from
+        # disk instead of recomputing the (expensive) lineage a second
+        # time; unpersisted immediately — the checkpoint is the survivor
+        df = df.persist(StorageLevel.DISK_ONLY)
+        try:
+            out = df.checkpoint(eager=True)
+        finally:
+            df.unpersist()
+        return out
+    # small bounded frames (per-round labels, collapsed axes) keep the
+    # fast in-memory localCheckpoint even after a big frame minted the
+    # temp dir — only data-proportional frames pay the disk round-trip
     return df.localCheckpoint(eager=True)
 
 

@@ -112,7 +112,13 @@ def ngram_jaccard_pairs(
     sh = shingles(df, id_col, text_col, n)
     if hash_shingles:
         sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
-    sh = sh.cache()
+    # the inverted index is DATA-PROPORTIONAL (rows x shingles): DISK_ONLY,
+    # never the default deserialized-in-heap cache — at the 30x corpus the
+    # cached index monopolized the unified memory pool's protected storage
+    # region and starved the pair join's sorters into UNABLE_TO_ACQUIRE_MEMORY
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.DISK_ONLY)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
     joinable = sh
@@ -125,11 +131,16 @@ def ngram_jaccard_pairs(
         )
         joinable = sh.join(rare, "shingle")
 
-    a = joinable.withColumnRenamed(id_col, "id_a")
-    b = joinable.withColumnRenamed(id_col, "id_b")
+    # inverted-index self-join with DERIVED parallelism: shuffle
+    # partitions sized from sum(df^2) over shingles, and any shingle
+    # whose own collision work exceeds one task's budget is
+    # triangular-split (skew.py blocked_self_pairs) — max_doc_freq
+    # remains the recall-trading cap, this is the no-recall-loss
+    # counterpart that keeps uncapped runs alive at clone-heavy scale
+    from aircan_spark.skew import blocked_self_pairs
+
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        blocked_self_pairs(joinable, "shingle", id_col)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("intersection"))
     )
@@ -204,7 +215,12 @@ def minhash_pairs(
     well below come out of banding rarely, well above almost surely.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    from pyspark import StorageLevel
+
+    # data-proportional (docs x num_hashes): DISK_ONLY, never heap-cached
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).persist(
+        StorageLevel.DISK_ONLY
+    )
 
     # Band buckets derived row-local from signature slices; the candidate
     # join and its dedup carry ONLY (band, bucket, id) — signatures (64
@@ -302,7 +318,10 @@ def simhash_pairs(
     must agree exactly on >= 1 band (pigeonhole) — so banding loses no
     true pair while avoiding the n² comparison."""
     width = 64 // bands
-    sigs = simhash_signatures(df, id_col, text_col).cache()
+    from pyspark import StorageLevel
+
+    # data-proportional (one row per doc): DISK_ONLY, never heap-cached
+    sigs = simhash_signatures(df, id_col, text_col).persist(StorageLevel.DISK_ONLY)
     banded = sigs.select(
         id_col,
         "simhash",
@@ -538,10 +557,13 @@ def connected_components(
     )
     # materialize the edge list once: it joins into EVERY iteration, and its
     # upstream plan (e.g. a jaccard candidate join) must not be re-executed
-    # per round
+    # per round. big=True: the edge list is DATA-PROPORTIONAL (a clone-heavy
+    # corpus explodes it quadratically), so it must never sit in the heap as
+    # deserialized localCheckpoint blocks — DISK_ONLY in local mode (the r7
+    # 30x OOM), reliable checkpoint on a cluster
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).transform(checkpoint)
+    ).transform(lambda d: checkpoint(d, big=True))
     nodes = sym.select(F.col("src").alias("id")).distinct()
     comp = nodes.withColumn("component", F.col("id")).transform(checkpoint)
 
@@ -734,7 +756,9 @@ def connected_components_star(
     e = (
         e.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .distinct()
-        .transform(checkpoint)
+        # data-proportional edge frames never live as deserialized heap
+        # blocks (see connected_components / checkpoint(big=True))
+        .transform(lambda d: checkpoint(d, big=True))
     )
     prev_count = -1
     for _ in range(max_iter):
@@ -759,16 +783,19 @@ def connected_components_star(
             .filter(F.col("node") != F.col("m"))
             .select(F.greatest("node", "m").alias("u"), F.least("node", "m").alias("v"))
             .distinct()
-            .transform(checkpoint)
+            .transform(lambda d: checkpoint(d, big=True))
         )
         # fixed point: star edges already point at component minima — the
         # edge set stops changing; count-equality then set-equality check
         n = ss.count()
-        if n == prev_count and ss.exceptAll(e).isEmpty():
-            e = ss
-            break
+        done = n == prev_count and ss.exceptAll(e).isEmpty()
+        # ss is materialized independently — drop the superseded round's
+        # DISK_ONLY blocks instead of accumulating one edge copy per round
+        e.unpersist()
         prev_count = n
         e = ss
+        if done:
+            break
     # final stars: u -> component min v; minima label themselves
     return (
         e.select(F.col("u").alias("id"), F.col("v").alias("component"))
@@ -804,7 +831,10 @@ def containment_pairs(
     merely popular would stop matching). Documents with zero
     discriminative shingles drop out of the result. With the guard off,
     behavior is the original full-universe containment, unchanged."""
-    sh = shingles(df, id_col, text_col, n).cache()
+    from pyspark import StorageLevel
+
+    # inverted index again (see ngram_jaccard_pairs): DISK_ONLY
+    sh = shingles(df, id_col, text_col, n).persist(StorageLevel.DISK_ONLY)
 
     joinable = sh
     if max_doc_freq is not None:

@@ -34,7 +34,16 @@ def fuzzy_self_join(
 
     ``max_block_size`` drops blocks larger than the cap before the
     self-join (recall trade for bounded worst-case cost — log what you
-    drop at scale)."""
+    drop at scale).
+
+    Parallelism is DERIVED, not configured: ``blocked_self_pairs``
+    (skew.py) sizes the pair join's shuffle partitions from
+    sum(block_size^2) and triangular-splits any block whose own pair
+    work exceeds one task's budget — the r7 30x experiment's manual
+    partition knob, automated (a 3000-row block = 9M pairs is
+    indivisible by partition COUNT alone)."""
+    from aircan_spark.skew import blocked_self_pairs
+
     keyed = df.select(
         F.col(id_col).alias("__id"),
         F.col(name_col).alias("__name"),
@@ -48,20 +57,14 @@ def fuzzy_self_join(
             F.broadcast(sizes.filter(F.col("__bn") <= max_block_size)),
             "__block",
         ).drop("__bn")
-    a = keyed.select(
-        F.col("__block"),
-        F.col("__id").alias("id_a"),
-        F.col("__name").alias("name_a"),
-    )
-    b = keyed.select(
-        F.col("__block"),
-        F.col("__id").alias("id_b"),
-        F.col("__name").alias("name_b"),
-    )
+    pairs = blocked_self_pairs(keyed, "__block", "__id", ("__name",))
     return (
-        a.join(b, "__block")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.col("__name_a").alias("name_a"),
+            F.col("__name_b").alias("name_b"),
+        )
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= max_dist)
-        .drop("__block")
     )

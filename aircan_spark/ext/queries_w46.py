@@ -143,6 +143,176 @@ def _run_maintenance(
     return read_sketch_state(spark, state_dir)
 
 
+# One shared stream for the five state queries (r7 verdict item #4):
+# the per-query cost was ~11-12 s each at sf0.1, almost all of it FIXED
+# streaming machinery (query startup + availableNow micro-batch
+# scheduling) paid five times over five separate streams. The five
+# maintainers now ride ONE staged backlog (source-tagged union of the
+# events and orders projections, 2 files = 2 micro-batches) through
+# stream_multi_state_maintenance — each still owns its state dir,
+# atomic pointer, and per-batch merge, so every merge law is exercised
+# end-to-end exactly as before; only the scheduling is shared. Final
+# states are process-cached (pointer files re-validated per hit).
+_SHARED_STATE_CACHE: dict[str, dict[str, str]] = {}
+
+
+def _reclaim_shared_states() -> None:  # pragma: no cover — atexit hook
+    import shutil
+
+    for dirs in _SHARED_STATE_CACHE.values():
+        for d in dirs.values():
+            shutil.rmtree(d, ignore_errors=True)
+    _SHARED_STATE_CACHE.clear()
+
+
+def _shared_sketch_states(spark, sf_dir: str) -> dict[str, str]:
+    """Run (or reuse) the shared five-maintainer stream for ``sf_dir``
+    and return {name: state_dir} for cms/hll/bottomk/kmv/moments."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from aircan_spark.ext import sketch as sk
+    from aircan_spark.streaming import stream_multi_state_maintenance
+
+    hit = _SHARED_STATE_CACHE.get(sf_dir)
+    if hit is not None:
+        if all(
+            os.path.exists(os.path.join(d, "_current.json")) for d in hit.values()
+        ):
+            return hit
+        for d in hit.values():  # stale: reclaim before rebuilding
+            shutil.rmtree(d, ignore_errors=True)
+        del _SHARED_STATE_CACHE[sf_dir]
+
+    # staged union backlog, cached through the same _STAGE_CACHE plumbing
+    key = (sf_dir, "__shared_sketch_backlog__", (), 2, "")
+    stage_hit = _STAGE_CACHE.get(key)
+    if stage_hit is not None and _staged_files_intact(stage_hit[0], 2):
+        src, schema = stage_hit
+    else:
+        if stage_hit is not None:
+            shutil.rmtree(stage_hit[0], ignore_errors=True)
+        if not _STAGE_CACHE:
+            atexit.register(_reclaim_stage_cache)
+        ev = _load(spark, sf_dir, "events").select(
+            F.lit("e").alias("src"),
+            "user_id",
+            "event_type",
+            # the moments maintainer's integer-cent pre-scale (see
+            # ext_stream_moments_state's determinism note)
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("double")
+            .alias("cents"),
+            F.lit(None).cast("bigint").alias("o_orderkey"),
+        )
+        od = _load(spark, sf_dir, "orders").select(
+            F.lit("o").alias("src"),
+            F.lit(None).cast("bigint").alias("user_id"),
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(None).cast("double").alias("cents"),
+            "o_orderkey",
+        )
+        df = ev.unionByName(od)
+        src = tempfile.mkdtemp(prefix="aircan_r8_shared_src_")
+        df.repartition(2).write.mode("overwrite").parquet(src)
+        schema = df.schema
+        _STAGE_CACHE[key] = (src, schema)
+
+    if not _SHARED_STATE_CACHE:
+        atexit.register(_reclaim_shared_states)
+    names = ("cms", "hll", "bottomk", "kmv", "moments")
+    dirs = {n: tempfile.mkdtemp(prefix=f"aircan_r8_state_{n}_") for n in names}
+
+    def _ev(df):
+        return df.filter(F.col("src") == "e")
+
+    def _moments_build(df):
+        v = F.col("cents").cast("double")
+        return df.groupBy(F.col("user_id").alias("key")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("s1"),
+            F.sum(v * v).alias("s2"),
+        )
+
+    def _moments_merge(cur, delta):
+        return (
+            cur.unionByName(delta)
+            .groupBy("key")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("s1").alias("s1"),
+                F.sum("s2").alias("s2"),
+            )
+        )
+
+    maintainers = [
+        {
+            "state_dir": dirs["cms"],
+            "slice_fn": _ev,
+            "build_fn": lambda df: sk.count_min_build(
+                df.select("user_id"), "user_id", depth=3, width=256, seed=7
+            ),
+            "merge_fn": sk.count_min_merge,
+        },
+        {
+            "state_dir": dirs["hll"],
+            "slice_fn": _ev,
+            "build_fn": lambda df: sk.hll_build(
+                df.select("user_id"), "user_id", b=10, seed=42
+            ),
+            "merge_fn": sk.hll_merge,
+        },
+        {
+            "state_dir": dirs["bottomk"],
+            "slice_fn": lambda df: df.filter(F.col("src") == "o").select(
+                "o_orderkey"
+            ),
+            "build_fn": lambda df: sk.bottomk_sample(
+                df, ["o_orderkey"], k=100, seed=42
+            ),
+            "merge_fn": lambda cur, delta: sk.bottomk_merge(cur, delta, k=100),
+        },
+        {
+            "state_dir": dirs["kmv"],
+            "slice_fn": _ev,
+            "build_fn": lambda df: sk.kmv_minima(
+                df.select("event_type", "user_id"),
+                "user_id",
+                ["event_type"],
+                k=64,
+            ).select("event_type", "h"),
+            "merge_fn": lambda cur, delta: sk.kmv_merge(
+                cur, delta, ["event_type"], k=64
+            ).select("event_type", "h"),
+        },
+        {
+            "state_dir": dirs["moments"],
+            "slice_fn": lambda df: _ev(df).select("user_id", "cents"),
+            "build_fn": _moments_build,
+            "merge_fn": _moments_merge,
+        },
+    ]
+    ckpt = tempfile.mkdtemp(prefix="aircan_r8_shared_ckpt_")
+    q = stream_multi_state_maintenance(
+        spark,
+        src,
+        schema,
+        maintainers,
+        ckpt,
+        available_now=True,
+        source_format="parquet",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover — availableNow should terminate
+        q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    _SHARED_STATE_CACHE[sf_dir] = dirs
+    return dirs
+
+
 def ext_stream_cms_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X131 as a driver-checkable query: REAL streaming count-min
     maintenance over the events table staged as 2 one-file micro-batches
@@ -152,18 +322,13 @@ def ext_stream_cms_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket, cnt) sketch, which the oracle rebuilds in one pass: batch
     counts sum to corpus counts regardless of how rows split across
     batches (the merge law). Hashing is the portable md5 integer
-    arithmetic, so the oracle replays buckets bit-for-bit."""
-    from aircan_spark.streaming import stream_sketch_maintenance
+    arithmetic, so the oracle replays buckets bit-for-bit. Runs on the
+    SHARED five-maintainer stream (one startup + 2 micro-batches for all
+    five state queries, r7 verdict item #4); the CMS merge itself is
+    unchanged."""
+    from aircan_spark.streaming import read_sketch_state
 
-    state = _run_maintenance(
-        lambda sp, src, schema, **kw: stream_sketch_maintenance(
-            sp, src, schema, "user_id", depth=3, width=256, seed=7, **kw
-        ),
-        spark,
-        sf_dir,
-        "events",
-        ["user_id"],
-    )
+    state = read_sketch_state(spark, _shared_sketch_states(spark, sf_dir)["cms"])
     return state.select(
         F.col("row").cast("bigint").alias("row"),
         F.col("bucket").cast("bigint").alias("bucket"),
@@ -197,18 +362,12 @@ def ext_stream_hll_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointer machinery). Final state = the (reg, max_rho) register table;
     max is order- and partitioning-free, and rho is computed with integer
     bit-length arithmetic (never floating log2), so the oracle rebuilds
-    the registers bit-for-bit from the corpus."""
-    from aircan_spark.streaming import stream_hll_maintenance
+    the registers bit-for-bit from the corpus. Runs on the SHARED
+    five-maintainer stream (r7 verdict item #4); the register-GREATEST
+    merge is unchanged."""
+    from aircan_spark.streaming import read_sketch_state
 
-    state = _run_maintenance(
-        lambda sp, src, schema, **kw: stream_hll_maintenance(
-            sp, src, schema, "user_id", b=10, seed=42, **kw
-        ),
-        spark,
-        sf_dir,
-        "events",
-        ["user_id"],
-    )
+    state = read_sketch_state(spark, _shared_sketch_states(spark, sf_dir)["hll"])
     return state.select(
         F.col("reg").cast("bigint").alias("reg"),
         F.col("max_rho").cast("bigint").alias("max_rho"),
@@ -242,17 +401,13 @@ def ext_stream_bottomk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-k of a union == min-k of the unioned min-k's, so the final
     stored sample is EXACTLY the corpus-wide 100 smallest md5 hashes —
     replayable by ORDER BY hash LIMIT k in any engine (md5 collisions
-    make ties impossible)."""
-    from aircan_spark.streaming import stream_bottomk_maintenance
+    make ties impossible). Runs on the SHARED five-maintainer stream
+    (orders rows ride the same source-tagged backlog, r7 verdict item
+    #4); union + re-take-k is unchanged."""
+    from aircan_spark.streaming import read_sketch_state
 
-    state = _run_maintenance(
-        lambda sp, src, schema, **kw: stream_bottomk_maintenance(
-            sp, src, schema, "o_orderkey", k=100, seed=42, **kw
-        ),
-        spark,
-        sf_dir,
-        "orders",
-        ["o_orderkey"],
+    state = read_sketch_state(
+        spark, _shared_sketch_states(spark, sf_dir)["bottomk"]
     )
     return state.select(
         F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
@@ -278,18 +433,12 @@ def ext_stream_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group k smallest distinct-item hashes of the whole corpus —
     the state that serves both distinct estimates and cross-group
     resemblance — and 48-bit hashes are exact in BIGINT and DOUBLE, so
-    the oracle replays them bit-for-bit."""
-    from aircan_spark.streaming import stream_kmv_maintenance
+    the oracle replays them bit-for-bit. Runs on the SHARED
+    five-maintainer stream (r7 verdict item #4); union + dedup +
+    re-take-k is unchanged."""
+    from aircan_spark.streaming import read_sketch_state
 
-    state = _run_maintenance(
-        lambda sp, src, schema, **kw: stream_kmv_maintenance(
-            sp, src, schema, "user_id", ["event_type"], k=64, **kw
-        ),
-        spark,
-        sf_dir,
-        "events",
-        ["event_type", "user_id"],
-    )
+    state = read_sketch_state(spark, _shared_sketch_states(spark, sf_dir)["kmv"])
     return state.select(
         "event_type", F.col("h").cast("bigint").alias("h")
     ).orderBy("event_type", "h")

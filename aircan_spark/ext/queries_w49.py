@@ -131,24 +131,15 @@ def ext_stream_moments_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-valued double, the add-merge is order-free, and the final
     state casts to BIGINT bit-stably. The oracle rebuilds the same
     moments in one grouped pass (the ADD merge law: per-batch partials
-    sum to corpus partials regardless of batch split)."""
-    from aircan_spark.streaming import stream_moments_maintenance
+    sum to corpus partials regardless of batch split). Runs on the
+    SHARED five-maintainer stream (the cents pre-scale is applied at
+    staging time in the shared backlog, r7 verdict item #4); the
+    full-outer ADD merge is unchanged."""
+    from aircan_spark.ext.queries_w46 import _shared_sketch_states
+    from aircan_spark.streaming import read_sketch_state
 
-    state = _run_maintenance(
-        lambda sp, src, schema, **kw: stream_moments_maintenance(
-            sp, src, schema, "user_id", "cents", **kw
-        ),
-        spark,
-        sf_dir,
-        "events",
-        ["user_id", "value"],
-        pre=lambda df: df.select(
-            "user_id",
-            F.floor(F.col("value") * 100 + F.lit(0.5))
-            .cast("double")
-            .alias("cents"),
-        ),
-        pre_key="cents100",
+    state = read_sketch_state(
+        spark, _shared_sketch_states(spark, sf_dir)["moments"]
     )
     return (
         state.select(

@@ -93,3 +93,127 @@ def salted_join(
     )
     joined = l_salted.join(r_replicated, [*keys, _SALT], how)
     return joined.drop(_SALT)
+
+
+def blocked_self_pairs(
+    keyed: DataFrame,
+    block_col: str,
+    id_col: str,
+    payload_cols: tuple[str, ...] = (),
+    *,
+    target_pairs_per_task: int = 2_000_000,
+    max_splits: int = 64,
+    max_partitions: int = 2048,
+) -> DataFrame:
+    """All unordered within-block pairs (id_a < id_b), with the parallelism
+    DERIVED from the data instead of the session default — the automatic
+    version of the knob a pair-work job otherwise needs turned by hand at
+    scale (the r7 30x experiment: ext_entity_clusters OOMed at the fixed
+    32-partition default and needed a manual bump).
+
+    Two derived quantities from ONE cheap stats pass (groupBy(block) ->
+    two scalars; strictly less work than the pair join it sizes):
+
+    - ``p`` — shuffle partitions for the pair join: ceil(sum(block^2) /
+      target_pairs_per_task), never below the session default, capped at
+      ``max_partitions``. Applied only when it EXCEEDS the default, so
+      small inputs keep their exact current plan.
+    - ``s`` — triangular block split: partitioning cannot subdivide ONE
+      block's pair work (a 3000-row block is 9M pairs in a single task no
+      matter how many partitions exist), so blocks bigger than
+      sqrt(target) are hash-split into ``s`` sub-buckets and the join
+      fans each block over the s(s+1)/2 sub-bucket pairs — every
+      unordered row pair appears in EXACTLY one (bu <= bv) cell
+      (off-diagonal cells see each cross pair once; the diagonal
+      dedupes by id order), so the result is row-identical to the plain
+      self-join while the per-task working set stays ~target. Row
+      replication cost is (s+1) copies per input row — linear, bounded
+      by ``max_splits``.
+
+    With s == 1 (every block comfortably single-task) the plan IS the
+    plain two-sided equi-join — zero overhead beyond the stats pass.
+
+    Returns (id_a, id_b, <payload>_a, <payload>_b) for every payload
+    column, pairs ordered id_a < id_b. NULL block keys never pair (equi-
+    join semantics), matching the plain self-join.
+    """
+    import math
+
+    spark = keyed.sparkSession
+    stats = (
+        keyed.groupBy(block_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c")).alias("work"),
+            F.max("c").alias("max_block"),
+        )
+        .collect()[0]
+    )
+    work = int(stats["work"] or 0)
+    max_block = int(stats["max_block"] or 0)
+    default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    p = max(default_p, min(max_partitions, math.ceil(work / target_pairs_per_task)))
+    s = min(max_splits, max(1, math.ceil(max_block / math.sqrt(target_pairs_per_task))))
+
+    if s == 1:
+        a = keyed.select(
+            block_col,
+            F.col(id_col).alias("id_a"),
+            *[F.col(c).alias(f"{c}_a") for c in payload_cols],
+        )
+        b = keyed.select(
+            block_col,
+            F.col(id_col).alias("id_b"),
+            *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+        )
+        if p > default_p:
+            a = a.repartition(p, block_col)
+            b = b.repartition(p, block_col)
+        return (
+            a.join(b, block_col)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .drop(block_col)
+        )
+
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(s)).cast("int")
+    a = (
+        keyed.withColumn("__bu", bucket)
+        .withColumn("__bv", F.explode(F.sequence(F.col("__bu"), F.lit(s - 1))))
+        .select(
+            block_col,
+            "__bu",
+            "__bv",
+            F.col(id_col).alias("__xid"),
+            *[F.col(c).alias(f"__x{c}") for c in payload_cols],
+        )
+    )
+    b = (
+        keyed.withColumn("__bv", bucket)
+        .withColumn("__bu", F.explode(F.sequence(F.lit(0), F.col("__bv"))))
+        .select(
+            block_col,
+            "__bu",
+            "__bv",
+            F.col(id_col).alias("__yid"),
+            *[F.col(c).alias(f"__y{c}") for c in payload_cols],
+        )
+    )
+    if p > default_p:
+        a = a.repartition(p, block_col, "__bu", "__bv")
+        b = b.repartition(p, block_col, "__bu", "__bv")
+    j = a.join(b, [block_col, "__bu", "__bv"]).filter(
+        (F.col("__bu") < F.col("__bv")) | (F.col("__xid") < F.col("__yid"))
+    )
+    swap = F.col("__xid") < F.col("__yid")
+    out = [
+        F.when(swap, F.col("__xid")).otherwise(F.col("__yid")).alias("id_a"),
+        F.when(swap, F.col("__yid")).otherwise(F.col("__xid")).alias("id_b"),
+    ]
+    for c in payload_cols:
+        out.append(
+            F.when(swap, F.col(f"__x{c}")).otherwise(F.col(f"__y{c}")).alias(f"{c}_a")
+        )
+        out.append(
+            F.when(swap, F.col(f"__y{c}")).otherwise(F.col(f"__x{c}")).alias(f"{c}_b")
+        )
+    return j.select(*out)

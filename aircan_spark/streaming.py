@@ -461,6 +461,50 @@ def stream_state_maintenance(
     micro-batches, each committing one merge through the pointer
     machinery (how the batch-parity declared queries exercise the merge
     law end-to-end, not just on a single batch)."""
+    return stream_multi_state_maintenance(
+        spark,
+        source_dir,
+        schema,
+        [{"build_fn": build_fn, "merge_fn": merge_fn, "state_dir": state_dir}],
+        checkpoint_dir,
+        available_now=available_now,
+        source_format=source_format,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+
+def stream_multi_state_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    maintainers: list[dict],
+    checkpoint_dir: str,
+    available_now: bool = False,
+    source_format: str = "json",
+    max_files_per_trigger: int | None = None,
+):
+    """The N-state generalization of ``stream_state_maintenance``: ONE
+    file stream drives any number of independent state machines, each
+    with its own state directory, atomic pointer, and exactly-once
+    replay guard — so the fixed streaming cost (query startup + per-
+    micro-batch scheduling) is paid once instead of N times, while
+    every maintainer's merge law is still individually exercised per
+    batch (r7 verdict item #4).
+
+    Each entry of ``maintainers``: ``{"build_fn", "merge_fn",
+    "state_dir", "slice_fn"?}``. ``slice_fn(batch_df) -> DataFrame``
+    carves this maintainer's rows out of a shared backlog (e.g. a
+    source-tagged union of two tables); omitted = whole batch. An empty
+    slice skips that maintainer for the batch (nothing to merge; its
+    pointer is untouched, and replay safety is per-maintainer via the
+    batch-id guard).
+
+    Commit protocol per maintainer — identical to the single-state
+    docstring above: versioned state dirs + atomically-replaced JSON
+    pointer {run_id, batch_id, version}, run identity minted per
+    checkpoint lineage (shared across maintainers — one checkpoint, one
+    lineage), missing-state-only first-batch fallback, corrupt reads
+    propagate."""
     import json as _json
     import os as _os
     import shutil as _shutil
@@ -470,7 +514,6 @@ def stream_state_maintenance(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.format(source_format).load(source_dir)
-    pointer_path = _os.path.join(state_dir, "_current.json")
 
     # run identity: one uuid per checkpoint lineage — cleared checkpoint
     # dir => new uuid => stored batch-id guards no longer apply
@@ -484,46 +527,78 @@ def stream_state_maintenance(
         with open(run_id_path, "w") as fh:
             fh.write(run_id)
 
-    def _read_pointer() -> dict | None:
+    def _read_pointer(pointer_path: str) -> dict | None:
         if not _os.path.exists(pointer_path):
             return None
         with open(pointer_path) as fh:
             return _json.load(fh)
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        pointer = _read_pointer()
+    def _update_one(m: dict, batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        state_dir = m["state_dir"]
+        pointer_path = _os.path.join(state_dir, "_current.json")
+        pointer = _read_pointer(pointer_path)
         same_run = pointer is not None and pointer.get("run_id") == run_id
         if same_run and pointer["batch_id"] >= batch_id:
             return  # replayed batch: committed state already includes it
-        delta = build_fn(batch_df)
-        sess = batch_df.sparkSession
+        part = m.get("slice_fn", lambda df: df)(batch_df)
+        delta = m["build_fn"](part)
         if same_run:
             state_path = _os.path.join(state_dir, pointer["version"])
             # state named by a committed pointer must be readable —
             # anything else is a real error, never "start over"
             current = sess.read.parquet(state_path)
-            merged = merge_fn(current, delta)
+            merged = m["merge_fn"](current, delta)
         else:
             # no pointer (true first batch) or foreign run id (fresh
-            # checkpoint re-streams the source from scratch): (re)build
+            # checkpoint re-streams the source): (re)build. An empty
+            # slice commits an empty (schema-carrying) state — the ADD/
+            # MAX/re-take merge laws all treat it as the identity.
             merged = delta
-        # tiny frame (bounded by the sketch size): collect-and-rewrite is
-        # exact; stays tiny because the STATE doesn't grow with data
+        # tiny frame (bounded by the sketch size), written DIRECTLY to
+        # the new version dir in one job (the old collect + recreate +
+        # write round-trip was two driver-blocking jobs per update —
+        # the dominant fixed cost once N maintainers share a stream);
+        # the new dir is not the one `current` reads, so the write
+        # never races the read, and the pointer swap below is still
+        # the only commit point
         version = f"v{run_id}-{batch_id}"
-        rows = merged.collect()
-        sess.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(_os.path.join(state_dir, version))
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(state_dir, version)
+        )
         tmp = pointer_path + ".tmp"
         with open(tmp, "w") as fh:
-            _json.dump({"run_id": run_id, "batch_id": batch_id, "version": version}, fh)
+            _json.dump(
+                {"run_id": run_id, "batch_id": batch_id, "version": version}, fh
+            )
         _os.replace(tmp, pointer_path)  # the atomic commit point
         if pointer is not None:  # GC the superseded version, best-effort
             _shutil.rmtree(
                 _os.path.join(state_dir, pointer["version"]), ignore_errors=True
             )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if len(maintainers) == 1:
+            _update_one(maintainers[0], batch_df, batch_id)
+            return
+        # N independent state machines over one batch: run them
+        # CONCURRENTLY (each is a couple of tiny driver-blocking jobs —
+        # serialized they re-create exactly the per-query fixed latency
+        # the shared stream exists to remove; the scheduler interleaves
+        # concurrent tiny jobs at no cost). Each thread touches only its
+        # own state dir/pointer; a failure in any update fails the batch
+        # (foreachBatch retries, replay guards make that exactly-once).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(maintainers)) as pool:
+            futures = [
+                pool.submit(_update_one, m, batch_df, batch_id)
+                for m in maintainers
+            ]
+            for f in futures:
+                f.result()  # propagate the first failure
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -47,16 +47,16 @@ def test_stream_cms_state_ran_multiple_batches_and_conserves_mass(spark, sf_dir,
     batch_id is 1 (batch 0 initializes, batch 1 MERGES through the
     atomic pointer), and the sketch conserves mass — every CMS row's
     total count equals the non-null item count."""
-    import glob
     import json
     import os
-    import tempfile
 
-    state_dirs_before = set(glob.glob(os.path.join(tempfile.gettempdir(), "aircan_r6_sketch_state_*")))
+    from aircan_spark.ext.queries_w46 import _shared_sketch_states
+
     rows = _rows(spark, sf_dir, "ext_stream_cms_state")
-    new_dirs = set(glob.glob(os.path.join(tempfile.gettempdir(), "aircan_r6_sketch_state_*"))) - state_dirs_before
-    assert new_dirs, "maintenance must have committed a state dir"
-    (state_dir,) = sorted(new_dirs, key=os.path.getmtime)[-1:]
+    # r8: the CMS rides the SHARED five-maintainer stream — resolve its
+    # state dir through the process cache (also proves the query and the
+    # cache agree on where the committed state lives)
+    state_dir = _shared_sketch_states(spark, sf_dir)["cms"]
     with open(os.path.join(state_dir, "_current.json")) as fh:
         pointer = json.load(fh)
     # 2 one-file micro-batches, 0-indexed — exactly pins n_files=2 AND

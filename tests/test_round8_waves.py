@@ -160,3 +160,205 @@ def test_gini_plan_no_low_cardinality_window(spark, sf_dir):
 
     assert not re.search(r"windowspecdefinition\(c_mktsegment#\d+,", plan)
     assert "rangepartitioning" in plan  # rownum.py's parallel numbering
+
+
+# --- blocked_self_pairs: derived parallelism for pair work (r7 verdict #3) ---
+# Partition count alone cannot subdivide ONE block's pair work; the
+# triangular split must be row-identical to the plain self-join.
+
+
+def _plain_pairs(keyed, spark):
+    a = keyed.selectExpr("blk", "id AS id_a", "pay AS pay_a")
+    b = keyed.selectExpr("blk", "id AS id_b", "pay AS pay_b")
+    return (
+        a.join(b, "blk")
+        .filter("id_a < id_b")
+        .selectExpr("id_a", "id_b", "pay_a", "pay_b")
+    )
+
+
+def _pair_fixture(spark):
+    # three blocks: a 40-row clone-heavy block (forces s > 1 under a tiny
+    # target), a 3-row block, a singleton, plus a NULL block (never pairs)
+    rows = [(i, "B1", f"p{i}") for i in range(40)]
+    rows += [(100 + i, "B2", f"q{i}") for i in range(3)]
+    rows += [(200, "B3", "solo"), (201, None, "nullblk")]
+    return spark.createDataFrame(rows, "id bigint, blk string, pay string")
+
+
+def test_blocked_self_pairs_split_path_row_identical(spark):
+    from aircan_spark.skew import blocked_self_pairs
+
+    keyed = _pair_fixture(spark)
+    want = sorted(map(tuple, _plain_pairs(keyed, spark).collect()))
+    # target 50 pairs/task with a 40-row block (1600 work) forces s > 1
+    got_df = blocked_self_pairs(
+        keyed, "blk", "id", ("pay",), target_pairs_per_task=50
+    )
+    got = sorted(
+        map(tuple, got_df.select("id_a", "id_b", "pay_a", "pay_b").collect())
+    )
+    assert got == want
+    assert len(got) == 40 * 39 // 2 + 3  # C(40,2) + C(3,2); NULL never pairs
+
+
+def test_blocked_self_pairs_unsplit_path_is_plain_join(spark):
+    """With every block under one task's budget the plan must BE the
+    plain equi-join — no explode, no swap projection (zero overhead at
+    the driver SFs, where past hashes were recorded)."""
+    from aircan_spark.skew import blocked_self_pairs
+
+    keyed = _pair_fixture(spark)
+    df = blocked_self_pairs(keyed, "blk", "id", ("pay",))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # no explode: s == 1
+    got = sorted(
+        map(tuple, df.select("id_a", "id_b", "pay_a", "pay_b").collect())
+    )
+    want = sorted(map(tuple, _plain_pairs(keyed, spark).collect()))
+    assert got == want
+
+
+def test_blocked_self_pairs_derives_partition_count(spark):
+    """When sum(block^2) exceeds target x default partitions, the join
+    inputs must repartition to the DERIVED count (the automatic version
+    of the r7 30x manual knob)."""
+    from aircan_spark.skew import blocked_self_pairs
+
+    # one 400-row block: work=160000; target 100 -> p=1600 capped to 512
+    rows = [(i, "B", "x") for i in range(400)]
+    keyed = spark.createDataFrame(rows, "id bigint, blk string, pay string")
+    df = blocked_self_pairs(
+        keyed, "blk", "id", (), target_pairs_per_task=100, max_partitions=512
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" in plan and ", 512)" in plan
+    # and the result is still exact: C(400,2) pairs
+    assert df.count() == 400 * 399 // 2
+
+
+def test_fuzzy_self_join_split_parity_on_customers(spark, sf_dir):
+    """fuzzy_self_join must return the same (id_a,id_b,dist) set whether
+    or not the triangular split engages (forced via a tiny target)."""
+    from aircan_spark.ext import entity
+    from aircan_spark.data import load_table
+    from aircan_spark import skew
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    base = sorted(
+        map(
+            tuple,
+            entity.fuzzy_self_join(cust, "c_custkey", "c_name").select(
+                "id_a", "id_b", "dist"
+            ).collect(),
+        )
+    )
+    orig = skew.blocked_self_pairs
+
+    def forced(keyed, blk, idc, pay=(), **kw):
+        kw["target_pairs_per_task"] = 20
+        return orig(keyed, blk, idc, pay, **kw)
+
+    skew.blocked_self_pairs = forced
+    try:
+        import importlib
+        import aircan_spark.ext.entity as entity_mod
+
+        split = sorted(
+            map(
+                tuple,
+                entity_mod.fuzzy_self_join(cust, "c_custkey", "c_name")
+                .select("id_a", "id_b", "dist")
+                .collect(),
+            )
+        )
+    finally:
+        skew.blocked_self_pairs = orig
+    assert split == base and len(base) > 0
+
+
+# --- stream_multi_state_maintenance: N states, one stream (r7 verdict #4) ----
+
+
+def test_multi_state_maintenance_two_states_one_stream(spark, tmp_path):
+    """Two independent maintainers over one 2-file backlog: each commits
+    its own pointer at batch_id=1 (a REAL merge happened), final states
+    equal the corpus-wide aggregates, and a re-run over the same
+    checkpoint lineage replays nothing (exactly-once per maintainer)."""
+    import json
+    import os
+
+    from aircan_spark.streaming import (
+        read_sketch_state,
+        stream_multi_state_maintenance,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [(i, f"k{i % 3}", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, k string, v double")
+    df.repartition(2).write.mode("overwrite").parquet(src)
+
+    counts_dir = str(tmp_path / "counts")
+    max_dir = str(tmp_path / "mx")
+    ckpt = str(tmp_path / "ckpt")
+    maintainers = [
+        {
+            "state_dir": counts_dir,
+            "build_fn": lambda d: d.groupBy("k").agg(F.count(F.lit(1)).alias("n")),
+            "merge_fn": lambda c, d: c.unionByName(d)
+            .groupBy("k")
+            .agg(F.sum("n").alias("n")),
+        },
+        {
+            "state_dir": max_dir,
+            "slice_fn": lambda d: d.select("v"),
+            "build_fn": lambda d: d.agg(F.max("v").alias("mx")),
+            "merge_fn": lambda c, d: c.unionByName(d).agg(F.max("mx").alias("mx")),
+        },
+    ]
+    q = stream_multi_state_maintenance(
+        spark, src, df.schema, maintainers, ckpt,
+        available_now=True, source_format="parquet", max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    for d in (counts_dir, max_dir):
+        with open(os.path.join(d, "_current.json")) as fh:
+            assert json.load(fh)["batch_id"] == 1  # two real micro-batches
+    got_counts = {
+        r["k"]: r["n"] for r in read_sketch_state(spark, counts_dir).collect()
+    }
+    assert got_counts == {"k0": 34, "k1": 33, "k2": 33}
+    assert read_sketch_state(spark, max_dir).collect()[0]["mx"] == 99.0
+
+    # replay: same checkpoint => availableNow finds nothing new; and the
+    # pointers are untouched (exactly-once held per maintainer)
+    before = {
+        d: open(os.path.join(d, "_current.json")).read()
+        for d in (counts_dir, max_dir)
+    }
+    q2 = stream_multi_state_maintenance(
+        spark, src, df.schema, maintainers, ckpt,
+        available_now=True, source_format="parquet", max_files_per_trigger=1,
+    )
+    q2.awaitTermination(120)
+    for d in (counts_dir, max_dir):
+        assert open(os.path.join(d, "_current.json")).read() == before[d]
+        assert read_sketch_state(spark, d).count() > 0
+
+
+def test_shared_sketch_states_five_pointers_and_cache(spark, sf_dir):
+    """The shared five-maintainer run commits all five states at
+    batch_id=1 and the process cache returns the same dirs on a second
+    call without re-streaming."""
+    import json
+    import os
+
+    from aircan_spark.ext.queries_w46 import _shared_sketch_states
+
+    dirs = _shared_sketch_states(spark, sf_dir)
+    assert set(dirs) == {"cms", "hll", "bottomk", "kmv", "moments"}
+    for d in dirs.values():
+        with open(os.path.join(d, "_current.json")) as fh:
+            assert json.load(fh)["batch_id"] == 1
+    assert _shared_sketch_states(spark, sf_dir) == dirs  # cache hit
