@@ -19,9 +19,10 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
-# set once checkpoint(big=True) mints a local-mode temp checkpoint dir —
-# distinguishes our minted dir from an externally configured cluster dir
-_MINTED_CKPT_DIR = False
+# the temp checkpoint dir checkpoint(big=True) minted in local mode, if
+# any — distinguishes our own dir from an externally configured cluster
+# dir (an external setCheckpointDir always wins, even after minting)
+_MINTED_CKPT_PATH: str | None = None
 
 
 def checkpoint(df: DataFrame, big: bool = False) -> DataFrame:
@@ -49,13 +50,20 @@ def checkpoint(df: DataFrame, big: bool = False) -> DataFrame:
     lifetime temp checkpoint dir when none is configured): serialized on
     disk, read with bounded memory, lineage truncated — the same
     mechanics a cluster gets from its configured HDFS dir."""
-    global _MINTED_CKPT_DIR
+    global _MINTED_CKPT_PATH
     sc = df.sparkSession.sparkContext
-    if sc._jsc.sc().getCheckpointDir().isDefined() and not _MINTED_CKPT_DIR:
+    cur = sc._jsc.sc().getCheckpointDir()
+    cur_dir = cur.get() if cur.isDefined() else None
+    minted_now = (
+        _MINTED_CKPT_PATH is not None
+        and cur_dir is not None
+        and _MINTED_CKPT_PATH in cur_dir
+    )
+    if cur_dir is not None and not minted_now:
         # externally configured (cluster HDFS dir): everything reliable
         return df.checkpoint(eager=True)
     if big:
-        if not _MINTED_CKPT_DIR:
+        if not minted_now:
             import atexit
             import shutil
             import tempfile
@@ -63,7 +71,7 @@ def checkpoint(df: DataFrame, big: bool = False) -> DataFrame:
             ckpt_dir = tempfile.mkdtemp(prefix="aircan_big_ckpt_")
             atexit.register(shutil.rmtree, ckpt_dir, ignore_errors=True)
             sc.setCheckpointDir(ckpt_dir)
-            _MINTED_CKPT_DIR = True
+            _MINTED_CKPT_PATH = ckpt_dir
         from pyspark import StorageLevel
 
         # classic cache-before-checkpoint: the eager count populates the

@@ -543,17 +543,59 @@ def test_multimodal_jpeg_codec_roundtrip():
     # lossy quant table still decodes
     q = np.full(64, 16)
     assert multimodal.decode_jpeg(multimodal.encode_jpeg(img, quant=q)) is not None
-    # refusals: None, no-scan, truncations, progressive SOF2
+    # refusals: None, no-scan, truncations, malformed SOF2
     assert multimodal.decode_jpeg(None) is None
     assert multimodal.decode_jpeg(b"\xff\xd8\xff\xd9") is None
     full = multimodal.encode_jpeg(img)
     for cut in (60, 100, 200, len(full) - 4):
         multimodal.decode_jpeg(full[:cut])  # None or decoded-prefix, never raises
+    # a baseline interleaved Ss=0..63 scan inside an SOF2 frame is NOT a
+    # valid progressive scan (r8: SOF2 itself now decodes; this file is
+    # still malformed and must refuse cleanly)
     prog = bytearray(full)
     prog[bytes(full).find(b"\xff\xc0") + 1] = 0xC2
     assert multimodal.decode_jpeg(bytes(prog)) is None
     # routed through the generic entry point
     assert multimodal.decode_pixels(full).shape == (24, 40, 3)
+
+
+def test_multimodal_progressive_jpeg_identical_to_baseline():
+    """Progressive (SOF2) decode — the r7 verdict's stretch seam, now
+    real: progressive is a pure TRANSMISSION REORDER of the same
+    quantized coefficients (successive approximation on DC and AC, EOB
+    runs, correction-bit refinement scans per T.81 Annex G), so
+    decode(progressive bytes) must equal decode(baseline bytes)
+    BYTE-IDENTICALLY for the same image and quant table — gray and RGB,
+    4:4:4 and 4:2:0, odd dims, lossy quant."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    cases = [
+        ((16, 16, 3), {}),
+        ((19, 23, 3), {}),
+        ((19, 23, 3), {"subsample": True}),
+        ((10, 11), {}),
+        ((33, 17, 3), {"subsample": True}),
+        ((5, 5, 3), {}),
+    ]
+    for shape, kw in cases:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        q = np.ones(64, dtype="int64")
+        q[1:] = rng.integers(1, 9, 63)
+        base = multimodal.decode_jpeg(multimodal.encode_jpeg(img, quant=q, **kw))
+        blob = multimodal.encode_jpeg_progressive(img, quant=q, **kw)
+        assert b"\xff\xc2" in blob  # really SOF2
+        assert blob.count(b"\xff\xda") >= 6  # really multi-scan
+        prog = multimodal.decode_jpeg(blob)
+        assert prog is not None, (shape, kw)
+        assert np.array_equal(base, prog), (shape, kw)
+    # routed through the generic entry point (the pipeline seam)
+    img = rng.integers(0, 256, (24, 16, 3)).astype(np.uint8)
+    blob = multimodal.encode_jpeg_progressive(img)
+    assert multimodal.decode_pixels(blob).shape == (24, 16, 3)
+    # truncated progressive: None or a decoded prefix, never a raise
+    for cut in (80, 200, len(blob) // 2, len(blob) - 4):
+        multimodal.decode_jpeg(blob[:cut])
 
 
 def test_multimodal_audio_codecs_roundtrip():
