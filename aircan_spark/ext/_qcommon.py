@@ -67,6 +67,31 @@ import threading as _threading
 _T_DELEGATING = _threading.local()
 
 
+def capped_panel_modulus(n_rows: int, base: int, cap: int) -> int:
+    """Cap-adaptive panel thinning for the brute-scored kNN queries.
+
+    A fixed-modulus panel (``vec_id % base == off``) keeps a constant
+    FRACTION of the corpus, so any panel x panel (or panel x corpus)
+    brute scorer built on it is quadratic in corpus size — measured:
+    ext_modularity hit 49.5x wall at 10x data (SCALE_CURVE_GRAPH_r08)
+    because its "panel" was simply half the corpus. Scaling the modulus
+    with the corpus bounds the panel instead:
+
+        P = base * max(1, ceil(n_rows / (base * cap)))
+
+    keeps the historical ``base`` modulus while the panel fits in
+    ``cap`` rows (true at every committed fixture SF, so driver/sweep
+    outputs stay bit-identical) and grows P proportionally beyond, so
+    the panel never exceeds ~cap rows at ANY corpus size — the same
+    LEAST(cap, data-derived) calibration pattern the co-occurrence
+    graph thresholds use. Oracles derive the identical P in SQL from
+    the same COUNT(*) (CEIL over a float literal divisor).
+    """
+    import math
+
+    return base * max(1, math.ceil(n_rows / (base * cap)))
+
+
 
 class _Registry(dict):
     """Insertion-ordered registry that REFUSES duplicate keys.

@@ -384,10 +384,14 @@ def ext_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     worth more than at rank 10), which recall@k cannot see. IDCG is the
     all-relevant ideal (every label has >10 corpus members).
 
-    Scale shape: reuses the broadcast brute-force scorer (queries tiny,
-    corpus streams); the gain math runs on the O(queries*k) hit list."""
+    Scale shape: reuses the broadcast brute-force scorer (query panel
+    CAP-ADAPTIVE at ~40 rows — a fixed %50 fraction would grow the
+    panel with the corpus and make queries x corpus quadratic; modulus
+    50 at every committed fixture SF, outputs bit-identical there);
+    the gain math runs on the O(queries*k) hit list."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    p = capped_panel_modulus(emb.count(), base=50, cap=40)
+    queries = emb.filter(F.col("vec_id") % p == 0)
     hits = similarity.brute_topk(emb, queries, k=10)
     lab = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel"))
     qlab = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
@@ -418,7 +422,8 @@ def ext_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXT_NDCG_SQL = r"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+p AS (SELECT 50 * GREATEST(1, CAST(CEIL(COUNT(*) / 2000.0) AS BIGINT)) AS p FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % (SELECT p FROM p) = 0),
 scored AS (
   SELECT q.vec_id AS query_id, q.label AS qlabel, c.vec_id AS neighbor_id,
          c.label AS nlabel,
@@ -540,10 +545,14 @@ def ext_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard probe for 'are these embeddings good enough to separate
     the classes'.
 
-    Scale shape: reuses the broadcast brute scorer on a hash-thinned
-    query panel; voting and accuracy run on O(queries*k) rows."""
+    Scale shape: reuses the broadcast brute scorer on a CAP-ADAPTIVE
+    thinned query panel (~20 rows at any corpus size — a fixed %100
+    fraction would grow queries x corpus quadratically; modulus 100 at
+    every committed fixture SF, outputs bit-identical there); voting
+    and accuracy run on O(queries*k) rows."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 100 == 1)
+    p = capped_panel_modulus(emb.count(), base=100, cap=20)
+    queries = emb.filter(F.col("vec_id") % p == 1)
     hits = similarity.brute_topk(emb, queries, k=5)
     lab = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
@@ -575,7 +584,8 @@ def ext_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXT_KNN_CLASSIFY_SQL = r"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-q AS (SELECT * FROM e WHERE vec_id % 100 = 1),
+p AS (SELECT 100 * GREATEST(1, CAST(CEIL(COUNT(*) / 2000.0) AS BIGINT)) AS p FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % (SELECT p FROM p) = 1),
 scored AS (
   SELECT q.vec_id AS query_id, q.label AS tlabel, c.vec_id AS neighbor_id,
          c.label AS nlabel,
@@ -1535,13 +1545,19 @@ def ext_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise w.r.t. geometry). Q = sum_c (e_c/m - (d_c/(2m))^2) over
     undirected distinct edges.
 
-    Scale shape: vertices are a deterministic hash-thinned panel (the
-    structure metric is stable under vertex sampling); the k-NN edge
-    list comes from the broadcast brute scorer here (oracle-exact) — at
-    corpus scale swap in the IVF/LSH candidate paths (X7/X8) — and the
-    modularity math downstream is one O(edges) tag + two O(labels)
-    aggregates either way."""
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
+    Scale shape: vertices are a deterministic CAP-ADAPTIVE thinned
+    panel (the structure metric is stable under vertex sampling): the
+    thinning modulus derives from the corpus count so the panel stays
+    ~1000 vertices at any corpus size (capped_panel_modulus — modulus 2
+    at every committed fixture SF, outputs bit-identical there), which
+    bounds the brute 5-NN at ~1000^2 scored pairs instead of growing
+    quadratically with the corpus (the 49.5x-at-10x trap
+    SCALE_CURVE_GRAPH_r08 measured); at corpus scale swap in the
+    IVF/LSH candidate paths (X7/X8). The modularity math downstream is
+    one O(edges) tag + two O(labels) aggregates either way."""
+    emb_all = _t(spark, sf_dir, "embeddings")
+    p = capped_panel_modulus(emb_all.count(), base=2, cap=1000)
+    emb = emb_all.filter(F.col("vec_id") % p == 0)
     hits = similarity.brute_topk(emb, emb, k=5)
     edges = (
         hits.select(
@@ -1591,9 +1607,13 @@ def ext_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_MODULARITY_SQL = r"""
-WITH e AS (
+WITH p AS (
+  SELECT 2 * GREATEST(1, CAST(CEIL(COUNT(*) / 2000.0) AS BIGINT)) AS p
+  FROM embeddings
+),
+e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-  FROM embeddings WHERE vec_id % 2 = 0
+  FROM embeddings WHERE vec_id % (SELECT p FROM p) = 0
 ),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -1735,10 +1735,15 @@ def ext_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree sums; both endpoint orientations counted (the standard
     undirected estimator).
 
-    Scale shape: edges from the thinned brute scorer (ANN candidates at
-    corpus scale); degrees are one O(nodes) collapse broadcast back;
-    the correlation is one O(edges) aggregate."""
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
+    Scale shape: edges from a CAP-ADAPTIVE thinned vertex panel (~1000
+    vertices at any corpus size via capped_panel_modulus — a fixed %2
+    panel is half the corpus, quadratic under the brute scorer; modulus
+    2 at every committed fixture SF, outputs bit-identical there; ANN
+    candidates at corpus scale); degrees are one O(nodes) collapse
+    broadcast back; the correlation is one O(edges) aggregate."""
+    emb_all = _t(spark, sf_dir, "embeddings")
+    p = capped_panel_modulus(emb_all.count(), base=2, cap=1000)
+    emb = emb_all.filter(F.col("vec_id") % p == 0)
     hits = similarity.brute_topk(emb, emb, k=5)
     edges = (
         hits.select(
@@ -1787,9 +1792,13 @@ def ext_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_ASSORTATIVITY_SQL = r"""
-WITH e AS (
+WITH p AS (
+  SELECT 2 * GREATEST(1, CAST(CEIL(COUNT(*) / 2000.0) AS BIGINT)) AS p
+  FROM embeddings
+),
+e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-  FROM embeddings WHERE vec_id % 2 = 0
+  FROM embeddings WHERE vec_id % (SELECT p FROM p) = 0
 ),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -362,3 +362,67 @@ def test_shared_sketch_states_five_pointers_and_cache(spark, sf_dir):
         with open(os.path.join(d, "_current.json")) as fh:
             assert json.load(fh)["batch_id"] == 1
     assert _shared_sketch_states(spark, sf_dir) == dirs  # cache hit
+
+
+# --- cap-adaptive panel modulus (the 49.5x-at-10x modularity fix) -------------
+# SCALE_CURVE_GRAPH_r08 measured ext_modularity at 49.5x wall for 10x
+# data: its "hash-thinned panel" was a fixed %2 fraction — half the
+# corpus — so the brute 5-NN grew quadratically. capped_panel_modulus
+# derives the thinning modulus from the corpus count (the same
+# LEAST(cap, data-derived) calibration pattern as the co-occurrence
+# graph thresholds): base modulus at every committed fixture SF
+# (outputs bit-identical there), proportional growth beyond so the
+# panel never exceeds ~cap rows. Four queries ride it: ext_modularity /
+# ext_assortativity (base=2, cap=1000), ext_ndcg (50, 40),
+# ext_knn_classify (100, 20) — all base*cap = 2000, which is the float
+# divisor their oracle SQL uses.
+
+
+def test_capped_panel_modulus_base_at_every_fixture_sf():
+    """P must equal the historical base modulus for every committed
+    fixture corpus size (embeddings: 20 / 200 / 2000 rows), so all past
+    driver hashes and sweep values stay bit-identical."""
+    from aircan_spark.ext._qcommon import capped_panel_modulus
+
+    for n in (20, 200, 2000):
+        assert capped_panel_modulus(n, base=2, cap=1000) == 2
+        assert capped_panel_modulus(n, base=50, cap=40) == 50
+        assert capped_panel_modulus(n, base=100, cap=20) == 100
+
+
+def test_capped_panel_modulus_bounds_panel_and_is_monotone():
+    """For any corpus size the implied panel (n // P, +1 for the id-0
+    row) stays within cap, and P is monotone non-decreasing in n —
+    a bigger corpus can never get a FINER panel."""
+    from aircan_spark.ext._qcommon import capped_panel_modulus
+
+    for base, cap in ((2, 1000), (50, 40), (100, 20)):
+        prev = 0
+        for n in (1, base, 2000, 2001, 20_000, 60_000, 1_000_000, 10**8):
+            p = capped_panel_modulus(n, base=base, cap=cap)
+            assert p % base == 0
+            assert n // p <= cap + 1
+            assert p >= prev
+            prev = p
+
+
+def test_capped_panel_modulus_matches_oracle_sql_derivation():
+    """The oracle SQL derives P as
+    base * GREATEST(1, CAST(CEIL(COUNT(*) / 2000.0) AS BIGINT)); the
+    Spark side computes base * max(1, ceil(n / (base*cap))). The two
+    must agree for every n, else the panel (and the whole query result)
+    silently diverges the first time a corpus crosses the cap."""
+    import duckdb
+
+    from aircan_spark.ext._qcommon import capped_panel_modulus
+
+    con = duckdb.connect()
+    for base, cap in ((2, 1000), (50, 40), (100, 20)):
+        assert base * cap == 2000  # the SQL float-divisor contract
+        for n in (1, 20, 200, 1999, 2000, 2001, 4000, 20_000, 60_000, 123_457):
+            sql_p = con.sql(
+                f"SELECT {base} * GREATEST(1, CAST(CEIL({n} / 2000.0) AS BIGINT))"
+            ).fetchone()[0]
+            assert sql_p == capped_panel_modulus(n, base=base, cap=cap), (
+                base, cap, n,
+            )
