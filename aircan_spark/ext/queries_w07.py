@@ -249,10 +249,15 @@ def ext_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall expectations, and whether dimension reduction is safe).
     Zero-distance duplicates are excluded (their ratio is undefined).
 
-    Scale shape: exact 2-NN on a hash-thinned panel via the broadcast
-    pair scan (swap in ANN candidates at corpus scale); the MLE is one
-    O(panel) aggregate."""
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    Scale shape: exact 2-NN on a CAP-ADAPTIVE thinned panel (~500 rows
+    at any corpus size via capped_panel_modulus — a fixed %4 fraction
+    would make the broadcast pair scan quadratic; modulus 4 at every
+    committed fixture SF, outputs bit-identical there) via the
+    broadcast pair scan (swap in ANN candidates at corpus scale); the
+    MLE is one O(panel) aggregate."""
+    emb_all = _t(spark, sf_dir, "embeddings")
+    p = capped_panel_modulus(emb_all.count(), base=4, cap=500)
+    emb = emb_all.filter(F.col("vec_id") % p == 0)
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     pairs = (
         F.broadcast(e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
@@ -281,18 +286,30 @@ def ext_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("r1") > 0)
     )
+    # try_divide: a duplicate-heavy corpus can make EVERY point's two
+    # nearest nonzero neighbors equidistant (copies of one vector), so
+    # sum(log(r2/r1)) == 0 — the estimator is undefined there (NULL),
+    # not a crash (ANSI divide-by-zero; found by the 10x verbatim-
+    # replica scale run). The oracle mirrors via NULLIF.
     return nn2.agg(
         F.count(F.lit(1)).alias("n_points"),
         F.round(
-            F.count(F.lit(1)) / F.sum(F.log(F.col("r2") / F.col("r1"))), 4
+            F.try_divide(
+                F.count(F.lit(1)), F.sum(F.log(F.col("r2") / F.col("r1")))
+            ),
+            4,
         ).alias("intrinsic_dim"),
     )
 
 
 EXT_INTRINSIC_DIM_SQL = r"""
-WITH e AS (
+WITH p AS (
+  SELECT 4 * GREATEST(1, CAST(CEIL(COUNT(*) / 2000.0) AS BIGINT)) AS p
+  FROM embeddings
+),
+e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-  FROM embeddings WHERE vec_id % 4 = 0
+  FROM embeddings WHERE vec_id % (SELECT p FROM p) = 0
 ),
 scored AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid,
@@ -310,7 +327,7 @@ nn2 AS (
   ) WHERE rn <= 2 GROUP BY 1
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
-       ROUND(COUNT(*) / SUM(LN(r2 / r1)), 4) AS intrinsic_dim
+       ROUND(COUNT(*) / NULLIF(SUM(LN(r2 / r1)), 0), 4) AS intrinsic_dim
 FROM nn2 WHERE r1 > 0
 """
 
@@ -2505,10 +2522,16 @@ def ext_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     (X190) and the Mahalanobis fence (X285) miss by construction.
     Top-20 by LOF.
 
-    Scale shape: exact k-NN from the broadcast pair scan on the panel
-    (ANN candidates at corpus scale); k-dist/lrd/LOF are three O(n*k)
-    regroupings — no step touches more than the neighbor lists."""
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    Scale shape: exact k-NN from the broadcast pair scan on a
+    CAP-ADAPTIVE thinned panel (~500 rows at any corpus size via
+    capped_panel_modulus — a fixed %4 fraction would make the pair scan
+    quadratic; modulus 4 at every committed fixture SF, outputs
+    bit-identical there; ANN candidates at corpus scale); k-dist/lrd/
+    LOF are three O(n*k) regroupings — no step touches more than the
+    neighbor lists."""
+    emb_all = _t(spark, sf_dir, "embeddings")
+    p = capped_panel_modulus(emb_all.count(), base=4, cap=500)
+    emb = emb_all.filter(F.col("vec_id") % p == 0)
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     pairs = (
         F.broadcast(e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
@@ -2536,7 +2559,14 @@ def ext_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach = nn.join(
         kdist.select(F.col("qid").alias("cid"), F.col("kd").alias("kd_o")), "cid"
     ).select("qid", "cid", F.greatest("d", "kd_o").alias("rd"))
-    lrd = reach.groupBy("qid").agg((1.0 / F.avg("rd")).alias("lrd"))
+    # try_divide: a duplicate-heavy corpus makes a point's whole 5-NN
+    # exact copies (reach-dist 0), so avg(rd) == 0 and the local
+    # reachability density is the classic LOF duplicate degeneracy —
+    # undefined (NULL) here, not an ANSI divide-by-zero crash (found by
+    # the 10x verbatim-replica scale run). Oracle mirrors via NULLIF.
+    lrd = reach.groupBy("qid").agg(
+        F.try_divide(F.lit(1.0), F.avg("rd")).alias("lrd")
+    )
     lof = (
         nn.join(lrd.select(F.col("qid").alias("cid"), F.col("lrd").alias("lrd_o")), "cid")
         .groupBy("qid")
@@ -2552,9 +2582,13 @@ def ext_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_LOF_SQL = r"""
-WITH e AS (
+WITH p AS (
+  SELECT 4 * GREATEST(1, CAST(CEIL(COUNT(*) / 2000.0) AS BIGINT)) AS p
+  FROM embeddings
+),
+e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-  FROM embeddings WHERE vec_id % 4 = 0
+  FROM embeddings WHERE vec_id % (SELECT p FROM p) = 0
 ),
 scored AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid,
@@ -2572,7 +2606,7 @@ reach AS (
   SELECT n.qid, n.cid, GREATEST(n.d, ko.kd) AS rd
   FROM nn n JOIN kdist ko ON ko.qid = n.cid
 ),
-lrd AS (SELECT qid, 1.0 / AVG(rd) AS lrd FROM reach GROUP BY 1),
+lrd AS (SELECT qid, 1.0 / NULLIF(AVG(rd), 0) AS lrd FROM reach GROUP BY 1),
 lof AS (
   SELECT n.qid, AVG(lo.lrd) / MAX(ls.lrd) AS lof
   FROM nn n

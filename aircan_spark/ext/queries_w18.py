@@ -32,12 +32,17 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     (whole-stage codegen, no Python), rounded to 6 decimals before the
     (cosine desc, vec_id asc) top-1 so ranking is engine-stable.
 
-    Scale shape: broadcast-anchors x corpus scan — linear in the corpus;
-    for unbounded anchor sets swap in the X7/X8 LSH/IVF machinery."""
+    Scale shape: broadcast-anchors x corpus scan — linear in the corpus
+    because the anchor panel is CAP-ADAPTIVE (~40 anchors at any corpus
+    size via capped_panel_modulus; a fixed %50 fraction would grow
+    anchors with the corpus and make the scan quadratic; modulus 50 at
+    every committed fixture SF, outputs bit-identical there); for
+    unbounded anchor sets swap in the X7/X8 LSH/IVF machinery."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
-    anchors = emb.filter(F.expr("vec_id % 50 = 0")).select(
+    p = capped_panel_modulus(emb.count(), base=50, cap=40)
+    anchors = emb.filter(F.expr(f"vec_id % {p} = 0")).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
         F.col("v").alias("av"),
@@ -77,9 +82,13 @@ EXT_HARD_NEGATIVES_SQL = r"""
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
+p AS (
+  SELECT 50 * GREATEST(1, CAST(CEIL(COUNT(*) / 2000.0) AS BIGINT)) AS p
+  FROM embeddings
+),
 a AS (
   SELECT vec_id AS anchor_id, label AS anchor_label, v AS av
-  FROM e WHERE vec_id % 50 = 0
+  FROM e WHERE vec_id % (SELECT p FROM p) = 0
 ),
 scored AS (
   SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,

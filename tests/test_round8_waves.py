@@ -374,7 +374,8 @@ def test_shared_sketch_states_five_pointers_and_cache(spark, sf_dir):
 # (outputs bit-identical there), proportional growth beyond so the
 # panel never exceeds ~cap rows. Four queries ride it: ext_modularity /
 # ext_assortativity (base=2, cap=1000), ext_ndcg (50, 40),
-# ext_knn_classify (100, 20) — all base*cap = 2000, which is the float
+# ext_knn_classify (100, 20), ext_intrinsic_dim / ext_lof (4, 500),
+# ext_hard_negatives (50, 40) — all base*cap = 2000, which is the float
 # divisor their oracle SQL uses.
 
 
@@ -386,6 +387,7 @@ def test_capped_panel_modulus_base_at_every_fixture_sf():
 
     for n in (20, 200, 2000):
         assert capped_panel_modulus(n, base=2, cap=1000) == 2
+        assert capped_panel_modulus(n, base=4, cap=500) == 4
         assert capped_panel_modulus(n, base=50, cap=40) == 50
         assert capped_panel_modulus(n, base=100, cap=20) == 100
 
@@ -396,7 +398,7 @@ def test_capped_panel_modulus_bounds_panel_and_is_monotone():
     a bigger corpus can never get a FINER panel."""
     from aircan_spark.ext._qcommon import capped_panel_modulus
 
-    for base, cap in ((2, 1000), (50, 40), (100, 20)):
+    for base, cap in ((2, 1000), (4, 500), (50, 40), (100, 20)):
         prev = 0
         for n in (1, base, 2000, 2001, 20_000, 60_000, 1_000_000, 10**8):
             p = capped_panel_modulus(n, base=base, cap=cap)
@@ -417,7 +419,7 @@ def test_capped_panel_modulus_matches_oracle_sql_derivation():
     from aircan_spark.ext._qcommon import capped_panel_modulus
 
     con = duckdb.connect()
-    for base, cap in ((2, 1000), (50, 40), (100, 20)):
+    for base, cap in ((2, 1000), (4, 500), (50, 40), (100, 20)):
         assert base * cap == 2000  # the SQL float-divisor contract
         for n in (1, 20, 200, 1999, 2000, 2001, 4000, 20_000, 60_000, 123_457):
             sql_p = con.sql(
