@@ -418,7 +418,11 @@ def ext_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     memoryless/Poisson traffic; CV >> 1 means bursts; CV << 1 means
     schedules), which sizes streaming-state watermarks and session-gap
     thresholds. Gaps are exact integer seconds from epoch-micros LAG
-    per user; mean/CV come from the three integer moment sums.
+    per user; mean/CV come from the three integer moment sums, with
+    n*s2 - s1*s1 EXACT in DECIMAL(38) (the ext_bullwhip pattern) —
+    plain BIGINT s1*s1 overflows ANSI at ~10x the sf0.1 gap volume
+    (caught by the 10x full-registry scale smoke), converted to double
+    only for the final O(1)-magnitude CV.
 
     Scale shape: one per-user window (high-cardinality key), one hash
     agg to O(event types)."""
@@ -438,7 +442,9 @@ def ext_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("g").alias("s1"),
-        F.sum(F.expr("g*g")).alias("s2"),
+        F.sum(F.expr("CAST(g AS DECIMAL(19,0))*CAST(g AS DECIMAL(19,0))"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
     )
     return (
         m.select(
@@ -446,7 +452,8 @@ def ext_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_gaps"),
             F.expr("ROUND(CAST(s1 AS DOUBLE)/n, 6)").alias("mean_gap_s"),
             F.expr(
-                "ROUND(SQRT(CAST(n*s2 - s1*s1 AS DOUBLE))/s1, 6)"
+                "ROUND(SQRT(CAST(n*s2 - CAST(s1 AS DECIMAL(19,0))*s1"
+                " AS DOUBLE))/s1, 6)"
             ).alias("cv"),
         )
         .orderBy("event_type")
@@ -461,12 +468,13 @@ WITH gaps AS (
 ),
 m AS (
   SELECT event_type, COUNT(*) AS n,
-         CAST(SUM(g) AS BIGINT) AS s1, CAST(SUM(g*g) AS BIGINT) AS s2
+         CAST(SUM(g) AS BIGINT) AS s1,
+         CAST(SUM(CAST(g AS DECIMAL(19,0))*CAST(g AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2
   FROM gaps WHERE g IS NOT NULL GROUP BY event_type
 )
 SELECT event_type, n AS n_gaps,
        ROUND(CAST(s1 AS DOUBLE)/n, 6) AS mean_gap_s,
-       ROUND(SQRT(CAST(n*s2 - s1*s1 AS DOUBLE))/s1, 6) AS cv
+       ROUND(SQRT(CAST(n*s2 - CAST(s1 AS DECIMAL(19,0))*s1 AS DOUBLE))/s1, 6) AS cv
 FROM m ORDER BY event_type
 """
 
