@@ -238,9 +238,14 @@ def ext_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per return-flag class — the confounder-adjusted association check
     (raw r_xy can be an artifact of both sides tracking z). All ten
     pairwise moments are exact BIGINT sums from ONE hash aggregate
-    (values <= 50/10/8 so every product is overflow-safe to sf1000);
-    the three Pearson r's and the partial r are row-local double
-    arithmetic with identical expression trees both engines.
+    (values <= 50/10/8, so per-row products AND the sums are int64-safe
+    to sf1e5); the final n*sxx - sx*sx combinations run in DECIMAL(38)
+    (HUGEINT in the oracle) because raw int64 overflows there once a
+    return-flag class passes ~6e7 rows (~sf30 — sx <= 50n, so sx*sx hits
+    2^63 long before the sums do; the ext_bullwhip pattern, same exact
+    integers, same double conversion). The three Pearson r's and the
+    partial r stay row-local double arithmetic with identical
+    expression trees both engines.
 
     Scale shape: single map-side-combinable agg; output O(groups)."""
     li = _t(spark, sf_dir, "lineitem").select(
@@ -265,16 +270,19 @@ def ext_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "n",
         F.expr(
-            "CAST(n*sxy - sx*sy AS DOUBLE)"
-            "/SQRT(CAST(n*sxx - sx*sx AS DOUBLE)*CAST(n*syy - sy*sy AS DOUBLE))"
+            "CAST(CAST(n AS DECIMAL(19,0))*sxy - CAST(sx AS DECIMAL(19,0))*sy AS DOUBLE)"
+            "/SQRT(CAST(CAST(n AS DECIMAL(19,0))*sxx - CAST(sx AS DECIMAL(19,0))*sx AS DOUBLE)"
+            "*CAST(CAST(n AS DECIMAL(19,0))*syy - CAST(sy AS DECIMAL(19,0))*sy AS DOUBLE))"
         ).alias("rxy"),
         F.expr(
-            "CAST(n*sxz - sx*sz AS DOUBLE)"
-            "/SQRT(CAST(n*sxx - sx*sx AS DOUBLE)*CAST(n*szz - sz*sz AS DOUBLE))"
+            "CAST(CAST(n AS DECIMAL(19,0))*sxz - CAST(sx AS DECIMAL(19,0))*sz AS DOUBLE)"
+            "/SQRT(CAST(CAST(n AS DECIMAL(19,0))*sxx - CAST(sx AS DECIMAL(19,0))*sx AS DOUBLE)"
+            "*CAST(CAST(n AS DECIMAL(19,0))*szz - CAST(sz AS DECIMAL(19,0))*sz AS DOUBLE))"
         ).alias("rxz"),
         F.expr(
-            "CAST(n*syz - sy*sz AS DOUBLE)"
-            "/SQRT(CAST(n*syy - sy*sy AS DOUBLE)*CAST(n*szz - sz*sz AS DOUBLE))"
+            "CAST(CAST(n AS DECIMAL(19,0))*syz - CAST(sy AS DECIMAL(19,0))*sz AS DOUBLE)"
+            "/SQRT(CAST(CAST(n AS DECIMAL(19,0))*syy - CAST(sy AS DECIMAL(19,0))*sy AS DOUBLE)"
+            "*CAST(CAST(n AS DECIMAL(19,0))*szz - CAST(sz AS DECIMAL(19,0))*sz AS DOUBLE))"
         ).alias("ryz"),
     )
     return (
@@ -312,9 +320,9 @@ m AS (
 ),
 r AS (
   SELECT l_returnflag, n,
-         CAST(n*sxy - sx*sy AS DOUBLE)/SQRT(CAST(n*sxx - sx*sx AS DOUBLE)*CAST(n*syy - sy*sy AS DOUBLE)) AS rxy,
-         CAST(n*sxz - sx*sz AS DOUBLE)/SQRT(CAST(n*sxx - sx*sx AS DOUBLE)*CAST(n*szz - sz*sz AS DOUBLE)) AS rxz,
-         CAST(n*syz - sy*sz AS DOUBLE)/SQRT(CAST(n*syy - sy*sy AS DOUBLE)*CAST(n*szz - sz*sz AS DOUBLE)) AS ryz
+         CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)/SQRT(CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE)*CAST(CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy AS DOUBLE)) AS rxy,
+         CAST(CAST(n AS HUGEINT)*sxz - CAST(sx AS HUGEINT)*sz AS DOUBLE)/SQRT(CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE)*CAST(CAST(n AS HUGEINT)*szz - CAST(sz AS HUGEINT)*sz AS DOUBLE)) AS rxz,
+         CAST(CAST(n AS HUGEINT)*syz - CAST(sy AS HUGEINT)*sz AS DOUBLE)/SQRT(CAST(CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy AS DOUBLE)*CAST(CAST(n AS HUGEINT)*szz - CAST(sz AS HUGEINT)*sz AS DOUBLE)) AS ryz
   FROM m
 )
 SELECT l_returnflag, n,

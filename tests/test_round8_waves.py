@@ -428,3 +428,37 @@ def test_capped_panel_modulus_matches_oracle_sql_derivation():
             assert sql_p == capped_panel_modulus(n, base=base, cap=cap), (
                 base, cap, n,
             )
+
+
+def test_partial_correlation_moment_combine_survives_sf1000_magnitudes(spark):
+    """The final n*sxx - sx*sx combinations must run in DECIMAL, not raw
+    int64: with quantity <= 50, sx*sx crosses 2^63 once a return-flag
+    class passes ~6e7 rows (~sf30) — far below the 100 TB design point.
+    Feed the expression a moment row at sf1000-like magnitudes
+    (n = 2e9 rows, all-constant x=50 y=5 z=4 so every r is exactly
+    NULL-variance 0/0 -> NaN is avoided by making y vary) and assert it
+    produces the exact correlation a reference computation gives."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    n = 2_000_000_000
+    # x alternates 40/60 (mean 50), y alternates 4/6 (mean 5), perfectly
+    # correlated -> r_xy == 1.0 exactly; closed-form exact moments:
+    sx = 50 * n
+    sy = 5 * n
+    sxx = (40 * 40 + 60 * 60) * (n // 2)
+    syy = (4 * 4 + 6 * 6) * (n // 2)
+    sxy = (40 * 4 + 60 * 6) * (n // 2)
+    assert sx * sx > 2**63  # the raw-int64 trap this test pins
+    row = spark.createDataFrame(
+        [(n, sx, sy, sxx, syy, sxy)], "n long, sx long, sy long, sxx long, syy long, sxy long"
+    )
+    got = row.select(
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(19,0))*sxy - CAST(sx AS DECIMAL(19,0))*sy AS DOUBLE)"
+            "/SQRT(CAST(CAST(n AS DECIMAL(19,0))*sxx - CAST(sx AS DECIMAL(19,0))*sx AS DOUBLE)"
+            "*CAST(CAST(n AS DECIMAL(19,0))*syy - CAST(sy AS DECIMAL(19,0))*sy AS DOUBLE))"
+        ).alias("rxy")
+    ).collect()[0]["rxy"]
+    assert math.isclose(got, 1.0, rel_tol=1e-12), got
