@@ -390,7 +390,7 @@ def ext_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     50 at every committed fixture SF, outputs bit-identical there);
     the gain math runs on the O(queries*k) hit list."""
     emb = _t(spark, sf_dir, "embeddings")
-    p = capped_panel_modulus(emb.count(), base=50, cap=40)
+    p = capped_panel_modulus(corpus_count(spark, sf_dir, "embeddings"), base=50, cap=40)
     queries = emb.filter(F.col("vec_id") % p == 0)
     hits = similarity.brute_topk(emb, queries, k=10)
     lab = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel"))
@@ -551,7 +551,7 @@ def ext_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     every committed fixture SF, outputs bit-identical there); voting
     and accuracy run on O(queries*k) rows."""
     emb = _t(spark, sf_dir, "embeddings")
-    p = capped_panel_modulus(emb.count(), base=100, cap=20)
+    p = capped_panel_modulus(corpus_count(spark, sf_dir, "embeddings"), base=100, cap=20)
     queries = emb.filter(F.col("vec_id") % p == 1)
     hits = similarity.brute_topk(emb, queries, k=5)
     lab = emb.select(
@@ -1556,7 +1556,7 @@ def ext_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF/LSH candidate paths (X7/X8). The modularity math downstream is
     one O(edges) tag + two O(labels) aggregates either way."""
     emb_all = _t(spark, sf_dir, "embeddings")
-    p = capped_panel_modulus(emb_all.count(), base=2, cap=1000)
+    p = capped_panel_modulus(corpus_count(spark, sf_dir, "embeddings"), base=2, cap=1000)
     emb = emb_all.filter(F.col("vec_id") % p == 0)
     hits = similarity.brute_topk(emb, emb, k=5)
     edges = (

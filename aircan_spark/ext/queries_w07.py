@@ -256,7 +256,7 @@ def ext_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast pair scan (swap in ANN candidates at corpus scale); the
     MLE is one O(panel) aggregate."""
     emb_all = _t(spark, sf_dir, "embeddings")
-    p = capped_panel_modulus(emb_all.count(), base=4, cap=500)
+    p = capped_panel_modulus(corpus_count(spark, sf_dir, "embeddings"), base=4, cap=500)
     emb = emb_all.filter(F.col("vec_id") % p == 0)
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     pairs = (
@@ -1759,7 +1759,7 @@ def ext_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates at corpus scale); degrees are one O(nodes) collapse
     broadcast back; the correlation is one O(edges) aggregate."""
     emb_all = _t(spark, sf_dir, "embeddings")
-    p = capped_panel_modulus(emb_all.count(), base=2, cap=1000)
+    p = capped_panel_modulus(corpus_count(spark, sf_dir, "embeddings"), base=2, cap=1000)
     emb = emb_all.filter(F.col("vec_id") % p == 0)
     hits = similarity.brute_topk(emb, emb, k=5)
     edges = (
@@ -2530,7 +2530,7 @@ def ext_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     LOF are three O(n*k) regroupings — no step touches more than the
     neighbor lists."""
     emb_all = _t(spark, sf_dir, "embeddings")
-    p = capped_panel_modulus(emb_all.count(), base=4, cap=500)
+    p = capped_panel_modulus(corpus_count(spark, sf_dir, "embeddings"), base=4, cap=500)
     emb = emb_all.filter(F.col("vec_id") % p == 0)
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     pairs = (

@@ -41,7 +41,7 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
-    p = capped_panel_modulus(emb.count(), base=50, cap=40)
+    p = capped_panel_modulus(corpus_count(spark, sf_dir, "embeddings"), base=50, cap=40)
     anchors = emb.filter(F.expr(f"vec_id % {p} = 0")).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),

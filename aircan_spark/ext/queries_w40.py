@@ -251,7 +251,12 @@ def ext_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             # bounded scalar (1 row) — same double math as the old
             # broadcast-column divide, value-identical
-            hm = h_raw.agg(F.max("hr").alias("m")).collect()[0]["m"] or 1
+            # explicit None check: `or 1` would also rewrite a legitimate
+            # 0 max (distinct behaviors — NULL means the edge list is
+            # empty; 0 can only mean an all-zero authority row, which the
+            # old broadcast-column divide propagated as NULL, not 1)
+            hm = h_raw.agg(F.max("hr").alias("m")).collect()[0]["m"]
+            hm = 1 if hm is None else hm
             h = h_raw.select(
                 "user_id",
                 F.expr(

@@ -123,6 +123,10 @@ def main() -> None:
         "ext_theil_sen", "ext_pca_power", "ext_dedup_groups",
         "ext_dedup_groups_star", "ext_pagerank", "ext_bfs",
         "ext_entity_clusters", "ext_communities", "ext_lof",
+        # r8: hits became checkpoint-backed (eager checkpoint() blocks +
+        # collected normalization scalars inside fn()) — without a full
+        # fn() rebuild its warm number reuses the cold pass's blocks
+        "ext_hits",
     ]
     warm_rebuild: dict[str, float] | None = None
     if warm_mode:
