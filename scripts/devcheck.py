@@ -22,7 +22,7 @@ import duckdb
 import pandas as pd
 
 from aircan_spark.queries import ORACLES, QUERIES
-from test_oracle import canonicalize, dtype_kind
+from test_oracle import assert_float_bits, canonicalize, dtype_kind
 
 
 def main() -> None:
@@ -70,6 +70,7 @@ def main() -> None:
             pd.testing.assert_frame_equal(
                 got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
             )
+            assert_float_bits(got, want, name)
             print(f"{name}: OK {len(got)} rows, {time.time()-t0:.1f}s")
         except Exception as e:  # noqa: BLE001 - report and continue
             failed += 1

@@ -2,8 +2,9 @@
 """Whole-registry value sweep at a chosen scale factor, in ONE pass, with
 a JSON artifact: runs every declared query against its DuckDB oracle
 using the exact devcheck/test_oracle compare (sorted columns, dtype-kind
-check, canonicalized values, atol 1e-9) and writes per-query status +
-wall time to the artifact path.
+check, canonicalized values, atol 1e-9, plus the BIT-exact float pass —
+signed zeros and ULP splits fail like they do under the driver's hash)
+and writes per-query status + wall time to the artifact path.
 
     python scripts/sweep_sf.py /root/testdata/sf0.1 SWEEP_SF01_r06.json
 
@@ -25,7 +26,7 @@ import duckdb
 import pandas as pd
 
 from aircan_spark.queries import ALLOW_EMPTY, ORACLES, QUERIES
-from test_oracle import canonicalize, dtype_kind
+from test_oracle import assert_float_bits, canonicalize, dtype_kind
 
 
 def guard_result(name: str, got_raw: "pd.DataFrame", allow_empty: dict) -> None:
@@ -113,6 +114,10 @@ def main() -> None:
                 pd.testing.assert_frame_equal(
                     got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
                 )
+                # hard invariant #3 (r8 verdict item #2): float columns must
+                # be BIT-exact — atol equality is blind to -0.0 vs +0.0,
+                # which is exactly what the driver's hash failed in r8
+                assert_float_bits(got, want, name)
                 rec = {"status": "values_match", "rows": len(got)}
         except Exception as e:  # noqa: BLE001 - record and continue
             failed += 1

@@ -49,6 +49,44 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def assert_float_bits(got: pd.DataFrame, want: pd.DataFrame, name: str = "") -> None:
+    """Bit-exactness pass for float columns (r8 verdict item #2).
+
+    The driver hashes typed values BIT-exactly, but the local compare's
+    ``atol=1e-9`` (and pandas/python equality) treats ``-0.0 == 0.0`` —
+    so all three committed r8 sweeps were structurally blind to the exact
+    signed-zero class the driver failed (ext_quality_logit /
+    ext_mediation_effect). This pass compares every float column's IEEE
+    bit pattern after canonicalization (rows sorted on both sides): any
+    divergence the driver's hash can see — signed zero first among them —
+    now fails the sweep too. Both-NaN cells compare equal (both engines
+    emit the canonical quiet NaN through pandas).
+
+    Call AFTER the value compare: a bit mismatch with equal values is a
+    representational divergence and gets the dedicated message below.
+    """
+    import numpy as np
+
+    for c in got.columns:
+        if not (
+            pd.api.types.is_float_dtype(got[c]) or pd.api.types.is_float_dtype(want[c])
+        ):
+            continue
+        a = got[c].to_numpy(dtype="float64", na_value=np.nan)
+        b = want[c].to_numpy(dtype="float64", na_value=np.nan)
+        ab, bb = a.view(np.uint64), b.view(np.uint64)
+        ok = (ab == bb) | (np.isnan(a) & np.isnan(b))
+        if not ok.all():
+            i = int(np.flatnonzero(~ok)[0])
+            raise AssertionError(
+                f"{name}: float column {c!r} not BIT-exact at sorted row {i}: "
+                f"spark {a[i]!r} (0x{int(ab[i]):016x}) vs "
+                f"oracle {b[i]!r} (0x{int(bb[i]):016x}) — "
+                "the driver's hash WILL diverge even if values compare equal "
+                "(signed zero / ULP split); canonicalize or pin the math"
+            )
+
+
 def dtype_kind(series: pd.Series) -> str:
     """Collapse a column to the dtype KIND the driver's hash distinguishes.
 
@@ -122,3 +160,4 @@ def test_query_matches_oracle(name, spark, oracle):
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
     )
+    assert_float_bits(got, want, name)
