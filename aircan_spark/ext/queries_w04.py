@@ -904,12 +904,20 @@ WITH li AS (
   FROM lineitem
 ),
 rev AS (
-  SELECT l_partkey, CAST(SUM(rev) AS DECIMAL(38,12)) AS revenue
+  -- DECIMAL -> DOUBLE via VARCHAR (the repo's string-route discipline):
+  -- DuckDB's direct DECIMAL(38,12)->DOUBLE cast divides int128 by 1e12
+  -- in double and lands 1 ULP off correct rounding on ~0.4% of values,
+  -- while Spark's BigDecimal conversion rounds correctly — the r9
+  -- bit-exact sweep caught 8/2000 revenue cells diverging at sf0.01;
+  -- VARCHAR->DOUBLE (strtod) is correctly rounded at any magnitude
+  SELECT l_partkey,
+         CAST(CAST(CAST(SUM(rev) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)
+           AS revenue
   FROM li GROUP BY 1
 ),
 thr AS (
-  SELECT quantile_cont(CAST(revenue AS DOUBLE), 0.95) AS t95,
-         quantile_cont(CAST(revenue AS DOUBLE), 0.80) AS t80
+  SELECT quantile_cont(revenue, 0.95) AS t95,
+         quantile_cont(revenue, 0.80) AS t80
   FROM rev
 ),
 monthly AS (
@@ -924,9 +932,9 @@ cvf AS (
   FROM monthly GROUP BY 1
 )
 SELECT r.l_partkey AS l_partkey,
-       CAST(r.revenue AS DOUBLE) AS revenue,
-       CASE WHEN CAST(r.revenue AS DOUBLE) > t.t95 THEN 'A'
-            WHEN CAST(r.revenue AS DOUBLE) > t.t80 THEN 'B'
+       r.revenue AS revenue,
+       CASE WHEN r.revenue > t.t95 THEN 'A'
+            WHEN r.revenue > t.t80 THEN 'B'
             ELSE 'C' END AS abc_class,
        ROUND(SQRT(CAST(c.s2 AS DOUBLE) / c.n_m
                   - (CAST(c.s1 AS DOUBLE) / c.n_m) * (CAST(c.s1 AS DOUBLE) / c.n_m))

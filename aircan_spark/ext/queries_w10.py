@@ -361,7 +361,15 @@ def ext_cronbach_alpha_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = (
         cell.groupBy("dow")
         .agg(F.sum("cnt").alias("s"), F.sum(F.expr("cnt*cnt")).alias("ss"))
-        .agg(F.sum(F.expr("s*s")).alias("s2"), F.sum("ss").alias("ssall"))
+        # DECIMAL moment: per-dow totals s scale with SF (~1.4e8 at
+        # sf1000), so int64 SUM(s*s) clears 2^63 only ~8x past the design
+        # point; the u*sst/st*st combinations below are ~1e18 at sf1000
+        # (9x margin) — all moved to DECIMAL/HUGEINT per the r9 margin
+        # audit (the ext_bullwhip pattern, bit-identical at fixture SFs)
+        .agg(
+            F.sum(F.expr("CAST(s AS DECIMAL(19,0))*s")).alias("s2"),
+            F.sum("ss").alias("ssall"),
+        )
     )
     user_tot = cell.groupBy("user_id").agg(F.sum("cnt").alias("t"))
     tot = user_tot.agg(
@@ -373,14 +381,20 @@ def ext_cronbach_alpha_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("u").alias("n_subjects"),
             F.col("st").alias("n_events"),
-            F.expr("ROUND(CAST(u*ssall - s2 AS DOUBLE)/(CAST(u AS DOUBLE)*u), 6)").alias(
-                "sum_item_var"
-            ),
-            F.expr("ROUND(CAST(u*sst - st*st AS DOUBLE)/(CAST(u AS DOUBLE)*u), 6)").alias(
-                "total_var"
-            ),
             F.expr(
-                "ROUND(7e0/6e0*(1 - CAST(u*ssall - s2 AS DOUBLE)/(u*sst - st*st)), 6)"
+                "ROUND(CAST(CAST(u AS DECIMAL(19,0))*ssall - s2 AS DOUBLE)"
+                "/(CAST(u AS DOUBLE)*u), 6)"
+            ).alias("sum_item_var"),
+            F.expr(
+                "ROUND(CAST(CAST(u AS DECIMAL(19,0))*sst"
+                " - CAST(st AS DECIMAL(19,0))*st AS DOUBLE)"
+                "/(CAST(u AS DOUBLE)*u), 6)"
+            ).alias("total_var"),
+            F.expr(
+                "ROUND(7e0/6e0*(1 - "
+                "CAST(CAST(u AS DECIMAL(19,0))*ssall - s2 AS DOUBLE)"
+                "/CAST(CAST(u AS DECIMAL(19,0))*sst"
+                " - CAST(st AS DECIMAL(19,0))*st AS DOUBLE)), 6)"
             ).alias("alpha"),
         )
     )
@@ -393,7 +407,7 @@ WITH cell AS (
 ),
 uu AS (SELECT COUNT(DISTINCT user_id) AS u FROM cell),
 item AS (
-  SELECT CAST(SUM(s*s) AS BIGINT) AS s2, CAST(SUM(ss) AS BIGINT) AS ssall
+  SELECT SUM(CAST(s AS HUGEINT)*s) AS s2, CAST(SUM(ss) AS BIGINT) AS ssall
   FROM (
     SELECT dow, CAST(SUM(cnt) AS BIGINT) AS s, CAST(SUM(cnt*cnt) AS BIGINT) AS ss
     FROM cell GROUP BY dow
@@ -402,9 +416,10 @@ item AS (
 ut AS (SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS t FROM cell GROUP BY 1),
 tot AS (SELECT CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(t*t) AS BIGINT) AS sst FROM ut)
 SELECT u AS n_subjects, st AS n_events,
-       ROUND(CAST(u*ssall - s2 AS DOUBLE)/(CAST(u AS DOUBLE)*u), 6) AS sum_item_var,
-       ROUND(CAST(u*sst - st*st AS DOUBLE)/(CAST(u AS DOUBLE)*u), 6) AS total_var,
-       ROUND(7e0/6e0*(1 - CAST(u*ssall - s2 AS DOUBLE)/(u*sst - st*st)), 6) AS alpha
+       ROUND(CAST(CAST(u AS HUGEINT)*ssall - s2 AS DOUBLE)/(CAST(u AS DOUBLE)*u), 6) AS sum_item_var,
+       ROUND(CAST(CAST(u AS HUGEINT)*sst - CAST(st AS HUGEINT)*st AS DOUBLE)/(CAST(u AS DOUBLE)*u), 6) AS total_var,
+       ROUND(7e0/6e0*(1 - CAST(CAST(u AS HUGEINT)*ssall - s2 AS DOUBLE)
+         /CAST(CAST(u AS HUGEINT)*sst - CAST(st AS HUGEINT)*st AS DOUBLE)), 6) AS alpha
 FROM item CROSS JOIN tot CROSS JOIN uu
 """
 

@@ -415,7 +415,10 @@ def ext_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mo = daily.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("s1"),
-        F.sum(F.expr("c*c")).alias("s2"),
+        # DECIMAL moments: c is the daily cent sum (~1.7e8*SF), so the
+        # int64 sum of c*c crosses 2^63 at ~sf3.3 — far below the sf1000
+        # design point (the ext_bullwhip pattern; HUGEINT in the oracle)
+        F.sum(F.expr("CAST(c AS DECIMAL(19,0))*CAST(c AS DECIMAL(19,0))")).alias("s2"),
     )
     z = daily.join(F.broadcast(mo)).select(
         "day",
@@ -451,7 +454,8 @@ WITH daily AS (
   FROM events GROUP BY 1
 ),
 mo AS (
-  SELECT COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c*c) AS BIGINT) AS s2
+  SELECT COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s1,
+         SUM(CAST(c AS HUGEINT)*CAST(c AS HUGEINT)) AS s2
   FROM daily
 ),
 z AS (

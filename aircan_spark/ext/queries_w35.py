@@ -51,7 +51,11 @@ def ext_slope_heterogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
         F.sum(F.expr("x*x")).alias("sxx"),
-        F.sum(F.expr("y*y")).alias("syy"),
+        # DECIMAL moment: per-user cent totals are SF-invariant (~3.3e5)
+        # but users scale with SF, so int64 SUM(y*y) (~1.7e14 at sf0.1
+        # per arm x 10000 = 1.7e18 at sf1000) clears 2^63 only 5.4x past
+        # the design point — under the 10x headroom bar (r9 margin audit)
+        F.sum(F.expr("CAST(y AS DECIMAL(19,0))*CAST(y AS DECIMAL(19,0))")).alias("syy"),
         F.sum(F.expr("x*y")).alias("sxy"),
     )
     fit = m.select(
@@ -93,7 +97,8 @@ WITH users AS (
 m AS (
   SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx,
+         SUM(CAST(y AS HUGEINT)*CAST(y AS HUGEINT)) AS syy,
          CAST(SUM(x*y) AS BIGINT) AS sxy
   FROM users GROUP BY arm
 ),

@@ -163,7 +163,9 @@ def ext_western_electric(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = daily.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("y").alias("s"),
-        F.sum(F.expr("y*y")).alias("q"),
+        # DECIMAL moment: y is the daily cent sum (~1.7e8*SF); int64
+        # SUM(y*y) crosses 2^63 at ~sf3.3 (the ext_bullwhip pattern)
+        F.sum(F.expr("CAST(y AS DECIMAL(19,0))*CAST(y AS DECIMAL(19,0))")).alias("q"),
     )
     z = daily.crossJoin(F.broadcast(mom)).select(
         "day",
@@ -219,7 +221,7 @@ WITH daily AS (
 ),
 mom AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s,
-         CAST(SUM(y*y) AS BIGINT) AS q
+         SUM(CAST(y AS HUGEINT)*CAST(y AS HUGEINT)) AS q
   FROM daily
 ),
 z AS (

@@ -47,7 +47,11 @@ def ext_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = cust.crossJoin(F.broadcast(tot)).agg(
         F.max("n").alias("n"),
         F.max("yt").alias("yt"),
-        F.sum(F.expr("ABS(n*y - yt)")).alias("absdev"),
+        # DECIMAL combination: the |n*y - yt| terms are ~n*y_avg each and
+        # there are n of them, so the int64 sum is ~n^2*y_avg — past 2^63
+        # at ~sf175 with n = customers ∝ SF (r9 margin audit; HUGEINT in
+        # the oracle, same exact integers, same double conversion)
+        F.sum(F.expr("ABS(CAST(n AS DECIMAL(19,0))*y - yt)")).alias("absdev"),
     )
     return dev.select(
         F.col("n").alias("n_customers"),

@@ -119,27 +119,29 @@ def _run_maintenance(
     )
     state_dir = tempfile.mkdtemp(prefix="aircan_r6_sketch_state_")
     ckpt = tempfile.mkdtemp(prefix="aircan_r6_sketch_ckpt_")
-    q = maintainer(
-        spark,
-        src,
-        schema,
-        sketch_dir=state_dir,
-        checkpoint_dir=ckpt,
-        available_now=True,
-        source_format="parquet",
-        max_files_per_trigger=1,
-        **kw,
-    )
-    q.awaitTermination(300)
-    if q.isActive:  # pragma: no cover — availableNow should terminate
-        q.stop()
-    # the checkpoint is fully consumed once the query terminates —
-    # reclaim it now; the staged backlog is process-cached (reclaimed
-    # atexit) and state_dir must SURVIVE (the returned frame reads it
-    # lazily at collection time)
     import shutil
 
-    shutil.rmtree(ckpt, ignore_errors=True)
+    try:
+        q = maintainer(
+            spark,
+            src,
+            schema,
+            sketch_dir=state_dir,
+            checkpoint_dir=ckpt,
+            available_now=True,
+            source_format="parquet",
+            max_files_per_trigger=1,
+            **kw,
+        )
+        q.awaitTermination(300)
+        if q.isActive:  # pragma: no cover — availableNow should terminate
+            q.stop()
+    finally:
+        # the checkpoint is consumed once the query terminates (and
+        # worthless if it failed) — reclaim it on BOTH paths; the staged
+        # backlog is process-cached (reclaimed atexit) and state_dir must
+        # SURVIVE (the returned frame reads it lazily at collection time)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return read_sketch_state(spark, state_dir)
 
 
@@ -224,6 +226,12 @@ def _shared_sketch_states(spark, sf_dir: str) -> dict[str, str]:
         atexit.register(_reclaim_shared_states)
     names = ("cms", "hll", "bottomk", "kmv", "moments")
     dirs = {n: tempfile.mkdtemp(prefix=f"aircan_r8_state_{n}_") for n in names}
+    # register BEFORE the stream runs (r9 verdict item #5): if the stream
+    # fails mid-run the dirs are pointer-less, so the next call's
+    # validation reclaims + rebuilds them, and the atexit hook reclaims
+    # them at process exit — registering only on success leaked all five
+    # on the failure path
+    _SHARED_STATE_CACHE[sf_dir] = dirs
 
     def _ev(df):
         return df.filter(F.col("src") == "e")
@@ -295,21 +303,22 @@ def _shared_sketch_states(spark, sf_dir: str) -> dict[str, str]:
         },
     ]
     ckpt = tempfile.mkdtemp(prefix="aircan_r8_shared_ckpt_")
-    q = stream_multi_state_maintenance(
-        spark,
-        src,
-        schema,
-        maintainers,
-        ckpt,
-        available_now=True,
-        source_format="parquet",
-        max_files_per_trigger=1,
-    )
-    q.awaitTermination(300)
-    if q.isActive:  # pragma: no cover — availableNow should terminate
-        q.stop()
-    shutil.rmtree(ckpt, ignore_errors=True)
-    _SHARED_STATE_CACHE[sf_dir] = dirs
+    try:
+        q = stream_multi_state_maintenance(
+            spark,
+            src,
+            schema,
+            maintainers,
+            ckpt,
+            available_now=True,
+            source_format="parquet",
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(300)
+        if q.isActive:  # pragma: no cover — availableNow should terminate
+            q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return dirs
 
 
