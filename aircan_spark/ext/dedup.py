@@ -442,33 +442,42 @@ def embedding_pairs(
             .select("id_a", "id_b")
             .distinct()
         )
-        # per-vector norms computed ONCE (same fold expression _cosine
-        # uses, so results stay bit-identical to the exact path) and carried
-        # through the re-attach joins — per-pair work is then just the dot
-        norm = F.sqrt(
-            F.aggregate(
-                F.transform(F.col("v"), lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-        normed = vecs.select(id_col, "v", norm.alias("n"))
-        va = normed.select(
-            F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
-        )
-        vb = normed.select(
-            F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
-        )
-        dot = F.aggregate(
-            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        scored = (
-            cand.join(va, "id_a")
-            .join(vb, "id_b")
-            .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
-        )
+        # re-attach vectors once per side, then score each Arrow batch of
+        # candidate pairs with ONE vectorized numpy kernel (einsum row-dot
+        # / norm product — the same matmul-family arithmetic the brute
+        # baseline uses, so LSH cosines stay post-ROUND equal to the exact
+        # path, which tests/test_ext.py pins pair-by-pair). This replaced
+        # a Catalyst zip_with/aggregate fold that evaluated an interpreted
+        # lambda per ELEMENT: at sf0.1 that was ~3e7 lambda evals and the
+        # whole-registry warm top spot (4.4s); the kernel scores the same
+        # pairs in batched SIMD. Same prefilter slack as the brute kernel
+        # so post-round boundary pairs survive into the exact filter.
+        va = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+        vb = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+        attached = cand.join(va, "id_a").join(vb, "id_b")
+        prefilter = threshold - 1e-6
+
+        def score_pairs(batches):
+            for block in batches:
+                if not len(block):
+                    continue
+                a = np.array(block["va"].tolist(), dtype="float64")
+                b = np.array(block["vb"].tolist(), dtype="float64")
+                sims = np.einsum("ij,ij->i", a, b) / (
+                    np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+                )
+                keep = sims >= prefilter
+                yield pd.DataFrame(
+                    {
+                        "id_a": block["id_a"].to_numpy(dtype="int64")[keep],
+                        "id_b": block["id_b"].to_numpy(dtype="int64")[keep],
+                        "cosine": sims[keep],
+                    }
+                )
+
+        scored = attached.mapInPandas(
+            score_pairs, schema="id_a bigint, id_b bigint, cosine double"
+        ).withColumn("cosine", F.round("cosine", 6))
     else:
         # Exact all-pairs, vectorized: each input batch is scored against
         # the full corpus matrix with one numpy matmul. The corpus is
