@@ -400,6 +400,20 @@ def hyperplane_bucket_udf(planes: np.ndarray):
     return buckets
 
 
+def adaptive_lsh_bits(n_vecs: int, floor_bits: int, occupancy: int = 32) -> int:
+    """Corpus-adaptive hyperplane-LSH bit count: enough sign bits that
+    mean bucket occupancy stays <= ``occupancy`` (bits =
+    max(floor, ceil(log2(n/occupancy)))). Fixed bits mean occupancy —
+    and the candidate join + pair-vector attach shuffle — grow
+    quadratically with the corpus (the r9 salted-30x ENOSPC). Yields the
+    caller's floor at every committed fixture size (500 vecs -> floor,
+    2000 -> 6 with the declared floor 6), so fixture outputs are
+    unchanged."""
+    import math
+
+    return max(floor_bits, math.ceil(math.log2(max(n_vecs, 2) / occupancy)))
+
+
 def embedding_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -418,11 +432,29 @@ def embedding_pairs(
     only same-(table,bucket) pairs are scored, exactly. At scale the bucket
     equi-join replaces the cross product; ``num_tables`` dials recall
     (1-(1-p)^L) against candidate volume.
+
+    CORPUS-ADAPTIVE BITS: ``lsh_bits`` is the floor; the effective bit
+    count grows with the corpus so mean bucket occupancy stays <= ~32
+    (bits = max(lsh_bits, ceil(log2(n/32)))). A FIXED bit count keeps a
+    fixed number of buckets, so occupancy — and with it the candidate
+    join AND the pair-vector re-attach shuffle — grows QUADRATICALLY
+    with corpus size: measured at the salted-30x full-registry smoke
+    (r9), 60k vectors at the historical fixed 6 bits produced ~6.8e8
+    candidate pairs whose ~1KB/row attach shuffle filled the spill disk
+    (SPILL_OUT_OF_MEMORY: No space left on device). The adaptive floor
+    yields exactly the historical bits at every committed fixture SF
+    (500 vecs -> 4 [recall-test floor], 2000 -> 6), so declared outputs
+    are unchanged there; beyond, occupancy is bounded at any corpus
+    size. The standard LSH tradeoff applies: at-threshold pairs need
+    more tables for the same recall as bits grow, while high-cosine
+    near-dups (the dedup target, per-bit p >= ~0.85) stay
+    near-certain: p(hit) = 1-(1-p^bits)^tables.
     """
     vecs = df.select(
         F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
     )
     if lsh_bits > 0:
+        lsh_bits = adaptive_lsh_bits(df.count(), lsh_bits)
         dim = len(df.select(vec_col).first()[0])
         planes = np.random.default_rng(seed).standard_normal(
             (num_tables, lsh_bits, dim)

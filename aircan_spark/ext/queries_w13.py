@@ -243,9 +243,10 @@ def ext_pareto_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Knee of the customer revenue concentration curve: the rank where
     the cumulative-share curve is farthest above the uniform diagonal —
     the principled 'top-N customers' cutoff (same geometry as kneedle).
-    The chord distance is INTEGER-exact (cum_rev*n_cust - rank*total is
-    a BIGINT), so the argmax cannot float-flip; ties break to the
-    smallest rank.
+    The chord distance is INTEGER-exact (cum_rev*n_cust - rank*total in
+    DECIMAL(38) — raw int64 crosses 2^63 at ~sf2.5 since cum_rev tracks
+    total cents; r9 salted-30x smoke catch), so the argmax cannot
+    float-flip; ties break to the smallest rank.
 
     Scale shape: revenue agg to O(customers), one window over the
     aggregated frame (documented single-sort; swap in range-partitioned
@@ -268,7 +269,14 @@ def ext_pareto_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r").alias("t"), F.count(F.lit(1)).alias("nc")
     )
     d = cum.join(F.broadcast(tot)).select(
-        "rk", "cr", "t", "nc", F.expr("cr*nc - rk*t").alias("d")
+        # DECIMAL chord distance: cr <= t ~ 3.75e13*SF total cents and
+        # nc ~ 1.5e5*SF customers, so the int64 cr*nc product crosses
+        # 2^63 at ~sf2.5 (caught by the salted-30x full-registry smoke,
+        # r9) — the argmax stays integer-exact in DECIMAL(38)/HUGEINT
+        "rk", "cr", "t", "nc",
+        F.expr(
+            "CAST(cr AS DECIMAL(19,0))*nc - CAST(rk AS DECIMAL(19,0))*t"
+        ).alias("d"),
     )
     best = d.orderBy(F.col("d").desc(), F.col("rk").asc()).limit(1)
     return best.select(
@@ -294,7 +302,9 @@ cum AS (
 ),
 tot AS (SELECT CAST(SUM(r) AS BIGINT) AS t, COUNT(*) AS nc FROM rev),
 d AS (
-  SELECT rk, cr, t, nc, cr*nc - rk*t AS d FROM cum CROSS JOIN tot
+  SELECT rk, cr, t, nc,
+         CAST(cr AS HUGEINT)*nc - CAST(rk AS HUGEINT)*t AS d
+  FROM cum CROSS JOIN tot
 )
 SELECT rk AS knee_rank, nc AS n_customers,
        ROUND(CAST(rk AS DOUBLE)/nc, 6) AS customer_frac,

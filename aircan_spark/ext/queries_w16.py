@@ -383,6 +383,18 @@ EXT_ORACLES.update({"ext_clusteredness_audit": EXT_CLUSTEREDNESS_AUDIT_SQL})
 # --- round-5 wave: near-duplicate image pairs (banded dHash) ------------------
 
 
+def _image_family_modulus(n_docs: int) -> int:
+    """Corpus-adaptive family modulus for the planted image near-dup
+    corpus: max(211, ceil(n_docs/24)) — the historical 211 at every
+    committed fixture SF (<= 5064 docs), ~24 variants per family beyond,
+    so the TRUE near-dup pair count grows linearly with the corpus
+    instead of quadratically (r9 salted-30x crash). The oracle SQL
+    derives the identical value: GREATEST(211, CEIL(COUNT(*)/24.0))."""
+    import math
+
+    return max(211, math.ceil(n_docs / 24))
+
+
 def ext_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate IMAGE pair search, end to end through the real
     decode path: gradient BMPs whose family (id%211) fixes the pattern
@@ -395,10 +407,21 @@ def ext_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram. The image analog of the X3/X4 banded text dedup.
 
     Scale shape: decode+hash partition-local; the only shuffle is the
-    band bucket join on 8-byte signatures."""
+    band bucket join on 8-byte signatures. The family modulus is
+    CORPUS-ADAPTIVE (fm = max(211, ceil(n_docs/24)), the
+    capped_panel_modulus calibration pattern): a FIXED modulus keeps a
+    fixed family count, so same-family (planted true near-dup) variants
+    — and with them the TRUE pair answer and the band join — grow
+    QUADRATICALLY with the corpus (the salted-30x full-registry smoke
+    crashed here, r9). fm equals the historical 211 at every committed
+    fixture SF (5000 docs -> ceil(5000/24) = 209 <= 211), so declared
+    outputs are unchanged there; beyond, variants per family are
+    bounded at ~24 and the true answer grows linearly. The oracle
+    derives the identical fm from COUNT(*)."""
     import pandas as pd
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
+    fm = _image_family_modulus(corpus_count(spark, sf_dir, "documents"))
 
     def make_bmp(batches):
         import numpy as np
@@ -409,7 +432,7 @@ def ext_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, blobs = [], []
             for did in pdf["doc_id"]:
                 did = int(did)
-                fam, var = did % 211, did // 211
+                fam, var = did % fm, did // fm
                 w, h = 16 + fam % 9, 16 + fam % 7
                 x = np.arange(w, dtype="int64")[None, :]
                 y = np.arange(h, dtype="int64")[:, None]
@@ -426,10 +449,27 @@ def ext_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = multimodal.image_dhash(media).select(
         "media_id", "dhash_hi", "dhash_lo"
     )
-    bands = hashed.select(
-        "media_id",
+    # Pair counting in DISTINCT-HASH-VALUE space (r9 salted-30x fix):
+    # the synthetic corpus saturates to a few hundred distinct dhashes
+    # (432 at 150k images, 405 at 5k — measured), so the TRUE pair
+    # answer grows ~n^2/|values| and materializing instance pairs heap-
+    # OOMed the 30x smoke (3.5e9 candidates from 76 band buckets). The
+    # identical histogram follows from group-count algebra: collapse to
+    # (hash, count) — ONE shuffle, O(distinct) rows — run the exact same
+    # 4x16-bit band candidate structure over distinct VALUES (432x4
+    # rows), and weight each surviving value pair by ca*cb (plus the
+    # within-group C(c,2) at hamming 0, which the instance form counted
+    # via identical hashes sharing all bands). Outputs are bit-identical
+    # to the instance formulation at every SF; work is O(n) + O(|values|^2)
+    # at any corpus size. The weight sum rides DECIMAL (group counts are
+    # ~n/|values|, so ca*cb sums pass 2^63 around sf~3000 in int64).
+    groups = hashed.groupBy("dhash_hi", "dhash_lo").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bands = groups.select(
         "dhash_hi",
         "dhash_lo",
+        "c",
         F.explode(
             F.expr(
                 "array(struct(0 AS bi, dhash_hi DIV 65536 AS bv),"
@@ -438,43 +478,55 @@ def ext_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " struct(3 AS bi, dhash_lo % 65536 AS bv))"
             )
         ).alias("b"),
-    ).select("media_id", "dhash_hi", "dhash_lo", F.expr("b.bi").alias("bi"), F.expr("b.bv").alias("bv"))
+    ).select(
+        "dhash_hi", "dhash_lo", "c", F.expr("b.bi").alias("bi"), F.expr("b.bv").alias("bv")
+    )
     a = bands.select(
-        F.col("media_id").alias("ida"),
         F.col("dhash_hi").alias("ha"),
         F.col("dhash_lo").alias("la"),
+        F.col("c").alias("ca"),
         "bi",
         "bv",
     )
     b = bands.select(
-        F.col("media_id").alias("idb"),
         F.col("dhash_hi").alias("hb"),
         F.col("dhash_lo").alias("lb"),
+        F.col("c").alias("cb"),
         "bi",
         "bv",
     )
-    pairs = (
+    cross = (
         a.join(b, ["bi", "bv"])
-        .filter(F.expr("ida < idb"))
-        .select("ida", "idb", "ha", "la", "hb", "lb")
+        .filter(F.expr("ha < hb OR (ha = hb AND la < lb)"))
+        .select("ha", "la", "ca", "hb", "lb", "cb")
         .distinct()
         .select(
-            F.expr("bit_count(ha ^ hb) + bit_count(la ^ lb)").alias("hamming")
+            F.expr("bit_count(ha ^ hb) + bit_count(la ^ lb)").alias("hamming"),
+            F.expr("CAST(ca AS DECIMAL(19,0)) * cb").alias("w"),
         )
         .filter(F.col("hamming") <= 8)
     )
+    within = groups.filter(F.col("c") > 1).select(
+        F.lit(0).alias("hamming"),
+        F.expr("CAST(c AS DECIMAL(19,0)) * (c - 1) / 2").alias("w"),
+    )
     return (
-        pairs.groupBy("hamming")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        cross.unionByName(within)
+        .groupBy("hamming")
+        .agg(F.expr("CAST(SUM(w) AS BIGINT)").alias("n_pairs"))
         .orderBy("hamming")
     )
 
 
 EXT_IMAGE_NEAR_DUP_SQL = r"""
-WITH fams AS (
-  SELECT doc_id, doc_id % 211 AS fam, doc_id // 211 AS var,
-         16 + (doc_id % 211) % 9 AS w, 16 + (doc_id % 211) % 7 AS h
+WITH fmod AS (
+  SELECT GREATEST(211, CAST(CEIL(COUNT(*) / 24.0) AS BIGINT)) AS fm
   FROM documents
+),
+fams AS (
+  SELECT doc_id, doc_id % fm AS fam, doc_id // fm AS var,
+         16 + (doc_id % fm) % 9 AS w, 16 + (doc_id % fm) % 7 AS h
+  FROM documents CROSS JOIN fmod
 ),
 grid AS (
   SELECT f.doc_id, f.fam, f.var, gy.y, gx.x,

@@ -66,6 +66,15 @@ def main() -> None:
         if i % 100 == 1 and i > 1:
             spark.stop()
             spark = _fresh_session()
+        else:
+            # r9 finding: persisted frames left behind by earlier queries
+            # contend for execution memory at bigger data — at salted-30x
+            # ext_dedup_groups died UNABLE_TO_ACQUIRE_MEMORY mid-session
+            # yet runs 320s clean standalone (= r7's dedicated-session
+            # number). The measurand here is PER-QUERY scale behavior, so
+            # drop cross-query cache state; session endurance stays
+            # bench.py's domain at sf0.1.
+            spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             # two passes: cold compiles the plan; the recorded number is
