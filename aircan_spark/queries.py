@@ -612,14 +612,39 @@ _DRIVER_CHECKED = (
     _DRIVER_CHECKED_R01_04 | _DRIVER_CHECKED_R05 | _DRIVER_CHECKED_R06
     | _DRIVER_CHECKED_R07 | _DRIVER_CHECKED_R08
 )
-# Round 9: registry stays frozen at 468. Order: the two r8 signed-zero
-# hash-fails FIRST (so the driver re-verifies the czero fix), then the
-# never-sampled backlog (~26 keys after r8), then everything already
-# checked — the next ~50 draws re-check the fix and drain the backlog.
-_REVERIFY_R09 = ["ext_quality_logit", "ext_mediation_effect"]
+# Keys CORRECTNESS_r09.json sampled (all 50 green — the two re-fronted r8
+# signed-zero keys now hash-green plus 48 backlog keys; zero overlap with
+# r1-r8's checked set).
+_DRIVER_CHECKED_R09 = {
+    "ext_basket_diversity", "ext_binary_segmentation",
+    "ext_bounce_entry_exit", "ext_caliper_matching",
+    "ext_conformal_interval", "ext_cronbach_alpha", "ext_davies_bouldin",
+    "ext_deming_regression", "ext_dickey_fuller", "ext_dr_ate",
+    "ext_duplicate_payments", "ext_durbin_watson",
+    "ext_embedding_anisotropy", "ext_erasure_audit",
+    "ext_evalue_sensitivity", "ext_factorial_anova", "ext_fdr_bh",
+    "ext_forecast_reconciliation", "ext_gumbel_return_level",
+    "ext_hurst_exponent", "ext_icc", "ext_invoice_conformance",
+    "ext_item_cold_start", "ext_jackknife_ratio_se", "ext_js_divergence",
+    "ext_littles_law", "ext_mediation_effect", "ext_morans_i",
+    "ext_ordering_audit", "ext_periodogram", "ext_pps_sampling",
+    "ext_price_dispersion", "ext_qini_uplift", "ext_quality_logit",
+    "ext_rec_popularity_eval", "ext_receivables_aging",
+    "ext_regression_discontinuity", "ext_segment_migration",
+    "ext_segment_price_premium", "ext_slope_heterogeneity",
+    "ext_snips_policy_value", "ext_survivorship_bias", "ext_t_closeness",
+    "ext_terminal_digits", "ext_truncation_loss", "ext_var_cvar",
+    "ext_weibull_interarrival", "ext_weight_ess", "ext_winners_curse",
+    "ext_zero_inflation",
+}
+_DRIVER_CHECKED = _DRIVER_CHECKED | _DRIVER_CHECKED_R09
+# Round 10: registry stays frozen at 468. The never-sampled backlog is
+# down to EXACTLY 26 keys (r9 verdict item #1 lists them; the judge
+# verified all 26 green at sf0.01 with the driver-equivalent compare).
+# Front the whole backlog so the r10 ~50-key draw closes the driver's
+# cumulative ledger at 468/468; everything already checked follows.
 _order = (
-    [n for n in _REVERIFY_R09 if n in QUERIES]
-    + [n for n in QUERIES if n not in _DRIVER_CHECKED and n not in _REVERIFY_R09]
+    [n for n in QUERIES if n not in _DRIVER_CHECKED]
     + [n for n in QUERIES if n in _DRIVER_CHECKED]
 )
 QUERIES = {n: QUERIES[n] for n in _order}
