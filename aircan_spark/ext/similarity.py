@@ -126,6 +126,65 @@ def lsh_topk(
     )
 
 
+def _sample_matrix(
+    corpus: DataFrame, vec_col: str, sample_size: int, seed: int
+) -> np.ndarray:
+    """Partition-invariant bounded training sample, as a float64 matrix.
+
+    The old path (Bernoulli ``sample(fraction, seed)`` + ``toPandas()``) was
+    partition-DEPENDENT twice over: Spark seeds the Bernoulli RNG per
+    partition (different partition count -> different sampled subset) and
+    ``toPandas`` delivers rows in partition order (different order -> the
+    numpy trainer's init choice and float accumulation order drift). That
+    made the three ANN trainers the only 3/468 queries whose outputs changed
+    with ``spark.sql.shuffle.partitions`` (PARTITION_DETERMINISM_r09).
+
+    This path selects and orders rows by CONTENT hash only:
+
+    1. ``count()`` the corpus (parquet footer-stat pushdown — no data scan)
+       and derive a modulus ``M ~= total/sample_size``;
+    2. map-side filter ``xxhash64(vec, seed) % M == 0`` — a deterministic
+       function of each row's value, so the subset is identical at any
+       partition count, and only ~sample_size..2*sample_size rows survive
+       (scale-safe: nothing corpus-sized ever moves);
+    3. canonical ``orderBy(hash, vec).limit(sample_size)`` over the small
+       survivor set, so the driver receives the SAME rows in the SAME order
+       regardless of partitioning (ties are bit-identical duplicate vectors,
+       for which order is immaterial).
+
+    The numpy Lloyd iterations downstream are then a pure function of this
+    matrix — the whole training becomes partition-invariant."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+    hashed = corpus.select(v).withColumn("h", F.xxhash64(F.col("v"), F.lit(seed)))
+    total = corpus.count()
+    modulus = max(1, total // max(sample_size, 1))
+    if modulus > 1:
+        hashed = hashed.filter(F.pmod(F.col("h"), F.lit(modulus)) == 0)
+    sample = hashed.orderBy("h", "v").limit(sample_size).toPandas()
+    return np.array(sample["v"].tolist(), dtype="float64")
+
+
+def _kmeanspp_init(x: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
+    """Greedy k-means++ seeding (Arthur & Vassilvitskii 2007): first center
+    uniform, each next drawn proportional to squared distance from the
+    nearest chosen center. Deterministic given (x, rng state) — and the
+    matrix arrives canonically ordered (``_sample_matrix``), so the init is
+    partition-invariant too. O(k*n) distances, driver-side numpy."""
+    n = len(x)
+    k = min(k, n)
+    idx = [int(rng.integers(n))]
+    d2 = ((x - x[idx[0]]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        tot = d2.sum()
+        if tot <= 0.0:  # every remaining point equals a chosen center
+            nxt = int(rng.integers(n))
+        else:
+            nxt = int(rng.choice(n, p=d2 / tot))
+        idx.append(nxt)
+        d2 = np.minimum(d2, ((x - x[nxt]) ** 2).sum(axis=1))
+    return x[idx].copy()
+
+
 def _train_centroids(
     corpus: DataFrame,
     vec_col: str,
@@ -140,14 +199,13 @@ def _train_centroids(
     the driver (``sample_size`` rows max, independent of corpus size) and a
     few numpy Lloyd iterations produce ``nlist`` L2-normalized centroids.
     At 100 TB the sample is still ``sample_size`` rows: training cost does
-    not scale with the corpus."""
-    total = corpus.count()
-    frac = min(1.0, sample_size / max(total, 1))
-    sample = corpus.select(vec_col).sample(fraction=frac, seed=seed).toPandas()
-    mat = np.array(sample[vec_col].tolist(), dtype="float64")
+    not scale with the corpus. The sample is content-hash selected and
+    canonically ordered (``_sample_matrix``), so training is a pure function
+    of corpus content — invariant to partition count."""
+    mat = _sample_matrix(corpus, vec_col, sample_size, seed)
     mat /= np.maximum(np.linalg.norm(mat, axis=1)[:, None], 1e-12)
     rng = np.random.default_rng(seed)
-    cents = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)]
+    cents = _kmeanspp_init(mat, nlist, rng)
     for _ in range(iters):
         assign = (mat @ cents.T).argmax(axis=1)
         for c in range(len(cents)):
@@ -248,12 +306,10 @@ def pq_train(
     (m, ksub, dim/m) float64 — a few KB that ships in UDF closures.
 
     Like IVF centroid training, reads a BOUNDED sample to the driver
-    (``sample_size`` rows regardless of corpus size); encoding cost at
-    100 TB is row-local."""
-    total = corpus.count()
-    frac = min(1.0, sample_size / max(total, 1))
-    sample = corpus.select(vec_col).sample(fraction=frac, seed=seed).toPandas()
-    mat = np.array(sample[vec_col].tolist(), dtype="float64")
+    (``sample_size`` rows regardless of corpus size) via the
+    partition-invariant content-hash sampler (``_sample_matrix``);
+    encoding cost at 100 TB is row-local."""
+    mat = _sample_matrix(corpus, vec_col, sample_size, seed)
     dim = mat.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -262,7 +318,7 @@ def pq_train(
     books = np.empty((m, ksub, dsub))
     for s in range(m):
         sub = mat[:, s * dsub : (s + 1) * dsub]
-        cents = sub[rng.choice(len(sub), size=min(ksub, len(sub)), replace=False)]
+        cents = _kmeanspp_init(sub, ksub, rng)
         for _ in range(iters):
             d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
