@@ -422,6 +422,7 @@ def embedding_pairs(
     lsh_bits: int = 0,
     num_tables: int = 8,
     seed: int = 42,
+    n_vecs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine similarity.
 
@@ -454,7 +455,14 @@ def embedding_pairs(
         F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
     )
     if lsh_bits > 0:
-        lsh_bits = adaptive_lsh_bits(df.count(), lsh_bits)
+        # corpus size for the adaptive bit count: callers that already
+        # know it (the declared query rides the cached corpus_count) pass
+        # n_vecs so construction stays lazy — an in-function count() here
+        # rescanned the immutable parquet on every rebuild and charged the
+        # scan to CONSTRUCTION, outside warm timings (r9 ADVICE)
+        lsh_bits = adaptive_lsh_bits(
+            n_vecs if n_vecs is not None else df.count(), lsh_bits
+        )
         dim = len(df.select(vec_col).first()[0])
         planes = np.random.default_rng(seed).standard_normal(
             (num_tables, lsh_bits, dim)
@@ -476,9 +484,13 @@ def embedding_pairs(
         )
         # re-attach vectors once per side, then score each Arrow batch of
         # candidate pairs with ONE vectorized numpy kernel (einsum row-dot
-        # / norm product — the same matmul-family arithmetic the brute
-        # baseline uses, so LSH cosines stay post-ROUND equal to the exact
-        # path, which tests/test_ext.py pins pair-by-pair). This replaced
+        # / norm product). einsum's sequential per-pair reduction and the
+        # brute kernel's blocked BLAS dgemm are NOT bit-identical in
+        # general — a 1-ULP pre-round divergence on a ROUND(x,6) boundary
+        # cosine could flip the 6th decimal; post-ROUND equality with the
+        # exact path is EMPIRICALLY pinned at the fixture SFs
+        # (tests/test_ext.py pair-by-pair + the three sweep scales), not
+        # guaranteed by the arithmetic. This replaced
         # a Catalyst zip_with/aggregate fold that evaluated an interpreted
         # lambda per ELEMENT: at sf0.1 that was ~3e7 lambda evals and the
         # whole-registry warm top spot (4.4s); the kernel scores the same

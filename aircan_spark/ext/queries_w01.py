@@ -738,8 +738,15 @@ def ext_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~0.63, so table hit-rate ~0.63^6=0.06 and recall 1-(1-0.06)^24~0.79
     # on worst-case (exactly-at-threshold) pairs; higher-cosine dupes are
     # found with near-certainty. Bits dial bucket size (candidate volume),
-    # tables dial recall.
-    return dedup.embedding_pairs(emb, threshold=0.4, lsh_bits=6, num_tables=24)
+    # tables dial recall. n_vecs rides the cached corpus_count so repeated
+    # builds don't rescan the corpus at construction time.
+    return dedup.embedding_pairs(
+        emb,
+        threshold=0.4,
+        lsh_bits=6,
+        num_tables=24,
+        n_vecs=corpus_count(spark, sf_dir, "embeddings"),
+    )
 
 
 EXT_DEDUP_EMBEDDING_SQL = r"""

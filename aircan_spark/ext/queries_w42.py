@@ -273,6 +273,16 @@ def ext_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2*rank_avg = 2*cum_prev + cnt + 1), so ties cost nothing; the
     normal approximation carries the exact tie-correction term.
 
+    Overflow margins (r10 window-moment audit): the over-margin
+    operation is the CUBIC tie term SUM(cnt^3 - cnt) — cnt is the
+    number of users sharing one |d| value, and a peaked difference
+    distribution can concentrate users on few values (worst case
+    n^3 = 3.4e21 at sf1000's 1.5e7 users, past 2^63 at cnt ~ 2.1e6),
+    so the cube runs in DECIMAL(38)/HUGEINT (same exact integers,
+    same final double conversion). The rank sum SUM(rank2*npos) is
+    bounded by n*(n+1) ~ 2.3e14 at sf1000 (4e4x margin) and stays
+    int64.
+
     Scale shape: one per-user conditional agg, an O(distinct |d|)
     cumulative sweep, one scalar combine."""
     d = (
@@ -315,7 +325,9 @@ def ext_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = ranked.agg(
         F.max("n").alias("n"),
         F.sum(F.expr("rank2*npos")).alias("t2plus"),
-        F.sum(F.expr("cnt*cnt*cnt - cnt")).alias("tie_term"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(19,0))*cnt*cnt - cnt")).alias(
+            "tie_term"
+        ),
     )
     return m.select(
         F.col("n").alias("n_pairs"),
@@ -359,7 +371,7 @@ ranked AS (
 m AS (
   SELECT CAST(MAX(n) AS BIGINT) AS n,
          CAST(SUM(rank2*npos) AS BIGINT) AS t2plus,
-         CAST(SUM(cnt*cnt*cnt - cnt) AS BIGINT) AS tie_term
+         SUM(CAST(cnt AS HUGEINT)*cnt*cnt - cnt) AS tie_term
   FROM ranked
 )
 SELECT n AS n_pairs,

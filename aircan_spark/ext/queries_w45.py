@@ -47,10 +47,12 @@ def ext_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = cust.crossJoin(F.broadcast(tot)).agg(
         F.max("n").alias("n"),
         F.max("yt").alias("yt"),
-        # DECIMAL combination: the |n*y - yt| terms are ~n*y_avg each and
-        # there are n of them, so the int64 sum is ~n^2*y_avg — past 2^63
-        # at ~sf175 with n = customers ∝ SF (r9 margin audit; HUGEINT in
-        # the oracle, same exact integers, same double conversion)
+        # DECIMAL combination: the |n*y - yt| terms sum to n^2 * MAD(y)
+        # (mean ABSOLUTE DEVIATION, ~7287 measured — not the mean), so the
+        # int64 sum crosses 2^63 at ~sf237 with n = customers ∝ SF (r9
+        # end-to-end overflow proof, SCALE_PROOF_OVERFLOW_r09 + the
+        # corrected PERFORMANCE.md audit row; HUGEINT in the oracle, same
+        # exact integers, same double conversion)
         F.sum(F.expr("ABS(CAST(n AS DECIMAL(19,0))*y - yt)")).alias("absdev"),
     )
     return dev.select(

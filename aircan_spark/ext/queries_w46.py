@@ -156,6 +156,13 @@ def _run_maintenance(
 # end-to-end exactly as before; only the scheduling is shared. Final
 # states are process-cached (pointer files re-validated per hit).
 _SHARED_STATE_CACHE: dict[str, dict[str, str]] = {}
+# sf_dirs whose shared stream ran to COMPLETION. Registration into
+# _SHARED_STATE_CACHE happens before the stream runs (so a mid-run death
+# still gets atexit reclamation), but reuse must be gated on completion:
+# the per-batch pointer commit is atomic, so a stream that dies after its
+# first batch leaves every _current.json present — existence checks alone
+# would silently serve the committed PREFIX as if it were final state.
+_SHARED_STATE_COMPLETE: set[str] = set()
 
 
 def _reclaim_shared_states() -> None:  # pragma: no cover — atexit hook
@@ -165,6 +172,7 @@ def _reclaim_shared_states() -> None:  # pragma: no cover — atexit hook
         for d in dirs.values():
             shutil.rmtree(d, ignore_errors=True)
     _SHARED_STATE_CACHE.clear()
+    _SHARED_STATE_COMPLETE.clear()
 
 
 def _shared_sketch_states(spark, sf_dir: str) -> dict[str, str]:
@@ -180,13 +188,16 @@ def _shared_sketch_states(spark, sf_dir: str) -> dict[str, str]:
 
     hit = _SHARED_STATE_CACHE.get(sf_dir)
     if hit is not None:
-        if all(
+        if sf_dir in _SHARED_STATE_COMPLETE and all(
             os.path.exists(os.path.join(d, "_current.json")) for d in hit.values()
         ):
             return hit
-        for d in hit.values():  # stale: reclaim before rebuilding
+        # stale OR incomplete (stream died/was stopped after a prefix of
+        # its batch commits): reclaim before rebuilding
+        for d in hit.values():
             shutil.rmtree(d, ignore_errors=True)
         del _SHARED_STATE_CACHE[sf_dir]
+        _SHARED_STATE_COMPLETE.discard(sf_dir)
 
     # staged union backlog, cached through the same _STAGE_CACHE plumbing
     key = (sf_dir, "__shared_sketch_backlog__", (), 2, "")
@@ -317,6 +328,13 @@ def _shared_sketch_states(spark, sf_dir: str) -> dict[str, str]:
         q.awaitTermination(300)
         if q.isActive:  # pragma: no cover — availableNow should terminate
             q.stop()
+            raise RuntimeError(
+                "shared sketch stream did not terminate within 300s — "
+                "state dirs hold only a committed prefix and were left "
+                "UNPROMOTED (next call rebuilds them)"
+            )
+        # promote only now: every maintainer's final batch is committed
+        _SHARED_STATE_COMPLETE.add(sf_dir)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return dirs
