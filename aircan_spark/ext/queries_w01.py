@@ -101,15 +101,19 @@ FROM documents ORDER BY doc_id
 
 
 def ext_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MOD-p rolling fingerprint sets (xxhash64-based — no DuckDB analog,
-    rows-only check; overlap semantics covered in tests/test_ext.py).
+    """MOD-p rolling fingerprint sets, PORTABLE form: prints are the
+    md5-derived 60-bit integers the winnowing overlap query (X187)
+    established, so the whole selection — shingle, hash, mod-8 select,
+    sort, digest — replays exactly in DuckDB and the query carries a
+    full value oracle (promoted off rows-only in r10; the xxhash64 form
+    remains the library default for scale, covered by overlap tests).
 
     The raw array<long> column is collapsed to a scalar md5 digest so every
     harness can canonicalize the output (a raw array column crashes
     pandas-based sorters — round-2 driver red)."""
     docs = _t(spark, sf_dir, "documents")
     return (
-        text.rolling_fingerprints(docs)
+        text.rolling_fingerprints(docs, portable=True)
         .select(
             "doc_id",
             F.size("fingerprints").alias("n_prints"),
@@ -117,6 +121,38 @@ def ext_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+EXT_ROLLING_FINGERPRINT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(TRIM(text), '\s+')) AS w,
+         generate_subscripts(string_split_regex(TRIM(text), '\s+'), 1) AS i
+  FROM documents
+),
+sh AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+),
+pr AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || SUBSTR(md5(s), 1, 15))::UBIGINT AS BIGINT) AS p
+  FROM sh
+  WHERE ('0x' || SUBSTR(md5(s), 1, 15))::UBIGINT % 8 = 0
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_prints,
+         string_agg(CAST(p AS VARCHAR), ',' ORDER BY p) AS joined
+  FROM pr GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_prints, 0) AS INTEGER) AS n_prints,
+       md5(COALESCE(a.joined, '')) AS prints_digest
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
+"""
 
 
 def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2520,6 +2520,7 @@ EXT_ORACLES.update({
     "ext_quality_score": EXT_QUALITY_SQL,
     "ext_lang_id": EXT_LANG_ID_SQL,
     "ext_fingerprint": EXT_FINGERPRINT_SQL,
+    "ext_rolling_fingerprint": EXT_ROLLING_FINGERPRINT_SQL,
     "ext_stopword_ratio": EXT_STOPWORD_SQL,
     "ext_repetition_stats": EXT_REPETITION_SQL,
     "ext_pii_stats": EXT_PII_SQL,

@@ -206,6 +206,7 @@ def rolling_fingerprints(
     text_col: str = "text",
     n: int = 3,
     mod: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """MOD-p selected rolling fingerprints (the winnowing-family scheme):
     hash every word n-gram window as it rolls over the document, keep the
@@ -214,11 +215,25 @@ def rolling_fingerprints(
     so overlap detection needs only a set intersection — ~1/mod of the
     shingle count per doc, content-addressed (position-independent).
 
+    ``portable=False`` hashes with xxhash64 (JVM-native, cheapest at
+    scale, no SQL analog); ``portable=True`` uses the md5-derived 60-bit
+    integer the winnowing overlap query (X187) established — every
+    selection then replays exactly in any SQL engine with an md5
+    function, at the cost of the heavier hash. Selection QUALITY is
+    identical (both are uniform over the shingle space; the sets differ
+    because the hashes do).
+
     Row-local: one pass builds the shingle hashes, a filter selects, sort
     canonicalizes. Output: (id, array<long> sorted distinct prints)."""
     from aircan_spark.ext.dedup import _shingle_array
 
-    hashes = F.transform(_shingle_array(text_col, n), lambda s: F.xxhash64(s))
+    if portable:
+        hasher = lambda s: F.conv(  # noqa: E731
+            F.substring(F.md5(s), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        hasher = lambda s: F.xxhash64(s)  # noqa: E731
+    hashes = F.transform(_shingle_array(text_col, n), hasher)
     selected = F.array_sort(
         F.array_distinct(F.filter(hashes, lambda h: F.pmod(h, F.lit(mod)) == 0))
     )

@@ -1026,6 +1026,32 @@ def test_rolling_fingerprints_selectivity(spark):
     assert n_shingles / 16 < n_prints < n_shingles / 4
 
 
+def test_rolling_fingerprints_portable_mode(spark):
+    """portable=True (the md5 60-bit prints the declared query ships):
+    same overlap semantics and ~1/mod selectivity as the xxhash64
+    default, values in the 60-bit range, and the selection replays
+    hash-for-hash in python hashlib (the SQL-portability property)."""
+    import hashlib
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [(1, shared + "x y z"), (2, "p q " + shared), (3, "n o t h i n g alike here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in text.rolling_fingerprints(df, portable=True).collect()
+    }
+    assert fps[1] & fps[2] and not (fps[1] & fps[3])
+    assert all(0 <= p < 2**60 for s in fps.values() for p in s)
+    # replay doc 3's selection from first principles
+    words = rows[2][1].split()
+    expect = set()
+    for i in range(len(words) - 2):
+        h = int(hashlib.md5(" ".join(words[i : i + 3]).encode()).hexdigest()[:15], 16)
+        if h % 8 == 0:
+            expect.add(h)
+    assert fps[3] == expect
+
+
 def test_stopword_stats_known_text(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog"), (2, "xyzzy plugh frobozz")],
