@@ -460,9 +460,15 @@ def ext_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative hash-min label propagation, every document assigned a group
     and the minimum id marked representative. The oracle computes the same
     components with a recursive CTE — an iterative Spark algorithm checked
-    value-for-value against declarative SQL."""
+    value-for-value against declarative SQL.
+
+    max_doc_freq=64 (r10): the hot-shingle guard the library always had,
+    now applied — it never binds at any committed fixture (max shingle
+    doc-freq 25 at sf0.1, oracle mirrors the prune) and bounds the
+    inverted-index candidate work at scale (salted-30x: sum(df^2) 1.1e9
+    unguarded vs 1.0e7 at df<=64)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_doc_freq=64)
     return dedup.dedup_groups(docs, pairs).orderBy("doc_id")
 
 
@@ -481,9 +487,11 @@ sh AS (
   JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 64),
 inter AS (
   SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
-  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  FROM sh x JOIN rare rx ON x.shingle = rx.shingle
+  JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
   GROUP BY 1, 2
 ),
 pairs AS (
@@ -710,8 +718,10 @@ ORDER BY doc_id
 
 
 def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs with the df<=64 hot-shingle guard
+    (r10 — fixture-inert, oracle-mirrored; see ext_dedup_groups)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_doc_freq=64)
 
 
 EXT_DEDUP_JACCARD_SQL = r"""
@@ -728,9 +738,11 @@ sh AS (
   JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 64),
 inter AS (
   SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
-  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  FROM sh x JOIN rare rx ON x.shingle = rx.shingle
+  JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
   GROUP BY 1, 2
 ),
 jac AS (

@@ -2123,7 +2123,9 @@ def ext_dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE oracle with the hash-min query: two different iterative
     algorithms, one declarative ground truth."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    # df<=64 hot-shingle guard (r10): fixture-inert, oracle-mirrored —
+    # see ext_dedup_groups (this query shares its oracle)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_doc_freq=64)
     comp = dedup.connected_components_star(pairs)
     return (
         docs.select("doc_id")

@@ -796,11 +796,18 @@ def ext_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the hot-term guard caps the posting fan-out exactly
     like X2's shingle guard (stopword postings are the quadratic
-    hazard); its bound scales with the corpus — max(64, 5% of docs) —
-    so it prunes true stopwords at any size instead of emptying the
-    index once every mid-frequency term passes a fixed cutoff (the
-    failure the fixed-64 form hit at sf0.1). Norms broadcast; the head
-    is k-bounded. Weights round to 6 BEFORE pairing so ranking can't
+    hazard). Its bound is GREATEST(64, LEAST(n/20, 1024)): the 5%-of-
+    docs ramp prunes true stopwords at any small-corpus size instead of
+    emptying the index once every mid-frequency term passes a fixed
+    cutoff (the failure the fixed-64 form hit at sf0.1), and the 1024
+    CEILING bounds per-term pair work at 1024^2/2 so total candidate
+    volume is LINEAR in the vocabulary — an uncapped 5% ramp made
+    sum(df^2) quadratic in the corpus (708s at salted-30x, r9 smoke;
+    a term in >1024 docs is a stopword for pair-RANKING purposes).
+    The ceiling only binds past n=20480 docs, so every committed
+    fixture SF (500/500/5000 docs -> caps 64/64/250) is bit-identical
+    to the pre-ceiling history. Norms broadcast; the head is
+    k-bounded. Weights round to 6 BEFORE pairing so ranking can't
     straddle engine ulp."""
     docs = _t(spark, sf_dir, "documents")
     n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
@@ -809,7 +816,9 @@ def ext_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_docs))
         .filter(
             F.col("doc_freq")
-            <= F.greatest(F.lit(64), F.floor(F.col("nd") / 20))
+            <= F.greatest(
+                F.lit(64), F.least(F.floor(F.col("nd") / 20), F.lit(1024))
+            )
         )
         .select("doc_id", "word", "tf_idf")
     )
@@ -852,7 +861,7 @@ wts AS (
          ROUND(tf.tf * (LN((n.n_docs + 1.0) / (dfreq.doc_freq + 1.0)) + 1.0), 6)
            AS tf_idf
   FROM tf JOIN dfreq USING (word) CROSS JOIN n
-  WHERE dfreq.doc_freq <= GREATEST(64, n.n_docs // 20)
+  WHERE dfreq.doc_freq <= GREATEST(64, LEAST(n.n_docs // 20, 1024))
 ),
 norms AS (
   SELECT doc_id, SQRT(SUM(tf_idf * tf_idf)) AS nrm FROM wts GROUP BY 1
@@ -882,7 +891,9 @@ def ext_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: CC runs over the tiny pair set; sizes and the
     histogram are two O(components) aggregations."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    # df<=64 hot-shingle guard (r10): fixture-inert, oracle-mirrored —
+    # see ext_dedup_groups
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_doc_freq=64)
     groups = dedup.dedup_groups(docs, pairs.select("id_a", "id_b"))
     sizes = groups.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -909,9 +920,11 @@ sh AS (
   JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 64),
 inter AS (
   SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
-  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  FROM sh x JOIN rare rx ON x.shingle = rx.shingle
+  JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
   GROUP BY 1, 2
 ),
 pairs AS (

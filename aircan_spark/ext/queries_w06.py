@@ -1060,8 +1060,21 @@ def ext_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals (0.95/0.9/0.85). The statistical layer the fuzzy join
     (X72) lacks: it says how much EVIDENCE an agreement carries.
 
-    Scale shape: pairs are equi-join blocked on nation (bounded blocks);
-    u-scalars are one tiny agg each, broadcast; output is O(2^fields)."""
+    Scale shape (r10 rewrite — the image_near_dup value-space lesson):
+    the output is O(2^fields) pattern counts, so the nation-blocked
+    pair join (O(n^2/nations) — 84x wall at salted-30x, the one
+    plan-quadratic this query had) is replaced by exact COUNTING: one
+    finest-grain aggregation over (nation, seg, bal, ch) and, per field
+    subset S, pairs-agreeing-on-at-least-S as sum(C(M,2)) over
+    (nation, S) groups (8 re-aggregations of the one finest frame —
+    Catalyst/AQE reuses its exchange), then inclusion-exclusion turns
+    at-least counts into exact per-pattern counts. Bit-identical
+    integers to the pair-materializing form (the oracle still
+    materializes pairs, so every sweep is a cross-formulation
+    equivalence proof); zero-count patterns are filtered to match the
+    pair form's groupBy row set. Fields are non-NULL in this corpus
+    (groupBy would treat NULL=NULL as agreement where the pair join's
+    `=` would not)."""
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
@@ -1086,19 +1099,58 @@ def ext_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(u_prob("bal_bkt"))
         .crossJoin(u_prob("last_ch"))
     )
-    a = cust.alias("a")
-    b = cust.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-    ).select(
-        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).cast("int").alias("g_seg"),
-        (F.col("a.bal_bkt") == F.col("b.bal_bkt")).cast("int").alias("g_bal"),
-        (F.col("a.last_ch") == F.col("b.last_ch")).cast("int").alias("g_ch"),
+    fin = cust.groupBy(
+        "c_nationkey", "c_mktsegment", "bal_bkt", "last_ch"
+    ).agg(F.count(F.lit(1)).alias("m"))
+
+    def agree(alias_, *cols):
+        # pairs agreeing on AT LEAST the given fields (same nation):
+        # sum of C(M,2) over (nation, fields) value groups
+        g = fin.groupBy("c_nationkey", *cols).agg(F.sum("m").alias("mm"))
+        return g.agg(
+            F.coalesce(
+                F.sum(F.expr("mm*(mm-1) DIV 2")), F.lit(0).cast("long")
+            ).alias(alias_)
+        )
+
+    scal = (
+        agree("a0")
+        .crossJoin(agree("a_s", "c_mktsegment"))
+        .crossJoin(agree("a_b", "bal_bkt"))
+        .crossJoin(agree("a_c", "last_ch"))
+        .crossJoin(agree("a_sb", "c_mktsegment", "bal_bkt"))
+        .crossJoin(agree("a_sc", "c_mktsegment", "last_ch"))
+        .crossJoin(agree("a_bc", "bal_bkt", "last_ch"))
+        .crossJoin(agree("a_sbc", "c_mktsegment", "bal_bkt", "last_ch"))
     )
-    patt = pairs.groupBy("g_seg", "g_bal", "g_ch").agg(
-        F.count(F.lit(1)).alias("n_pairs")
+
+    def _pat(s, b, c, expr):
+        return F.struct(
+            F.lit(s).cast("int").alias("g_seg"),
+            F.lit(b).cast("int").alias("g_bal"),
+            F.lit(c).cast("int").alias("g_ch"),
+            F.expr(expr).alias("n_pairs"),
+        )
+
+    # inclusion-exclusion: exact-pattern = alternating sum of at-least
+    # counts over supersets of the agreeing field set
+    patt = (
+        scal.select(
+            F.explode(
+                F.array(
+                    _pat(0, 0, 0, "a0 - a_s - a_b - a_c + a_sb + a_sc + a_bc - a_sbc"),
+                    _pat(0, 0, 1, "a_c - a_sc - a_bc + a_sbc"),
+                    _pat(0, 1, 0, "a_b - a_sb - a_bc + a_sbc"),
+                    _pat(0, 1, 1, "a_bc - a_sbc"),
+                    _pat(1, 0, 0, "a_s - a_sb - a_sc + a_sbc"),
+                    _pat(1, 0, 1, "a_sc - a_sbc"),
+                    _pat(1, 1, 0, "a_sb - a_sbc"),
+                    _pat(1, 1, 1, "a_sbc"),
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .filter(F.col("n_pairs") > 0)
     )
     m_seg, m_bal, m_ch = 0.95, 0.9, 0.85
 

@@ -418,22 +418,31 @@ def ext_dup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     template contamination). Bands are exact integer arithmetic
     ((20*i) div u), immune to float binning at band edges.
 
-    Scale shape: one inverted-index shingle join (X2's shape; apply its
-    max_doc_freq hot-shingle guard at corpus scale), then an O(bands)
-    collapse; the cumulative runs on the 20-row band axis."""
+    Scale shape: one inverted-index shingle join (X2's shape) with X2's
+    hot-shingle guard APPLIED (r10): shingles in more than 64 documents
+    are pruned from the join (sizes stay full-set, so the union in the
+    Jaccard denominator is exact). The cap never binds at any committed
+    fixture (max shingle doc-freq 25 at sf0.1) but kills the quadratic
+    mid-frequency band at scale — measured at salted-30x, sum(df^2)
+    candidate work is 1.1e9 uncapped vs 1.0e7 at df<=64 (the 81x wall
+    this query posted in the r9 smoke). The pair join itself rides
+    skew.blocked_self_pairs (partitions derived from sum(df^2),
+    oversized shingles triangular-split). Then an O(bands) collapse;
+    the cumulative runs on the 20-row band axis."""
+    from aircan_spark.skew import blocked_self_pairs
+
     docs = _t(spark, sf_dir, "documents")
     sh = dedup.shingles(docs, n=3)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 64)
+        .select("shingle")
+    )
     inter = (
-        sh.alias("x")
-        .join(
-            sh.alias("y"),
-            (F.col("x.shingle") == F.col("y.shingle"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .groupBy(
-            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
-        )
+        blocked_self_pairs(sh.join(rare, "shingle"), "shingle", "doc_id")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
     ju = (
@@ -482,9 +491,11 @@ sh AS (
   JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
 ),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 64),
 inter AS (
   SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
-  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  FROM sh x JOIN rare rx ON x.shingle = rx.shingle
+  JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
   GROUP BY 1, 2
 ),
 ju AS (
