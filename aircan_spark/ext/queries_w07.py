@@ -2243,9 +2243,13 @@ def ext_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
         # materialize the O(days) axis once: the selection below runs three
-        # jobs over the pair frame, and without truncation each re-scans the
-        # fact table
-        .transform(checkpoint)
+        # jobs over the pair frame, and without materialization each
+        # re-scans the fact table. persist (not checkpoint): this query's
+        # RESULT is a literal frame built from the eagerly computed median,
+        # so both intermediates can be explicitly RELEASED before returning
+        # — the r10 endurance smoke found the checkpointed slope frame
+        # (~220 MB at 10x) outliving the query for the whole session
+        .persist()
     )
     a = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"))
     b = daily.select(F.col("day").alias("d2"), F.col("x").alias("x2"))
@@ -2262,10 +2266,17 @@ def ext_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize the O(days^2) slope frame ONCE (a few MB of doubles):
     # the selection below runs three jobs (bounds, histogram, bucket
-    # collect) and without truncation each re-executes the pair
+    # collect) and without materialization each re-executes the pair
     # nested-loop join — measured 13.9s -> ~7s cold at sf0.1
-    slopes = checkpoint(slopes)
-    n, med = _theil_sen_median(slopes)
+    slopes = slopes.persist()
+    try:
+        n, med = _theil_sen_median(slopes)
+    finally:
+        # the median is a driver-side scalar now — nothing downstream
+        # reads these frames; leaving them persisted leaked ~220 MB into
+        # every later query of the session (endurance smoke, r10)
+        slopes.unpersist()
+        daily.unpersist()
     out = spark.createDataFrame(
         [(n, med)], "n_pairs long, med double"
     )

@@ -44,7 +44,7 @@ ALWAYS = [
     "ext_sim_topk_ivf",
     "ext_sim_topk_ivfpq",
     "ext_pca_power",
-    "ext_label_prop_communities",
+    "ext_communities",
     "ext_theil_sen",
 ]
 
