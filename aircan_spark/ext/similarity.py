@@ -190,7 +190,7 @@ def _train_centroids(
     vec_col: str,
     nlist: int,
     seed: int,
-    sample_size: int = 100_000,
+    sample_size: int = 16_384,
     iters: int = 10,
 ) -> np.ndarray:
     """Sample-based spherical k-means (Lloyd) for the IVF coarse quantizer.
@@ -199,7 +199,11 @@ def _train_centroids(
     the driver (``sample_size`` rows max, independent of corpus size) and a
     few numpy Lloyd iterations produce ``nlist`` L2-normalized centroids.
     At 100 TB the sample is still ``sample_size`` rows: training cost does
-    not scale with the corpus. The sample is content-hash selected and
+    not scale with the corpus. The 16_384 default is ~1000x the declared
+    queries' nlist=16 (k-means wants ~1000 samples per centroid); size it
+    up proportionally for large nlist. It also exceeds every committed
+    fixture corpus (<= 2000 vectors), so fixtures collect whole in
+    canonical order — bit-identical to any larger setting. The sample is content-hash selected and
     canonically ordered (``_sample_matrix``), so training is a pure function
     of corpus content — invariant to partition count."""
     mat = _sample_matrix(corpus, vec_col, sample_size, seed)
@@ -297,7 +301,7 @@ def pq_train(
     vec_col: str = "embedding",
     m: int = 8,
     ksub: int = 16,
-    sample_size: int = 100_000,
+    sample_size: int = 16_384,
     iters: int = 8,
     seed: int = 42,
 ) -> np.ndarray:
