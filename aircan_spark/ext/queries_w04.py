@@ -614,27 +614,47 @@ def ext_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     their own id as the cluster. The full dedup-merge pipeline a
     master-data / golden-record job runs.
 
-    Scale shape: pairs come from the blocked equi-join (levenshtein
-    only inside blocks); CC is O(diameter) rounds over the TINY pair
-    set; the final label attach is a left join on the customer key and
-    sizes aggregate over O(customers) labels."""
+    Scale shape (r10 value-space collapse — the duplicate-heavy corpus
+    lesson): instances collapse to DISTINCT names first (super-node =
+    min custkey of the name group), the fuzzy block join and CC run
+    over distinct names only, and labels expand back through one
+    name-keyed join. EXACTLY equivalent to instance-level CC: same-name
+    instances always share a block at distance 0 (one super-node), two
+    distinct names edge iff they would at instance level (the block key
+    derives from the name), and hash-min's component label — min
+    super-node id = min group-min custkey — IS the instance-level min
+    custkey. Verbatim-duplicated corpora (names are not salted by the
+    replicator, and real MDM data is exactly this shape) made the
+    instance graph quadratic in multiplicity: 100x-salted had ~7.4e7
+    instance edges (2976s); the distinct-name graph has ~15k nodes.
+    Fixture corpora have unique names, so the collapse is a semantic
+    no-op there (devcheck bit-identical; the oracle still runs the
+    instance-level recursive CTE, so every sweep is a cross-formulation
+    equivalence proof)."""
     from aircan_spark.ext import entity
 
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    pairs = entity.fuzzy_self_join(
-        cust, "c_custkey", "c_name", max_dist=1, tail=2
+    vals = cust.groupBy("c_name").agg(
+        F.min("c_custkey").alias("vid"), F.count(F.lit(1)).alias("vn")
+    )
+    vpairs = entity.fuzzy_self_join(
+        vals, "vid", "c_name", max_dist=1, tail=2
     ).select("id_a", "id_b")
-    comp = dedup.connected_components(pairs)
-    labeled = (
-        cust.join(comp.withColumnRenamed("id", "c_custkey"), "c_custkey", "left")
-        .select(
-            "c_custkey",
-            F.coalesce("component", F.col("c_custkey")).alias("cluster"),
-        )
+    comp = dedup.connected_components(vpairs)
+    vlabeled = vals.join(
+        comp.withColumnRenamed("id", "vid"), "vid", "left"
+    ).select(
+        "c_name",
+        "vn",
+        F.coalesce("component", F.col("vid")).alias("cluster"),
     )
-    sizes = labeled.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("cluster_size")
+    sizes = vlabeled.groupBy("cluster").agg(
+        F.sum("vn").alias("cluster_size")
     )
+    labeled = cust.join(vlabeled.select("c_name", "cluster"), "c_name")
+    # no broadcast hint on sizes: O(clusters) approaches O(customers)
+    # when names are mostly unique (the no-duplicate regime) — let AQE
+    # pick the strategy from runtime stats
     return (
         labeled.join(sizes, "cluster")
         .select("c_custkey", "cluster", "cluster_size")
