@@ -36,6 +36,29 @@ from aircan_spark.ext.text import normalize_text
 # driver-side O(n²) collect is both slower than LSH and a memory hazard.
 BRUTE_PAIRS_MAX_VECTORS = 50_000
 
+# The declared-query hot-shingle doc-frequency guard (r10): shingles in
+# more than this many documents are pruned from inverted-index pair joins.
+# Chosen at 2.56x the max shingle doc-freq observed at sf0.1 (25), so it
+# never binds at any committed fixture, while bounding candidate work at
+# scale (salted-30x: sum(df^2) 1.1e9 unguarded vs 1.0e7 here). The value
+# is interpolated into the DuckDB oracle strings — change it HERE and the
+# Spark queries and oracles move together.
+HOT_SHINGLE_MAX_DF = 64
+
+
+def rare_shingles(
+    sh: DataFrame, max_doc_freq: int, shingle_col: str = "shingle"
+) -> DataFrame:
+    """Shingles occurring in at most ``max_doc_freq`` documents — the
+    join-key whitelist of the hot-shingle guard (one partial-agg scan of
+    the inverted index)."""
+    return (
+        sh.groupBy(shingle_col)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select(shingle_col)
+    )
+
 
 # --- exact -------------------------------------------------------------------
 
@@ -123,13 +146,7 @@ def ngram_jaccard_pairs(
 
     joinable = sh
     if max_doc_freq is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("shingle")
-        )
-        joinable = sh.join(rare, "shingle")
+        joinable = sh.join(rare_shingles(sh, max_doc_freq), "shingle")
 
     # inverted-index self-join with DERIVED parallelism: shuffle
     # partitions sized from sum(df^2) over shingles, and any shingle
@@ -891,13 +908,7 @@ def containment_pairs(
 
     joinable = sh
     if max_doc_freq is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("shingle")
-        )
-        joinable = sh.join(rare, "shingle")
+        joinable = sh.join(rare_shingles(sh, max_doc_freq), "shingle")
     sizes = joinable.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
     a = joinable.withColumnRenamed(id_col, "id_a")

@@ -135,6 +135,14 @@ sh AS (
   FROM toks a
   JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
   JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+  UNION ALL
+  -- Spark's _shingle_array emits ONE whole-text shingle (words joined by
+  -- single spaces; '' for empty text) when a doc has < 3 words — the
+  -- positional 3-gram joins above produce none there, so mirror it
+  SELECT doc_id,
+         array_to_string(string_split_regex(TRIM(text), '\s+'), ' ') AS s
+  FROM documents
+  WHERE LEN(string_split_regex(TRIM(text), '\s+')) < 3
 ),
 pr AS (
   SELECT DISTINCT doc_id,
@@ -468,11 +476,13 @@ def ext_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index candidate work at scale (salted-30x: sum(df^2) 1.1e9
     unguarded vs 1.0e7 at df<=64)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_doc_freq=64)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.3, max_doc_freq=dedup.HOT_SHINGLE_MAX_DF
+    )
     return dedup.dedup_groups(docs, pairs).orderBy("doc_id")
 
 
-EXT_DEDUP_GROUPS_SQL = r"""
+EXT_DEDUP_GROUPS_SQL = rf"""
 WITH RECURSIVE
 toks AS (
   SELECT doc_id,
@@ -487,7 +497,7 @@ sh AS (
   JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 64),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {dedup.HOT_SHINGLE_MAX_DF}),
 inter AS (
   SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
   FROM sh x JOIN rare rx ON x.shingle = rx.shingle
@@ -721,10 +731,12 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs with the df<=64 hot-shingle guard
     (r10 — fixture-inert, oracle-mirrored; see ext_dedup_groups)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_doc_freq=64)
+    return dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.3, max_doc_freq=dedup.HOT_SHINGLE_MAX_DF
+    )
 
 
-EXT_DEDUP_JACCARD_SQL = r"""
+EXT_DEDUP_JACCARD_SQL = rf"""
 WITH toks AS (
   SELECT doc_id,
          unnest(string_split_regex(TRIM(text), '\s+')) AS w,
@@ -738,7 +750,7 @@ sh AS (
   JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 64),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {dedup.HOT_SHINGLE_MAX_DF}),
 inter AS (
   SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
   FROM sh x JOIN rare rx ON x.shingle = rx.shingle

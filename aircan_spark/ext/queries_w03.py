@@ -2125,7 +2125,9 @@ def ext_dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # df<=64 hot-shingle guard (r10): fixture-inert, oracle-mirrored —
     # see ext_dedup_groups (this query shares its oracle)
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_doc_freq=64)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.3, max_doc_freq=dedup.HOT_SHINGLE_MAX_DF
+    )
     comp = dedup.connected_components_star(pairs)
     return (
         docs.select("doc_id")

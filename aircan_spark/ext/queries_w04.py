@@ -634,7 +634,12 @@ def ext_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aircan_spark.ext import entity
 
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    vals = cust.groupBy("c_name").agg(
+    # NULL names route around the collapse: a NULL block key never
+    # equi-joins, so at instance level every NULL-named customer is its
+    # own singleton — groupBy would instead merge them all (NULL=NULL in
+    # grouping) and the name-keyed expansion join would then drop them
+    named = cust.filter(F.col("c_name").isNotNull())
+    vals = named.groupBy("c_name").agg(
         F.min("c_custkey").alias("vid"), F.count(F.lit(1)).alias("vn")
     )
     vpairs = entity.fuzzy_self_join(
@@ -651,15 +656,19 @@ def ext_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = vlabeled.groupBy("cluster").agg(
         F.sum("vn").alias("cluster_size")
     )
-    labeled = cust.join(vlabeled.select("c_name", "cluster"), "c_name")
+    labeled = named.join(vlabeled.select("c_name", "cluster"), "c_name")
     # no broadcast hint on sizes: O(clusters) approaches O(customers)
     # when names are mostly unique (the no-duplicate regime) — let AQE
     # pick the strategy from runtime stats
-    return (
-        labeled.join(sizes, "cluster")
-        .select("c_custkey", "cluster", "cluster_size")
-        .orderBy("c_custkey")
+    out = labeled.join(sizes, "cluster").select(
+        "c_custkey", "cluster", "cluster_size"
     )
+    null_singletons = cust.filter(F.col("c_name").isNull()).select(
+        "c_custkey",
+        F.col("c_custkey").alias("cluster"),
+        F.lit(1).cast("long").alias("cluster_size"),
+    )
+    return out.unionByName(null_singletons).orderBy("c_custkey")
 
 
 EXT_ENTITY_CLUSTERS_SQL = r"""

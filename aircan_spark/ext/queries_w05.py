@@ -893,7 +893,9 @@ def ext_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # df<=64 hot-shingle guard (r10): fixture-inert, oracle-mirrored —
     # see ext_dedup_groups
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_doc_freq=64)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.3, max_doc_freq=dedup.HOT_SHINGLE_MAX_DF
+    )
     groups = dedup.dedup_groups(docs, pairs.select("id_a", "id_b"))
     sizes = groups.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -905,7 +907,7 @@ def ext_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EXT_CLUSTER_SIZE_HISTOGRAM_SQL = r"""
+EXT_CLUSTER_SIZE_HISTOGRAM_SQL = rf"""
 WITH RECURSIVE
 toks AS (
   SELECT doc_id,
@@ -920,7 +922,7 @@ sh AS (
   JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 64),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {dedup.HOT_SHINGLE_MAX_DF}),
 inter AS (
   SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
   FROM sh x JOIN rare rx ON x.shingle = rx.shingle

@@ -1075,12 +1075,29 @@ def ext_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair form's groupBy row set. Fields are non-NULL in this corpus
     (groupBy would treat NULL=NULL as agreement where the pair join's
     `=` would not)."""
-    cust = _t(spark, sf_dir, "customer").select(
-        "c_custkey",
-        "c_nationkey",
-        "c_mktsegment",
-        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bkt"),
-        F.substring(F.col("c_name"), -1, 1).alias("last_ch"),
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bkt"),
+            F.substring(F.col("c_name"), -1, 1).alias("last_ch"),
+        )
+        # NULL discipline, enforced in-plan on BOTH engines (the oracle
+        # mirrors this WHERE): the value-space counting groups NULL=NULL
+        # where the old pair join's `=` did not — a NULL-nation row never
+        # paired at all (exact to exclude), and NULL field values produced
+        # engine-divergent patterns even pre-rewrite (Spark NULL vs DuckDB
+        # CASE->0). Scoping to fully-non-NULL rows makes the semantics
+        # identical and explicit; this corpus has no NULLs, so fixture
+        # outputs are unchanged.
+        .filter(
+            F.col("c_nationkey").isNotNull()
+            & F.col("c_mktsegment").isNotNull()
+            & F.col("bal_bkt").isNotNull()
+            & F.col("last_ch").isNotNull()
+        )
     )
 
     def u_prob(col):
@@ -1183,6 +1200,8 @@ WITH cust AS (
          CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bkt,
          SUBSTR(c_name, LENGTH(c_name), 1) AS last_ch
   FROM customer
+  WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+    AND c_acctbal IS NOT NULL AND c_name IS NOT NULL
 ),
 n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM cust),
 useg AS (

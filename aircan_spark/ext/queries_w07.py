@@ -434,12 +434,7 @@ def ext_dup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sh = dedup.shingles(docs, n=3)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= 64)
-        .select("shingle")
-    )
+    rare = dedup.rare_shingles(sh, dedup.HOT_SHINGLE_MAX_DF)
     inter = (
         blocked_self_pairs(sh.join(rare, "shingle"), "shingle", "doc_id")
         .groupBy("id_a", "id_b")
@@ -477,7 +472,7 @@ def ext_dup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EXT_DUP_THRESHOLD_SQL = r"""
+EXT_DUP_THRESHOLD_SQL = rf"""
 WITH toks AS (
   SELECT doc_id,
          unnest(string_split_regex(TRIM(text), '\s+')) AS w,
@@ -491,7 +486,7 @@ sh AS (
   JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
 ),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 64),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {dedup.HOT_SHINGLE_MAX_DF}),
 inter AS (
   SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
   FROM sh x JOIN rare rx ON x.shingle = rx.shingle

@@ -158,9 +158,24 @@ def _sample_matrix(
     hashed = corpus.select(v).withColumn("h", F.xxhash64(F.col("v"), F.lit(seed)))
     total = corpus.count()
     modulus = max(1, total // max(sample_size, 1))
+    sample = None
     if modulus > 1:
-        hashed = hashed.filter(F.pmod(F.col("h"), F.lit(modulus)) == 0)
-    sample = hashed.orderBy("h", "v").limit(sample_size).toPandas()
+        filtered = hashed.filter(F.pmod(F.col("h"), F.lit(modulus)) == 0)
+        sample = filtered.orderBy("h", "v").limit(sample_size).toPandas()
+        if len(sample) == 0:
+            # duplicate-heavy corpora collapse to few distinct hash VALUES
+            # (duplicates share one hash), so the modulus can miss every
+            # value even when rows >> sample_size. Fall back to the
+            # distinct-value set — small exactly when this branch fires,
+            # and still content-canonical (survivor emptiness is a pure
+            # function of corpus content, so the fallback choice is
+            # partition-invariant too).
+            sample = None
+    if sample is None:
+        base = hashed.distinct() if modulus > 1 else hashed
+        sample = base.orderBy("h", "v").limit(sample_size).toPandas()
+    if len(sample) == 0:
+        raise ValueError("cannot build an ANN training sample from an empty corpus")
     return np.array(sample["v"].tolist(), dtype="float64")
 
 

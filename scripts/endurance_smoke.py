@@ -123,6 +123,18 @@ def main() -> None:
         json.dump(artifact, fh, indent=1, sort_keys=True)
     print(json.dumps({k: v for k, v in artifact.items() if k != "queries"}))
     spark.stop()
+    # leak budget: residue surviving the WHOLE pass. The healthy state is
+    # a couple of cleaner-pending blocks from the final queries' own lazy
+    # results (~62 MB measured at 10x); a theil_sen-class leak (a frame no
+    # result needs, carried for the session) blows well past this.
+    budget_mb = float(os.environ.get("ENDURANCE_RESIDUE_BUDGET_MB", "150"))
+    if final_bytes / 1e6 > budget_mb:
+        print(
+            f"RESIDUE OVER BUDGET: {final_bytes/1e6:.1f} MB persisted after "
+            f"the full pass (budget {budget_mb} MB) — a query is leaking "
+            "frames it no longer needs"
+        )
+        sys.exit(1)
     sys.exit(1 if errors else 0)
 
 

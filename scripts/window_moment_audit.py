@@ -68,8 +68,11 @@ def window_sites(path: str):
 
 
 def integer_products(path: str, alias: str, after: int):
-    """Lines after the window site where the alias is multiplied or
-    squared without a visible DECIMAL/DOUBLE/CAST on the same line."""
+    """Lines after the window site — up to the next top-level ``def``
+    (the enclosing query's end) — where the alias is multiplied or
+    squared without DECIMAL/HUGEINT widening on the same line. Bounding
+    at the def boundary keeps common aliases (cnt, n, cc) from being
+    flagged against an unrelated query later in the same wave file."""
     hits = []
     pat = re.compile(
         rf"(\b{alias}\b\s*\*|\*\s*{alias}\b|POW\s*\(\s*{alias}\b|\b{alias}\s*\^)",
@@ -79,6 +82,8 @@ def integer_products(path: str, alias: str, after: int):
         for j, line in enumerate(f, 1):
             if j <= after:
                 continue
+            if line.startswith("def "):
+                break  # left the enclosing query (and its oracle string)
             if pat.search(line) and not SAFE_CAST.search(line):
                 hits.append((j, line.strip()))
     return hits

@@ -40,8 +40,29 @@ def test_sample_matrix_bounded_and_full_below_cap(spark, emb):
     n = emb.count()
     full = similarity._sample_matrix(emb, "embedding", n + 100, seed=7)
     assert len(full) == n  # cap above corpus size -> whole corpus
+    # the modulus filter keeps ~Binomial(n, 1/modulus) rows, so the exact
+    # count is fixture-dependent — pin the bound and non-emptiness only
     small = similarity._sample_matrix(emb, "embedding", 50, seed=7)
-    assert len(small) == 50
+    assert 0 < len(small) <= 50
+
+
+def test_sample_matrix_duplicate_heavy_fallback(spark):
+    """A corpus of many rows but few distinct values: duplicates share one
+    hash, so the modulus filter can strand ZERO survivors — the sampler
+    must fall back to the distinct-value set instead of crashing the
+    trainers (np axis errors on an empty matrix)."""
+    rows = [([float(i % 3), 1.0],) for i in range(5000)]  # 3 distinct vecs
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    for seed in range(8):  # any seed must survive, hit-or-miss the modulus
+        mat = similarity._sample_matrix(df, "embedding", 100, seed=seed)
+        assert 1 <= len(mat) <= 100
+    cents = similarity._train_centroids(df, "embedding", nlist=4, seed=3)
+    assert cents.shape[1] == 2  # trains, with k clamped to distinct points
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "embedding array<double>")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        similarity._sample_matrix(empty, "embedding", 10, seed=0)
 
 
 def test_train_centroids_partition_invariant(spark, emb):
