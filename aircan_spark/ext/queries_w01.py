@@ -858,7 +858,10 @@ def ext_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_topk(emb, queries, k=5, nlist=16, nprobe=4)
+    return similarity.ivf_topk(
+        emb, queries, k=5, nlist=16, nprobe=4,
+        n_rows=corpus_count(spark, sf_dir, "embeddings"),
+    )
 
 
 def ext_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -869,7 +872,10 @@ def ext_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only contract; recall measured in tests/test_ext.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    books = similarity.pq_train(emb, m=16, ksub=16, seed=42)
+    books = similarity.pq_train(
+        emb, m=16, ksub=16, seed=42,
+        n_rows=corpus_count(spark, sf_dir, "embeddings"),
+    )
     return similarity.pq_topk(emb, queries, books, k=5)
 
 

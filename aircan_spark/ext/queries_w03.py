@@ -1061,8 +1061,11 @@ def ext_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence tested in tests/test_ext.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    books = similarity.pq_train(emb, m=16, ksub=16, seed=42)
-    return similarity.ivfpq_topk(emb, queries, books, k=5, nlist=16, nprobe=4, seed=42)
+    n_vecs = corpus_count(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb, m=16, ksub=16, seed=42, n_rows=n_vecs)
+    return similarity.ivfpq_topk(
+        emb, queries, books, k=5, nlist=16, nprobe=4, seed=42, n_rows=n_vecs
+    )
 
 
 def ext_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:

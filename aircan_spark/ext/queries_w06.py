@@ -1122,11 +1122,26 @@ def ext_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def agree(alias_, *cols):
         # pairs agreeing on AT LEAST the given fields (same nation):
-        # sum of C(M,2) over (nation, fields) value groups
+        # sum of C(M,2) over (nation, fields) value groups. C(M,2) is
+        # computed in DECIMAL (halving the EVEN factor first keeps each
+        # operand < 2^63, the product exact at scale 0): int64 mm*(mm-1)
+        # would overflow once one (nation, fields) group exceeds ~3.04e9
+        # rows — ~1e5x past the sf1000 design point (~6e6/nation) but
+        # inside the repo's 10x-headroom audit discipline only by
+        # documentation, not by construction. DECIMAL(19,0)^2 -> (38,0)
+        # is exact to ~8.6e37 pairs; the final per-pattern counts are
+        # cast back to long (they exceed 2^63 only past ~4.3e9 rows per
+        # pattern group, recorded in PERFORMANCE.md's audit table).
         g = fin.groupBy("c_nationkey", *cols).agg(F.sum("m").alias("mm"))
+        half_pairs = (
+            "CASE WHEN mm % 2 = 0 "
+            "THEN CAST(mm DIV 2 AS DECIMAL(19,0)) * CAST(mm - 1 AS DECIMAL(19,0)) "
+            "ELSE CAST(mm AS DECIMAL(19,0)) * CAST((mm - 1) DIV 2 AS DECIMAL(19,0)) "
+            "END"
+        )
         return g.agg(
             F.coalesce(
-                F.sum(F.expr("mm*(mm-1) DIV 2")), F.lit(0).cast("long")
+                F.sum(F.expr(half_pairs)), F.lit(0).cast("decimal(38,0)")
             ).alias(alias_)
         )
 
@@ -1142,11 +1157,14 @@ def ext_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _pat(s, b, c, expr):
+        # inclusion-exclusion runs in DECIMAL(38,0); the exact pattern
+        # count is cast back to long for the declared schema (safe to
+        # ~4.3e9 rows per (nation, pattern) group — see agree())
         return F.struct(
             F.lit(s).cast("int").alias("g_seg"),
             F.lit(b).cast("int").alias("g_bal"),
             F.lit(c).cast("int").alias("g_ch"),
-            F.expr(expr).alias("n_pairs"),
+            F.expr(expr).cast("long").alias("n_pairs"),
         )
 
     # inclusion-exclusion: exact-pattern = alternating sum of at-least

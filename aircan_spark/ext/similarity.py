@@ -126,8 +126,20 @@ def lsh_topk(
     )
 
 
+# a modulus-filtered survivor set with fewer distinct vectors than this
+# is treated as degenerate (duplicate-heavy corpus whose few distinct hash
+# values mostly missed the modulus): fall back to the distinct-value set.
+# 256 is ~16x the declared queries' nlist/ksub (=16) and a tiny fraction
+# of the 16_384 default sample, so a distinct-content corpus never trips it.
+MIN_DISTINCT_SURVIVORS = 256
+
+
 def _sample_matrix(
-    corpus: DataFrame, vec_col: str, sample_size: int, seed: int
+    corpus: DataFrame,
+    vec_col: str,
+    sample_size: int,
+    seed: int,
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Partition-invariant bounded training sample, as a float64 matrix.
 
@@ -141,7 +153,11 @@ def _sample_matrix(
 
     This path selects and orders rows by CONTENT hash only:
 
-    1. ``count()`` the corpus (parquet footer-stat pushdown — no data scan)
+    1. size the corpus — the caller's ``n_rows`` when provided (the
+       wrappers pass the cached ``corpus_count``, so repeated trainer
+       builds never re-count), else one ``count()`` job (footer-stat
+       cheap only on raw parquet scans; derived/repartitioned frames pay
+       a real scan — which is why callers should thread ``n_rows``) —
        and derive a modulus ``M ~= total/sample_size``;
     2. map-side filter ``xxhash64(vec, seed) % M == 0`` — a deterministic
        function of each row's value, so the subset is identical at any
@@ -156,19 +172,24 @@ def _sample_matrix(
     matrix — the whole training becomes partition-invariant."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
     hashed = corpus.select(v).withColumn("h", F.xxhash64(F.col("v"), F.lit(seed)))
-    total = corpus.count()
+    total = n_rows if n_rows is not None else corpus.count()
     modulus = max(1, total // max(sample_size, 1))
     sample = None
     if modulus > 1:
         filtered = hashed.filter(F.pmod(F.col("h"), F.lit(modulus)) == 0)
         sample = filtered.orderBy("h", "v").limit(sample_size).toPandas()
-        if len(sample) == 0:
+        if len(sample) == 0 or sample["h"].nunique() < min(
+            MIN_DISTINCT_SURVIVORS, sample_size
+        ):
             # duplicate-heavy corpora collapse to few distinct hash VALUES
             # (duplicates share one hash), so the modulus can miss every
-            # value even when rows >> sample_size. Fall back to the
-            # distinct-value set — small exactly when this branch fires,
-            # and still content-canonical (survivor emptiness is a pure
-            # function of corpus content, so the fallback choice is
+            # value — or catch only 1-2, leaving a near-degenerate
+            # duplicate sample that trains worse centroids than no sample
+            # at all. Either way fall back to the distinct-value set:
+            # map-side partial aggregation keeps distinct() cheap exactly
+            # when this fires (few distinct values), and the choice stays
+            # content-canonical (survivor distinct-count is a pure
+            # function of corpus content, so the fallback decision is
             # partition-invariant too).
             sample = None
     if sample is None:
@@ -207,6 +228,7 @@ def _train_centroids(
     seed: int,
     sample_size: int = 16_384,
     iters: int = 10,
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Sample-based spherical k-means (Lloyd) for the IVF coarse quantizer.
 
@@ -220,8 +242,11 @@ def _train_centroids(
     fixture corpus (<= 2000 vectors), so fixtures collect whole in
     canonical order — bit-identical to any larger setting. The sample is content-hash selected and
     canonically ordered (``_sample_matrix``), so training is a pure function
-    of corpus content — invariant to partition count."""
-    mat = _sample_matrix(corpus, vec_col, sample_size, seed)
+    of corpus content — invariant to partition count. Thread ``n_rows``
+    (the caller's known/cached corpus size) to skip the sampler's count
+    job — trainers typically receive derived frames where count() is a
+    full scan, not a footer read."""
+    mat = _sample_matrix(corpus, vec_col, sample_size, seed, n_rows=n_rows)
     mat /= np.maximum(np.linalg.norm(mat, axis=1)[:, None], 1e-12)
     rng = np.random.default_rng(seed)
     cents = _kmeanspp_init(mat, nlist, rng)
@@ -265,6 +290,7 @@ def ivf_topk(
     nlist: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are bucketed by
     nearest k-means centroid (one cell each); each query probes its
@@ -276,7 +302,7 @@ def ivf_topk(
     bounded sample (never the full corpus); the centroid matrix ships to
     executors inside the UDF closure (nlist x dim floats)."""
     query_id_col = query_id_col or id_col
-    cents = _train_centroids(corpus, vec_col, nlist, seed)
+    cents = _train_centroids(corpus, vec_col, nlist, seed, n_rows=n_rows)
 
     c_assign = _assign_udf(cents, 1)
     q_assign = _assign_udf(cents, nprobe)
@@ -319,6 +345,7 @@ def pq_train(
     sample_size: int = 16_384,
     iters: int = 8,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Train product-quantization codebooks: split the vector into ``m``
     subspaces, k-means each subspace to ``ksub`` centroids. Returns
@@ -327,8 +354,9 @@ def pq_train(
     Like IVF centroid training, reads a BOUNDED sample to the driver
     (``sample_size`` rows regardless of corpus size) via the
     partition-invariant content-hash sampler (``_sample_matrix``);
-    encoding cost at 100 TB is row-local."""
-    mat = _sample_matrix(corpus, vec_col, sample_size, seed)
+    encoding cost at 100 TB is row-local. ``n_rows`` skips the sampler's
+    sizing count when the caller already knows the corpus size."""
+    mat = _sample_matrix(corpus, vec_col, sample_size, seed, n_rows=n_rows)
     dim = mat.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -456,6 +484,7 @@ def ivfpq_topk(
     nlist: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production ANN layout — IVF cell probing cuts the
     CANDIDATE COUNT (~nprobe/nlist of the corpus per query), PQ codes cut
@@ -468,7 +497,7 @@ def ivfpq_topk(
     centroids, PQ codebooks) read bounded samples."""
     query_id_col = query_id_col or id_col
     m, ksub, dsub = codebooks.shape
-    cents = _train_centroids(corpus, vec_col, nlist, seed)
+    cents = _train_centroids(corpus, vec_col, nlist, seed, n_rows=n_rows)
     c_assign = _assign_udf(cents, 1)
     q_assign = _assign_udf(cents, nprobe)
 

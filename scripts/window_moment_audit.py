@@ -50,8 +50,31 @@ ALIAS_SQL = re.compile(r"\)\s+AS\s+(?P<alias>\w+)", re.IGNORECASE)
 # CAST(... AS DOUBLE) around a product does NOT: the product is computed
 # in int64 FIRST and only the overflowed result would be cast (exactly
 # the ext_pareto_knee shape). A double literal (40e0*...) does widen the
-# arithmetic, so e-notation on either side of the * is also safe.
-SAFE_CAST = re.compile(r"DECIMAL|HUGEINT|\de\d*\s*\*|\*\s*\d+e\d", re.IGNORECASE)
+# arithmetic, so a float e-notation literal ADJACENT to the * is safe.
+# r11 (ADVICE): the safe-cast check is ALIAS-SPECIFIC — a line that
+# widens one operand while leaving a second product of the same alias
+# un-widened, or that merely mentions DECIMAL elsewhere (a different
+# column's cast), no longer suppresses the flag. A product is safe when
+# the widening cast wraps the flagged alias itself, wraps the operand
+# directly adjacent to the *, or the adjacent operand is a float literal.
+_E_LIT = r"\d+(?:\.\d+)?[eE]\d+"
+
+
+def _safe_product(line: str, alias: str) -> bool:
+    wide = r"(?:DECIMAL|HUGEINT|DOUBLE\s+PRECISION)"
+    pats = [
+        # CAST(alias ... AS DECIMAL/HUGEINT ...)  — the alias is widened
+        rf"CAST\s*\(\s*{alias}\b[^()]*AS\s+{wide}",
+        # DuckDB postfix cast on the alias
+        rf"\b{alias}\s*::\s*{wide}",
+        # the operand adjacent to the * is an explicit widening cast
+        rf"AS\s+{wide}[^()]*\)\s*(?:\)\s*)*\*",
+        rf"\*\s*CAST\s*\([^()]*AS\s+{wide}",
+        # float e-notation literal adjacent to the *
+        rf"{_E_LIT}\s*\*",
+        rf"\*\s*{_E_LIT}\b",
+    ]
+    return any(re.search(p, line, re.IGNORECASE) for p in pats)
 
 
 def window_sites(path: str):
@@ -84,7 +107,7 @@ def integer_products(path: str, alias: str, after: int):
                 continue
             if line.startswith("def "):
                 break  # left the enclosing query (and its oracle string)
-            if pat.search(line) and not SAFE_CAST.search(line):
+            if pat.search(line) and not _safe_product(line, alias):
                 hits.append((j, line.strip()))
     return hits
 
