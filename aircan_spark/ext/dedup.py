@@ -176,6 +176,37 @@ def ngram_jaccard_pairs(
     )
 
 
+def content_collapse(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Collapse a corpus to one row per distinct RAW content: (min id as
+    representative, the shared text, multiplicity). The exact-dedup pass
+    every production near-dup pipeline runs FIRST, exposed as the library
+    primitive behind the group-contract dedup queries (r11).
+
+    Why raw text (not normalized): the pair-emission queries shingle/
+    hash the raw text, so equivalence between a pair query and its
+    group-contract sibling (cross-group weight ca*cb + within-group
+    C(c,2)) holds exactly only when "same group" means "identical token
+    stream". Verbatim replication — the regime where pair output goes
+    multiplicity-quadratic — is raw-identical by definition.
+
+    Scale shape: groupBy on md5(text) — ONE shuffle whose map-side
+    partial aggregation collapses duplicates before they move, so the
+    shuffle volume is ~distinct contents, not corpus rows. min(text) is
+    exact (the text is constant within an md5 group)."""
+    return (
+        df.withColumn("__ch", F.md5(F.col(text_col).cast("binary")))
+        .groupBy("__ch")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min(text_col).alias(text_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("__ch")
+    )
+
+
 # --- MinHash + LSH --------------------------------------------------------------
 
 

@@ -729,7 +729,13 @@ ORDER BY doc_id
 
 def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs with the df<=64 hot-shingle guard
-    (r10 — fixture-inert, oracle-mirrored; see ext_dedup_groups)."""
+    (r10 — fixture-inert, oracle-mirrored; see ext_dedup_groups).
+
+    AUDIT FORM (r11): on a verbatim-replicated corpus the guard prunes
+    the whole instance index (every shingle df >= multiplicity) and the
+    pair output that survives is multiplicity-quadratic; the declared
+    scale path is ext_dedup_ngram_groups (queries_w50) — exact-dedup
+    collapse first, Jaccard + components over distinct contents."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
         docs, n=3, threshold=0.3, max_doc_freq=dedup.HOT_SHINGLE_MAX_DF
@@ -769,11 +775,19 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.3 ORDER BY id_a, id_b
 
 
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIT FORM (r11): emits instance pairs, whose count is inherently
+    O(multiplicity^2) on duplicate-heavy corpora. The declared scale
+    path is ext_dedup_minhash_groups (queries_w50) — the value-space
+    aggregate proven pair-equivalent in tests."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_pairs(docs, threshold=0.3)
 
 
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIT FORM (r11): emits instance pairs (145.5M rows at the salted
+    100x rung — true output, but a full materialization for any
+    consumer). The declared scale path is ext_dedup_simhash_groups
+    (queries_w50)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, max_hamming=3)
 

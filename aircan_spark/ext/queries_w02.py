@@ -583,7 +583,13 @@ GROUP BY e.event_type ORDER BY e.event_type
 def ext_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: customer-name pairs within edit distance 1,
     blocked on the name minus its last 2 chars (equi-join on the block
-    key, levenshtein verify inside blocks only)."""
+    key, levenshtein verify inside blocks only).
+
+    AUDIT FORM (r11): deliberately unbounded — output is genuinely
+    quadratic in verbatim name multiplicity. The declared scale path is
+    ext_fuzzy_join_groups (queries_w50): the same blocked join over
+    DISTINCT names with multiplicity-weighted pair counts, whose oracle
+    materializes these instance pairs (cross-formulation proof)."""
     from aircan_spark.ext import entity
 
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")

@@ -29,14 +29,18 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 import pandas as pd  # noqa: E402
 
 
-def collect_all(master: str, parts: int, sf: str) -> dict:
-    """Run every declared query on a fresh session and return
-    {name: canonicalized pandas frame (or error string)}."""
+def collect_all(master: str, parts: int, sf: str, only: set | None = None) -> dict:
+    """Run every declared query (or the ``only`` subset) on a fresh
+    session and return {name: canonicalized pandas frame (or error
+    string)}."""
     from test_oracle import canonicalize
 
     from aircan_spark.queries import QUERIES
     from aircan_spark.session import get_spark
 
+    queries = {
+        k: v for k, v in QUERIES.items() if not only or k in only
+    }
     spark = get_spark(
         app_name=f"aircan_pdet_{parts}",
         master=master,
@@ -45,13 +49,13 @@ def collect_all(master: str, parts: int, sf: str) -> dict:
     )
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {}
-    for i, (name, fn) in enumerate(QUERIES.items(), 1):
+    for i, (name, fn) in enumerate(queries.items(), 1):
         try:
             out[name] = canonicalize(fn(spark, sf).toPandas())
         except Exception as e:  # noqa: BLE001 - record and continue
             out[name] = f"ERROR {type(e).__name__}: {str(e)[:200]}"
         if i % 50 == 0:
-            print(f"  [{parts}p {i}/{len(QUERIES)}]", flush=True)
+            print(f"  [{parts}p {i}/{len(queries)}]", flush=True)
     spark.stop()
     return out
 
@@ -59,11 +63,12 @@ def collect_all(master: str, parts: int, sf: str) -> dict:
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "PARTITION_DETERMINISM_r09.json"
+    only = set(sys.argv[3:]) or None
     from test_oracle import assert_float_bits
 
     t0 = time.time()
-    a = collect_all("local[5]", 5, sf)
-    b = collect_all("local[32]", 32, sf)
+    a = collect_all("local[5]", 5, sf, only)
+    b = collect_all("local[32]", 32, sf, only)
     results: dict = {}
     n_fail = 0
     for name in a:
