@@ -140,6 +140,48 @@ def main() -> None:
 
     calibration_post = _calibration()
 
+    # Self-documenting noise protocol (r10 VERDICT #5): the r10 artifact
+    # carried ~15 apparent 3-6x warm regressions from a measured mid-run
+    # VM degradation window, and both the builder and the judge had to
+    # re-derive the adjudication by hand. Now the artifact adjudicates
+    # itself: when the calibration probe shows drift (post/pre medians
+    # diverging >2x, or either probe's own max >2x its median — the r10
+    # signature was a 1.30s singleton against a 0.34s median), every
+    # warm outlier (> max(1s, 3x suite median warm)) is re-timed
+    # STANDALONE after the suite, with a fresh calibration singleton
+    # alongside, and both numbers land in ab_retimes. A future reader
+    # compares in_run_warm vs retime_warm directly: noise shows up as
+    # retime << in-run, a real regression persists.
+    ab_retimes: dict[str, dict] = {}
+    calibration_retime = None
+    if warm_mode and warm:
+        pre_m, post_m = calibration_pre["median_s"], calibration_post["median_s"]
+        drift = (
+            post_m > 2 * pre_m
+            or pre_m > 2 * post_m
+            or calibration_pre["max_s"] > 2 * pre_m
+            or calibration_post["max_s"] > 2 * post_m
+        )
+        if drift:
+            med_warm = sorted(warm.values())[len(warm) // 2]
+            flagged = [
+                n for n, w in warm.items() if w > max(1.0, 3 * med_warm)
+            ]
+            flagged = sorted(flagged, key=lambda n: -warm[n])[:20]
+            calibration_retime = _calibration()
+            for name in flagged:
+                t0 = time.perf_counter()
+                df = QUERIES[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                rt_cold = round(time.perf_counter() - t0, 3)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                ab_retimes[name] = {
+                    "in_run_warm": warm[name],
+                    "retime_cold": rt_cold,
+                    "retime_warm": round(time.perf_counter() - t0, 3),
+                }
+
     total = round(sum(timings.values()), 3)
     top = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     here = os.path.dirname(os.path.abspath(__file__))
@@ -154,6 +196,8 @@ def main() -> None:
                 "warm_rebuild": warm_rebuild,
                 "calibration_pre": calibration_pre,
                 "calibration_post": calibration_post,
+                "calibration_retime": calibration_retime,
+                "ab_retimes": ab_retimes,
                 "queries": cold,
                 "queries_warm": warm,
             },
@@ -174,6 +218,7 @@ def main() -> None:
                 "warm": round(sum(warm.values()), 3) if warm else None,
                 "calib": calibration_pre["median_s"],
                 "calib_post": calibration_post["median_s"],
+                "n_retimed": len(ab_retimes),
                 "top5": {k: v for k, v in top},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
