@@ -116,6 +116,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.3,
     max_doc_freq: int | None = None,
     hash_shingles: bool = False,
+    persists: list | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets for all pairs sharing >= 1
     shingle. Inverted-index self-join: only colliding pairs are scored,
@@ -131,6 +132,17 @@ def ngram_jaccard_pairs(
     cost of a vanishing collision probability (~1e-9 per doc pair at 1e5
     shingles/doc). Kept off by default so the result is exactly the string
     Jaccard the DuckDB oracle computes.
+
+    ``persists``: the inverted index is ``persist(DISK_ONLY)``ed, and
+    Spark's CacheManager holds cached plans by STRONG reference — no GC
+    ever frees them, so in a long-lived session every call pins index
+    bytes for the rest of the session (the r11 endurance finding: 98.8 MB
+    surviving a full GC drain at 10x). The returned frame is lazy, so
+    this function cannot unpersist; a caller that MATERIALIZES the pairs
+    during construction (the CC family checkpoints them eagerly) should
+    pass a list here and unpersist its entries once consumed. Callers
+    that return the lazy plan document the cache and leave release to
+    ``aircan_spark.data.release_session_caches``.
     """
     sh = shingles(df, id_col, text_col, n)
     if hash_shingles:
@@ -142,6 +154,8 @@ def ngram_jaccard_pairs(
     from pyspark import StorageLevel
 
     sh = sh.persist(StorageLevel.DISK_ONLY)
+    if persists is not None:
+        persists.append(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
     joinable = sh
@@ -255,6 +269,7 @@ def minhash_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.3,
+    persists: list | None = None,
 ) -> DataFrame:
     """Candidate pairs via LSH banding, verified with the signature-level
     Jaccard estimate (fraction of agreeing hashes).
@@ -265,10 +280,14 @@ def minhash_pairs(
     rows_per_band = num_hashes // bands
     from pyspark import StorageLevel
 
-    # data-proportional (docs x num_hashes): DISK_ONLY, never heap-cached
+    # data-proportional (docs x num_hashes): DISK_ONLY, never heap-cached.
+    # CacheManager pins this strongly for the session — see
+    # ngram_jaccard_pairs' persists note.
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).persist(
         StorageLevel.DISK_ONLY
     )
+    if persists is not None:
+        persists.append(sigs)
 
     # Band buckets derived row-local from signature slices; the candidate
     # join and its dedup carry ONLY (band, bucket, id) — signatures (64
@@ -360,6 +379,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    persists: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming. Candidates via
     band join: with 4 bands of 16 bits, any pair within hamming distance 3
@@ -368,8 +388,11 @@ def simhash_pairs(
     width = 64 // bands
     from pyspark import StorageLevel
 
-    # data-proportional (one row per doc): DISK_ONLY, never heap-cached
+    # data-proportional (one row per doc): DISK_ONLY, never heap-cached.
+    # CacheManager pins this strongly — see ngram_jaccard_pairs' note.
     sigs = simhash_signatures(df, id_col, text_col).persist(StorageLevel.DISK_ONLY)
+    if persists is not None:
+        persists.append(sigs)
     banded = sigs.select(
         id_col,
         "simhash",

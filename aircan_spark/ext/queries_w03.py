@@ -2132,10 +2132,16 @@ def ext_dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # df<=64 hot-shingle guard (r10): fixture-inert, oracle-mirrored —
     # see ext_dedup_groups (this query shares its oracle)
+    held: list = []
     pairs = dedup.ngram_jaccard_pairs(
-        docs, n=3, threshold=0.3, max_doc_freq=dedup.HOT_SHINGLE_MAX_DF
+        docs, n=3, threshold=0.3, max_doc_freq=dedup.HOT_SHINGLE_MAX_DF,
+        persists=held,
     )
     comp = dedup.connected_components_star(pairs)
+    # the star loop checkpointed its edge list eagerly above — the
+    # inverted index is no longer referenced; release the session pin
+    for f in held:
+        f.unpersist()
     return (
         docs.select("doc_id")
         .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")

@@ -159,12 +159,18 @@ def ext_dedup_ngram_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (GROUP BY NULL=NULL on both engines, mirrored in the oracle)."""
     docs = _t(spark, sf_dir, "documents")
     g = dedup.content_collapse(docs)
+    held: list = []
     pairs = dedup.ngram_jaccard_pairs(
-        g, n=3, threshold=0.3, max_doc_freq=dedup.HOT_SHINGLE_MAX_DF
+        g, n=3, threshold=0.3, max_doc_freq=dedup.HOT_SHINGLE_MAX_DF,
+        persists=held,
     )
     comps = dedup.dedup_groups(g, pairs).select(
         F.col("doc_id").alias("__rep"), F.col("component").alias("__comp")
     )
+    # CC checkpointed the distinct-content edges eagerly — release the
+    # inverted index's session pin (r11 endurance finding)
+    for f in held:
+        f.unpersist()
     # expansion join keyed on the content HASH (16-byte key instead of the
     # full text in the widest shuffle); eqNullSafe routes the NULL-text
     # content group (md5(NULL) IS NULL) to its single collapsed row
