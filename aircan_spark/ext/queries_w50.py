@@ -313,12 +313,61 @@ FROM pairs GROUP BY dist ORDER BY dist
 """
 
 
+def ext_dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pair counts per cosine level, in distinct-
+    VECTOR space — the scale contract for ext_dedup_embedding_lsh
+    (10.57M instance pairs with GC pressure at verbatim-100x, where
+    exact-copy vectors stack every LSH bucket multiplicity deep).
+
+    Plan: collapse to distinct embeddings (bit-identical float arrays —
+    verbatim replication is exact-copy by construction), run the SAME
+    multi-table LSH bucket join over distinct vectors with the adaptive
+    bit count derived from the INSTANCE corpus size (the audit form's
+    bucket structure, so the candidate sets match exactly), and weight:
+    cross-vector ca*cb at the kernel's cosine, within-vector C(c,2) at
+    cosine 1.0 (identical vectors share all buckets; the einsum kernel's
+    self-cosine rounds to 1.0 at 6 digits). Rows-only contract (the
+    hyperplane buckets are not SQL-expressible — same as the pair form);
+    tests pin groups == GROUP BY cosine over the pair output."""
+    emb = _t(spark, sf_dir, "embeddings")
+    g = emb.groupBy("embedding").agg(
+        F.min("vec_id").alias("vec_id"), F.count(F.lit(1)).alias("c")
+    )
+    n_instances = corpus_count(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_pairs(
+        g, threshold=0.4, lsh_bits=6, num_tables=24, n_vecs=n_instances
+    )
+    counts = g.select("vec_id", "c")
+    cross = (
+        pairs.join(
+            counts.withColumnRenamed("vec_id", "id_a").withColumnRenamed("c", "ca"),
+            "id_a",
+        )
+        .join(
+            counts.withColumnRenamed("vec_id", "id_b").withColumnRenamed("c", "cb"),
+            "id_b",
+        )
+        .select("cosine", F.expr("CAST(ca AS DECIMAL(19,0)) * cb").alias("w"))
+    )
+    within = counts.filter(F.col("c") > 1).select(
+        F.lit(1.0).alias("cosine"),
+        F.expr("CAST(c AS DECIMAL(19,0)) * (c - 1) / 2").alias("w"),
+    )
+    return (
+        cross.unionByName(within)
+        .groupBy("cosine")
+        .agg(F.expr("CAST(SUM(w) AS BIGINT)").alias("n_pairs"))
+        .orderBy("cosine")
+    )
+
+
 EXT_QUERIES.update(
     {
         "ext_dedup_simhash_groups": ext_dedup_simhash_groups,
         "ext_dedup_minhash_groups": ext_dedup_minhash_groups,
         "ext_dedup_ngram_groups": ext_dedup_ngram_groups,
         "ext_fuzzy_join_groups": ext_fuzzy_join_groups,
+        "ext_dedup_embedding_groups": ext_dedup_embedding_groups,
     }
 )
 EXT_ORACLES.update(

@@ -152,6 +152,39 @@ def test_ngram_groups_collapse_survives_verbatim_replication(spark, monkeypatch)
     assert all(r.is_representative for r in instance)
 
 
+def _dup_heavy_emb(spark, reps: int = 9, n_base: int = 40, dim: int = 16):
+    import random
+
+    rnd = random.Random(7)
+    base = [
+        [round(rnd.uniform(-1, 1), 3) for _ in range(dim)] for _ in range(n_base)
+    ]
+    # plant a few exact near-dup partners so the cross-vector path emits
+    base[1] = [x for x in base[0]]
+    base[1][0] = round(base[1][0] + 0.01, 3)
+    rows = []
+    vid = 0
+    for _ in range(reps):
+        for v in base:
+            rows.append((vid, v))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.mark.parametrize("corpus", ["fixture", "dup_heavy"])
+def test_embedding_groups_equals_aggregated_pairs(spark, monkeypatch, corpus):
+    if corpus == "dup_heavy":
+        emb = _dup_heavy_emb(spark)
+        monkeypatch.setattr(Q, "_t", lambda _s, _d, _n: emb)
+    groups = _hist(Q.ext_dedup_embedding_groups(spark, SF), ("cosine",))
+    pairs = _agg_pairs(Q.ext_dedup_embedding_lsh(spark, SF), "cosine")
+    assert groups == pairs
+    if corpus == "dup_heavy":
+        # 40 distinct vectors (39 after... all distinct) x C(9,2) within-
+        # pairs at cosine 1.0, plus whatever cross near-dups qualify
+        assert groups.get((1.0,), 0) >= 40 * 36
+
+
 def test_content_collapse_contract(spark):
     from aircan_spark.ext import dedup
 
