@@ -361,6 +361,149 @@ def ext_dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_dup_threshold_curve_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The X-family threshold-sensitivity curve computed over the
+    exact-dedup-collapsed corpus — the duplicate-heavy path for
+    ext_dup_threshold_curve, whose instance-level df<=64 guard returns
+    a 0-row curve at verbatim multiplicity > 64 (measured on the
+    verbatim-100x stressor) exactly when a dedup owner most needs the
+    evidence. Collapse to distinct raw contents first, run the SAME
+    banded Jaccard curve over distinct contents (guard in content
+    space), and weight each band: cross-content ca*cb at its band,
+    within-content C(c,2) at band 20 (identical contents have Jaccard
+    exactly 1.0) — restricted to contents that HAVE shingles, mirroring
+    the pair form's join semantics (a NULL-text doc never pairs).
+    Cumulative counts ride the 21-row band axis. Fully oracled: the
+    DuckDB mirror performs the identical collapse + weighted curve."""
+    from aircan_spark.skew import blocked_self_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    g = dedup.content_collapse(docs)
+    sh = dedup.shingles(g).filter(F.col("shingle").isNotNull())
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rare = dedup.rare_shingles(sh, dedup.HOT_SHINGLE_MAX_DF)
+    inter = (
+        blocked_self_pairs(sh.join(rare, "shingle"), "shingle", "doc_id")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    counts = g.select("doc_id", "n_copies")
+    ju = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .join(
+            counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "n_copies", "ca"
+            ),
+            "id_a",
+        )
+        .join(
+            counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "n_copies", "cb"
+            ),
+            "id_b",
+        )
+        .select(
+            "i", (F.col("na") + F.col("nb") - F.col("i")).alias("u"), "ca", "cb"
+        )
+        .filter(F.col("i") * 20 >= F.col("u"))
+        .select(
+            F.expr("(20 * i) div u").cast("long").alias("band"),
+            F.expr("CAST(ca AS DECIMAL(19,0)) * cb").alias("w"),
+        )
+    )
+    within = (
+        counts.join(sizes, "doc_id")  # shingle-bearing contents only
+        .filter(F.col("n_copies") > 1)
+        .select(
+            F.lit(20).cast("long").alias("band"),
+            F.expr(
+                "CAST(n_copies AS DECIMAL(19,0)) * (n_copies - 1) / 2"
+            ).alias("w"),
+        )
+    )
+    binned = (
+        ju.unionByName(within)
+        .groupBy("band")
+        .agg(F.expr("CAST(SUM(w) AS BIGINT)").alias("n_pairs"))
+    )
+    wc = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        binned.withColumn("cum_pairs_at_or_above", F.sum("n_pairs").over(wc))
+        .select(
+            "band",
+            F.round(F.col("band") * 0.05, 2).alias("thr_lo"),
+            "n_pairs",
+            "cum_pairs_at_or_above",
+        )
+        .orderBy("band")
+    )
+
+
+EXT_DUP_THRESHOLD_COLLAPSED_SQL = rf"""
+WITH g AS (
+  SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS n_copies
+  FROM documents GROUP BY text
+),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(TRIM(text), '\s+')) AS w,
+         generate_subscripts(string_split_regex(TRIM(text), '\s+'), 1) AS i
+  FROM g
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {dedup.HOT_SHINGLE_MAX_DF}),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+  FROM sh x JOIN rare rx ON x.shingle = rx.shingle
+  JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+cross_w AS (
+  SELECT CAST((20 * i) // (sa.n + sb.n - i) AS BIGINT) AS band,
+         CAST(ga.n_copies AS HUGEINT) * gb.n_copies AS w
+  FROM inter
+  JOIN sizes sa ON inter.id_a = sa.doc_id
+  JOIN sizes sb ON inter.id_b = sb.doc_id
+  JOIN g ga ON inter.id_a = ga.doc_id
+  JOIN g gb ON inter.id_b = gb.doc_id
+  WHERE i * 20 >= sa.n + sb.n - i
+),
+within_w AS (
+  SELECT CAST(20 AS BIGINT) AS band,
+         CAST(g.n_copies AS HUGEINT) * (g.n_copies - 1) // 2 AS w
+  FROM g JOIN sizes ON g.doc_id = sizes.doc_id
+  WHERE g.n_copies > 1
+),
+binned AS (
+  SELECT band, CAST(SUM(w) AS BIGINT) AS n_pairs
+  FROM (SELECT * FROM cross_w UNION ALL SELECT * FROM within_w)
+  GROUP BY band
+)
+SELECT band,
+       ROUND(band * 0.05, 2) AS thr_lo,
+       n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY band DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_pairs_at_or_above
+FROM binned ORDER BY band
+"""
+
+
 EXT_QUERIES.update(
     {
         "ext_dedup_simhash_groups": ext_dedup_simhash_groups,
@@ -368,11 +511,13 @@ EXT_QUERIES.update(
         "ext_dedup_ngram_groups": ext_dedup_ngram_groups,
         "ext_fuzzy_join_groups": ext_fuzzy_join_groups,
         "ext_dedup_embedding_groups": ext_dedup_embedding_groups,
+        "ext_dup_threshold_curve_collapsed": ext_dup_threshold_curve_collapsed,
     }
 )
 EXT_ORACLES.update(
     {
         "ext_dedup_ngram_groups": EXT_DEDUP_NGRAM_GROUPS_SQL,
         "ext_fuzzy_join_groups": EXT_FUZZY_JOIN_GROUPS_SQL,
+        "ext_dup_threshold_curve_collapsed": EXT_DUP_THRESHOLD_COLLAPSED_SQL,
     }
 )
