@@ -11,6 +11,7 @@ caller hands us (the round driver constructs its own).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -132,15 +133,82 @@ def fan_out(df: DataFrame, min_ratio: int = 1) -> DataFrame:
     ``defaultParallelism * min_ratio``, repartition up; otherwise (the
     100 TB case — thousands of natural splits) this is a no-op, so no
     gratuitous shuffle is added at scale.
+
+    r12: the ``df.rdd.getNumPartitions()`` probe converts the plan to an
+    RDD through py4j — measured 45-110 ms on first touch of a scan. The
+    probe result (and the repartitioned frame) are memoized as
+    attributes ON the DataFrame object, so repeated ``fan_out`` of the
+    same (immutable) plan object — which ``load_table``'s per-session
+    frame cache now hands out — pays the probe once per session. The
+    decision itself is unchanged: same target, same probe value, same
+    plan.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism * min_ratio
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    sc = df.sparkSession.sparkContext
+    par = getattr(sc, "_aircan_default_par", None)
+    if par is None:
+        par = sc.defaultParallelism
+        try:
+            sc._aircan_default_par = par
+        except Exception:
+            pass
+    target = par * min_ratio
+    n = getattr(df, "_aircan_nparts", None)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        try:
+            df._aircan_nparts = n
+        except Exception:  # foreign DataFrame subclass refusing attrs
+            pass
+    if n >= target:
+        return df
+    cached = getattr(df, "_aircan_fanout", None)
+    if cached is not None and cached[0] == target:
+        return cached[1]
+    out = df.repartition(target)
+    try:
+        df._aircan_fanout = (target, out)
+    except Exception:
+        pass
+    return out
+
+
+# Per-session catalog of loaded testdata frames: SparkSession (weak) ->
+# {(abspath, mtime_ns, size): DataFrame}. A DataFrame is an immutable lazy
+# PLAN — caching the object caches table METADATA (schema, resolved scan),
+# exactly what a warehouse catalog (HMS/Iceberg) provides a real engine;
+# every execution still reads the parquet bytes. Without this, each of the
+# ~1000 load_table calls in a 474-query suite re-runs parquet schema
+# inference (measured 100-215 ms/call vs 46 ms schema-supplied and ~0 for
+# a cache hit). Keyed on (mtime_ns, size) so a rewritten file misses; the
+# weak session key drops the catalog with its session.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
+    per = None
+    try:
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = None  # non-posix path (hdfs://, s3a://): no cheap stamp
+    if stamp is not None:
+        try:
+            per = _TABLE_CACHE.setdefault(spark, {})
+        except TypeError:  # session not weak-referenceable (mock)
+            per = None
+        key = (os.path.abspath(path), stamp)
+        if per is not None and key in per:
+            return per[key]
+    df = _load_table_uncached(spark, path, name)
+    if stamp is not None and per is not None:
+        per[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, path: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)

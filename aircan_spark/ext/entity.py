@@ -65,6 +65,13 @@ def fuzzy_self_join(
             F.col("__name_a").alias("name_a"),
             F.col("__name_b").alias("name_b"),
         )
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= max_dist)
+        # bounded levenshtein (Spark 3.5+ threshold arg): the banded DP
+        # early-exits once distance exceeds max_dist — O(n*k) per pair
+        # instead of O(n*m), the dominant kernel of the block join (guide
+        # §1.2 "per-task work"). Returns -1 for pairs beyond the bound,
+        # which the filter excludes exactly as the unbounded form's
+        # > max_dist pairs were; surviving distances are exact, so the
+        # result set is row-identical.
+        .withColumn("dist", F.levenshtein("name_a", "name_b", max_dist))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )

@@ -2206,13 +2206,21 @@ def ext_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     support 9) scales down to 2 instead of returning an empty, vacuous
     result."""
     ev = _t(spark, sf_dir, "events")
-    items = (
+    # r12: `items` feeds the threshold scalar and BOTH self-join sides —
+    # three executions of the JSON-parse + distinct pipeline. Eager
+    # checkpoint (big=True: distinct user x item is data-proportional)
+    # runs it once; object-scoped, so _cooc_edges' textually identical
+    # items subtree in the other graph queries is NOT cross-query shared.
+    from aircan_spark.data import checkpoint as _ckpt
+
+    items = _ckpt(
         ev.select(
             "user_id",
             F.get_json_object("props", "$.k").cast("long").alias("item"),
         )
         .filter(F.col("item").isNotNull())
-        .distinct()
+        .distinct(),
+        big=True,
     )
     thr = items.agg(
         F.expr(
@@ -2277,14 +2285,20 @@ def _cooc_edges(spark: SparkSession, sf_dir: str, cap_users: int = 40) -> DataFr
     an EMPTY graph — a vacuous-pass the sweep now hard-fails) scale the
     threshold down and yield a real graph. Integer arithmetic only, so
     both engines derive the identical threshold."""
+    from aircan_spark.data import checkpoint
+
     ev = _t(spark, sf_dir, "events")
-    items = (
+    # r12: `items` feeds the threshold scalar and BOTH self-join sides —
+    # checkpoint it so the JSON-parse + distinct pipeline runs once per
+    # edge build instead of three times (big=True: data-proportional).
+    items = checkpoint(
         ev.select(
             "user_id",
             F.get_json_object("props", "$.k").cast("long").alias("item"),
         )
         .filter(F.col("item").isNotNull())
-        .distinct()
+        .distinct(),
+        big=True,
     )
     thr = items.agg(
         F.expr(
@@ -2294,7 +2308,7 @@ def _cooc_edges(spark: SparkSession, sf_dir: str, cap_users: int = 40) -> DataFr
     )
     a = items.select("user_id", F.col("item").alias("src"))
     b = items.select("user_id", F.col("item").alias("dst"))
-    return (
+    edges = (
         a.join(b, "user_id")
         .filter(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
@@ -2303,6 +2317,20 @@ def _cooc_edges(spark: SparkSession, sf_dir: str, cap_users: int = 40) -> DataFr
         .filter(F.col("n_users") >= F.col("_thr"))
         .select("src", "dst")
     )
+    # r12: materialize the edge list ONCE (the kcore/clustering_coeff
+    # pattern, now applied at the source). Every consumer references
+    # `edges` several times (symmetrization, degree aggs, wedge joins,
+    # edge counts), and per-branch column pruning specializes each copy
+    # of this subtree so neither ReuseExchange nor AQE stage reuse can
+    # dedupe them — measured on ext_rich_club: 96 parquet scans of
+    # events / 370 Exchanges in one plan, the JSON-parse + distinct +
+    # user self-join pipeline executed per branch. The eager checkpoint
+    # runs the build exactly once and collapses every consumer plan to
+    # a scan of the materialized frame (rich_club 3890 -> ~100 plan
+    # lines); blocks are reaped by the ContextCleaner when the frame is
+    # dropped, and on a cluster the same call is a reliable checkpoint
+    # (aircan_spark.data.checkpoint).
+    return checkpoint(edges)
 
 
 _COOC_EDGES_SQL = r"""

@@ -46,6 +46,13 @@ def ext_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
         .alias("late"),
     )
+    # r12: per_os feeds both the per-order summary and the culprit
+    # filter — but UNLIKE the pruning-specialized cases, both branches
+    # consume the identical (l_orderkey, l_suppkey, late) aggregate, so
+    # AQE runtime stage reuse already dedupes the subtree (the executed
+    # plan carries ReusedQueryStage; test_waiting_suppliers_pushdown_
+    # and_reuse pins it). A persist here only adds materialization cost
+    # — measured and reverted.
     per_os = tagged.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("late").alias("late")
     )
@@ -886,9 +893,21 @@ def ext_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
         ).alias("rev"),
     )
-    monthly = li.groupBy("l_partkey", "m").agg(
-        F.sum("iq").alias("mq"),
-        F.sum("rev").cast("decimal(38,12)").alias("mrev"),
+    # r12: the (part, month) grid feeds three branches (revenue rollup,
+    # CV moments, and through `rev` the percentile thresholds); the
+    # branches prune different columns (mrev vs mq), so their partial
+    # aggregates — and exchanges — canonicalize differently and the
+    # fact table was re-scanned per branch. DISK_ONLY persist (the
+    # data-proportional discipline) computes the grid once.
+    from pyspark import StorageLevel as _SL
+
+    monthly = (
+        li.groupBy("l_partkey", "m")
+        .agg(
+            F.sum("iq").alias("mq"),
+            F.sum("rev").cast("decimal(38,12)").alias("mrev"),
+        )
+        .persist(_SL.DISK_ONLY)
     )
     rev = monthly.groupBy("l_partkey").agg(
         F.sum("mrev").cast("decimal(38,12)").alias("revenue")
@@ -996,11 +1015,21 @@ def ext_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket-count scalar (AQE reuses the shuffle stage across the three
     branches); k-bounded head."""
     li = _t(spark, sf_dir, "lineitem")
-    baskets = (
+    # r12: the basket frame feeds pair expansion, item counts and the
+    # basket-count scalar; per-branch pruning kept the three subtrees
+    # from sharing a stage, so the distinct+collect_set pipeline ran
+    # three times. Eager checkpoint (big=True: data-proportional
+    # arrays -> DISK_ONLY/reliable, the r7 discipline) runs it once;
+    # object-scoped, so ext_communities' textually identical basket
+    # plan is NOT cross-query shared.
+    from aircan_spark.data import checkpoint as _ckpt
+
+    baskets = _ckpt(
         li.select("l_orderkey", "l_partkey")
         .distinct()
         .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items")),
+        big=True,
     )
     items_col = F.col("items")
     combos = F.flatten(
@@ -1538,9 +1567,16 @@ def ext_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected = F.array_distinct(
         F.filter(F.transform(sh, h), lambda x: F.pmod(x, F.lit(8)) == 0)
     )
+    # r12: the fingerprint index feeds the df guard and both join sides;
+    # un-materialized, the md5-per-shingle selection ran three times
+    # (the md5+conv fingerprint is the query's dominant per-row kernel).
+    # DISK_ONLY persist (data-proportional inverted index — the
+    # ngram_jaccard_pairs discipline).
+    from pyspark import StorageLevel as _SL
+
     pr = docs.select(
         "doc_id", F.explode(selected).alias("p")
-    )
+    ).persist(_SL.DISK_ONLY)
     freq = pr.groupBy("p").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= 64
     )

@@ -381,7 +381,14 @@ def ext_user_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the driver's oracle check exercises the guarded semantics. The
     head is a per-user WindowGroupLimit, never a global sort."""
     ev = _t(spark, sf_dir, "events")
-    ui = ev.select("user_id", "event_type").distinct()
+    # r12: the distinct interaction list feeds five branches (degrees,
+    # anchors, candidates, both scoring sides); per-branch pruning and
+    # renames kept them from sharing a stage, so the events scan +
+    # distinct ran per branch (12 parquet scans in the measured plan).
+    # DISK_ONLY persist (linear in users x types, data-proportional).
+    from pyspark import StorageLevel as _SL
+
+    ui = ev.select("user_id", "event_type").distinct().persist(_SL.DISK_ONLY)
     deg = ui.groupBy("user_id").agg(F.count(F.lit(1)).alias("deg"))
     w_anchor = Window.partitionBy("event_type").orderBy(
         F.md5(F.col("user_id").cast("string")), F.col("user_id")

@@ -1648,7 +1648,14 @@ def ext_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = capped_panel_modulus(corpus_count(spark, sf_dir, "embeddings"), base=2, cap=1000)
     emb = emb_all.filter(F.col("vec_id") % p == 0)
     hits = similarity.brute_topk(emb, emb, k=5)
-    edges = (
+    # r12: `tagged` (below) feeds three branches (m / intra / the degree
+    # union), each of which re-ran the panel brute scorer through this
+    # subtree (32 parquet scans in the measured plan). Eager checkpoint
+    # of the edge list = one scorer pass; object-scoped, so the
+    # identical kNN plan in ext_assortativity is NOT cross-query shared.
+    from aircan_spark.data import checkpoint as _ckpt
+
+    edges = _ckpt(
         hits.select(
             F.least("query_id", "neighbor_id").alias("u"),
             F.greatest("query_id", "neighbor_id").alias("v"),

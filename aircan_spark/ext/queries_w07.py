@@ -1768,7 +1768,15 @@ def ext_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = capped_panel_modulus(corpus_count(spark, sf_dir, "embeddings"), base=2, cap=1000)
     emb = emb_all.filter(F.col("vec_id") % p == 0)
     hits = similarity.brute_topk(emb, emb, k=5)
-    edges = (
+    # r12: the kNN edge list feeds four branches (degree union + both
+    # endpoint joins); un-materialized, each branch re-ran the panel
+    # brute scorer (40 parquet scans in the measured plan — pruning
+    # specializes the copies, so exchange reuse cannot dedupe them).
+    # Eager checkpoint = one scorer pass, object-scoped (no cross-query
+    # cache leakage; ext_modularity builds the identical kNN plan).
+    from aircan_spark.data import checkpoint as _ckpt
+
+    edges = _ckpt(
         hits.select(
             F.least("query_id", "neighbor_id").alias("u"),
             F.greatest("query_id", "neighbor_id").alias("v"),

@@ -126,9 +126,18 @@ def _cramers_pair(df: DataFrame, a: str, b: str, label: str) -> DataFrame:
     from one hash agg, margins as tiny broadcast-joined re-aggregates;
     chi-square as the exact DECIMAL(28,6) sum of per-cell contributions
     each rounded to 6 decimals (the documented order-free contract)."""
-    cells = df.groupBy(
-        F.col(a).alias("ka"), F.col(b).alias("kb")
-    ).agg(F.count(F.lit(1)).alias("o"))
+    # r12: the O(r*c) contingency frame feeds FOUR branches (rt/ct/gt
+    # margins + the joined cell pass); per-branch column pruning
+    # specializes each copy of the scan+agg subtree, so the fact table
+    # was scanned once per branch (24 parquet scans across the three
+    # pairs in the measured plan). A lazy persist of the bounded cell
+    # frame computes the contingency ONCE per pair; the margins are
+    # sub-millisecond re-aggregates of the cached cells.
+    cells = (
+        df.groupBy(F.col(a).alias("ka"), F.col(b).alias("kb"))
+        .agg(F.count(F.lit(1)).alias("o"))
+        .persist()
+    )
     rt = cells.groupBy("ka").agg(F.sum("o").alias("rt"))
     ct = cells.groupBy("kb").agg(F.sum("o").alias("ct"))
     gt = cells.agg(

@@ -37,12 +37,11 @@ def ext_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each round is one semi-join + one hash agg on the edge
     list (O(E)); rounds are a fixed constant — no data-dependent loop.
-    The edge list is checkpointed ONCE so the peel rounds reuse the
-    materialized frame instead of re-running the user-pair self-join
-    per round (the iterative-tiny-frame lesson from ext_pca_power)."""
-    from aircan_spark.data import checkpoint
-
-    edges = checkpoint(_cooc_edges(spark, sf_dir))
+    The edge list is checkpointed ONCE (inside _cooc_edges as of r12)
+    so the peel rounds reuse the materialized frame instead of
+    re-running the user-pair self-join per round (the
+    iterative-tiny-frame lesson from ext_pca_power)."""
+    edges = _cooc_edges(spark, sf_dir)
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -109,10 +108,9 @@ def ext_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     adaptive, 40 users at sf>=0.01);
     for unbounded graphs swap in the per-edge wedge form (same join
     skeleton keyed by edge instead of vertex). The edge list is
-    checkpointed once — deg, wedges and the closing join all reuse it."""
-    from aircan_spark.data import checkpoint
-
-    edges = checkpoint(_cooc_edges(spark, sf_dir))  # src < dst
+    checkpointed once (inside _cooc_edges as of r12) — deg, wedges and
+    the closing join all reuse it."""
+    edges = _cooc_edges(spark, sf_dir)  # src < dst
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -168,7 +168,15 @@ def ext_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     ww = Window.partitionBy("wk").orderBy(F.col("c").desc(), "item")
-    top = wi.withColumn("rk", F.row_number().over(ww)).filter("rk <= 10")
+    # r12: the weekly top-10 feeds three branches (both sides of the
+    # consecutive-week join + sizes); un-materialized, the events JSON
+    # rollup + window ran per branch. Bounded frame (10 rows/week) —
+    # lazy persist at the default level.
+    top = (
+        wi.withColumn("rk", F.row_number().over(ww))
+        .filter("rk <= 10")
+        .persist()
+    )
     a = top.select("wk", "item")
     b = top.select((F.col("wk") - 1).alias("wk"), F.col("item").alias("item_b"))
     inter = (
@@ -260,11 +268,14 @@ def ext_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" ORDER BY l_linenumber, l_shipdate, l_quantity, l_returnflag, l_linestatus, l_extendedprice) IS DISTINCT FROM {c} AS LONG)"
             ),
         )
+    # r12: the single-row stats frame feeds the four per-column union
+    # branches; un-materialized, the full window + aggregate pass over
+    # lineitem ran once PER BRANCH. One-row frame — lazy persist.
     runs = li.agg(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(f"chg_{c}").alias(f"runs_{c}") for c in cols],
         *[F.countDistinct(c).alias(f"nd_{c}") for c in cols],
-    )
+    ).persist()
     rows = None
     for c in cols:
         r = runs.select(

@@ -375,11 +375,25 @@ def ext_dup_threshold_curve_collapsed(spark: SparkSession, sf_dir: str) -> DataF
     the pair form's join semantics (a NULL-text doc never pairs).
     Cumulative counts ride the 21-row band axis. Fully oracled: the
     DuckDB mirror performs the identical collapse + weighted curve."""
+    from pyspark import StorageLevel
+
     from aircan_spark.skew import blocked_self_pairs
 
     docs = _t(spark, sf_dir, "documents")
     g = dedup.content_collapse(docs)
-    sh = dedup.shingles(g).filter(F.col("shingle").isNotNull())
+    # DISK_ONLY persist (r12): blocked_self_pairs runs an EAGER stats
+    # pass over the guarded index at construction time, and the main
+    # plan then consumes the same shingle subtree three more ways
+    # (sizes / rare / pair join). Un-persisted, the stats action
+    # recomputed the whole collapse+shingle+distinct pipeline once per
+    # build on top of the main run. Same contract as the pair family's
+    # inverted indexes (data-proportional -> DISK_ONLY, CacheManager pin
+    # released by release_session_caches).
+    sh = (
+        dedup.shingles(g)
+        .filter(F.col("shingle").isNotNull())
+        .persist(StorageLevel.DISK_ONLY)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     rare = dedup.rare_shingles(sh, dedup.HOT_SHINGLE_MAX_DF)
     inter = (

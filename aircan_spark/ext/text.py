@@ -674,7 +674,16 @@ def bigram_nll(
         )
         .withColumn("w1", F.split(F.col("gram"), " ")[0])
     )
-    big = pairs.groupBy("gram").agg(F.count(F.lit(1)).alias("cab"))
+    # r12: the bigram-type count table feeds three branches (context
+    # counts, vocabulary scalar, scoring join); un-materialized, each
+    # branch re-ran the tokenize+explode+count pipeline. DISK_ONLY
+    # persist (vocabulary-sized, data-proportional) — the corpus is now
+    # tokenized exactly twice (model build + scoring), as documented.
+    from pyspark import StorageLevel as _SL
+
+    big = pairs.groupBy("gram").agg(F.count(F.lit(1)).alias("cab")).persist(
+        _SL.DISK_ONLY
+    )
     ctx = (
         big.withColumn("w1", F.split(F.col("gram"), " ")[0])
         .groupBy("w1")

@@ -127,6 +127,23 @@ def main() -> None:
         # collected normalization scalars inside fn()) — without a full
         # fn() rebuild its warm number reuses the cold pass's blocks
         "ext_hits",
+        # r12: _cooc_edges now checkpoints the shared co-occurrence edge
+        # list at construction (one build instead of up to 24 duplicated
+        # subtree executions per query) — every consumer joins the
+        # checkpoint-backed cohort. kcore/clustering_coeff were already
+        # checkpoint-backed (construction-time edge build) and are
+        # listed now for the same honest-warm reason.
+        "ext_triangles", "ext_kcore", "ext_clustering_coeff",
+        "ext_bipartite_check", "ext_transitivity", "ext_rich_club",
+        # r12: panel-kNN edge list checkpointed at construction (one
+        # brute-scorer pass instead of 3-4 duplicated subtree runs)
+        "ext_assortativity", "ext_modularity",
+        # r12: basket frame checkpointed at construction (one
+        # distinct+collect_set pass instead of three)
+        "ext_association_rules",
+        # r12: distinct user-item list checkpointed at construction
+        # (one JSON-parse+distinct pass instead of three)
+        "ext_cooccurrence",
     ]
     warm_rebuild: dict[str, float] | None = None
     if warm_mode:
