@@ -962,7 +962,15 @@ def containment_pairs(
 
     joinable = sh
     if max_doc_freq is not None:
-        joinable = sh.join(rare_shingles(sh, max_doc_freq), "shingle")
+        # r12: the guarded index feeds THREE consumers (sizes + both join
+        # sides); un-persisted, the rare-shingle agg + df-filter join
+        # re-ran per consumer (per-branch pruning defeats stage reuse on
+        # the sizes branch, which shuffles by id instead of shingle).
+        # Data-proportional -> DISK_ONLY, released with the session
+        # caches like the index itself.
+        joinable = sh.join(rare_shingles(sh, max_doc_freq), "shingle").persist(
+            StorageLevel.DISK_ONLY
+        )
     sizes = joinable.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
     a = joinable.withColumnRenamed(id_col, "id_a")

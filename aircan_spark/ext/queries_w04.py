@@ -646,9 +646,16 @@ def ext_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # own singleton — groupBy would instead merge them all (NULL=NULL in
     # grouping) and the name-keyed expansion join would then drop them
     named = cust.filter(F.col("c_name").isNotNull())
+    # r12: `vals` feeds both sides of the blocked fuzzy join (executed
+    # EAGERLY when CC checkpoints the edge list at construction) and the
+    # label-expansion join — the distinct-name collapse re-ran per
+    # consumer. Data-proportional -> DISK_ONLY
+    # (release_session_caches drains).
+    from pyspark import StorageLevel as _SL
+
     vals = named.groupBy("c_name").agg(
         F.min("c_custkey").alias("vid"), F.count(F.lit(1)).alias("vn")
-    )
+    ).persist(_SL.DISK_ONLY)
     vpairs = entity.fuzzy_self_join(
         vals, "vid", "c_name", max_dist=1, tail=2
     ).select("id_a", "id_b")

@@ -429,10 +429,18 @@ def ext_dup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew.blocked_self_pairs (partitions derived from sum(df^2),
     oversized shingles triangular-split). Then an O(bands) collapse;
     the cumulative runs on the 20-row band axis."""
+    from pyspark import StorageLevel as _SL
+
     from aircan_spark.skew import blocked_self_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.shingles(docs, n=3)
+    # r12: the shingle index feeds sizes / rare / the pair join, and
+    # blocked_self_pairs runs an EAGER stats pass over it at
+    # construction — un-persisted, the tokenize+explode+distinct
+    # pipeline re-ran per consumer (the same fix as the collapsed
+    # sibling). Data-proportional -> DISK_ONLY
+    # (release_session_caches drains).
+    sh = dedup.shingles(docs, n=3).persist(_SL.DISK_ONLY)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     rare = dedup.rare_shingles(sh, dedup.HOT_SHINGLE_MAX_DF)
     inter = (

@@ -49,12 +49,23 @@ def ext_dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair form, with O(n) + O(|values|^2) work instead of O(pairs).
     Weights ride DECIMAL (counts are ~n/|values|; ca*cb sums cross 2^63
     near sf~3000 in int64 — the image_near_dup audit)."""
+    from pyspark import StorageLevel as _SL
+
     docs = _t(spark, sf_dir, "documents")
+    # r12: `vals` feeds THREE branches (both band-join sides + the
+    # within term) — un-persisted, the whole collapse+signature pipeline
+    # re-ran per branch. vals is NARROW (simhash, count) so the persist
+    # is cheap; `g` itself is deliberately NOT persisted — full-text
+    # rows at DISK_ONLY cost more to serialize+re-read than recomputing
+    # the map-side-combined collapse from columnar parquet (measured
+    # A/B). Pin released by data.release_session_caches.
     g = dedup.content_collapse(docs)
     sigs = dedup.simhash_signatures(g).join(
         g.select("doc_id", "n_copies"), "doc_id"
     )
-    vals = sigs.groupBy("simhash").agg(F.sum("n_copies").alias("c"))
+    vals = sigs.groupBy("simhash").agg(F.sum("n_copies").alias("c")).persist(
+        _SL.DISK_ONLY
+    )
     width, bands = 16, 4
     banded = vals.select(
         "simhash",
@@ -114,10 +125,19 @@ def ext_dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     64, each exactly representable), so the output is bounded no matter
     the corpus. Identical integers to GROUP BY est_jaccard over the pair
     form at any multiplicity."""
+    from pyspark import StorageLevel as _SL
+
     docs = _t(spark, sf_dir, "documents")
+    # r12: the narrow (doc_id, n_copies) projection feeds both
+    # count-attach joins + the within term — persist IT (cheap rows),
+    # not full-text `g` (full-text DISK_ONLY rows cost more to
+    # serialize+re-read than recomputing the map-side-combined collapse
+    # from parquet — measured A/B). The signature build inside
+    # minhash_pairs persists its own index. Pin released by
+    # data.release_session_caches.
     g = dedup.content_collapse(docs)
     pairs = dedup.minhash_pairs(g, threshold=0.3)
-    counts = g.select("doc_id", "n_copies")
+    counts = g.select("doc_id", "n_copies").persist(_SL.DISK_ONLY)
     cross = (
         pairs.join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_copies", "ca"), "id_a")
         .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_copies", "cb"), "id_b")
@@ -158,6 +178,12 @@ def ext_dedup_ngram_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse argument). NULL-text docs collapse to one content group
     (GROUP BY NULL=NULL on both engines, mirrored in the oracle)."""
     docs = _t(spark, sf_dir, "documents")
+    # r12 note: `g` is consumed by the shingle build, the dedup_groups
+    # singleton join and the label expansion, but persisting it was
+    # measured SLOWER — full-text rows at DISK_ONLY cost more to
+    # serialize+re-read than recomputing the one map-side-combined
+    # collapse shuffle from columnar parquet. Left unpersisted on
+    # purpose.
     g = dedup.content_collapse(docs)
     held: list = []
     pairs = dedup.ngram_jaccard_pairs(
@@ -266,14 +292,20 @@ def ext_fuzzy_join_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     every sweep proves the collapse equivalent."""
     from aircan_spark.ext import entity
 
+    from pyspark import StorageLevel as _SL
+
     cust = (
         _t(spark, sf_dir, "customer")
         .select("c_custkey", "c_name")
         .filter(F.col("c_name").isNotNull())
     )
+    # r12: `names` feeds both sides of the blocked levenshtein self-join,
+    # both count-attach joins and the within term — the distinct-name
+    # collapse re-ran per consumer. Data-proportional -> DISK_ONLY
+    # (release_session_caches drains).
     names = cust.groupBy("c_name").agg(
         F.min("c_custkey").alias("name_id"), F.count(F.lit(1)).alias("c")
-    )
+    ).persist(_SL.DISK_ONLY)
     pairs = entity.fuzzy_self_join(names, "name_id", "c_name", max_dist=1, tail=2)
     counts = names.select("name_id", "c")
     cross = (
@@ -329,7 +361,16 @@ def ext_dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-cosine rounds to 1.0 at 6 digits). Rows-only contract (the
     hyperplane buckets are not SQL-expressible — same as the pair form);
     tests pin groups == GROUP BY cosine over the pair output."""
+    from pyspark import StorageLevel as _SL
+
     emb = _t(spark, sf_dir, "embeddings")
+    # r12: the narrow (vec_id, c) projection feeds both count-attach
+    # joins + the within term — persist IT. Persisting full `g`
+    # (vector arrays at DISK_ONLY) was measured SLOWER than recomputing
+    # the collapse from parquet (serialized-row re-reads beat columnar
+    # decode nowhere); the pair kernel's own wide consumers stay on the
+    # recompute path by design. Pin released by
+    # data.release_session_caches.
     g = emb.groupBy("embedding").agg(
         F.min("vec_id").alias("vec_id"), F.count(F.lit(1)).alias("c")
     )
@@ -337,7 +378,7 @@ def ext_dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.embedding_pairs(
         g, threshold=0.4, lsh_bits=6, num_tables=24, n_vecs=n_instances
     )
-    counts = g.select("vec_id", "c")
+    counts = g.select("vec_id", "c").persist(_SL.DISK_ONLY)
     cross = (
         pairs.join(
             counts.withColumnRenamed("vec_id", "id_a").withColumnRenamed("c", "ca"),
@@ -380,6 +421,10 @@ def ext_dup_threshold_curve_collapsed(spark: SparkSession, sf_dir: str) -> DataF
     from aircan_spark.skew import blocked_self_pairs
 
     docs = _t(spark, sf_dir, "documents")
+    # r12 note: `g` stays unpersisted on purpose — full-text rows at
+    # DISK_ONLY were measured slower than recomputing the collapse from
+    # parquet. The narrow (doc_id, n_copies) projection is persisted
+    # below instead.
     g = dedup.content_collapse(docs)
     # DISK_ONLY persist (r12): blocked_self_pairs runs an EAGER stats
     # pass over the guarded index at construction time, and the main
@@ -401,7 +446,9 @@ def ext_dup_threshold_curve_collapsed(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    counts = g.select("doc_id", "n_copies")
+    # narrow (doc_id, n_copies) rows feed BOTH count-attach joins — one
+    # collapse run materialized cheaply instead of two recomputes.
+    counts = g.select("doc_id", "n_copies").persist(StorageLevel.DISK_ONLY)
     ju = (
         inter.join(
             sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
