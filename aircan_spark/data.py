@@ -26,7 +26,7 @@ TABLES = (
 _MINTED_CKPT_PATH: str | None = None
 
 
-def checkpoint(df: DataFrame, big: bool = False) -> DataFrame:
+def checkpoint(df: DataFrame, big: bool = False, eager: bool = True) -> DataFrame:
     """Truncate lineage for iterative operators — reliable when possible.
 
     ``localCheckpoint`` stores blocks on executors: fast, but NOT
@@ -50,7 +50,20 @@ def checkpoint(df: DataFrame, big: bool = False) -> DataFrame:
     ``df.checkpoint()`` even in local mode (lazily minting a process-
     lifetime temp checkpoint dir when none is configured): serialized on
     disk, read with bounded memory, lineage truncated — the same
-    mechanics a cluster gets from its configured HDFS dir."""
+    mechanics a cluster gets from its configured HDFS dir.
+
+    ``eager=False`` (r12, guide §5 driver overhead): defer
+    materialization to the CALLER'S next action over the frame — the
+    convergence count of an iterative loop, or the query's own final
+    execution. The blocks, the lineage truncation and the plan are
+    identical to the eager form; the only difference is that the
+    stand-alone materialization JOB disappears (per-round label frames
+    were paying one extra job submission per iteration just to
+    materialize before the round's real action ran). Only honored on
+    the local ``localCheckpoint`` path: the ``big=True`` and
+    external-checkpoint-dir paths stay eager because their
+    cache-then-checkpoint dance (persist -> write -> unpersist) must
+    complete while the persist pin is still held."""
     global _MINTED_CKPT_PATH
     sc = df.sparkSession.sparkContext
     cur = sc._jsc.sc().getCheckpointDir()
@@ -88,7 +101,7 @@ def checkpoint(df: DataFrame, big: bool = False) -> DataFrame:
     # small bounded frames (per-round labels, collapsed axes) keep the
     # fast in-memory localCheckpoint even after a big frame minted the
     # temp dir — only data-proportional frames pay the disk round-trip
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=eager)
 
 
 def release_session_caches(spark, gc_rounds: int = 3, settle_sec: float = 1.0):

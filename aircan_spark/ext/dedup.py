@@ -689,7 +689,13 @@ def connected_components(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).transform(lambda d: checkpoint(d, big=True))
     nodes = sym.select(F.col("src").alias("id")).distinct()
-    comp = nodes.withColumn("component", F.col("id")).transform(checkpoint)
+    # r12 (guide §5): per-round frames are checkpointed LAZILY — the
+    # round's convergence count below is the materializing action, so
+    # each iteration submits ONE job instead of two (eager checkpoint
+    # job + count job). Blocks/truncation identical to the eager form.
+    comp = nodes.withColumn("component", F.col("id")).transform(
+        lambda d: checkpoint(d, eager=False)
+    )
 
     for _ in range(max_iter):
         nbr_min = (
@@ -712,8 +718,11 @@ def connected_components(
                     & (F.col("nbr_component") < F.col("component"))
                 ).alias("__changed"),
             )
-            .transform(checkpoint)
+            .transform(lambda d: checkpoint(d, eager=False))
         )
+        # this count materializes the lazy checkpoint (all partitions —
+        # count never short-circuits) AND returns the convergence flag:
+        # one job per round
         changed = stepped.filter(F.col("__changed")).count()
         comp = stepped.drop("__changed")
         if changed == 0:

@@ -75,13 +75,21 @@ def pagerank(
     edge list (every node has degree >= 1)."""
     e = _canonical_edges(edges, src, dst)
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.transform(checkpoint)
+    # r12 (guide §5): the node-count action below materializes sym's
+    # lazy checkpoint; every per-round rank frame is also lazy, so the
+    # whole fixed-count recursion executes as ONE job at the query's
+    # own action instead of paying `iters` stand-alone checkpoint jobs.
+    # Each round's frame still persists + truncates lineage exactly as
+    # before when it is first computed.
+    sym = sym.transform(lambda d: checkpoint(d, eager=False))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("u").alias("id"), "deg")
     n = nodes.count()
     if n == 0:  # empty graph -> empty ranks (matches the SQL unroll)
         return edges.sparkSession.createDataFrame([], "id long, rank double")
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"), "deg").transform(checkpoint)
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"), "deg").transform(
+        lambda d: checkpoint(d, eager=False)
+    )
     base = (1.0 - damping) / n
     for _ in range(iters):
         contrib = (
@@ -103,7 +111,7 @@ def pagerank(
                 ),
                 "deg",
             )
-            .transform(checkpoint)
+            .transform(lambda d: checkpoint(d, eager=False))
         )
     return ranks.select("id", "rank")
 
@@ -121,9 +129,16 @@ def bfs_depths(
     non-convergence contract as connected_components)."""
     e = _canonical_edges(edges, src, dst)
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.transform(checkpoint)
+    # r12 (guide §5): lazy checkpoints — each round's frontier count is
+    # the materializing action (1 job/round instead of 3: eager frontier
+    # checkpoint + isEmpty + eager visited re-checkpoint). `visited` is
+    # still checkpointed per round so the anti-join scans ONE compact
+    # frame (a plain growing union was measured SLOWER: k stacked scans
+    # with k*32 partitions per round), but lazily — it materializes
+    # inside the NEXT round's count job, so no stand-alone job remains.
+    sym = sym.transform(lambda d: checkpoint(d, eager=False))
     spark = edges.sparkSession
-    visited = spark.createDataFrame([(source, 0)], "id long, depth int").transform(checkpoint)
+    visited = spark.createDataFrame([(source, 0)], "id long, depth int")
     frontier = visited
     for depth in range(1, max_depth + 1):
         nxt = (
@@ -132,11 +147,15 @@ def bfs_depths(
             .distinct()
             .join(visited.select("id"), "id", "left_anti")
             .select("id", F.lit(depth).alias("depth"))
-            .transform(checkpoint)
+            .transform(lambda d: checkpoint(d, eager=False))
         )
-        if nxt.isEmpty():
+        # count (not isEmpty): computes every partition, finalizing the
+        # lazy checkpoint in the same job that answers convergence
+        if nxt.count() == 0:
             return visited
-        visited = visited.union(nxt).transform(checkpoint)
+        visited = visited.union(nxt).transform(
+            lambda d: checkpoint(d, eager=False)
+        )
         frontier = nxt
     if not (
         sym.join(frontier.select(F.col("id").alias("u")), "u")
@@ -175,12 +194,16 @@ def label_propagation(
     round with localCheckpoint. Nodes are the edge endpoints; isolated
     nodes are the caller's concern."""
     e = _canonical_edges(edges, src, dst)
+    # r12 (guide §5): fixed-count loop with no intermediate action —
+    # all-lazy checkpoints collapse `iters`+2 stand-alone
+    # materialization jobs into the query's own execution; each frame
+    # still persists and truncates lineage at first computation.
     sym = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).transform(checkpoint)
+    ).transform(lambda d: checkpoint(d, eager=False))
     labels = sym.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("lbl")
-    ).transform(checkpoint)
+    ).transform(lambda d: checkpoint(d, eager=False))
     for _ in range(iters):
         votes = (
             sym.join(
@@ -193,6 +216,6 @@ def label_propagation(
             votes.groupBy("id")
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("nl"))).alias("m"))
             .select("id", (-F.col("m.nl")).alias("lbl"))
-            .transform(checkpoint)
+            .transform(lambda d: checkpoint(d, eager=False))
         )
     return labels.select("id", F.col("lbl").alias("community"))

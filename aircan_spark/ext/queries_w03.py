@@ -2330,7 +2330,13 @@ def _cooc_edges(spark: SparkSession, sf_dir: str, cap_users: int = 40) -> DataFr
     # lines); blocks are reaped by the ContextCleaner when the frame is
     # dropped, and on a cluster the same call is a reliable checkpoint
     # (aircan_spark.data.checkpoint).
-    return checkpoint(edges)
+    # r12 batch 3 (guide §5): LAZY — the consumer's first action (a
+    # convergence count, or the query's own execution) materializes the
+    # edge build in the same job instead of paying a stand-alone
+    # checkpoint job per fn() call. Blocks/truncation identical; `items`
+    # above stays eager (big=True persists-then-unpersists, which must
+    # complete while its pin is held).
+    return checkpoint(edges, eager=False)
 
 
 _COOC_EDGES_SQL = r"""

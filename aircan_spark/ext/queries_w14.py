@@ -498,6 +498,13 @@ def ext_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls the identical 3 rounds as chained CTEs."""
     from aircan_spark.data import checkpoint
 
+    # r12 (guide §5): ALL checkpoints in this fixed-3-round greedy loop
+    # are lazy — there is no intermediate action, so the final union's
+    # own execution materializes the whole round chain as ONE job
+    # instead of ~7 stand-alone checkpoint jobs. Each frame (the shingle
+    # index, every round's pick and covered set) still persists and
+    # truncates lineage at first computation, and later consumers read
+    # the persisted blocks.
     sh = checkpoint(
         _t(spark, sf_dir, "documents")
         .select(
@@ -513,7 +520,8 @@ def ext_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("sh"),
         )
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     covered = None
     picks = []
@@ -521,14 +529,16 @@ def ext_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = sh if covered is None else sh.join(covered, "sh", "left_anti")
         gains = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("gain"))
         top = checkpoint(
-            gains.orderBy(F.col("gain").desc(), F.col("doc_id").asc()).limit(1)
+            gains.orderBy(F.col("gain").desc(), F.col("doc_id").asc()).limit(1),
+            eager=False,
         )
         picks.append(top.select(F.lit(rnd).alias("round"), "doc_id", "gain"))
         chosen_sh = sh.join(
             top.select("doc_id"), "doc_id"
         ).select("sh").distinct()
         covered = checkpoint(
-            chosen_sh if covered is None else covered.union(chosen_sh).distinct()
+            chosen_sh if covered is None else covered.union(chosen_sh).distinct(),
+            eager=False,
         )
     out = picks[0]
     for p in picks[1:]:

@@ -244,10 +244,13 @@ def ext_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         for _ in range(3):
             # authority table = the items axis (a bounded catalog —
             # the broadcastable side at any corpus scale)
+            # r12 (guide §5): lazy checkpoint — the max-collect below is
+            # the materializing action (1 job per half-round, not 2)
             h_raw = checkpoint(
                 edges.join(F.broadcast(a), "item")
                 .groupBy("user_id")
-                .agg(F.sum("a").alias("hr"))
+                .agg(F.sum("a").alias("hr")),
+                eager=False,
             )
             # bounded scalar (1 row) — same double math as the old
             # broadcast-column divide, value-identical
@@ -266,7 +269,8 @@ def ext_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             a_raw = checkpoint(
                 edges.join(h, "user_id")
                 .groupBy("item")
-                .agg(F.sum("h").alias("ar"))
+                .agg(F.sum("h").alias("ar")),
+                eager=False,
             )
             am = a_raw.agg(F.max("ar").alias("m")).collect()[0]["m"] or 1
             a = a_raw.select(

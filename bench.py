@@ -144,6 +144,14 @@ def main() -> None:
         # r12: distinct user-item list checkpointed at construction
         # (one JSON-parse+distinct pass instead of three)
         "ext_cooccurrence",
+        # r12 batch 3 (honest-warm backfill): these three were ALWAYS
+        # checkpoint-backed (greedy's round chain; the other two route
+        # through connected_components), so their same-DataFrame warm
+        # numbers have always reused the cold pass's blocks — they just
+        # were never listed. The lazy-checkpoint batch did not change
+        # block reuse at warm; listing them now completes the protocol.
+        "ext_greedy_coverage", "ext_cluster_size_histogram",
+        "ext_dedup_ngram_groups",
     ]
     warm_rebuild: dict[str, float] | None = None
     if warm_mode:
