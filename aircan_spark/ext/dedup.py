@@ -60,6 +60,62 @@ def rare_shingles(
     )
 
 
+def guarded_stats(
+    sh: DataFrame,
+    max_doc_freq: int,
+    shingle_col: str = "shingle",
+    persists: list | None = None,
+) -> tuple[DataFrame, tuple[int, int]]:
+    """One doc-frequency aggregation over the inverted index yields BOTH
+    guard artifacts the pair join needs: the rare-shingle whitelist
+    (df <= max_doc_freq, the ``rare_shingles`` result) and
+    ``blocked_self_pairs``' sizing scalars over the GUARDED index
+    (sum(df^2), max(df) over the rare shingles).
+
+    Before (r12 batch-4 measurement): the guard cost THREE index
+    aggregations per query — ``rare_shingles`` recomputed per consumer
+    branch, plus ``blocked_self_pairs``' eager stats pass, which
+    re-executed the whole guard JOIN (sh ⨝ rare → groupBy(shingle) →
+    agg) just to re-derive the per-shingle counts the guard had already
+    computed. Now the df counts are computed once, persisted, and both
+    artifacts are filters over them (guide §1.2: find the fixed costs).
+
+    Equivalence: for a rare shingle, its per-block row count in the
+    guarded index IS its df (the whitelist join keeps every (id,
+    shingle) row of a surviving shingle), so sum(df^2)/max(df) over
+    ``df <= max_doc_freq`` equals what blocked_self_pairs' own pass
+    computes over the joined frame. NULL shingles (NULL-text docs) are
+    excluded here because an equi-join key of NULL never survives the
+    guard join — counting them would inflate ``work`` relative to the
+    in-function pass.
+
+    The df-counts frame is persisted DISK_ONLY (data-proportional — one
+    row per distinct shingle) and appended to ``persists`` when given;
+    otherwise the pin is documented caller-released via
+    ``aircan_spark.data.release_session_caches``, the same contract as
+    the inverted index itself."""
+    from pyspark import StorageLevel
+
+    counts = (
+        sh.filter(F.col(shingle_col).isNotNull())
+        .groupBy(shingle_col)
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    if persists is not None:
+        persists.append(counts)
+    row = (
+        counts.filter(F.col("__df") <= max_doc_freq)
+        .agg(
+            F.sum(F.col("__df") * F.col("__df")).alias("work"),
+            F.max("__df").alias("max_block"),
+        )
+        .collect()[0]
+    )
+    rare = counts.filter(F.col("__df") <= max_doc_freq).select(shingle_col)
+    return rare, (int(row["work"] or 0), int(row["max_block"] or 0))
+
+
 # --- exact -------------------------------------------------------------------
 
 
@@ -159,8 +215,14 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
     joinable = sh
+    stats = None
     if max_doc_freq is not None:
-        joinable = sh.join(rare_shingles(sh, max_doc_freq), "shingle")
+        # r12 batch 4: the whitelist AND blocked_self_pairs' sizing
+        # scalars from ONE persisted df-counts pass — previously the
+        # eager stats pass re-executed the guard join (sh ⨝ rare →
+        # groupBy → agg) on top of the per-branch rare recomputes
+        rare, stats = guarded_stats(sh, max_doc_freq, persists=persists)
+        joinable = sh.join(rare, "shingle")
 
     # inverted-index self-join with DERIVED parallelism: shuffle
     # partitions sized from sum(df^2) over shingles, and any shingle
@@ -171,7 +233,7 @@ def ngram_jaccard_pairs(
     from aircan_spark.skew import blocked_self_pairs
 
     inter = (
-        blocked_self_pairs(joinable, "shingle", id_col)
+        blocked_self_pairs(joinable, "shingle", id_col, stats=stats)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("intersection"))
     )

@@ -442,9 +442,13 @@ def ext_dup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (release_session_caches drains).
     sh = dedup.shingles(docs, n=3).persist(_SL.DISK_ONLY)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    rare = dedup.rare_shingles(sh, dedup.HOT_SHINGLE_MAX_DF)
+    # r12 batch 4: whitelist + blocked sizing scalars from ONE persisted
+    # df-counts pass (dedup.guarded_stats) — the eager stats pass no
+    # longer re-executes the guard join. Pin released with the session
+    # caches like the index itself.
+    rare, stats = dedup.guarded_stats(sh, dedup.HOT_SHINGLE_MAX_DF)
     inter = (
-        blocked_self_pairs(sh.join(rare, "shingle"), "shingle", "doc_id")
+        blocked_self_pairs(sh.join(rare, "shingle"), "shingle", "doc_id", stats=stats)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )

@@ -104,6 +104,7 @@ def blocked_self_pairs(
     target_pairs_per_task: int = 2_000_000,
     max_splits: int = 64,
     max_partitions: int = 2048,
+    stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """All unordered within-block pairs (id_a < id_b), with the parallelism
     DERIVED from the data instead of the session default — the automatic
@@ -133,6 +134,17 @@ def blocked_self_pairs(
     With s == 1 (every block comfortably single-task) the plan IS the
     plain two-sided equi-join — zero overhead beyond the stats pass.
 
+    ``stats=(work, max_block)`` supplies the two sizing scalars
+    precomputed — for callers that already aggregate per-block counts
+    for their own purposes (the hot-shingle guard's doc-frequency pass),
+    so the index is not re-aggregated (and, worse, the guard join not
+    re-executed) just to size the pair join (guide §1.2 fixed costs).
+    The caller owns the equivalence: the values must be sum(c^2) and
+    max(c) over ``keyed``'s per-block row counts, exactly what the
+    in-function pass computes (for a guard-joined index that means
+    df^2 over the rare non-NULL shingles — NULL keys never survive the
+    equi-join, so they must not be counted).
+
     Returns (id_a, id_b, <payload>_a, <payload>_b) for every payload
     column, pairs ordered id_a < id_b. NULL block keys never pair (equi-
     join semantics), matching the plain self-join.
@@ -140,17 +152,18 @@ def blocked_self_pairs(
     import math
 
     spark = keyed.sparkSession
-    stats = (
-        keyed.groupBy(block_col)
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(
-            F.sum(F.col("c") * F.col("c")).alias("work"),
-            F.max("c").alias("max_block"),
+    if stats is None:
+        row = (
+            keyed.groupBy(block_col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.col("c") * F.col("c")).alias("work"),
+                F.max("c").alias("max_block"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
-    work = int(stats["work"] or 0)
-    max_block = int(stats["max_block"] or 0)
+        stats = (int(row["work"] or 0), int(row["max_block"] or 0))
+    work, max_block = int(stats[0]), int(stats[1])
     default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     p = max(default_p, min(max_partitions, math.ceil(work / target_pairs_per_task)))
     s = min(max_splits, max(1, math.ceil(max_block / math.sqrt(target_pairs_per_task))))
