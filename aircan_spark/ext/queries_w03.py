@@ -288,7 +288,11 @@ def ext_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbered = with_row_number(
         per_cust, column="_gi", order_by=["c_mktsegment", "crev", "c_custkey"]
     )
-    seg_counts = per_cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("_n"))
+    # r12: count segments from `numbered` (a scan of with_row_number's
+    # persisted, already-sorted copy) instead of from `per_cust` — the
+    # latter re-executed the 3-table join + revenue aggregation a second
+    # time just to count rows per segment. Same rows, same counts.
+    seg_counts = numbered.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("_n"))
     seg_offsets = seg_counts.select(
         "c_mktsegment",
         (
@@ -1065,10 +1069,19 @@ def ext_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     n_vecs = corpus_count(spark, sf_dir, "embeddings")
-    books = similarity.pq_train(emb, m=16, ksub=256, seed=42, n_rows=n_vecs)
+    # r12: PQ codebooks and the IVF coarse quantizer train on the SAME
+    # canonical sample (identical corpus/vec_col/sample_size/seed) —
+    # collect it once and thread it through; both trainers previously ran
+    # the content-hash sampler's filter+sort+toPandas jobs independently.
+    # Bit-identical by construction (same args -> same matrix;
+    # _train_centroids copies before its in-place normalization).
+    mat = similarity._sample_matrix(emb, "embedding", 16_384, 42, n_rows=n_vecs)
+    books = similarity.pq_train(
+        emb, m=16, ksub=256, seed=42, n_rows=n_vecs, sample_mat=mat
+    )
     return similarity.ivfpq_topk(
         emb, queries, books, k=5, nlist=16, nprobe=4, seed=42, n_rows=n_vecs,
-        refine=50,
+        refine=50, sample_mat=mat,
     )
 
 

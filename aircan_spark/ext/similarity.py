@@ -237,6 +237,7 @@ def _train_centroids(
     sample_size: int = 16_384,
     iters: int = 25,
     n_rows: int | None = None,
+    sample_mat: np.ndarray | None = None,
 ) -> np.ndarray:
     """Sample-based spherical k-means (Lloyd) for the IVF coarse quantizer.
 
@@ -253,8 +254,17 @@ def _train_centroids(
     of corpus content — invariant to partition count. Thread ``n_rows``
     (the caller's known/cached corpus size) to skip the sampler's count
     job — trainers typically receive derived frames where count() is a
-    full scan, not a footer read."""
-    mat = _sample_matrix(corpus, vec_col, sample_size, seed, n_rows=n_rows)
+    full scan, not a footer read. ``sample_mat`` supplies the canonical
+    sample precomputed (r12: a query training BOTH an IVF quantizer and
+    PQ codebooks over the same corpus/seed was collecting the identical
+    sample twice) — copied before the in-place normalization so a shared
+    matrix is never mutated; must be exactly ``_sample_matrix(corpus,
+    vec_col, sample_size, seed, n_rows)`` for results to be unchanged."""
+    mat = (
+        sample_mat.copy()
+        if sample_mat is not None
+        else _sample_matrix(corpus, vec_col, sample_size, seed, n_rows=n_rows)
+    )
     mat /= np.maximum(np.linalg.norm(mat, axis=1)[:, None], 1e-12)
     rng = np.random.default_rng(seed)
     cents = _kmeanspp_init(mat, nlist, rng)
@@ -354,6 +364,7 @@ def pq_train(
     iters: int = 20,
     seed: int = 42,
     n_rows: int | None = None,
+    sample_mat: np.ndarray | None = None,
 ) -> np.ndarray:
     """Train product-quantization codebooks: split the vector into ``m``
     subspaces, k-means each subspace to ``ksub`` centroids. Returns
@@ -363,8 +374,16 @@ def pq_train(
     (``sample_size`` rows regardless of corpus size) via the
     partition-invariant content-hash sampler (``_sample_matrix``);
     encoding cost at 100 TB is row-local. ``n_rows`` skips the sampler's
-    sizing count when the caller already knows the corpus size."""
-    mat = _sample_matrix(corpus, vec_col, sample_size, seed, n_rows=n_rows)
+    sizing count when the caller already knows the corpus size.
+    ``sample_mat`` supplies the canonical sample precomputed (see
+    ``_train_centroids`` — this function only reads it, never writes);
+    must be exactly ``_sample_matrix(corpus, vec_col, sample_size, seed,
+    n_rows)`` for results to be unchanged."""
+    mat = (
+        sample_mat
+        if sample_mat is not None
+        else _sample_matrix(corpus, vec_col, sample_size, seed, n_rows=n_rows)
+    )
     dim = mat.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -562,6 +581,7 @@ def ivfpq_topk(
     seed: int = 42,
     n_rows: int | None = None,
     refine: int = 0,
+    sample_mat: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production ANN layout — IVF cell probing cuts the
     CANDIDATE COUNT (~nprobe/nlist of the corpus per query), PQ codes cut
@@ -578,7 +598,9 @@ def ivfpq_topk(
     probe, not the quantizer; output carries ``cosine``."""
     query_id_col = query_id_col or id_col
     m, ksub, dsub = codebooks.shape
-    cents = _train_centroids(corpus, vec_col, nlist, seed, n_rows=n_rows)
+    cents = _train_centroids(
+        corpus, vec_col, nlist, seed, n_rows=n_rows, sample_mat=sample_mat
+    )
     c_assign = _assign_udf(cents, 1)
     q_assign = _assign_udf(cents, nprobe)
 
