@@ -283,10 +283,19 @@ def ext_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     move driver-side as scalars (the accepted scalar-collect class)."""
     import math as _math
 
+    from pyspark import StorageLevel as _SL
+
     orders = _t(spark, sf_dir, "orders")
+    # r13 (guide §5): the six sequential aggregate passes (init + 5 EM
+    # steps) each re-scanned orders parquet and re-evaluated the cent
+    # projection. The 1-column frame is persisted DISK_ONLY (data-
+    # proportional: one double per order) so pass 1 materializes it and
+    # passes 2-6 read the cached column — 6 parquet scans -> 1. All six
+    # consumers are eager collects inside this fn(), so the pin is
+    # released before returning (the output frame is built from scalars).
     xs = orders.select(
         (F.round(F.col("o_totalprice") * 100).cast("long") / 100.0).alias("x")
-    )
+    ).persist(_SL.DISK_ONLY)
     init = xs.agg(
         F.expr("percentile(x, 0.25)").alias("mu1"),
         F.expr("percentile(x, 0.75)").alias("mu2"),
@@ -321,6 +330,7 @@ def ext_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         sd2 = _math.sqrt(max(float(step["q2"]) / w2 - mu2 * mu2, 1e-6))
         pi1, pi2 = w1 / n, w2 / n
         avg_ll = float(step["ll"]) / n
+    xs.unpersist(blocking=False)  # all consumers collected above
     out = spark.createDataFrame(
         [(int(n), pi1, mu1, sd1, mu2, sd2, avg_ll)],
         "n_orders long, pi1 double, mu1 double, sd1 double, "

@@ -13,12 +13,92 @@ Shapes:
 
 from __future__ import annotations
 
+import contextlib
+import ctypes
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from aircan_spark.ext.dedup import _cosine
+
+# --- BLAS threadpool control for the driver-side trainers -----------------------------
+#
+# The Lloyd loops in pq_train/_train_centroids multiply SKINNY matrices
+# ((sample_n x dsub) @ (dsub x ksub), dsub as small as 4). OpenBLAS
+# dispatches its full threadpool (one thread per core — 32 here) at every
+# such call; for these shapes the split/spin-wait overhead dwarfs the
+# arithmetic, and under CPU contention the spin-waiting collapses
+# completely (measured r13: the 20-iter x 16-subspace assign loop 80.9s at
+# 32 BLAS threads vs 10.6s at 1, same host window; quiet-host matmul
+# 30ms threaded vs 1.3ms single — the r12 "pq_train 6.4s -> 25s cold"
+# regression). Pinning the pool to 1 thread for the trainer loops is the
+# standard fix (what threadpoolctl does; implemented directly here since
+# the sandbox has no threadpoolctl). BIT-IDENTICAL by measurement: dgemm
+# at 1 vs 2 vs 32 threads returned byte-equal outputs for every trainer
+# shape (threading splits the output matrix; each element's k-dim
+# summation order is unchanged), re-pinned by tests/test_round13_opt.py.
+_BLAS_CONTROLS: list | None = None
+
+
+def _blas_thread_controls() -> list:
+    """(getter, setter) pairs for every OpenBLAS mapped into this process.
+
+    Resolution is by /proc/self/maps (the library numpy actually loaded,
+    whatever its wheel mangles the soname to), with the plain and the
+    64-suffixed symbol spellings tried. Returns [] on any platform where
+    this does not apply — callers degrade to a no-op."""
+    global _BLAS_CONTROLS
+    if _BLAS_CONTROLS is None:
+        controls = []
+        try:
+            with open("/proc/self/maps") as fh:
+                paths = sorted(
+                    {
+                        line.split()[-1]
+                        for line in fh
+                        if "openblas" in line.lower() and line.split()[-1].startswith("/")
+                    }
+                )
+            for p in paths:
+                try:
+                    lib = ctypes.CDLL(p)
+                except OSError:
+                    continue
+                for suffix in ("", "64_", "_64"):
+                    getter = getattr(lib, f"openblas_get_num_threads{suffix}", None)
+                    setter = getattr(lib, f"openblas_set_num_threads{suffix}", None)
+                    if getter is not None and setter is not None:
+                        getter.restype = ctypes.c_int
+                        setter.argtypes = [ctypes.c_int]
+                        controls.append((getter, setter))
+                        break
+        except OSError:
+            pass
+        _BLAS_CONTROLS = controls
+    return _BLAS_CONTROLS
+
+
+@contextlib.contextmanager
+def _single_thread_blas():
+    """Pin every process BLAS pool to 1 thread for the duration; restore
+    the previous value on exit. No-op when no controllable BLAS is found."""
+    saved = []
+    for getter, setter in _blas_thread_controls():
+        try:
+            saved.append((setter, int(getter())))
+            setter(1)
+        except Exception:
+            continue
+    try:
+        yield
+    finally:
+        for setter, n in saved:
+            try:
+                setter(n)
+            except Exception:
+                pass
 
 
 def _as_double(df: DataFrame, id_col: str, vec_col: str, out: str) -> DataFrame:
@@ -267,6 +347,14 @@ def _train_centroids(
     )
     mat /= np.maximum(np.linalg.norm(mat, axis=1)[:, None], 1e-12)
     rng = np.random.default_rng(seed)
+    # NOT thread-pinned (r13): the (n x dim) @ (dim x nlist) assign matmul
+    # here is measured NON-bit-identical across OpenBLAS thread counts at
+    # the committed corpus sizes ((500|1000|2000, 64) @ (64, 16) differ in
+    # the last ulp — threading splits the k=64 reduction), so pinning it
+    # would silently change IVF cell assignments mid-optimization round.
+    # It is also cheap (25 small matmuls total, ~100 MFLOP) — pq_train's
+    # 320 ksub=256 matmuls were the regression, and THOSE pin safely
+    # (d=4 never splits the reduction; see pq_train).
     cents = _kmeanspp_init(mat, nlist, rng)
     for _ in range(iters):
         assign = (mat @ cents.T).argmax(axis=1)
@@ -390,25 +478,29 @@ def pq_train(
     dsub = dim // m
     rng = np.random.default_rng(seed)
     books = np.empty((m, ksub, dsub))
-    for s in range(m):
-        sub = mat[:, s * dsub : (s + 1) * dsub]
-        cents = _kmeanspp_init(sub, ksub, rng)
-        for _ in range(iters):
-            # argmin_c ||x-c||^2 == argmin_c (||c||^2 - 2 x.c): one matmul
-            # instead of the (n, ksub, dsub) broadcast cube, and the
-            # centroid update is one bincount-normalized scatter-add —
-            # at the declared ksub=256 budget this turns a 63s
-            # driver-side train into ~5s (measured, r11). Deterministic:
-            # pure ndarray ops on the canonical sample.
-            assign = _lloyd_assign(sub, cents)
-            sums = np.zeros_like(cents)
-            np.add.at(sums, assign, sub)
-            counts = np.bincount(assign, minlength=len(cents))
-            nz = counts > 0
-            cents[nz] = sums[nz] / counts[nz][:, None]
-        books[s, : len(cents)] = cents
-        if len(cents) < ksub:  # degenerate tiny sample: repeat last centroid
-            books[s, len(cents):] = cents[-1]
+    # single-thread BLAS: the (n x dsub) @ (dsub x ksub) matmuls (dsub as
+    # small as 4) collapse under OpenBLAS's full threadpool — 7.6x slower
+    # measured (see _single_thread_blas). Bit-identical, test-pinned.
+    with _single_thread_blas():
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            cents = _kmeanspp_init(sub, ksub, rng)
+            for _ in range(iters):
+                # argmin_c ||x-c||^2 == argmin_c (||c||^2 - 2 x.c): one matmul
+                # instead of the (n, ksub, dsub) broadcast cube, and the
+                # centroid update is one bincount-normalized scatter-add —
+                # at the declared ksub=256 budget this turns a 63s
+                # driver-side train into ~5s (measured, r11). Deterministic:
+                # pure ndarray ops on the canonical sample.
+                assign = _lloyd_assign(sub, cents)
+                sums = np.zeros_like(cents)
+                np.add.at(sums, assign, sub)
+                counts = np.bincount(assign, minlength=len(cents))
+                nz = counts > 0
+                cents[nz] = sums[nz] / counts[nz][:, None]
+            books[s, : len(cents)] = cents
+            if len(cents) < ksub:  # degenerate tiny sample: repeat last centroid
+                books[s, len(cents):] = cents[-1]
     return books
 
 

@@ -230,25 +230,45 @@ def main() -> None:
             indent=1,
             sort_keys=True,
         )
-    # SHORT final line — the driver tail-captures stdout; keep it well under
-    # one terminal line even as the suite grows
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "mode": "cold+warm" if warm_mode else "cold",
-                "warm": round(sum(warm.values()), 3) if warm else None,
-                "calib": calibration_pre["median_s"],
-                "calib_post": calibration_post["median_s"],
-                "n_retimed": len(ab_retimes),
-                "top5": {k: v for k, v in top},
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # SHORT final line — the driver tail-captures the LAST 2000 chars of
+    # stdout and parses the final JSON line within them (r01 lesson: a
+    # full 474-key inline map is ~12 KB, left-truncates, parsed:null).
+    # r13 (VERDICT r12 #2): restore the driver's per-query visibility
+    # without risking the parse — "queries" carries the cold seconds for
+    # the DRIVER-DECLARED SAMPLE (the first 50 registry entries, the
+    # exact set CORRECTNESS_r* hash-checks every round; stable keys, so
+    # cross-round per-query speedups/scaling ratios are computable),
+    # values rounded to 0.01 s, compact separators. A hard length guard
+    # drops precision and then the map itself before ever risking a
+    # >2000-char line: the suite totals must always parse. The full
+    # 474-key map (cold+warm) still lands in bench_queries.json.
+    sample_keys = list(QUERIES)[:50]
+    summary = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "mode": "cold+warm" if warm_mode else "cold",
+        "warm": round(sum(warm.values()), 3) if warm else None,
+        "calib": calibration_pre["median_s"],
+        "calib_post": calibration_post["median_s"],
+        "n_retimed": len(ab_retimes),
+        "top5": {k: v for k, v in top},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = None
+    for ndigits in (2, 1):
+        candidate = dict(summary)
+        candidate["queries"] = {
+            k: round(cold[k], ndigits) for k in sample_keys if k in cold
+        }
+        encoded = json.dumps(candidate, separators=(",", ":"))
+        if len(encoded) <= 1950:
+            line = encoded
+            break
+    if line is None:  # suite grew past the budget: totals still parse
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
