@@ -65,6 +65,11 @@ class BucketedParquetTable:
         self.name = name
         self.keys = list(keys)
         self.num_buckets = num_buckets
+        # r13 (guide §1.2): (version, paths)-keyed read-plan memo — same
+        # catalog argument as ParquetTable._read_cache; every commit bumps
+        # the manifest version, so staleness is impossible for one-writer
+        # tables. Metadata only: every execution still scans the parquet.
+        self._read_cache: dict[tuple, DataFrame] = {}
 
     # ---- manifest plumbing ---------------------------------------------------
     def _manifest_path(self) -> str:
@@ -166,9 +171,16 @@ class BucketedParquetTable:
 
             schema = T.StructType.fromJson(json.loads(m["schema"]))
             return self.spark.createDataFrame([], schema)
+        key = (int(m["version"]), tuple(paths))
+        if key in self._read_cache:
+            return self._read_cache[key]
         # basePath keeps partition discovery from inferring __bucket; each
         # leaf dir is read directly and the column is not resurrected.
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        if len(self._read_cache) > 8:  # bounded: distinct bucket subsets
+            self._read_cache.clear()
+        self._read_cache[key] = df
+        return df
 
     def read_version(self, version: int) -> DataFrame:
         """Time travel: read the table as of an earlier committed
@@ -348,11 +360,18 @@ class BucketedParquetTable:
         a 100 TB table reads and rewrites one bucket, not the table.
         """
         m = self.manifest()
+        held: list[DataFrame] = []  # r13: stage persists, drained post-write
         if m is None:
             # Auto-create (reference D2): empty target with the stage schema.
             target_sub = stage.limit(0)
             m = {"version": 0, "max_id": 0, "buckets": {}}
         else:
+            # The bucket-set probe stays on the RAW stage: select(_BUCKET)
+            # prunes the scan to the key columns, so this pass is cheap at
+            # any scale, and persisting the bucketed stage here was
+            # measured SLOWER locally (a second DISK_ONLY fill stacked on
+            # merge's deduped-stage persist). merge() persists the deduped
+            # stage once (r13) — the form every downstream consumer reads.
             stage_b = self._with_bucket(stage)
             affected = sorted(
                 r[_BUCKET] for r in stage_b.select(_BUCKET).distinct().collect()
@@ -365,9 +384,12 @@ class BucketedParquetTable:
             preserve_columns=preserve_columns,
             job_ts=job_ts,
             insert_start=int(m["max_id"]) + 1,
+            persists=held,
         )
         v = m["version"] + 1
         data_dir = self._write_buckets(self._with_bucket(merged), v)
+        for f in held:
+            f.unpersist(blocking=False)
         buckets = dict(m["buckets"])
         for b in self._present_buckets(data_dir):
             buckets[str(b)] = [f"{data_dir}/{_BUCKET}={b}"]

@@ -67,6 +67,17 @@ class ParquetTable:
         self.warehouse = warehouse
         self.name = name
         self.path = os.path.join(warehouse, name)
+        # r13 (guide §1.2 fixed costs): snapshot-keyed read-plan memo.
+        # Every ``read()`` previously re-ran mergeSchema footer inference
+        # (a distributed job + driver listing) even when the snapshot had
+        # not moved — an upsert alone reads the same snapshot twice
+        # (_align_types + merge target). A DataFrame is an immutable lazy
+        # plan, so caching it caches table METADATA only (the catalog
+        # analog, same argument as data.load_table's session cache);
+        # every execution still reads the parquet bytes. Keyed on
+        # (version, snapshot-dir mtime_ns): a version flip OR an append
+        # into the current snapshot (new file -> dir mtime bump) misses.
+        self._read_cache: dict[tuple, DataFrame] = {}
 
     # ---- snapshot plumbing -------------------------------------------------
     def _version_path(self) -> str:
@@ -141,8 +152,19 @@ class ParquetTable:
     def read(self) -> DataFrame:
         if not self.exists():
             raise FileNotFoundError(f"table {self.name} does not exist at {self.path}")
+        snap = self.snapshot_dir()
+        try:
+            key = (self.current_version(), os.stat(snap).st_mtime_ns)
+        except OSError:
+            key = None  # non-stat-able path: no cheap stamp, no memo
+        if key is not None and key in self._read_cache:
+            return self._read_cache[key]
         # mergeSchema: appended files may carry additive columns (D3).
-        return self.spark.read.option("mergeSchema", "true").parquet(self.snapshot_dir())
+        df = self.spark.read.option("mergeSchema", "true").parquet(snap)
+        if key is not None:
+            self._read_cache.clear()  # one live snapshot per table object
+            self._read_cache[key] = df
+        return df
 
     @property
     def columns(self) -> list[str]:
@@ -233,15 +255,19 @@ class ParquetTable:
         # base captured BEFORE the read: the merge plan scans this exact
         # snapshot, so the commit check detects any version moved since
         base = self.current_version()
+        held: list[DataFrame] = []  # merge's deduped-stage persist (r13)
         merged = upsert_mod.merge(
             self.read(),
             stage,
             keys,
             preserve_columns=preserve_columns,
             job_ts=job_ts,
+            persists=held,
         )
         v = base + 1
         merged.write.mode("overwrite").parquet(self.snapshot_dir(v))
+        for f in held:
+            f.unpersist(blocking=False)
         self._commit(v, expected_base=base)
 
     def backfill_updated_at(

@@ -99,6 +99,7 @@ def merge(
     preserve_columns: tuple[str, ...] = (),
     job_ts: dt.datetime | None = None,
     insert_start: int | None = None,
+    persists: list | None = None,
 ) -> DataFrame:
     """Compute the merged table as a DataFrame (caller writes it).
 
@@ -106,6 +107,16 @@ def merge(
     merge a SUBSET of the table (bucketed partial rewrite) must pass the
     table-wide MAX(_id)+1 — the default derives it from ``target``, which
     is only correct when ``target`` is the whole table.
+
+    ``persists`` (r13, guide §5): when given, the DEDUPED stage is
+    persisted (DISK_ONLY — stage size is data-proportional) and appended
+    to the list for the caller to unpersist once the merged frame has
+    been materialized. The deduped stage feeds the update join, the
+    insert anti-join, AND the insert numbering's two passes (range
+    sampling + persist fill), so un-persisted it re-runs the stage scan
+    + dedup window up to four times per merge — at 100 TB that is four
+    full passes over the incoming batch. ``None`` keeps the pre-r13
+    plan byte-identical.
 
     Column policy (mirrors warehouse.py:222-245):
     - keys: coalesced from both sides.
@@ -126,6 +137,11 @@ def merge(
     job_ts = job_ts or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
 
     stage = dedup_stage(stage, keys)
+    if persists is not None:
+        from pyspark import StorageLevel
+
+        stage = stage.persist(StorageLevel.DISK_ONLY)
+        persists.append(stage)
 
     system_cols = {row_number_column, updated_at_column, *preserve_columns}
     stage_data_cols = [c for c in stage.columns if c not in keys and c not in system_cols]
