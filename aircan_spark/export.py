@@ -138,6 +138,16 @@ def export_partitioned(
     missing = [c for c in partition_by if c not in df.columns]
     if missing:
         raise ValueError(f"partition columns not in frame: {missing}")
+    # r13 (guide §6 small files): without clustering, EVERY write task
+    # holds rows of EVERY partition value and emits one file per value it
+    # sees — measured 1280 files for a 5000-row/20-value export (32 tasks
+    # x 20 values x [data+crc]), the "small files hurt twice" shape.
+    # REBALANCE by the partition columns routes each value to one
+    # AQE-sized task (splitting skewed values, coalescing small ones), so
+    # the file count tracks the data, not the task count. Row content is
+    # untouched; ``max_records_per_file`` still caps files from hot
+    # values.
+    df = df.hint("rebalance", *partition_by)
     writer = df.write.mode("overwrite").partitionBy(*partition_by)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))

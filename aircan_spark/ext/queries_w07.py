@@ -2601,6 +2601,12 @@ def ext_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reachability density is the classic LOF duplicate degeneracy —
     # undefined (NULL) here, not an ANSI divide-by-zero crash (found by
     # the 10x verbatim-replica scale run). Oracle mirrors via NULLIF.
+    # r13 note: lrd feeds two branches, but persisting it was measured
+    # SLOWER (first 0.98->1.48s, second 0.62->1.13s, 3-round A/B) — both
+    # branches re-derive from the CHECKPOINTED nn, so the duplicated
+    # subtree is two cheap regroupings, and the persist fill costs more
+    # than it saves (the ext_waiting_suppliers lesson). Left unpersisted
+    # on purpose.
     lrd = reach.groupBy("qid").agg(
         F.try_divide(F.lit(1.0), F.avg("rd")).alias("lrd")
     )
