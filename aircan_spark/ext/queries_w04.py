@@ -2076,7 +2076,14 @@ def ext_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (((F.dayofweek("ts") + F.lit(5)) % 7) + 1).alias("wd"),
     )
-    cells = ev.groupBy("event_type", "wd").agg(F.count(F.lit(1)).alias("c"))
+    # r13 (guide §5, the cramers_v pattern): cells feeds SIX subtrees
+    # (the joined pass + mx/my/tot broadcast fills + the hx/hy entropy
+    # margins), and per-branch pruning specializes each copy past
+    # ReuseExchange — un-persisted, the events scan + contingency
+    # exchange re-ran up to 6x per execution (16 textual scans in the
+    # before plan). Bounded frame (n_types x 7 rows) -> default level;
+    # pin released by release_session_caches.
+    cells = ev.groupBy("event_type", "wd").agg(F.count(F.lit(1)).alias("c")).persist()
     mx = cells.groupBy("event_type").agg(F.sum("c").alias("cx"))
     my = cells.groupBy("wd").agg(F.sum("c").alias("cy"))
     tot = cells.agg(F.sum("c").alias("n"))
@@ -2176,10 +2183,15 @@ def ext_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
         F.col("tp").isNotNull().alias("event"),
     )
+    # r13 (guide §5): days feeds the broadcast total AND the risk walk —
+    # un-persisted, the whole per_user collapse + horizon cross + day
+    # aggregation re-ran for each (8 textual scans in the before plan).
+    # Bounded frame (O(distinct days) rows) -> default level; pin
+    # released by release_session_caches.
     days = dur.groupBy("t").agg(
         F.sum(F.when(F.col("event"), 1).otherwise(0)).alias("d"),
         F.sum(F.when(~F.col("event"), 1).otherwise(0)).alias("cens"),
-    )
+    ).persist()
     total = days.agg(F.sum(F.col("d") + F.col("cens")).alias("n_users"))
     w_prev = Window.orderBy("t").rowsBetween(
         Window.unboundedPreceding, -1

@@ -2332,9 +2332,13 @@ def ext_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("ec"),
     )
+    # r13 (guide §5): cells feeds the broadcast total AND the share
+    # projection — un-persisted, the lineitem binning pass ran twice per
+    # execution. Bounded frame (bands x cent-levels) -> default level;
+    # pin released by release_session_caches.
     cells = li.groupBy("q_band", "disc_pct").agg(
         F.count(F.lit(1)).alias("n_lines"), F.sum("ec").alias("rev_c")
-    )
+    ).persist()
     tot = cells.agg(F.sum("rev_c").alias("t"))
     return (
         cells.crossJoin(F.broadcast(tot))
