@@ -111,6 +111,11 @@ def ext_nation_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
         .groupBy("n_name")
         .agg(F.sum("srev").cast("decimal(38,6)").alias("value"))
+        # r13 (guide §5): per_nation feeds the global-total scalar AND
+        # the share projection — un-persisted, the lineitem suppkey
+        # exchange ran twice. Bounded (O(nations) rows) -> default
+        # level; released by release_session_caches.
+        .persist()
     )
     total = per_nation.agg(F.sum("value").cast("decimal(38,6)").alias("tot"))
     return (
@@ -361,10 +366,16 @@ def ext_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; output is O(segments × priorities)."""
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # r13 (guide §5, the cramers_v pattern): cells feeds the row/column/
+    # grand margins AND the final contribution join — un-persisted, the
+    # orders x customer join + contingency exchange ran 4x. Bounded
+    # (segments x priorities) -> default level; released by
+    # release_session_caches.
     cells = (
         orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("observed"))
+        .persist()
     )
     row_tot = cells.groupBy("c_mktsegment").agg(F.sum("observed").alias("rt"))
     col_tot = cells.groupBy("o_orderpriority").agg(F.sum("observed").alias("ct"))

@@ -1643,9 +1643,13 @@ def ext_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id-grouped) join — the corpus never shuffles on anything
     data-sized except the posexplode regroup."""
     emb = _t(spark, sf_dir, "embeddings")
+    # r13 (guide §5): cent feeds the norm aggregate AND the per-vector
+    # scoring join — un-persisted, the full-corpus centroid pass
+    # (explode + decimal means) ran twice. Bounded (labels x dims) ->
+    # default level; released by release_session_caches.
     cent = vectors.label_centroids(emb).select(
         "label", "pos", "centroid_val"
-    )
+    ).persist()
     cnorm = cent.groupBy("label").agg(
         F.sum(F.col("centroid_val") * F.col("centroid_val")).alias("cn")
     )
@@ -1662,13 +1666,19 @@ def ext_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("v") * F.col("v")).alias("vn"),
         )
     )
+    from pyspark import StorageLevel as _SL
+
+    # r13: scored feeds the per-label threshold percentile AND the final
+    # flag join — un-persisted, the whole posexplode + centroid join +
+    # regroup pipeline ran twice. Data-proportional (one row per vector)
+    # -> DISK_ONLY; released by release_session_caches.
     scored = per_vec.join(F.broadcast(cnorm), "label").select(
         "vec_id",
         "label",
         F.round(
             F.col("dot") / F.sqrt(F.col("vn") * F.col("cn")), 6
         ).alias("cos_to_centroid"),
-    )
+    ).persist(_SL.DISK_ONLY)
     thr = scored.groupBy("label").agg(
         F.expr("percentile(cos_to_centroid, 0.05)").alias("t05")
     )

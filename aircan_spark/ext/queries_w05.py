@@ -147,9 +147,15 @@ def ext_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,2)").alias("tp"),
     )
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    from pyspark import StorageLevel as _SL
+
+    # r13 (guide §5): base feeds the per-segment sums, the global-mean
+    # scalar AND the final encode join — un-persisted, the orders x
+    # customer broadcast join ran 3x. Data-proportional (one row per
+    # order) -> DISK_ONLY; released by release_session_caches.
     base = orders.join(
         F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
-    ).select("o_orderkey", "c_mktsegment", "tp")
+    ).select("o_orderkey", "c_mktsegment", "tp").persist(_SL.DISK_ONLY)
     seg = base.groupBy("c_mktsegment").agg(
         F.sum("tp").alias("seg_sum"), F.count(F.lit(1)).alias("seg_n")
     )
@@ -816,6 +822,8 @@ def ext_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the pre-ceiling history. Norms broadcast; the head is
     k-bounded. Weights round to 6 BEFORE pairing so ranking can't
     straddle engine ulp."""
+    from pyspark import StorageLevel as _SL
+
     docs = _t(spark, sf_dir, "documents")
     n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
     wts = (
@@ -828,6 +836,12 @@ def ext_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("doc_id", "word", "tf_idf")
+        # r13 (guide §5): wts feeds the norms pass AND both sides of the
+        # term-at-a-time pair join — un-persisted, the whole tokenize +
+        # tf + df-join TF-IDF pipeline ran 3x (32 textual scans in the
+        # before plan). Data-proportional (postings) -> DISK_ONLY;
+        # released by release_session_caches.
+        .persist(_SL.DISK_ONLY)
     )
     norms = wts.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("tf_idf") * F.col("tf_idf"))).alias("nrm")
@@ -2359,6 +2373,12 @@ def ext_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("w") != "")
     )
+    # r13 note: persisting minima (and/or the exact-audit vocab) was
+    # measured SLOWER (first 7.9 -> 10.3s with minima persisted; vocab
+    # DISK_ONLY worse again) — the pair-expansion sides consume the
+    # IDENTICAL subtree, which AQE stage reuse already dedupes, so the
+    # persists only added fill jobs (17 -> 28/34). Left unpersisted on
+    # purpose (the ext_waiting_suppliers lesson).
     minima = sk.kmv_minima(toks, "w", ["source"], k=k).select("source", "h")
     est = sk.kmv_estimates(minima, ["source"], k=k)
     sources = minima.select("source").distinct()

@@ -25,11 +25,18 @@ def ext_exposure_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ranking over the retrieval-bounded candidate set
     (X251's bound); exposure and pool shares are two O(sources)
     collapses against broadcast totals."""
+    from pyspark import StorageLevel as _SL
+
     docs = _t(spark, sf_dir, "documents")
+    # r13 (guide §5): cand feeds the exposure ranking AND the pool
+    # counts — un-persisted, the whole BM25 scoring pipeline ran twice.
+    # Data-proportional (candidate set) -> DISK_ONLY; released by
+    # release_session_caches.
     cand = (
         text.bm25_scores(docs, BM25_QUERY_TERMS)
         .select("doc_id", "score")
         .join(docs.select("doc_id", "source"), "doc_id")
+        .persist(_SL.DISK_ONLY)
     )
     wr = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     ranked = cand.withColumn("rank", F.row_number().over(wr))

@@ -67,6 +67,12 @@ def ext_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS BIGINT)"
             ).alias("y")
         )
+        # r13 (guide §5): mo_raw feeds the spine distinct, the nations
+        # distinct AND the zero-fill left join — un-persisted, the
+        # 3-table join + rollup ran 3x (the before plan carried 60
+        # parquet scans / 150 Exchanges). Bounded (nations x months) ->
+        # default level; released by release_session_caches.
+        .persist()
     )
     spine = mo_raw.select("mo").distinct()
     nations = mo_raw.select("n_regionkey", "c_nationkey").distinct()
@@ -79,6 +85,10 @@ def ext_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mo",
             F.expr("COALESCE(y, 0L)").alias("y"),
         )
+        # r13: the zero-filled grid feeds the horizon scalar and BOTH
+        # trend fits (nation-level + region-direct) — same bounded size
+        # as mo_raw, same persist rationale.
+        .persist()
     )
     horizon = mo.agg(F.max("mo").alias("mmax"))
 

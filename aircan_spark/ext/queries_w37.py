@@ -55,9 +55,16 @@ def ext_segment_price_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("uc"),
         )
     )
+    from pyspark import StorageLevel as _SL
+
+    # r13 (guide §5): cells feeds both pairing sides and (below) the
+    # global sums — un-persisted, the 3-table join + (part, auto)
+    # aggregation ran 3x (cells twice + a separate glob pass over li).
+    # Data-proportional (O(parts) rows) -> DISK_ONLY; released by
+    # release_session_caches.
     cells = li.groupBy("l_partkey", "auto").agg(
         F.count(F.lit(1)).alias("n"), F.sum("uc").alias("s")
-    )
+    ).persist(_SL.DISK_ONLY)
     a = cells.filter("auto = 1").select(
         "l_partkey", F.col("n").alias("na"), F.col("s").alias("sa")
     )
@@ -70,15 +77,16 @@ def ext_segment_price_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("dq")
     )
-    glob = li.agg(
-        F.expr(
-            "SUM(CASE WHEN auto = 1 THEN uc ELSE 0 END)"
-        ).alias("gsa"),
-        F.sum(F.expr("CAST(auto = 1 AS LONG)")).alias("gna"),
-        F.expr(
-            "SUM(CASE WHEN auto = 0 THEN uc ELSE 0 END)"
-        ).alias("gsb"),
-        F.sum(F.expr("CAST(auto = 0 AS LONG)")).alias("gnb"),
+    # r13: the global sums FOLD over the persisted cells instead of
+    # re-scanning li — exact integer identity (SUM of per-part integer
+    # sums/counts == the row-level sums; addition is associative over
+    # BIGINT), so the result is unchanged while the third full join
+    # pass disappears.
+    glob = cells.agg(
+        F.expr("SUM(CASE WHEN auto = 1 THEN s ELSE 0 END)").alias("gsa"),
+        F.expr("SUM(CASE WHEN auto = 1 THEN n ELSE 0 END)").alias("gna"),
+        F.expr("SUM(CASE WHEN auto = 0 THEN s ELSE 0 END)").alias("gsb"),
+        F.expr("SUM(CASE WHEN auto = 0 THEN n ELSE 0 END)").alias("gnb"),
     )
     return (
         paired.agg(
