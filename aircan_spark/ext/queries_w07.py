@@ -1432,9 +1432,13 @@ def ext_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: day-axis collapse, ten tiny shifted self-joins, O(1)
     arithmetic."""
     orders = _t(spark, sf_dir, "orders")
+    # r13 (guide §5): daily feeds the mean scalar, the denominator pass
+    # and BOTH lag-join sides — un-persisted, the orders scan + day
+    # exchange ran 4x (the ext_acf shape). Bounded (O(days) rows) ->
+    # default level; released by release_session_caches.
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("xc")
-    )
+    ).persist()
     stats = daily.agg(
         F.count(F.lit(1)).alias("nd"),
         (F.sum("xc").cast("double") / F.count(F.lit(1))).alias("mu"),

@@ -771,25 +771,33 @@ def ext_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-group exact medians broadcast back, one moment
     pass over the row-local absolute deviations, O(groups) F
     arithmetic."""
+    from pyspark import StorageLevel as _SL
+
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
     )
+    # r13 (guide §5): x feeds the per-group medians AND the deviation
+    # join — un-persisted, the orders x customer join ran twice (and the
+    # g moments a third time below). Data-proportional (one row per
+    # order) -> DISK_ONLY; released by release_session_caches.
     x = orders.join(cust, "o_custkey").select(
         "c_mktsegment",
         (F.round(F.col("o_totalprice") * 100).cast("long") / 100.0).alias("x"),
-    )
+    ).persist(_SL.DISK_ONLY)
     med = x.groupBy("c_mktsegment").agg(
         F.expr("percentile(x, 0.5)").alias("md")
     )
     z = x.join(F.broadcast(med), "c_mktsegment").select(
         "c_mktsegment", F.abs(F.col("x") - F.col("md")).alias("z")
     )
+    # r13: g feeds the totals scalar AND the F-statistic pass — bounded
+    # (O(segments) rows) -> default level.
     g = z.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("ng"),
         F.sum("z").alias("sz"),
         F.sum(F.col("z") * F.col("z")).alias("szz"),
-    )
+    ).persist()
     tot = g.agg(
         F.sum("ng").alias("n"),
         F.count(F.lit(1)).alias("k"),

@@ -322,6 +322,10 @@ def ext_bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bit"),
         )
 
+    # r13 note: persisting built was measured SLOWER (first 1.9 ->
+    # 2.8s, second flat; 2-round alternating A/B) — its two consumers
+    # share the distinct exchange via AQE stage reuse. Left unpersisted
+    # on purpose.
     built = bits(build_keys).select("bit").distinct()
     probe = bits(probe_keys)
     hits = (

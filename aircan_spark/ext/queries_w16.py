@@ -42,6 +42,11 @@ def ext_equi_depth_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .agg(F.count(F.lit(1)).alias("c"))
+        # r13 note: persisting this grid was measured ~2x SLOWER (first
+        # 6.8 -> 14.0s, second 2.6 -> 3.9s, 2-round alternating A/B) —
+        # the five consumer branches share the IDENTICAL grid exchange,
+        # which AQE stage reuse already dedupes; the persist only added
+        # fill jobs (22 -> 48). Left unpersisted on purpose.
     )
     w = Window.orderBy("gv")
     tot = grid.agg(F.sum("c").alias("n"))

@@ -206,6 +206,11 @@ def ext_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("c"))
+        # r13 note: persisting tok (DISK_ONLY) was measured SLOWER
+        # (first 3.5 -> 4.5s, second flat; 2-round alternating A/B) —
+        # the three consumers share the (source, word) exchange via AQE
+        # stage reuse, and serialized re-reads lose to the reused
+        # shuffle output. Left unpersisted on purpose.
     )
     top_words = (
         tok.groupBy("w")
